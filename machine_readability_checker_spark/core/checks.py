@@ -1,0 +1,568 @@
+"""Machine-readability rule checks (the reference's query set).
+
+Re-implements, from observed behavior, every function in the reference's
+``CHECK_FUNCTIONS`` registry (``src/checker/level1_checker.py:1030-1045``)
+bound to the 15-rule catalog ``rules/level1.json:2-76``, plus the two
+registry-only checks (numeric-column classifier, free-text-mix flagger).
+
+Every check returns ``(passed: bool, message: str)`` — the reference's
+uniform contract — and runs over the already-parsed document (grid +
+workbook side-channel + zone context), so the expensive parse happens once
+per document (the reference likewise loads the workbook once per run,
+``app.py:156-167``).
+
+Checks are vectorized with pandas/numpy where the reference used
+``iterrows`` loops; outputs (including Japanese message strings, finding
+order, sample caps and truncations) are preserved bit-for-bit because the
+fixture oracle asserts on them.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from . import cells as C
+from .grid import ParsedDoc
+from .zones import ZoneContext, is_empty_cell
+
+CheckResult = Tuple[bool, str]
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _body_df(ctx: ZoneContext) -> pd.DataFrame:
+    """The data body as a pandas DataFrame with merged column names —
+    the analog of the reference's ``ctx.data``."""
+    if not ctx.data_rows:
+        return pd.DataFrame()
+    df = pd.DataFrame(ctx.data_rows)
+    cols = list(ctx.columns)
+    if len(cols) == df.shape[1]:
+        df.columns = cols
+    return df
+
+
+def _grid_row_nonempty(row: List[Any]) -> bool:
+    return any(not is_empty_cell(v) for v in row)
+
+
+# ------------------------------------------------- multi-table detection
+
+
+def detect_multiple_tables(
+    body: pd.DataFrame, data_start_offset: int = 0
+) -> Tuple[bool, str]:
+    """Block segmentation over the data body (reference
+    ``detect_multiple_tables_dataframe``, ``level1_checker.py:262-339``):
+    consecutive all-empty-row groups ⇒ table separators; header-like rows
+    (non-numeric ratio ≥ 0.5) more than 3 rows apart ⇒ stacked tables."""
+    if body.empty or len(body) < 3:
+        return False, "データが少ないため複数テーブルの検出をスキップ"
+
+    isna = body.isna()
+    as_str = body.astype(str).apply(lambda s: s.str.strip())
+    empty_mask = (isna.all(axis=1) | (as_str == "").all(axis=1)).to_numpy()
+    empty_rows = np.flatnonzero(empty_mask)
+
+    if empty_rows.size > 0:
+        # count runs of consecutive indices
+        n_groups = int(1 + np.sum(np.diff(empty_rows) > 1))
+        return True, f"複数の連続空行グループが見つかりました: {n_groups}箇所"
+
+    header_like_rows: List[int] = []
+    for idx in range(len(body)):
+        row = body.iloc[idx]
+        non_na = row.dropna().astype(str).str.strip()
+        if len(non_na) > 0:
+            numeric = sum(
+                1
+                for val in non_na
+                if val.replace(".", "").replace("-", "").isdigit()
+            )
+            if numeric / len(non_na) < 0.5:
+                header_like_rows.append(idx + data_start_offset + 1)
+
+    if len(header_like_rows) >= 2:
+        gaps = np.diff(header_like_rows)
+        if np.any(gaps > 3):
+            return (
+                True,
+                f"離れた位置に複数のヘッダー様行が検出されました: {header_like_rows}",
+            )
+
+    return False, "単一テーブルと判定"
+
+
+def count_blocks(grid_rows: List[List[Any]], start: int, end: int) -> int:
+    """Contiguous non-empty row blocks in [start, end] (0-based inclusive)
+    — reference ``check_one_table_per_sheet`` workbook path
+    (``level1_checker.py:405-421``)."""
+    blocks = 0
+    in_block = False
+    for i in range(start, min(end, len(grid_rows) - 1) + 1):
+        has_data = _grid_row_nonempty(grid_rows[i])
+        if has_data and not in_block:
+            blocks += 1
+            in_block = True
+        elif not has_data:
+            in_block = False
+    return blocks
+
+
+# ----------------------------------------------------------- the checks
+
+
+def check_valid_file_format(doc: ParsedDoc, ctx, body) -> CheckResult:
+    if doc.fmt not in {"csv", "xlsx", "xls"}:
+        return False, f"サポート外のファイル形式です: .{doc.fmt}"
+    if doc.fmt == "xls":
+        return (
+            True,
+            "旧Excel（.xls）形式のため、一部の自動チェック（書式・図形など）が"
+            "制限されます。必要に応じて目視での確認を行ってください",
+        )
+    return True, "ファイル形式はCSVまたはExcel（.xlsx）です"
+
+
+def check_no_images_or_objects(doc: ParsedDoc, ctx, body) -> CheckResult:
+    if doc.fmt == "csv":
+        return True, "csvファイルのためオブジェクトチェック不要"
+    if doc.fmt == "xls":
+        return (
+            False,
+            "xlsファイルでは図形や画像の自動判定ができません。"
+            "必要に応じて目視でご確認ください",
+        )
+    if doc.fmt == "xlsx":
+        if doc.workbook is not None and doc.workbook.drawing_parts:
+            return False, "図形・テキストボックスが検出されました"
+        return True, "図形・テキストボックスは見つかりませんでした"
+    return True, "サポート外形式のためオブジェクトチェック不要"
+
+
+def check_one_table_per_sheet(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
+) -> CheckResult:
+    if doc.fmt != "xlsx":
+        # workbook-less path: DataFrame-based multi-table detection
+        is_multiple, details = detect_multiple_tables(
+            body, data_start_offset=ctx.data_start
+        )
+        if is_multiple:
+            return False, f"複数テーブルの疑いがあります: {details}"
+        return True, "1つのテーブルのみです"
+
+    if not ctx.column_rows:
+        return False, "シート範囲情報が不足しているためチェックできません"
+    grid = doc.sheets[sheet_idx].rows if doc.sheets else []
+    blocks = count_blocks(grid, min(ctx.column_rows), ctx.data_end)
+    if blocks > 1:
+        return False, f"複数テーブルの疑いがあります（検出ブロック数: {blocks}）"
+    return True, "1つのテーブルのみです"
+
+
+def check_no_hidden_rows_or_columns(
+    doc: ParsedDoc, ctx: ZoneContext, body, sheet_idx: int = 0
+) -> CheckResult:
+    if doc.fmt == "csv":
+        return True, "csvファイルのため非表示行・列の概念はありません"
+    if doc.fmt != "xlsx" or doc.workbook is None:
+        return True, "サポート外形式のため非表示行・列チェックをスキップします"
+
+    sheet = doc.workbook.sheets[sheet_idx]
+    hidden_rows = sorted(set(sheet.hidden_rows))
+    hidden_cols = sorted(set(sheet.hidden_cols))
+    row_str = (
+        ", ".join(f"{r + 1}行" for r in hidden_rows) if hidden_rows else "該当なし"
+    )
+    col_str = (
+        ", ".join(f"{C.col_letter(c + 1)}列" for c in hidden_cols)
+        if hidden_cols
+        else "該当なし"
+    )
+    if hidden_rows or hidden_cols:
+        return False, f"非表示行／列があります（行: {row_str}, 列: {col_str}）"
+    return True, "非表示行／列はありません"
+
+
+def check_no_notes_outside_table(
+    doc: ParsedDoc, ctx: ZoneContext, body
+) -> CheckResult:
+    problem_notes: List[str] = []
+    for row_idx, row in ctx.upper_rows:
+        content = [C.render_cell(v) for v in row if not is_empty_cell(v)]
+        if content:
+            problem_notes.append(f"**{row_idx + 1}行目:** {', '.join(content)}")
+    for row_idx, row in ctx.lower_rows:
+        content = [C.render_cell(v) for v in row if not is_empty_cell(v)]
+        if content:
+            problem_notes.append(f"**{row_idx + 1}行目:** {', '.join(content)}")
+
+    if problem_notes:
+        details = "\n- ".join(problem_notes)
+        return False, f"テーブルの範囲外で以下の内容が検出されました:\n- {details}"
+    return True, "表外の注釈や備考はありません"
+
+
+def check_no_merged_cells(
+    doc: ParsedDoc, ctx: ZoneContext, body, sheet_idx: int = 0
+) -> CheckResult:
+    if doc.fmt == "csv":
+        return True, "csvファイルのため結合セルは存在しません"
+    if doc.fmt != "xlsx" or doc.workbook is None:
+        return True, "サポート外形式のため結合セルチェックをスキップします"
+    if not ctx.column_rows:
+        return False, "結合セルチェックに必要な情報が不足しています"
+
+    start = min(ctx.column_rows) + 1  # 1-based
+    end = ctx.data_end + 1
+    sheet = doc.workbook.sheets[sheet_idx]
+    relevant = [
+        f"{C.col_letter(c0 + 1)}{r0 + 1}:{C.col_letter(c1 + 1)}{r1 + 1}"
+        for (r0, c0, r1, c1) in sheet.merged
+        if (r0 + 1) >= start and (r1 + 1) <= end
+    ]
+    if relevant:
+        relevant.sort(key=C.a1_sort_key)
+        return False, f"結合セルが検出されました: {relevant}"
+    return True, "結合セルはありません"
+
+
+_FLAG_LABELS = {
+    "fill": "塗りつぶし",
+    "font_color": "文字色",
+    "bold": "太字",
+    "italic": "イタリック",
+    "underline": "下線",
+}
+
+
+def check_no_format_based_semantics(
+    doc: ParsedDoc, ctx: ZoneContext, body, sheet_idx: int = 0
+) -> CheckResult:
+    if doc.fmt == "xls":
+        return (
+            True,
+            "旧Excel（.xls）形式のため、書式（文字色や太字など）の自動判定が"
+            "不正確な場合があります。必要に応じて目視でご確認ください。",
+        )
+    if doc.fmt == "csv":
+        return True, "csvファイルのため書式装飾チェックは対象外です"
+    if doc.fmt != "xlsx" or doc.workbook is None:
+        return True, "サポート外形式のため書式装飾チェックをスキップします"
+    if not ctx.column_rows:
+        return False, "書式チェックに必要な情報が不足しています"
+
+    start0 = min(ctx.column_rows)  # 0-based
+    end0 = ctx.data_end
+    sheet = doc.workbook.sheets[sheet_idx]
+    flagged: List[str] = []
+    for (r, c, flag) in sheet.format_flags:
+        if r < start0 or r > end0:
+            continue
+        coord = f"{C.col_letter(c + 1)}{r + 1}"
+        if flag.startswith("font_size:"):
+            flagged.append(f"{coord}（フォントサイズ {flag.split(':', 1)[1]}）")
+        elif flag in _FLAG_LABELS:
+            flagged.append(f"{coord}（{_FLAG_LABELS[flag]}）")
+    if flagged:
+        flagged.sort(key=C.a1_sort_key)
+        details = "\n- ".join(flagged)
+        return (
+            False,
+            f"以下のセルで視覚的装飾による意味付けが検出されました:\n- {details}",
+        )
+    return True, "書式ベースの意味づけは検出されませんでした"
+
+
+def check_no_whitespace_formatting(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
+) -> CheckResult:
+    sample_cells: List[str] = []
+    if doc.fmt != "xlsx":
+        # body-relative coordinates, first-10-in-scan-order cap, then sort
+        for row_idx in range(len(body)):
+            for col_idx, val in enumerate(body.iloc[row_idx]):
+                if isinstance(val, str) and C.FULL_WIDTH_SPACE in val:
+                    cell_ref = f"{C.col_letter(col_idx + 1)}{row_idx + 1}"
+                    sample_cells.append(f"{cell_ref}: '{val.strip()}'")
+                    if len(sample_cells) >= 10:
+                        break
+            if len(sample_cells) >= 10:
+                break
+    else:
+        if not ctx.column_rows:
+            return False, "空白チェックに必要な情報が不足しています"
+        grid = doc.sheets[sheet_idx].rows
+        start0 = min(ctx.column_rows)
+        end0 = min(ctx.data_end, len(grid) - 1)
+        for r in range(start0, end0 + 1):
+            for c_idx, val in enumerate(grid[r]):
+                if isinstance(val, str) and C.FULL_WIDTH_SPACE in val:
+                    cell_ref = f"{C.col_letter(c_idx + 1)}{r + 1}"
+                    sample_cells.append(f"{cell_ref}: '{val.strip()}'")
+                    if len(sample_cells) >= 10:
+                        break
+            if len(sample_cells) >= 10:
+                break
+
+    if not sample_cells:
+        return True, "体裁調整目的の空白は見つかりませんでした"
+    sample_cells.sort(key=C.a1_sort_key)
+    details = "\n- ".join(sample_cells)
+    return (
+        False,
+        f"以下のセルで体裁調整目的の空白が使用されている可能性があります:\n- {details}",
+    )
+
+
+def check_single_data_per_cell(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    problems: List[str] = []
+    start = ctx.data_start
+    for row_idx in range(len(body)):
+        for col_idx, val in enumerate(body.iloc[row_idx]):
+            if isinstance(val, str) and C._MULTI_VALUE_RE.search(val):
+                coord = f"{C.col_letter(col_idx + 1)}{row_idx + 1 + start}"
+                problems.append(f"{coord}: {val!r}")
+    if problems:
+        problems.sort(key=C.a1_sort_key)
+        details = "\n- ".join(problems)
+        return False, f"以下のセルで複数のデータが検出されました:\n- {details}"
+    return True, "各セルに1データのみです"
+
+
+def check_no_platform_dependent_characters(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
+) -> CheckResult:
+    issues: List[str] = []
+    if doc.fmt != "xlsx":
+        for row_idx in range(len(body)):
+            for col_idx, val in enumerate(body.iloc[row_idx]):
+                if isinstance(val, str) and C.detect_platform_characters(val):
+                    coord = f"{C.col_letter(col_idx + 1)}{row_idx + 1}"
+                    issues.append(f"{coord}: '{val}'")
+    else:
+        if not ctx.column_rows:
+            return False, "機種依存文字チェックに必要な情報が不足しています"
+        grid = doc.sheets[sheet_idx].rows
+        start0 = min(ctx.column_rows)
+        end0 = min(ctx.data_end, len(grid) - 1)
+        for r in range(start0, end0 + 1):
+            for c_idx, val in enumerate(grid[r]):
+                if isinstance(val, str) and C.detect_platform_characters(val):
+                    coord = f"{C.col_letter(c_idx + 1)}{r + 1}"
+                    issues.append(f"{coord}: '{val}'")
+    if issues:
+        issues.sort(key=C.a1_sort_key)
+        details = "\n- ".join(issues)
+        return False, f"以下のセルで機種依存文字が含まれています:\n- {details}"
+    return True, "機種依存文字は含まれていません"
+
+
+def check_numeric_columns_only(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    """Numeric-column classifier: a column is numeric iff ≥80% of its
+    non-null values are clean numerics; numeric columns with <99% clean
+    values list their offending cells (thresholds from the reference,
+    ``level1_checker.py:833,837``)."""
+    problem_cells: Dict[Any, List[str]] = {}
+    for col_idx in range(body.shape[1]):
+        col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
+        series = body.iloc[:, col_idx].dropna()
+        if series.empty:
+            continue
+        clean = C.is_clean_numeric_series(series)
+        total = len(series)
+        ok = int(clean.sum())
+        if ok / total < 0.8:
+            continue
+        if ok / total < 0.99:
+            for row_idx, val in series[~clean].items():
+                coord = f"{C.col_letter(col_idx + 1)}{row_idx + 1}"
+                problem_cells.setdefault(col_name, []).append(f"{coord}: '{val}'")
+    if problem_cells:
+        for cs in problem_cells.values():
+            cs.sort(key=C.a1_sort_key)
+        msgs = [
+            f"{name}:\n  - " + "\n  - ".join(cs)
+            for name, cs in problem_cells.items()
+        ]
+        return False, "数値列に数値以外が含まれています:\n" + "\n".join(msgs)
+    return True, "数値列に不正なデータは含まれていません"
+
+
+def check_separate_other_detail_columns(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    flagged: List[str] = []
+    for col_idx in range(body.shape[1]):
+        col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
+        series = body.iloc[:, col_idx].dropna()
+        strs = series[series.map(lambda v: isinstance(v, str))].astype(str)
+        if strs.empty:
+            continue
+        if strs.str.contains(C.FREE_TEXT_PATTERN).any():
+            flagged.append(f"{col_name}（列: {C.col_letter(col_idx + 1)}）")
+    if flagged:
+        return False, f"選択肢列に自由記述が混在している可能性があります: {flagged}"
+    return True, "選択肢列と自由記述は適切に分離されています"
+
+
+def check_no_missing_column_headers(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    columns = list(body.columns) if not body.empty else list(ctx.columns)
+    suspect = [c for c in columns if "Unnamed" in str(c) or str(c).strip() == ""]
+    for col in columns:
+        if col in suspect:
+            continue
+        if C.is_unclear_header(str(col)):
+            suspect.append(col)
+    if suspect:
+        return False, f"省略・不明な列名が検出されました: {suspect}"
+    return True, "全ての列に意味のあるヘッダーが付いています"
+
+
+def check_handling_of_missing_values(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    problems_by_value: Dict[str, List[str]] = {}
+    offset = ctx.data_start
+    for col_idx in range(body.shape[1]):
+        series = body.iloc[:, col_idx]
+        strs = series[series.map(lambda v: isinstance(v, str))]
+        if strs.empty:
+            continue
+        cleaned = strs.astype(str).str.strip()
+        hits = cleaned[cleaned.str.lower().isin(C.MISSING_VALUE_SET)]
+        for row_idx, cleaned_val in hits.items():
+            coord = f"{C.col_letter(col_idx + 1)}{row_idx + offset + 1}"
+            problems_by_value.setdefault(cleaned_val, []).append(coord)
+
+    if problems_by_value:
+        # coordinate lists must be in scan order (column-major, like the
+        # reference's per-column loop); within a column they already are.
+        parts = ["以下のセルで欠損値を示す表現が見つかりました:"]
+        for value, coords in sorted(problems_by_value.items()):
+            parts.append(
+                f"  - **値『{value}』** が見つかったセル ({len(coords)}件): "
+                + ", ".join(coords)
+            )
+        return False, "\n".join(parts)
+    return True, "欠損表現は検出されませんでした"
+
+
+def check_csv_single_line_per_data(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    if doc.fmt != "csv":
+        return True, "CSVファイルではないためチェック対象外"
+    problem_cells: List[str] = []
+    for col_idx in range(body.shape[1]):
+        series = body.iloc[:, col_idx]
+        if not (
+            pd.api.types.is_string_dtype(series)
+            or pd.api.types.is_object_dtype(series)
+        ):
+            continue
+        strs = series.dropna().astype(str)
+        hits = strs[strs.str.contains(r"[\n\r]", na=False)]
+        for row_idx, val in hits.items():
+            coord = f"列{C.col_letter(col_idx + 1)} 行{row_idx + 1}"
+            display = str(val).replace("\n", "↵").replace("\r", "↵")
+            problem_cells.append(f"{coord}: '{display[:20]}...'")
+    if problem_cells:
+        problem_cells.sort(key=C.a1_sort_key)
+        details = "\n- ".join(problem_cells)
+        return False, f"以下のセルでデータ内部に改行が含まれています:\n- {details}"
+    return True, "データ内部に改行は含まれていません"
+
+
+def check_csv_fields_quoted(doc: ParsedDoc, ctx, body) -> CheckResult:
+    if doc.fmt != "csv":
+        return True, "CSVファイルではないためチェック対象外"
+    if doc.raw_text is None:
+        return False, "ファイル読み込みエラー: no decoded content"
+    # Reference quirk preserved: it splits each line on ',' and then asks
+    # whether any resulting field still contains ',' — which can never be
+    # true — so this check always passes on readable files
+    # (``level1_checker.py:1006-1016``).
+    for line in doc.raw_text.splitlines():
+        fields = line.split(",")
+        if any(
+            "," in f and not (f.strip().startswith('"') and f.strip().endswith('"'))
+            for f in fields
+        ):
+            return (
+                False,
+                "カンマを含むフィールドがダブルクォーテーションで囲まれていない"
+                "可能性があります。データが正しく列分割されないリスクがあります。",
+            )
+    return (
+        True,
+        "フィールドは適切に囲まれているか、またはカンマを含まないことが推測されます",
+    )
+
+
+# ------------------------------------------------------------ rule catalog
+
+# (rule_id, description, check callable) — rules/level1.json order; the
+# X-** entries are registry-only functions with no JSON rule binding.
+RULES: List[Tuple[str, str, Any]] = [
+    ("L1-01", "file format is xlsx/xls/csv", check_valid_file_format),
+    ("L1-02", "one table per sheet", check_one_table_per_sheet),
+    ("L1-03", "no data split by blank rows", check_one_table_per_sheet),
+    ("L1-04", "no notes outside table", check_no_notes_outside_table),
+    ("L1-05", "all columns have meaningful headers", check_no_missing_column_headers),
+    ("L1-06", "no whitespace formatting", check_no_whitespace_formatting),
+    ("L1-07", "single datum per cell", check_single_data_per_cell),
+    ("L1-08", "no platform-dependent characters", check_no_platform_dependent_characters),
+    ("L1-09", "missing values distinguished from zero", check_handling_of_missing_values),
+    ("L1-10", "no images/objects", check_no_images_or_objects),
+    ("L1-11", "no format-based semantics", check_no_format_based_semantics),
+    ("L1-12", "no merged cells", check_no_merged_cells),
+    ("L1-13", "no hidden rows/columns", check_no_hidden_rows_or_columns),
+    ("L1-14", "csv: one line per datum", check_csv_single_line_per_data),
+    ("L1-15", "csv: fields quoted", check_csv_fields_quoted),
+    ("X-01", "numeric columns contain only numerics", check_numeric_columns_only),
+    ("X-02", "choice columns free of free text", check_separate_other_detail_columns),
+]
+
+
+def run_checks(
+    doc: ParsedDoc, ctx: ZoneContext, sheet_idx: int = 0
+) -> List[Tuple[str, bool, str]]:
+    """Run the full rule catalog over one parsed document.
+
+    Mirrors the bytecode-only router's contract (pyc:router
+    ``run_checks_from_rules``): every check runs under a catch-all; a
+    raising check records ``passed=False`` with an error message instead of
+    failing the document."""
+    body = _body_df(ctx)
+    out: List[Tuple[str, bool, str]] = []
+    for rule_id, _desc, fn in RULES:
+        try:
+            if fn in (
+                check_one_table_per_sheet,
+                check_no_hidden_rows_or_columns,
+                check_no_merged_cells,
+                check_no_format_based_semantics,
+                check_no_whitespace_formatting,
+                check_no_platform_dependent_characters,
+            ):
+                passed, msg = fn(doc, ctx, body, sheet_idx)
+            else:
+                passed, msg = fn(doc, ctx, body)
+        except Exception as e:  # router-style catch-all
+            passed, msg = False, f"エラー発生: {e}"
+        out.append((rule_id, bool(passed), msg))
+    return out

@@ -1,0 +1,124 @@
+"""Document-bytes → normalized grid parsing (ingest core).
+
+One entry point, ``parse_document(fmt, content)``, dispatching on format the
+way the reference dispatches on file extension (``loader.py:157-201``,
+``ALLOWED_EXTENSIONS`` gate at ``loader.py:15,157-159``):
+
+- csv  : pandas ``read_csv(header=None)`` with UTF-8 → Shift-JIS fallback
+         (reference ``loader.py:164-179``); one pseudo-sheet named "CSV".
+- xlsx : stdlib OOXML reader (``core/xlsx.py``) with side-channel metadata
+         (merges, hidden dims, style flags, drawings).
+- xls  : import-gated on xlrd; the sandbox has no xlrd, so parsing records
+         a parse error and degrades exactly like the reference degrades
+         workbook-less paths (``app.py:156-159``).
+- html : stdlib parser lane (``core/html.py``).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import pandas as pd
+
+from .xlsx import XlsxWorkbook, read_xlsx
+
+ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html"}
+GRID_FORMATS = {"csv", "xlsx", "xls"}
+
+
+@dataclass
+class SheetGrid:
+    name: str
+    rows: List[List[Any]]  # dense row-major grid; None/NaN = empty cell
+
+
+@dataclass
+class ParsedDoc:
+    fmt: str
+    sheets: List[SheetGrid] = field(default_factory=list)
+    workbook: Optional[XlsxWorkbook] = None  # xlsx side-channel; None otherwise
+    encoding: Optional[str] = None           # csv: utf-8 | shift_jis
+    raw_text: Optional[str] = None           # csv: decoded raw text (for F11)
+    parse_error: Optional[str] = None
+
+    def sheet_names(self) -> List[str]:
+        return [s.name for s in self.sheets]
+
+
+def _df_to_rows(df: pd.DataFrame) -> List[List[Any]]:
+    # Keep pandas-inferred cell types (str / int / float / NaN) — the
+    # reference's checks are defined over exactly those dynamic types.
+    return df.values.tolist()
+
+
+def parse_csv(content: bytes) -> ParsedDoc:
+    doc = ParsedDoc(fmt="csv")
+    text: Optional[str] = None
+    try:
+        text = content.decode("utf-8")
+        doc.encoding = "utf-8"
+    except UnicodeDecodeError:
+        try:
+            text = content.decode("shift_jis")
+            doc.encoding = "shift_jis"
+        except UnicodeDecodeError:
+            doc.parse_error = "csv decode failed (utf-8, shift_jis)"
+            return doc
+    doc.raw_text = text
+    try:
+        df = pd.read_csv(io.StringIO(text), header=None, skip_blank_lines=False)
+    except pd.errors.EmptyDataError:
+        doc.parse_error = "empty csv"
+        return doc
+    except Exception as e:  # malformed csv
+        doc.parse_error = f"csv parse failed: {e}"
+        return doc
+    doc.sheets = [SheetGrid(name="CSV", rows=_df_to_rows(df))]
+    return doc
+
+
+def parse_xlsx(content: bytes) -> ParsedDoc:
+    doc = ParsedDoc(fmt="xlsx")
+    try:
+        wb = read_xlsx(content)
+    except Exception as e:
+        doc.parse_error = f"xlsx parse failed: {e}"
+        return doc
+    doc.workbook = wb
+    doc.sheets = [SheetGrid(name=s.name, rows=s.rows) for s in wb.sheets]
+    return doc
+
+
+def parse_xls(content: bytes) -> ParsedDoc:
+    doc = ParsedDoc(fmt="xls")
+    try:
+        import xlrd  # noqa: F401  (not installed in this container)
+    except ImportError:
+        doc.parse_error = "xls support requires xlrd (not installed)"
+        return doc
+    try:  # pragma: no cover — exercised only where xlrd exists
+        wb = xlrd.open_workbook(file_contents=content, formatting_info=True)
+        for sheet in wb.sheets():
+            rows = [sheet.row_values(r) for r in range(sheet.nrows)]
+            doc.sheets.append(SheetGrid(name=sheet.name, rows=rows))
+    except Exception as e:  # pragma: no cover
+        doc.parse_error = f"xls parse failed: {e}"
+    return doc
+
+
+def parse_document(fmt: str, content: bytes) -> ParsedDoc:
+    fmt = fmt.lower().lstrip(".")
+    if fmt not in ALLOWED_FORMATS:
+        # extension gate — unsupported formats quarantine, never throw
+        return ParsedDoc(fmt=fmt, parse_error=f"unsupported format: {fmt}")
+    if fmt == "csv":
+        return parse_csv(content)
+    if fmt == "xlsx":
+        return parse_xlsx(content)
+    if fmt == "xls":
+        return parse_xls(content)
+    from .html import parse_html  # local import to keep grid lane light
+
+    return parse_html(content)

@@ -1,0 +1,229 @@
+"""HTML lane: stdlib boilerplate-strip / main-content extraction.
+
+The reference analyzes only tabular files, but its structural idea — split a
+document into ordered zones and separate "annotation" boilerplate from the
+data body (``loader.py:73-124``, ``level1_checker.py:507-532``) — maps
+directly onto Boilerpipe/Readability-style block classification for HTML:
+
+- tokenize into block-level text blocks with per-block link-text accounting;
+- classify each block by text length and link density (dense, link-poor
+  blocks = main content; short or link-heavy blocks = boilerplate);
+- structural overrides: <nav>/<header>/<footer>/<aside> subtrees are
+  boilerplate, <script>/<style>/<template> are dropped;
+- <title> and <h1>-<h6> become title/heading spans;
+- <img>/<video>/<audio>/<embed> become ``media`` spans carrying the source
+  URL in ``media_ref`` (the interleaved text+media shape).
+
+Thresholds are fixed constants so extraction is fully deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "li", "td", "th", "pre",
+    "blockquote", "table", "tr", "ul", "ol", "form", "figure", "figcaption",
+    "body", "summary", "details",
+}
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+DROP_TAGS = {"script", "style", "template", "noscript"}
+BOILER_SUBTREE_TAGS = {"nav", "header", "footer", "aside"}
+MEDIA_TAGS = {"img", "video", "audio", "embed", "iframe"}
+
+# Block-classification thresholds (fixed; Boilerpipe-style).
+MIN_CONTENT_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+_WS_RE = re.compile(r"\s+")
+
+
+@dataclass
+class HtmlBlock:
+    kind: str              # title | heading | text | media
+    text: str = ""
+    media_ref: str = ""
+    link_chars: int = 0
+    in_boiler_subtree: bool = False
+
+    @property
+    def link_density(self) -> float:
+        n = len(self.text)
+        return (self.link_chars / n) if n else 0.0
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[HtmlBlock] = []
+        self._text_parts: List[str] = []
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._heading: Optional[str] = None
+        self._heading_parts: List[str] = []
+        self._in_title = False
+        self._title_parts: List[str] = []
+
+    # -- block lifecycle ---------------------------------------------
+    def _flush(self) -> None:
+        text = _WS_RE.sub(" ", "".join(self._text_parts)).strip()
+        if text:
+            self.blocks.append(
+                HtmlBlock(
+                    kind="text",
+                    text=text,
+                    link_chars=self._link_chars,
+                    in_boiler_subtree=self._boiler_depth > 0,
+                )
+            )
+        self._text_parts = []
+        self._link_chars = 0
+
+    # -- parser callbacks --------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in MEDIA_TAGS:
+            src = dict(attrs).get("src") or dict(attrs).get("data-src") or ""
+            self._flush()
+            self.blocks.append(
+                HtmlBlock(
+                    kind="media",
+                    media_ref=src,
+                    in_boiler_subtree=self._boiler_depth > 0,
+                )
+            )
+            return
+        if tag in HEADING_TAGS:
+            self._flush()
+            self._heading = tag
+            self._heading_parts = []
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BOILER_SUBTREE_TAGS:
+            self._flush()
+            self._boiler_depth += 1
+            return
+        if tag in BLOCK_TAGS or tag == "br":
+            self._flush()
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in HEADING_TAGS and self._heading:
+            text = _WS_RE.sub(" ", "".join(self._heading_parts)).strip()
+            if text:
+                self.blocks.append(
+                    HtmlBlock(
+                        kind="heading",
+                        text=text,
+                        in_boiler_subtree=self._boiler_depth > 0,
+                    )
+                )
+            self._heading = None
+            self._heading_parts = []
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in BOILER_SUBTREE_TAGS:
+            self._flush()
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._in_title:
+            self._title_parts.append(data)
+            return
+        if self._heading is not None:
+            self._heading_parts.append(data)
+            return
+        self._text_parts.append(data)
+        if self._link_depth:
+            self._link_chars += len(data.strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+        title = _WS_RE.sub(" ", "".join(self._title_parts)).strip()
+        if title:
+            self.blocks.insert(0, HtmlBlock(kind="title", text=title))
+
+
+def classify_blocks(blocks: List[HtmlBlock]) -> List[Tuple[str, str, str]]:
+    """blocks → ordered (kind, text, media_ref) triples.
+
+    text blocks become ``main`` when long enough and link-poor, else
+    ``boilerplate``; structural boilerplate subtrees force boilerplate.
+    """
+    out: List[Tuple[str, str, str]] = []
+    for b in blocks:
+        if b.kind == "title":
+            out.append(("title", b.text, ""))
+        elif b.kind == "heading":
+            kind = "boilerplate" if b.in_boiler_subtree else "heading"
+            out.append((kind, b.text, ""))
+        elif b.kind == "media":
+            out.append(("media", "", b.media_ref))
+        else:
+            is_main = (
+                not b.in_boiler_subtree
+                and len(b.text) >= MIN_CONTENT_CHARS
+                and b.link_density <= MAX_LINK_DENSITY
+            )
+            out.append(("main" if is_main else "boilerplate", b.text, ""))
+    return out
+
+
+def extract_html_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], str]:
+    """HTML bytes → (ordered (kind,text,media_ref) triples, encoding)."""
+    try:
+        text = content.decode("utf-8")
+        enc = "utf-8"
+    except UnicodeDecodeError:
+        text = content.decode("shift_jis", errors="replace")
+        enc = "shift_jis"
+    parser = _Extractor()
+    parser.feed(text)
+    parser.close()
+    return classify_blocks(parser.blocks), enc
+
+
+def parse_html(content: bytes):
+    """ParsedDoc facade for the format dispatcher (grid lane stays None)."""
+    from .grid import ParsedDoc
+
+    doc = ParsedDoc(fmt="html")
+    try:
+        spans, enc = extract_html_spans(content)
+        doc.encoding = enc
+        doc.raw_text = None
+        doc.html_spans = spans  # type: ignore[attr-defined]
+    except Exception as e:  # defensive: malformed HTML must not kill a batch
+        doc.parse_error = f"html parse failed: {e}"
+        doc.html_spans = []  # type: ignore[attr-defined]
+    return doc

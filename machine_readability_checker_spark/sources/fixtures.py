@@ -1,0 +1,365 @@
+"""Deterministic synthetic fixture corpus (FIXTURES.md families 1–20).
+
+Everything is generated from a seeded ``numpy.random.RandomState`` — same
+seed, byte-identical corpus — so golden-span tests, resume tests and
+benchmarks never depend on external data.  Each family exercises a concrete
+branch of the reference (citations in FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..core.xlsx import write_xlsx
+
+SEED = 42
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+JP_WORDS = ["品目", "数量", "金額", "地域", "担当", "備考欄", "合計", "年度"]
+
+
+def _csv_bytes(rows: List[List[Any]], encoding: str = "utf-8") -> bytes:
+    lines = []
+    for row in rows:
+        cells = []
+        for v in row:
+            s = "" if v is None else str(v)
+            if any(ch in s for ch in ',"\n\r'):
+                s = '"' + s.replace('"', '""') + '"'
+            cells.append(s)
+        lines.append(",".join(cells))
+    return ("\n".join(lines) + "\n").encode(encoding)
+
+
+def _doc(
+    doc_id: str,
+    fmt: str,
+    content: bytes,
+    header_start_row: int = 0,
+    header_end_row: int = 0,
+    data_start_row: int = 0,
+    data_end_row: int = 0,
+) -> Dict[str, Any]:
+    return {
+        "doc_id": doc_id,
+        "fmt": fmt,
+        "content": content,
+        "n_bytes": len(content),
+        "header_start_row": header_start_row,
+        "header_end_row": header_end_row,
+        "data_start_row": data_start_row,
+        "data_end_row": data_end_row,
+    }
+
+
+def _data_rows(rng: np.random.RandomState, n_rows: int, n_cols: int) -> List[List[Any]]:
+    out = []
+    for _ in range(n_rows):
+        row: List[Any] = []
+        for c in range(n_cols):
+            if c == 0:
+                row.append(WORDS[rng.randint(0, len(WORDS))])
+            else:
+                row.append(int(rng.randint(0, 1000)))
+        out.append(row)
+    return out
+
+
+def _header(n_cols: int) -> List[str]:
+    return [f"col_{chr(97 + i)}{i}" for i in range(n_cols)]
+
+
+# ------------------------------------------------------------- families
+
+
+def fam_plain(rng, i) -> Dict[str, Any]:
+    n_cols = 3 + rng.randint(0, 4)
+    rows = [_header(n_cols)] + _data_rows(rng, 5 + rng.randint(0, 20), n_cols)
+    return _doc(f"plain{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_multirow_header(rng, i) -> Dict[str, Any]:
+    n_cols = 4 + rng.randint(0, 3)
+    lvl0 = ["グループA", "", "グループB", ""] + [""] * (n_cols - 4)
+    lvl1 = _header(n_cols)
+    # blank top-left exercises the "(空白)" placeholder
+    if rng.rand() < 0.5:
+        lvl0[0] = ""
+    rows = [lvl0, lvl1] + _data_rows(rng, 5 + rng.randint(0, 10), n_cols)
+    sheets = [{"name": "Sheet1", "rows": rows}]
+    return _doc(
+        f"mhdr{i:05d}", "xlsx", write_xlsx(sheets),
+        header_start_row=1, header_end_row=2,
+    )
+
+
+def fam_annotated(rng, i) -> Dict[str, Any]:
+    n_cols = 3 + rng.randint(0, 3)
+    n_data = 5 + rng.randint(0, 10)
+    rows = (
+        [["調査結果の概要", None, None] + [None] * (n_cols - 3)]
+        + [[None] * n_cols]
+        + [_header(n_cols)]
+        + _data_rows(rng, n_data, n_cols)
+        + [["注: 単位は千円", None] + [None] * (n_cols - 2)]
+    )
+    return _doc(
+        f"annot{i:05d}", "csv", _csv_bytes(rows),
+        header_start_row=3, header_end_row=3,
+        data_start_row=4, data_end_row=3 + n_data,
+    )
+
+
+def fam_multi_table(rng, i) -> Dict[str, Any]:
+    n_cols = 3
+    rows = (
+        [_header(n_cols)]
+        + _data_rows(rng, 4, n_cols)
+        + [[None] * n_cols, [None] * n_cols]
+        + [["second", "table", "header"]]
+        + _data_rows(rng, 4, n_cols)
+    )
+    return _doc(f"multi{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_width_mismatch(rng, i) -> Dict[str, Any]:
+    n_cols = 5
+    rows = [["only", "three", "names", None, None]] + _data_rows(rng, 6, n_cols)
+    return _doc(f"wmis{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_degenerate(rng, i) -> Dict[str, Any]:
+    variant = i % 3
+    if variant == 0:  # empty sheet
+        sheets = [{"name": "Sheet1", "rows": []}]
+        return _doc(f"degen{i:05d}", "xlsx", write_xlsx(sheets))
+    if variant == 1:  # header beyond last row
+        rows = [_header(3)] + _data_rows(rng, 2, 3)
+        return _doc(
+            f"degen{i:05d}", "csv", _csv_bytes(rows), header_start_row=99,
+            header_end_row=99,
+        )
+    # inverted data range
+    rows = [_header(3)] + _data_rows(rng, 4, 3)
+    return _doc(
+        f"degen{i:05d}", "csv", _csv_bytes(rows),
+        data_start_row=5, data_end_row=2,
+    )
+
+
+def fam_merged_cells(rng, i) -> Dict[str, Any]:
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    sheets = [
+        {
+            "name": "Sheet1",
+            "rows": rows,
+            "merged": [(2, 0, 3, 0), (4, 1, 4, 2)],
+        }
+    ]
+    return _doc(f"mrgd{i:05d}", "xlsx", write_xlsx(sheets))
+
+
+def fam_hidden_dims(rng, i) -> Dict[str, Any]:
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    sheets = [
+        {
+            "name": "Sheet1",
+            "rows": rows,
+            "hidden_rows": [3],
+            "hidden_cols": [2],
+        }
+    ]
+    return _doc(f"hidn{i:05d}", "xlsx", write_xlsx(sheets))
+
+
+def fam_styled(rng, i) -> Dict[str, Any]:
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    sheets = [
+        {
+            "name": "Sheet1",
+            "rows": rows,
+            "styled": [
+                (2, 1, "bold"),
+                (3, 2, "yellow_fill"),
+                (4, 0, "red_font"),
+                (5, 1, "tiny"),
+                (6, 2, "huge"),
+            ],
+        }
+    ]
+    return _doc(f"styl{i:05d}", "xlsx", write_xlsx(sheets))
+
+
+def fam_with_drawing(rng, i) -> Dict[str, Any]:
+    n_cols = 3
+    rows = [_header(n_cols)] + _data_rows(rng, 4, n_cols)
+    sheets = [{"name": "Sheet1", "rows": rows}]
+    return _doc(f"draw{i:05d}", "xlsx", write_xlsx(sheets, with_drawing=True))
+
+
+def fam_dirty_cells(rng, i) -> Dict[str, Any]:
+    rows = [
+        ["name_col", "memo_col", "num_col"],
+        ["a,b", "全角　スペース", 1],
+        ["c;d", "丸数字①あり", 2],
+        ["e/f", "株式会社㈱", 3],
+        ["line1\nline2", "電話℡番号", 4],
+        ["normal", "※注意書き", 5],
+    ]
+    return _doc(f"dirty{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_missing_values(rng, i) -> Dict[str, Any]:
+    vocab = ["不明", "該当なし", "n/a", "---", "ー", "？", "null", "未回答"]
+    rows = [["item_col", "status_col", "count_col"]]
+    for r in range(8):
+        rows.append(
+            [
+                WORDS[rng.randint(0, len(WORDS))],
+                vocab[rng.randint(0, len(vocab))] if r % 2 == 0 else "ok",
+                int(rng.randint(0, 100)),
+            ]
+        )
+    return _doc(f"miss{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_numeric_dirty(rng, i) -> Dict[str, Any]:
+    # 200 rows/column at ok-ratios {0.75, 0.85, 0.995, 1.0} around the
+    # reference's 0.8 / 0.99 thresholds
+    n = 200
+    ratios = [0.75, 0.85, 0.995, 1.0]
+    cols: List[List[Any]] = []
+    for ratio in ratios:
+        n_bad = round(n * (1 - ratio))
+        col = [int(rng.randint(0, 1000)) for _ in range(n - n_bad)] + [
+            f"bad{j}x" for j in range(n_bad)
+        ]
+        cols.append(col)
+    rows: List[List[Any]] = [["r075_col", "r085_col", "r0995_col", "r100_col"]]
+    for r in range(n):
+        rows.append([cols[c][r] for c in range(4)])
+    return _doc(f"numd{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_freetext_mix(rng, i) -> Dict[str, Any]:
+    rows = [
+        ["choice_col", "num_col"],
+        ["はい", 1],
+        ["いいえ", 2],
+        ["その他: 自由に書いた", 3],
+        ["備考: ここも自由", 4],
+    ]
+    return _doc(f"free{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_bad_headers(rng, i) -> Dict[str, Any]:
+    rows = [["", "A", "B1", "123", "※", "valid_name"]] + [
+        [int(rng.randint(0, 9)) for _ in range(6)] for _ in range(5)
+    ]
+    return _doc(
+        f"badh{i:05d}", "csv", _csv_bytes(rows),
+        header_start_row=1, header_end_row=1,
+    )
+
+
+def fam_csv_quirks(rng, i) -> Dict[str, Any]:
+    if i % 2 == 0:
+        rows = [
+            ["text_col", "value_col"],
+            ["embedded\nnewline", 1],
+            ["plain", 2],
+        ]
+        return _doc(f"quirk{i:05d}", "csv", _csv_bytes(rows))
+    rows = [
+        ["名称", "値"],
+        ["日本語テキスト", 10],
+        ["シフトＪＩＳ", 20],
+    ]
+    return _doc(f"quirk{i:05d}", "csv", _csv_bytes(rows, encoding="shift_jis"))
+
+
+def fam_long_format(rng, i) -> Dict[str, Any]:
+    headers = ["ID", "変数名", "値"] + [f"extra_col{j}" for j in range(8)]
+    rows = [headers] + [
+        [r, f"var{r % 3}", int(rng.randint(0, 50))] + [0] * 8 for r in range(6)
+    ]
+    return _doc(f"long{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_whale(rng, i) -> Dict[str, Any]:
+    n_cols = 20
+    rows = [_header(n_cols)] + _data_rows(rng, 2000, n_cols)
+    return _doc(f"whale{i:05d}", "csv", _csv_bytes(rows))
+
+
+def fam_html(rng, i) -> Dict[str, Any]:
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(40))
+    short = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(3))
+    html = f"""<!DOCTYPE html>
+<html><head><title>doc {i} title</title></head><body>
+<nav><a href="/">home</a> <a href="/about">about</a></nav>
+<h1>Heading {i}</h1>
+<p>{para}</p>
+<img src="img/{i}.png">
+<p>{para[::-1]}</p>
+<div><a href="/x">{short}</a> <a href="/y">{short}</a></div>
+<footer>copyright {i}</footer>
+</body></html>"""
+    return _doc(f"html{i:05d}", "html", html.encode("utf-8"))
+
+
+FAMILIES = [
+    ("plain_single_header", fam_plain),
+    ("multirow_header", fam_multirow_header),
+    ("annotated", fam_annotated),
+    ("multi_table", fam_multi_table),
+    ("width_mismatch", fam_width_mismatch),
+    ("degenerate", fam_degenerate),
+    ("merged_cells", fam_merged_cells),
+    ("hidden_dims", fam_hidden_dims),
+    ("styled", fam_styled),
+    ("with_drawing", fam_with_drawing),
+    ("dirty_cells", fam_dirty_cells),
+    ("missing_values", fam_missing_values),
+    ("numeric_dirty", fam_numeric_dirty),
+    ("freetext_mix", fam_freetext_mix),
+    ("bad_headers", fam_bad_headers),
+    ("csv_quirks", fam_csv_quirks),
+    ("long_format", fam_long_format),
+    ("html_docs", fam_html),
+]
+
+
+def gen_corpus(
+    n_docs: int,
+    seed: int = SEED,
+    whale_every: Optional[int] = 97,
+    families: Optional[List[str]] = None,
+) -> pd.DataFrame:
+    """Generate a deterministic docs_raw DataFrame of ``n_docs`` documents
+    cycling through the fixture families (plus occasional whales for skew
+    realism).  Same (n_docs, seed) → byte-identical output."""
+    chosen = (
+        [f for f in FAMILIES if f[0] in set(families)] if families else FAMILIES
+    )
+    docs: List[Dict[str, Any]] = []
+    for i in range(n_docs):
+        rng = np.random.RandomState(seed * 1_000_003 + i)
+        if whale_every and i > 0 and i % whale_every == 0:
+            docs.append(fam_whale(rng, i))
+        else:
+            _, fam = chosen[i % len(chosen)]
+            docs.append(fam(rng, i))
+    df = pd.DataFrame(docs)
+    df["doc_id"] = [f"doc{i:08d}_{d}" for i, d in enumerate(df["doc_id"])]
+    return df

@@ -1,0 +1,110 @@
+"""End-to-end distributed extraction: Spark kernel output must equal the
+single-node oracle exactly (span tuple sequences per document), and must be
+invariant to partition count (1 / 8 / 32) — SURVEY.md §5 lane 1."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from machine_readability_checker_spark.core.extract import extract_document
+from machine_readability_checker_spark.model import RAW_SCHEMA
+from machine_readability_checker_spark.operators.extract import (
+    extract,
+    lineage_table,
+    metrics_table,
+    results_table,
+    summarize_results,
+)
+from machine_readability_checker_spark.operators.repartition import salted_repartition
+from machine_readability_checker_spark.sources.fixtures import gen_corpus
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pd.DataFrame:
+    return gen_corpus(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def oracle_spans(corpus):
+    out = {}
+    for row in corpus.itertuples(index=False):
+        r = extract_document(
+            row.doc_id, row.fmt, bytes(row.content),
+            row.header_start_row, row.header_end_row,
+            row.data_start_row, row.data_end_row,
+        )
+        out[row.doc_id] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+    return out
+
+
+def _spark_spans(spark, corpus, num_partitions):
+    df_raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    df_raw = salted_repartition(df_raw, num_partitions)
+    extracted = extract(df_raw)
+    rows = extracted.select("doc_id", "spans").collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+@pytest.mark.parametrize("num_partitions", [1, 8, 32])
+def test_span_equality_partition_invariant(spark, corpus, oracle_spans, num_partitions):
+    got = _spark_spans(spark, corpus, num_partitions)
+    assert set(got) == set(oracle_spans)
+    for doc_id, expected in oracle_spans.items():
+        assert got[doc_id] == expected, f"span mismatch for {doc_id}"
+
+
+def test_offsets_strictly_increasing(spark, corpus):
+    df_raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    extracted = extract(df_raw)
+    for r in extracted.select("spans").collect():
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+def test_side_tables(spark, corpus):
+    df_raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    extracted = extract(salted_repartition(df_raw, 8)).cache()
+    try:
+        res = results_table(extracted)
+        # every grid doc yields the full 17-rule catalog
+        n_grid = sum(1 for f in corpus["fmt"] if f in ("csv", "xlsx", "xls"))
+        assert res.count() == n_grid * 17
+
+        met = metrics_table(extracted)
+        assert met.filter("parse_errors > 0").count() == 0
+        assert met.count() == N_DOCS
+
+        lin = lineage_table(extracted)
+        lin_rows = lin.collect()
+        assert sum(r["docs_in"] for r in lin_rows) == N_DOCS
+        # partition lineage must cover >1 partition when repartitioned to 8
+        assert len(lin_rows) > 1
+
+        summary = summarize_results(res).collect()
+        levels = {r["level"]: r for r in summary}
+        assert "L1" in levels and levels["L1"]["total"] == n_grid * 15
+    finally:
+        extracted.unpersist()
+
+
+def test_media_spans_present(spark, corpus):
+    df_raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    from pyspark.sql import functions as F
+
+    spans = extract(df_raw).select(
+        "doc_id", F.explode("spans").alias("s")
+    )
+    media = spans.filter(F.col("s.kind") == "media")
+    refs = [r["s"]["media_ref"] for r in media.collect()]
+    assert any(ref.startswith("xl/drawings/") for ref in refs)
+    assert any(ref.endswith(".png") for ref in refs)
