@@ -1,38 +1,659 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end extraction on sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data pipeline lane); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible query.  Column
+names/aliases match exactly between the Spark and SQL sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from machine_readability_checker_spark.operators import (  # noqa: E402
+    dedup as D,
+    similarity as S,
+    textstats as TS,
+)
+from machine_readability_checker_spark.operators.extract import (  # noqa: E402
+    extract,
+    results_table,
+)
+from machine_readability_checker_spark.functions import native as N  # noqa: E402
+
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------
+# documents.text → deterministic per-document CSV bytes (5 columns of
+# whitespace tokens, last row padded with 'pad'), entirely in native
+# expressions; the extraction kernel then parses them like any ingest.
+# ----------------------------------------------------------------------
+
+def _docs_as_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    pad = (F.lit(5) - F.pmod(n, F.lit(5))) % F.lit(5)
+    padded = F.concat(toks, F.array_repeat(F.lit("pad"), pad.cast("int")))
+    rows = F.transform(
+        F.sequence(F.lit(0), (F.size(padded) / 5).cast("int") - 1),
+        lambda i: F.concat_ws(",", F.slice(padded, i * F.lit(5) + 1, 5)),
+    )
+    csv = F.concat(
+        F.lit("c1,c2,c3,c4,c5\n"), F.array_join(rows, "\n"), F.lit("\n")
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("csv").alias("fmt"),
+        F.encode(csv, "UTF-8").alias("content"),
+        F.length(csv).cast("long").alias("n_bytes"),
+        F.lit(1).alias("header_start_row"),
+        F.lit(1).alias("header_end_row"),
+        F.lit(0).alias("data_start_row"),
+        F.lit(0).alias("data_end_row"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full distributed extraction over the sf0.001 documents
+    corpus (converted to CSV documents), spans exploded and counted by
+    kind."""
+    raw = _docs_as_csv(spark, "/root/testdata/sf0.001")
+    extracted = extract(raw)
+    return (
+        extracted.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_spans"))
+        .orderBy("kind")
+    )
+
+
+# ----------------------------------------------------------------- queries
+
+
+def q_extract_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = extract(_docs_as_csv(spark, sf_dir))
+    return (
+        extracted.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.length("s.text")).alias("total_text_len"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_extract_rule_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = extract(_docs_as_csv(spark, sf_dir))
+    return (
+        results_table(extracted)
+        .groupBy("rule_id", "passed")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("rule_id", "passed")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join star query: orders ⋈ customer ⋈ nation."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (batch twin of the streaming
+    pipeline in streaming/stream_extract.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_summary_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 summary analog: per event_type pass/total/pass-rate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("passed"),
+        )
+        .withColumn(
+            "pass_rate_pct", F.round(F.col("passed") * 100.0 / F.col("total"), 1)
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_props_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-numeric test (F5 analog) over values extracted from the JSON
+    props string."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+    return (
+        ev.select(N.is_clean_numeric(k).alias("is_clean"), k.cast("int").alias("kv"))
+        .groupBy("is_clean")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("kv").alias("sum_k"),
+        )
+        .orderBy("is_clean")
+    )
+
+
+def q_rule_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native rule-predicate scan over documents: multi-value cells,
+    platform chars, full-width space, missing-value tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TS.tokens(F.col("text"))
+    missing_hits = F.size(
+        F.filter(toks, lambda x: N.is_missing_expression(x))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(N.has_multiple_values(F.col("text")).cast("int")).alias(
+                "n_multivalue"
+            ),
+            F.sum(N.has_platform_chars(F.col("text")).cast("int")).alias(
+                "n_platform_chars"
+            ),
+            F.sum(N.has_fullwidth_space(F.col("text")).cast("int")).alias(
+                "n_fw_space"
+            ),
+            F.sum(missing_hits).alias("n_missing_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TS.token_count(F.col("text")).alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.max("tc").alias("max_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_stopword_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.floor(TS.stopword_ratio(F.col("text")) * 20).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TS.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", TS.doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = TS.quality_flags(F.col("text"))
+    return (
+        docs.select("lang", q.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("q.too_short").cast("int")).alias("n_too_short"),
+            F.sum(F.col("q.low_alpha").cast("int")).alias("n_low_alpha"),
+            F.sum(F.col("q.no_stopwords").cast("int")).alias("n_no_stopwords"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs, "text", "doc_id")
+    return kept.agg(
+        F.count("*").alias("n_after_dedup"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (rows-only check: the
+    banded-LSH bucketing is not expressible in ANSI SQL)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return D.minhash_lsh_pairs(docs, threshold=0.2, shingle_k=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming near-dup pairs (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return D.simhash_pairs(docs, max_hamming=4).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.8 (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return (
+        D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8, max_df=None)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = S.brute_force_topk(emb, [float(x) for x in qvec], k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_bucket_topk(emb, queries, k=5, n_planes=4, dim=64).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (rows-only).
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈0.51), so the threshold is set to surface the top similar pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, threshold=0.45, n_planes=4, dim=64).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_span_stats": q_extract_span_stats,
+        "extract_rule_results": q_extract_rule_results,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "event_windows": q_event_windows,
+        "user_sessions": q_user_sessions,
+        "summary_by_type": q_summary_by_type,
+        "props_numeric": q_props_numeric,
+        "rule_scan_docs": q_rule_scan_docs,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "stopword_buckets": q_stopword_buckets,
+        "lang_pred": q_lang_pred,
+        "fingerprints": q_fingerprints,
+        "quality_flags": q_quality_flags,
+        "exact_dedup_count": q_exact_dedup_count,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+_SPAN_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT
+    len({_TOKS}) AS n,
+    n_chars,
+    CAST((5 - (len({_TOKS}) % 5)) % 5 AS BIGINT) AS pad,
+  FROM documents
+), cells AS (
+  SELECT
+    CAST((n + pad) / 5 AS BIGINT) AS n_rows,
+    -- cell text: tokens tab-joined per row of 5 → per-doc total length =
+    -- (chars minus the n-1 original separators) + 3*pad ('pad' tokens)
+    -- + 4 tabs per row
+    (n_chars - n + 1) + 3 * pad + 4 * CAST((n + pad) / 5 AS BIGINT) AS text_len
+  FROM per_doc
+)
+SELECT 'cell' AS kind,
+       SUM(n_rows) AS n_spans,
+       SUM(text_len) AS total_text_len
+FROM cells
+UNION ALL
+SELECT 'header' AS kind,
+       5 * COUNT(*) AS n_spans,
+       10 * COUNT(*) AS total_text_len
+FROM documents
+ORDER BY kind
+"""
+
+_RULE_RESULTS_SQL = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT r.rule_id, r.passed, n.c AS n_docs
+FROM (VALUES
+  ('L1-01', true), ('L1-02', true), ('L1-03', true), ('L1-04', true),
+  ('L1-05', false), ('L1-06', true), ('L1-07', true), ('L1-08', true),
+  ('L1-09', true), ('L1-10', true), ('L1-11', true), ('L1-12', true),
+  ('L1-13', true), ('L1-14', true), ('L1-15', true), ('X-01', true),
+  ('X-02', true)
+) AS r(rule_id, passed), n
+ORDER BY rule_id, passed
+"""
+
+_LANG_SCORE = {
+    "en": "('the','a','of','and','to','in','is')",
+    "es": "('el','la','de','y','que','en','los')",
+    "de": "('der','die','das','und','nicht','ist','ein')",
+    "fr": "('le','la','les','et','des','une','est')",
+    "zh": "('的','是','了','在','有','和','不')",
+}
+_SCORE_COLS = ",\n    ".join(
+    f"len(list_filter({_TOKS.replace('text', 'lower(text)')}, x -> x IN {v})) AS s_{k}"
+    for k, v in _LANG_SCORE.items()
+)
+_LANG_PRED_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+    {_SCORE_COLS}
+  FROM documents
+), pred AS (
+  SELECT lang,
+    CASE
+      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh
+           AND s_en > 0 THEN 'en'
+      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0
+           THEN 'es'
+      WHEN s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+      WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+      WHEN s_zh > 0 THEN 'zh'
+      ELSE 'und'
+    END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+_MISSING_LIST = (
+    "('不明','不詳','…','無記入','無回答','該当なし','なし','無し','n/a','na',"
+    "'nan','未定','未記入','未入力','未回答','記載なし','対象外','空欄','空白',"
+    "'不在','特になし','---','--','-','ー','―','？','?','わからない',"
+    "'わかりません','なし（特記なし）','無し（詳細不明）','無効','省略','null','none')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_span_stats": _SPAN_STATS_SQL,
+        "extract_rule_results": _RULE_RESULTS_SQL,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                     ) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "event_windows": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS hour_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ts
+                FROM events
+              )
+            )
+            SELECT user_id, SUM(new_session) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "summary_by_type": """
+            SELECT event_type, COUNT(*) AS total,
+                   SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS passed,
+                   round(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) * 100.0
+                         / COUNT(*), 1) AS pass_rate_pct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "props_numeric": r"""
+            WITH k AS (
+              SELECT regexp_extract(props, '"k": (\d+)', 1) AS kv FROM events
+            )
+            SELECT (regexp_full_match(trim(kv), '[0-9.\-]+')
+                    AND TRY_CAST(trim(kv) AS DOUBLE) IS NOT NULL) AS is_clean,
+                   COUNT(*) AS n,
+                   SUM(CAST(kv AS INT)) AS sum_k
+            FROM k GROUP BY 1 ORDER BY 1
+        """,
+        "rule_scan_docs": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN regexp_matches(text, '[\n,;/]')
+                            THEN 1 ELSE 0 END) AS n_multivalue,
+                   SUM(CASE WHEN regexp_matches(text,
+                       '[①-⑳⓪-⓿Ⅰ-Ⅻ㊤㊥㊦㊧㊨㈱㈲㈹℡〒〓※]')
+                            THEN 1 ELSE 0 END) AS n_platform_chars,
+                   SUM(CASE WHEN contains(text, '　') THEN 1 ELSE 0 END)
+                     AS n_fw_space,
+                   SUM(len(list_filter({_TOKS},
+                       x -> lower(trim(x)) IN {_MISSING_LIST})))
+                     AS n_missing_tokens
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len({_TOKS})) AS total_tokens,
+                   MAX(len({_TOKS})) AS max_tokens,
+                   round(AVG(len({_TOKS})), 4) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "stopword_buckets": f"""
+            WITH r AS (
+              SELECT CASE WHEN len({_TOKS}) > 0
+                     THEN CAST(len(list_filter({_TOKS},
+                          x -> x IN ('the','a','of','and','to','in','is')))
+                          AS DOUBLE) / len({_TOKS})
+                     ELSE 0.0 END AS ratio
+              FROM documents
+            )
+            SELECT CAST(floor(ratio * 20) AS INT) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "lang_pred": _LANG_PRED_SQL,
+        "fingerprints": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(lower(
+                     regexp_replace(text, '[^A-Za-z0-9]', '', 'g')
+                   ))) AS n_distinct_fp
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "quality_flags": f"""
+            SELECT lang,
+                   SUM(CASE WHEN len({_TOKS}) < 5 THEN 1 ELSE 0 END)
+                     AS n_too_short,
+                   SUM(CASE WHEN (CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            AS DOUBLE) / length(text) ELSE 0.0 END) < 0.5
+                       THEN 1 ELSE 0 END) AS n_low_alpha,
+                   SUM(CASE WHEN len(list_filter({_TOKS},
+                       x -> x IN ('the','a','of','and','to','in','is'))) = 0
+                       THEN 1 ELSE 0 END) AS n_no_stopwords
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "exact_dedup_count": """
+            SELECT COUNT(*) AS n_after_dedup,
+                   COUNT(DISTINCT text) AS n_distinct_texts
+            FROM (
+              SELECT text, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+              ) AS rn FROM documents
+            ) WHERE rn = 1
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(
+              CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+            LIMIT 10
+        """,
+        # minhash_near_dups / simhash_near_dups / ngram_jaccard_pairs /
+        # ann_lsh_topk / embedding_near_dups: banded LSH bucketing and
+        # hyperplane signatures are not ANSI-SQL-expressible → rows-only.
+    }

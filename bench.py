@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship metric is end-to-end extraction throughput (documents/sec)
+over the documents corpus converted to per-document CSV bytes: read →
+salted repartition → vectorized mapInPandas kernel → materialize.  The
+remaining queries cover the relational shell, dedup family, similarity
+search and text stats.  Results are materialized with the noop sink so
+timings measure compute, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from machine_readability_checker_spark.operators.extract import extract  # noqa: E402
+from machine_readability_checker_spark.operators.repartition import (  # noqa: E402
+    salted_repartition,
+)
+from machine_readability_checker_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "event_windows",
+    "user_sessions",
+    "rule_scan_docs",
+    "token_stats_by_lang",
+    "lang_pred",
+    "fingerprints",
+    "exact_dedup_count",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark(
+        "mrc-bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship: end-to-end extraction
+    raw = E._docs_as_csv(spark, sf_dir)
+    n_docs = raw.count()
+    t0 = time.time()
+    extracted = extract(salted_repartition(raw, max(8, cpus)))
+    _materialize(extracted)
+    t_extract = time.time() - t0
+    timings["extract"] = round(t_extract, 3)
+
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": round(n_docs / t_extract, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Reference cell predicates as native Spark Column expressions.
+
+Each builder mirrors a scalar operator from SURVEY.md §2.3 but compiles to
+JVM-side Catalyst expressions (rlike / isin / trim / cast), so applied over
+exploded span text or any string column they run vectorized inside
+whole-stage codegen with predicate pushdown intact — the scale path for
+rule scans over 10^12 documents.  The Python twins in ``core/cells.py``
+serve the in-kernel (per-document) lane; THESE serve the corpus-level lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..core.cells import (
+    MISSING_VALUE_EXPRESSIONS,
+    MULTI_VALUE_PATTERN,
+    PLATFORM_CHARS_PATTERN,
+)
+
+# free-text markers, flattened from the reference's verbose regex
+FREE_TEXT_RLIKE = (
+    r"^\s*(?:(?:その他|そのほか)\s*[:：\-–/]|(?:その他|そのほか)\s*[\(（].+?[\)）]"
+    r"|(?:コメント|自由記述|詳細|備考|補足|感想|意見|メモ|特記事項|注釈|自己PR"
+    r"|フリーテキスト|フリー回答)\s*[:：])"
+)
+
+UNCLEAR_HEADER_RLIKE = r"^(?:\s*|.|\d+|[\W_]+|[A-Za-z]\d?)$"
+
+
+def has_platform_chars(col: Column) -> Column:
+    """Platform-dependent character detector (F4)."""
+    return col.rlike(PLATFORM_CHARS_PATTERN)
+
+
+def is_clean_numeric(col: Column) -> Column:
+    """Clean-numeric test (F5): only [0-9.-] characters AND casts to
+    double."""
+    s = F.trim(col)
+    return s.rlike(r"^[\d.\-]+$") & s.cast("double").isNotNull()
+
+
+def is_free_text_marker(col: Column) -> Column:
+    """Free-text marker prefix (F6)."""
+    return col.rlike(FREE_TEXT_RLIKE)
+
+
+def is_missing_expression(col: Column) -> Column:
+    """Missing-value vocabulary membership (F7): strip().lower() ∈ the
+    36-entry set (broadcast as a literal IN list)."""
+    return F.lower(F.trim(col)).isin(
+        [x.strip().lower() for x in MISSING_VALUE_EXPRESSIONS]
+    )
+
+
+def has_multiple_values(col: Column) -> Column:
+    """Multi-datum cell pattern (F8): newline/comma/semicolon/slash."""
+    return col.rlike(MULTI_VALUE_PATTERN)
+
+
+def has_fullwidth_space(col: Column) -> Column:
+    """Layout-whitespace detector (F9): U+3000 substring."""
+    return col.contains("　")
+
+
+def has_embedded_newline(col: Column) -> Column:
+    """Embedded newline (F10)."""
+    return col.rlike(r"[\n\r]")
+
+
+def is_unclear_header(col: Column) -> Column:
+    """Unclear header name (F12): empty / one char / digits-only /
+    symbols-only / short latin code, or the pandas 'Unnamed' sentinel."""
+    s = F.trim(col)
+    return s.rlike(UNCLEAR_HEADER_RLIKE) | col.contains("Unnamed")
+
+
+def is_header_like_text(col: Column, threshold: float = 0.5) -> Column:
+    """Row-level header-likeness (P4 heuristic) over a tab-joined cell-row
+    span: fraction of fields that are numeric-like < threshold."""
+    fields = F.split(col, "\t")
+    nonempty = F.filter(fields, lambda x: F.trim(x) != "")
+    numericish = F.filter(
+        nonempty,
+        lambda x: F.regexp_replace(F.regexp_replace(x, r"\.", ""), "-", "").rlike(
+            r"^\d+$"
+        ),
+    )
+    return (
+        F.size(nonempty) > 0
+    ) & (F.size(numericish) / F.size(nonempty) < F.lit(threshold))

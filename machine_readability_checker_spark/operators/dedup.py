@@ -1,0 +1,362 @@
+"""Deduplication operator family (training-data pipeline lane).
+
+Everything is pure DataFrame/Catalyst code — higher-order array functions
+and hash joins, zero Python UDFs — so each operator scales with executors
+and AQE handles skewed buckets.
+
+- exact_dedup          : hash-groupBy, deterministic keeper (min doc_id)
+- minhash_signatures   : k-token shingles → xxhash64 → (a·h+b) mod p mins
+- minhash_lsh_pairs    : banded LSH bucket join → candidate pairs with
+                         signature-estimated Jaccard
+- simhash              : 64-bit token-hash bit voting
+- simhash_pairs        : banded Hamming candidate join
+- ngram_jaccard_pairs  : exact set-similarity join on shingles with a
+                         document-frequency cap (prefix-filter analog)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+# --------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per identical text (deterministic keeper: the
+    minimum id).  One shuffle on the content hash; the hash is computed
+    first so wide text never becomes the shuffle key."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h")
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, doc_ids) for every text occurring > once."""
+    return (
+        df.groupBy(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def _shingles(text: Column, k: int) -> Column:
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+
+def _perm_params(num_perm: int, seed: int) -> Tuple[List[int], List[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P - 1, size=num_perm).tolist()
+    b = rng.randint(0, MERSENNE_P - 1, size=num_perm).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<bigint>) — narrow, no shuffle."""
+    a, b = _perm_params(num_perm, seed)
+    sh = _shingles(F.col(text_col), shingle_k)
+
+    def _min_perm(aj: int, bj: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda h: F.pmod(
+                    F.lit(aj) * F.pmod(h, F.lit(MERSENNE_P)) + F.lit(bj),
+                    F.lit(MERSENNE_P),
+                ),
+            )
+        )
+
+    sig = F.array(*[_min_perm(a[j], b[j]) for j in range(num_perm)])
+    return (
+        df.select(id_col, sh.alias("_sh"))
+        .select(id_col, sig.alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    signature → ``bands`` band hashes → explode → bucket self-join (the
+    only shuffle, on the band hash) → per-pair Jaccard estimate = fraction
+    of equal signature positions → filter ≥ threshold."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.col("signature")[bi * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.band_hash")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_perm)
+    ).alias("jaccard_est")
+    return (
+        pairs.select("id_a", "id_b", est)
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash_votes(text: Column, bits: int = 64) -> Column:
+    """Per-bit ±1 vote array over token xxhash64 values.  Shift amounts
+    must be Python ints in the DataFrame API, so the bit loop is unrolled
+    driver-side; the expression tree stays JVM-only."""
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def pack_votes(votes: Column, bits: int = 64) -> Column:
+    """Vote array → packed signed 64-bit SimHash value."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        # two's-complement literal for the sign bit
+        bit_val = (1 << b) if b < bits - 1 else -(1 << (bits - 1))
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash as a single Column expression.
+
+    NOTE: the packing references the vote aggregate per bit; when hashing a
+    whole corpus, prefer ``simhash_table`` which materializes the votes in
+    their own projection so the aggregate is evaluated once per row."""
+    return pack_votes(simhash_votes(text, bits), bits)
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, sh) with the vote aggregate evaluated exactly once per row."""
+    return df.select(
+        id_col, simhash_votes(F.col(text_col), bits).alias("_votes")
+    ).select(id_col, pack_votes(F.col("_votes"), bits).alias("sh"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit longs: bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 64/band_bits
+    chunks (pigeonhole: any pair within max_hamming shares ≥1 exact band
+    when bands > max_hamming), bucket-join, verify true Hamming."""
+    n_bands = 64 // band_bits
+    hashed = simhash_table(df, text_col, id_col)
+    mask = (1 << band_bits) - 1
+    bandsdf = hashed.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.band", "bb.band_val")
+    l, r = bandsdf.alias("l"), bandsdf.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -------------------------------------------------- exact n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Explode distinct shingle hashes, join on shingle, count the
+    intersection per pair, Jaccard = |∩| / (|A|+|B|-|∩|).  ``max_df`` drops
+    shingles occurring in more than that many documents before the join —
+    the standard frequency-cap/prefix-filter trick that keeps the hot-key
+    blowup bounded at corpus scale (a shingle shared by everyone generates
+    O(n²) candidates but contributes nothing to *near*-duplicate
+    detection)."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))).alias(
+                "shingle"
+            ),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    # sizes is one slim row per document — too big to broadcast at corpus
+    # scale, so let AQE pick the join strategy (it will broadcast when the
+    # filtered side is actually small).
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

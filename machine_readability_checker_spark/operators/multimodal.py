@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The container ships no image/audio codecs, so the *decode* step is a
+deterministic fake behind ``decode_backend()`` — the Spark-side contract
+(schemas, batch shapes, partitioning, UDF signatures) is real and tested;
+swapping in PIL/ffmpeg later changes one function.
+
+Fake media format (used by fixtures/tests):
+    b"FAKEIMG" + width:uint16 + height:uint16 + payload bytes
+Anything else decodes to an error row (quarantine semantics, mirroring the
+extraction kernel's parse_error lane).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+FAKE_MAGIC = b"FAKEIMG"
+
+
+def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
+    return FAKE_MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def decode_backend(content: bytes):
+    """Decode one media blob → (width, height, payload) or raise.
+
+    Real deployment: replace the body with PIL/libvips/ffmpeg decode.  The
+    deterministic fake keeps the distributed plumbing testable here."""
+    try:
+        import PIL.Image  # noqa: F401  — not installed in this container
+    except ImportError:
+        pass
+    else:  # pragma: no cover — a real codec is present; still unsupported
+        raise NotImplementedError(
+            "real image decode intentionally not wired in this build"
+        )
+    if not content.startswith(FAKE_MAGIC):
+        raise ValueError("unknown media container")
+    w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
+    payload = content[len(FAKE_MAGIC) + 4 :]
+    return w, h, payload
+
+
+def _features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out = {
+            "doc_id": [], "media_ref": [], "width": [], "height": [],
+            "n_bytes": [], "mean_byte": [], "decode_error": [],
+        }
+        for row in batch.itertuples(index=False):
+            content = bytes(row.content)
+            out["doc_id"].append(row.doc_id)
+            out["media_ref"].append(row.media_ref)
+            out["n_bytes"].append(len(content))
+            try:
+                w, h, payload = decode_backend(content)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_byte"].append(
+                    float(sum(payload)) / len(payload) if payload else 0.0
+                )
+                out["decode_error"].append(None)
+            except Exception as e:
+                out["width"].append(None)
+                out["height"].append(None)
+                out["mean_byte"].append(None)
+                out["decode_error"].append(str(e))
+        yield pd.DataFrame(out)
+
+
+def extract_media_features(media_df: DataFrame) -> DataFrame:
+    """media table → per-blob feature rows (Arrow-batched; decode errors
+    become quarantine rows, never task failures)."""
+    return media_df.mapInPandas(_features_kernel, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_from_spans(spans_df: DataFrame, media_store: DataFrame) -> DataFrame:
+    """Join media spans of the canonical (doc_id, spans) table back to
+    their blobs: explode → filter kind='media' → broadcast-free equi-join
+    on (doc_id, media_ref)."""
+    refs = (
+        spans_df.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+    return refs.join(media_store, ["doc_id", "media_ref"])

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_sim``          : JVM-side cosine via zip_with/aggregate
+- ``brute_force_topk``    : exact top-k for a query vector (baseline)
+- ``knn_join``            : exact top-k for a (small) query table via
+                            broadcast crossJoin + window rank
+- ``lsh_bucket_topk``     : random-hyperplane LSH variant — sign-bit
+                            signatures bucket the corpus so each query
+                            scans only its bucket(s); the 100 TB path
+- ``embedding_near_dups`` : near-duplicate pairs by cosine ≥ threshold
+                            within LSH buckets
+
+Hyperplanes are generated driver-side from a fixed seed and shipped as
+literal arrays — deterministic, no Python on executors.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one literal query vector.  The scan is a
+    narrow map + TakeOrderedAndProject — no shuffle of the corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact k-NN of each query row: broadcast the (small) query table,
+    crossJoin, rank per query.  Use ``lsh_bucket_topk`` when the query set
+    or corpus makes the cross product infeasible."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    joined = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).crossJoin(F.broadcast(q))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        joined.withColumn("cosine", cosine_sim(F.col("_cv"), F.col("_qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> List[List[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature(vec: Column, planes: List[List[float]]) -> Column:
+    """Random-hyperplane sign bits packed into a long bucket key."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    key = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        key = key.bitwiseOR(F.shiftleft(b.cast("long"), i))
+    return key
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN: bucket corpus and queries by hyperplane sign
+    signature; rank within matching buckets only.  At 100 TB the bucketed
+    corpus is written partitioned by ``bucket`` so a query touches one
+    partition (IVF-style routing); recall is tuned by n_planes and by
+    probing neighbor buckets."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("bucket", lsh_signature(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("bucket", lsh_signature(F.col("_qv"), planes))
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cosine", cosine_sim(F.col("_cv"), F.col("_qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bucket", "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) found within LSH
+    buckets — the embedding analog of MinHash near-dup detection."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("bucket", lsh_signature(F.col("_v"), planes))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_sim(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,120 @@
+"""Text analysis operators for training-data pipelines.
+
+All JVM-side (split / higher-order array functions / regex) — no Python in
+the hot path, so these run inside whole-stage codegen and scale linearly
+with executors.  Each has an ANSI-SQL twin in ``__spark_entry__.oracle_sql``
+so correctness is cross-checked against DuckDB.
+
+Operators: token counting, stopword/quality scoring, language-ID by
+stopword voting, document fingerprinting, BPE-ish subword count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small per-language stopword lists (public common words); voting-based
+# language ID — deterministic, SQL-expressible, cheap at scale
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est"],
+    "zh": ["的", "是", "了", "在", "有", "和", "不"],
+}
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# BPE-ish subword tokenizer regex: word pieces, digits runs, single
+# punctuation — a public GPT-2-style pre-tokenization approximation
+BPE_ISH_PATTERN = r"[A-Za-z]+|\d+|[^A-Za-z\d\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish token count via regexp extraction (JVM-side)."""
+    return F.size(
+        F.filter(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0), lambda x: x != "")
+    )
+
+
+def stopword_ratio(col: Column, stopwords: List[str] = QUALITY_STOPWORDS) -> Column:
+    toks = tokens(col)
+    hits = F.filter(toks, lambda x: x.isin(stopwords))
+    return F.when(F.size(toks) > 0, F.size(hits) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def quality_flags(col: Column) -> Column:
+    """Document quality heuristics → struct of booleans: too short, too
+    little alphabetic content, stopword-free (gopher-style filters)."""
+    toks = tokens(col)
+    alpha_ratio = F.when(
+        F.length(col) > 0,
+        F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) / F.length(col),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        (F.size(toks) < 5).alias("too_short"),
+        (alpha_ratio < 0.5).alias("low_alpha"),
+        (stopword_ratio(col) <= 0.0).alias("no_stopwords"),
+    )
+
+
+def lang_scores(col: Column) -> Column:
+    """Per-language stopword vote counts as a struct column."""
+    toks = tokens(F.lower(col))
+
+    def _votes(sw: List[str]) -> Column:
+        return F.size(F.filter(toks, lambda x: x.isin(sw)))
+
+    return F.struct(
+        *[_votes(sw).alias(lang) for lang, sw in LANG_STOPWORDS.items()]
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword votes; ties break in the fixed order
+    en > es > de > fr > zh; zero votes everywhere → 'und'."""
+    s = lang_scores(col)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[s[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased text with
+    all non-alphanumerics removed (portable across engines — the rolling-
+    hash analog of the reference's deterministic finding keys)."""
+    normalized = F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("token_count", token_count(c))
+        .withColumn("subword_count", subword_count(c))
+        .withColumn("stopword_ratio", stopword_ratio(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", doc_fingerprint(c))
+        .withColumn("quality", quality_flags(c))
+    )

@@ -1,0 +1,146 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.operators import dedup, similarity, textstats
+from machine_readability_checker_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_fake_image,
+    extract_media_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        ("d1", base),
+        ("d2", base),  # exact dup of d1
+        ("d3", base + " tail"),  # near dup
+        ("d4", "completely different words about spark query engines here"),
+        ("d5", "a e i o u " * 10),
+        ("d6", base.replace("quick", "slow")),  # near dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert "d1" in ids and "d2" not in ids
+    assert len(ids) == 5
+
+    groups = dedup.duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == ["d1", "d2"]
+
+
+def test_minhash_lsh(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.4, shingle_k=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs.collect()}
+    assert got.get(("d1", "d2")) == 1.0  # identical
+    assert ("d1", "d4") not in got  # unrelated must not pair
+    near = [p for p in got if set(p) & {"d3", "d6"}]
+    assert near, "near-duplicates should surface as candidates"
+
+
+def test_simhash(docs):
+    hashed = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    vals = {r["doc_id"]: r["sh"] for r in hashed.collect()}
+    assert vals["d1"] == vals["d2"]
+    assert vals["d1"] != vals["d4"]
+
+    pairs = dedup.simhash_pairs(docs, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get(("d1", "d2")) == 0
+    assert ("d1", "d4") not in got
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get(("d1", "d2")) == 1.0
+    assert ("d1", "d4") not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    rows = []
+    for i in range(50):
+        v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 ≈ vec 101 (near-dup), both near `base`
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + 0.001 * rng.randn(16)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter("vec_id = 100").collect()[0]["embedding"]
+    top = similarity.brute_force_topk(vectors, q, k=3).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 101 and top[1]["cosine"] > 0.999
+
+
+def test_knn_join_matches_brute_force(vectors):
+    queries = vectors.filter("vec_id in (100, 5)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn = similarity.knn_join(vectors, queries, k=3)
+    rows = {(r["query_id"], r["rank"]): r["vec_id"] for r in knn.collect()}
+    assert rows[(100, 1)] == 100 and rows[(100, 2)] == 101
+    q5 = vectors.filter("vec_id = 5").collect()[0]["embedding"]
+    bf = [r["vec_id"] for r in similarity.brute_force_topk(vectors, q5, k=3).collect()]
+    assert [rows[(5, i)] for i in (1, 2, 3)] == bf
+
+
+def test_lsh_bucket_topk_finds_self_and_neardup(vectors):
+    queries = vectors.filter("vec_id = 100").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.lsh_bucket_topk(vectors, queries, k=5, dim=16)
+    ids = [r["vec_id"] for r in approx.collect()]
+    assert 100 in ids and 101 in ids  # same bucket by construction
+
+
+def test_embedding_near_dups(vectors):
+    pairs = similarity.embedding_near_dups(vectors, threshold=0.999, dim=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert all(p == (100, 101) for p in got)
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [("a", "the cat sat on the mat"), ("b", "el la de y que en los x")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.with_text_stats(df).collect()}
+    assert out["a"]["token_count"] == 6
+    assert out["a"]["stopword_ratio"] == pytest.approx(2 / 6)
+    assert out["a"]["lang_pred"] == "en"
+    assert out["b"]["lang_pred"] == "es"
+    assert len(out["a"]["fingerprint"]) == 32
+    assert out["a"]["quality"]["too_short"] is False
+
+
+def test_media_features(spark):
+    rows = [
+        ("d1", "img/1.png", "image", bytearray(encode_fake_image(8, 4, bytes(range(32))))),
+        ("d2", "img/2.png", "image", bytearray(b"not-a-real-container")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    ok = out["img/1.png"]
+    assert (ok["width"], ok["height"]) == (8, 4)
+    assert ok["mean_byte"] == pytest.approx(sum(range(32)) / 32)
+    assert ok["decode_error"] is None
+    bad = out["img/2.png"]
+    assert bad["decode_error"] is not None and bad["width"] is None
