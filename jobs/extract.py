@@ -1,0 +1,128 @@
+"""spark-submit entry point: resumable distributed extraction job.
+
+Usage (local example; on a cluster drop --master and let the submitter
+choose, shipping the package with --py-files):
+
+    python tools/make_pyfiles.py dist/engine.zip
+    spark-submit --master local[32] --py-files dist/engine.zip \
+        jobs/extract.py --gen 5000 --out /tmp/mrc_out --splits 16
+
+Pipeline: read/generate docs_raw → deterministic split assignment →
+salted repartition → mapInPandas extraction kernel → partitioned parquet
+write + atomic per-split manifest commit → per-partition lineage table.
+Prints one JSON stats line on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from machine_readability_checker_spark.model import RAW_SCHEMA  # noqa: E402
+from machine_readability_checker_spark.operators.extract import (  # noqa: E402
+    extract,
+    lineage_table,
+)
+from machine_readability_checker_spark.operators.repartition import (  # noqa: E402
+    salted_repartition,
+    split_id,
+)
+from machine_readability_checker_spark.plans.manifest import (  # noqa: E402
+    ManifestStore,
+    run_resumable,
+)
+from machine_readability_checker_spark.session import get_spark  # noqa: E402
+from machine_readability_checker_spark.sources.fixtures import gen_corpus  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of docs_raw")
+    ap.add_argument("--gen", type=int, default=0, help="generate N fixture docs")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--splits", type=int, default=16)
+    ap.add_argument("--wave", type=int, default=4)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument(
+        "--max-waves", type=int, default=0,
+        help="stop after N waves (kill/resume testing)",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "mrc-extract-job",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(8, args.cores),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    n_parts = args.partitions or max(8, args.cores)
+
+    if args.input:
+        raw = spark.read.parquet(args.input)
+    elif args.gen:
+        raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
+    else:
+        ap.error("need --input or --gen")
+        return
+
+    store = ManifestStore(args.out)
+
+    def transform(wave_df: DataFrame) -> DataFrame:
+        balanced = salted_repartition(wave_df, n_parts)
+        out = extract(balanced)
+        # split is re-derived (deterministic) so the write can partition on it
+        return out.withColumn("split", split_id("doc_id", args.splits))
+
+    waves_done = {"n": 0}
+
+    def on_wave_done(wave):
+        waves_done["n"] += 1
+        if args.max_waves and waves_done["n"] >= args.max_waves:
+            print(json.dumps({"stopped_after_waves": waves_done["n"]}))
+            spark.stop()
+            sys.exit(0)
+
+    t0 = time.time()
+    stats = run_resumable(
+        raw,
+        store,
+        transform,
+        n_splits=args.splits,
+        wave_size=args.wave,
+        on_wave_done=on_wave_done,
+    )
+    wall = time.time() - t0
+
+    # lineage side table from the committed output
+    out_df = spark.read.parquet(store.data_dir)
+    lineage_table(out_df).write.mode("overwrite").parquet(
+        os.path.join(args.out, "lineage")
+    )
+
+    total_docs = out_df.count()
+    print(
+        json.dumps(
+            {
+                **stats,
+                "wall_sec": round(wall, 3),
+                "docs_total": total_docs,
+                "docs_per_sec": round(stats["docs_processed"] / wall, 1)
+                if wall > 0
+                else None,
+                "cores": args.cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,22 +103,17 @@ def is_clean_numeric(val: Any) -> bool:
 
 
 def is_clean_numeric_series(series: pd.Series) -> pd.Series:
-    """Vectorized `is_clean_numeric` over an object series."""
-    s = series
-    numeric_mask = s.map(lambda v: isinstance(v, (int, float)) and not (
-        isinstance(v, float) and math.isnan(v)))
-    str_mask = s.map(lambda v: isinstance(v, str))
-    out = pd.Series(False, index=s.index)
-    out[numeric_mask] = True
-    if str_mask.any():
-        strs = s[str_mask].astype(str).str.strip()
-        clean = ~strs.str.contains(_NON_NUMERIC_CHAR_RE, regex=True)
-        parses = pd.to_numeric(strs.where(clean), errors="coerce").notna()
-        out[str_mask] = (clean & parses).values
-    # NaN floats count as numeric per the reference (isinstance float)
-    nan_mask = s.map(lambda v: isinstance(v, float) and math.isnan(v))
-    out[nan_mask] = True
-    return out
+    """Vectorized `is_clean_numeric` over a series.
+
+    Numeric-dtype columns short-circuit to all-True (every value is a real
+    int/float, incl. NaN — the reference admits them via isinstance);
+    object columns take one pass through the scalar predicate."""
+    if pd.api.types.is_numeric_dtype(series) or pd.api.types.is_bool_dtype(series):
+        return pd.Series(True, index=series.index)
+    return pd.Series(
+        [is_clean_numeric(v) for v in series.to_numpy(dtype=object)],
+        index=series.index,
+    )
 
 
 # Japanese free-text column markers (その他:, 備考:, コメント:, …).

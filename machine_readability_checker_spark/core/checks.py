@@ -75,18 +75,22 @@ def detect_multiple_tables(
         n_groups = int(1 + np.sum(np.diff(empty_rows) > 1))
         return True, f"複数の連続空行グループが見つかりました: {n_groups}箇所"
 
-    header_like_rows: List[int] = []
-    for idx in range(len(body)):
-        row = body.iloc[idx]
-        non_na = row.dropna().astype(str).str.strip()
-        if len(non_na) > 0:
-            numeric = sum(
-                1
-                for val in non_na
-                if val.replace(".", "").replace("-", "").isdigit()
-            )
-            if numeric / len(non_na) < 0.5:
-                header_like_rows.append(idx + data_start_offset + 1)
+    # header-likeness, fully column-vectorized: per cell, str(val).strip()
+    # with '.'/'-' removed must be all-digits; ratio over non-null cells
+    numeric_like = as_str.apply(
+        lambda s: s.str.replace(".", "", regex=False)
+        .str.replace("-", "", regex=False)
+        .str.isdigit()
+    )
+    notna = (~isna).to_numpy()
+    num_counts = (numeric_like.to_numpy() & notna).sum(axis=1)
+    nonna_counts = notna.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(nonna_counts > 0, num_counts / nonna_counts, 1.0)
+    header_like_rows = [
+        int(i) + data_start_offset + 1
+        for i in np.flatnonzero((nonna_counts > 0) & (ratio < 0.5))
+    ]
 
     if len(header_like_rows) >= 2:
         gaps = np.diff(header_like_rows)
@@ -287,8 +291,9 @@ def check_no_whitespace_formatting(
     sample_cells: List[str] = []
     if doc.fmt != "xlsx":
         # body-relative coordinates, first-10-in-scan-order cap, then sort
-        for row_idx in range(len(body)):
-            for col_idx, val in enumerate(body.iloc[row_idx]):
+        arr = body.to_numpy(dtype=object) if not body.empty else []
+        for row_idx, row_vals in enumerate(arr):
+            for col_idx, val in enumerate(row_vals):
                 if isinstance(val, str) and C.FULL_WIDTH_SPACE in val:
                     cell_ref = f"{C.col_letter(col_idx + 1)}{row_idx + 1}"
                     sample_cells.append(f"{cell_ref}: '{val.strip()}'")
@@ -327,8 +332,9 @@ def check_single_data_per_cell(
 ) -> CheckResult:
     problems: List[str] = []
     start = ctx.data_start
-    for row_idx in range(len(body)):
-        for col_idx, val in enumerate(body.iloc[row_idx]):
+    arr = body.to_numpy(dtype=object) if not body.empty else []
+    for row_idx, row_vals in enumerate(arr):
+        for col_idx, val in enumerate(row_vals):
             if isinstance(val, str) and C._MULTI_VALUE_RE.search(val):
                 coord = f"{C.col_letter(col_idx + 1)}{row_idx + 1 + start}"
                 problems.append(f"{coord}: {val!r}")
@@ -344,8 +350,9 @@ def check_no_platform_dependent_characters(
 ) -> CheckResult:
     issues: List[str] = []
     if doc.fmt != "xlsx":
-        for row_idx in range(len(body)):
-            for col_idx, val in enumerate(body.iloc[row_idx]):
+        arr = body.to_numpy(dtype=object) if not body.empty else []
+        for row_idx, row_vals in enumerate(arr):
+            for col_idx, val in enumerate(row_vals):
                 if isinstance(val, str) and C.detect_platform_characters(val):
                     coord = f"{C.col_letter(col_idx + 1)}{row_idx + 1}"
                     issues.append(f"{coord}: '{val}'")
@@ -406,7 +413,10 @@ def check_separate_other_detail_columns(
     flagged: List[str] = []
     for col_idx in range(body.shape[1]):
         col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
-        series = body.iloc[:, col_idx].dropna()
+        series = body.iloc[:, col_idx]
+        if pd.api.types.is_numeric_dtype(series):
+            continue
+        series = series.dropna()
         strs = series[series.map(lambda v: isinstance(v, str))].astype(str)
         if strs.empty:
             continue
@@ -439,6 +449,8 @@ def check_handling_of_missing_values(
     offset = ctx.data_start
     for col_idx in range(body.shape[1]):
         series = body.iloc[:, col_idx]
+        if pd.api.types.is_numeric_dtype(series):
+            continue  # no string cells possible
         strs = series[series.map(lambda v: isinstance(v, str))]
         if strs.empty:
             continue
@@ -549,7 +561,12 @@ def run_checks(
     failing the document."""
     body = _body_df(ctx)
     out: List[Tuple[str, bool, str]] = []
+    cache: Dict[Any, CheckResult] = {}  # L1-02/L1-03 share one check fn
     for rule_id, _desc, fn in RULES:
+        if fn in cache:
+            passed, msg = cache[fn]
+            out.append((rule_id, bool(passed), msg))
+            continue
         try:
             if fn in (
                 check_one_table_per_sheet,
@@ -564,5 +581,6 @@ def run_checks(
                 passed, msg = fn(doc, ctx, body)
         except Exception as e:  # router-style catch-all
             passed, msg = False, f"エラー発生: {e}"
+        cache[fn] = (passed, msg)
         out.append((rule_id, bool(passed), msg))
     return out

@@ -1,0 +1,148 @@
+"""Checkpointed partition manifests: resumable batch extraction.
+
+The north rule requires a killed job to resume without reprocessing
+committed splits.  The reference has no analog (single file per run); this
+is the batch-native design (no streaming state store):
+
+1. the input is assigned a deterministic ``split`` id:
+   ``pmod(xxhash64(doc_id, salt), n_splits)`` — same doc → same split on
+   every run (operators/repartition.py);
+2. the job processes one *wave* of splits at a time, writing output under
+   ``out/data/split=K/`` (a directory per split, Hive/Iceberg-partition
+   layout) — within a wave Spark parallelizes freely;
+3. after a wave's write succeeds, one manifest JSON per split is committed
+   via write-temp + ``os.rename`` (atomic on POSIX) recording doc/span
+   counts — the commit point;
+4. on restart, committed split ids are read back and the input is
+   filtered with an anti-semijoin on ``split`` BEFORE any parsing, so
+   completed work is pruned at the scan (partition pruning does this for
+   free when the input itself is split-partitioned).
+
+With a real Iceberg catalog the same protocol rides on Iceberg snapshot
+commits (one snapshot per wave; resume = snapshot diff); the shim mirrors
+Iceberg's metadata/manifest split with plain JSON so the container needs
+no runtime jar (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.repartition import DEFAULT_SALT, split_id
+
+
+@dataclass
+class ManifestStore:
+    root: str  # table root; manifests under <root>/_manifests
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def committed_splits(self) -> List[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("split-") and name.endswith(".json"):
+                out.append(int(name[len("split-"):-len(".json")]))
+        return out
+
+    def read_manifest(self, split: int) -> dict:
+        with open(os.path.join(self.manifest_dir, f"split-{split}.json")) as f:
+            return json.load(f)
+
+    def commit_split(self, split: int, payload: dict) -> None:
+        """Atomic commit: write temp file in the same directory, fsync,
+        rename.  A crash before the rename leaves no manifest → the split
+        is reprocessed (output overwrite is idempotent per split dir)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        payload = {"split": split, "committed_at": time.time(), **payload}
+        fd, tmp = tempfile.mkstemp(
+            prefix=f".split-{split}.", dir=self.manifest_dir
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(self.manifest_dir, f"split-{split}.json"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+
+def run_resumable(
+    df_raw: DataFrame,
+    store: ManifestStore,
+    transform: Callable[[DataFrame], DataFrame],
+    n_splits: int = 16,
+    wave_size: int = 4,
+    salt: int = DEFAULT_SALT,
+    doc_id_col: str = "doc_id",
+    on_wave_done: Optional[Callable[[List[int]], None]] = None,
+) -> dict:
+    """Process ``df_raw`` through ``transform`` resumably.
+
+    Returns stats {splits_total, splits_skipped, splits_processed,
+    docs_processed}.  Deterministic split assignment + atomic per-split
+    manifests ⇒ rerunning after a kill reprocesses only uncommitted
+    splits, and the final output directory is identical."""
+    df = df_raw.withColumn("split", split_id(doc_id_col, n_splits, salt))
+    done = set(store.committed_splits())
+    todo = [s for s in range(n_splits) if s not in done]
+
+    docs_processed = 0
+    for wave_start in range(0, len(todo), wave_size):
+        wave = todo[wave_start : wave_start + wave_size]
+        wave_df = df.filter(F.col("split").isin(wave))
+        out = transform(wave_df)
+        # one write per wave, partitioned by split → per-split directories.
+        # Coalescing to one task per split first keeps the dynamic-
+        # partition commit to |wave| file moves instead of
+        # |tasks|×|wave| (the commit's file renames are driver-serial).
+        (
+            out.repartition(len(wave), F.col("split"))
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store.data_dir)
+        )
+        # derive per-split commit stats from the *written* data (read-back
+        # counts are the exactly-once source of truth).  Only the `split`
+        # partition column is touched — column pruning keeps this a
+        # metadata-cheap scan even when the span payload is huge.
+        spark = df_raw.sparkSession
+        written = spark.read.parquet(store.data_dir).filter(
+            F.col("split").isin(wave)
+        )
+        stats = {
+            int(r["split"]): int(r["docs"])
+            for r in written.groupBy("split")
+            .agg(F.count("*").alias("docs"))
+            .collect()
+        }
+        for s in wave:
+            docs = stats.get(s, 0)
+            store.commit_split(s, {"docs": docs})
+            docs_processed += docs
+        if on_wave_done is not None:
+            on_wave_done(wave)
+
+    return {
+        "splits_total": n_splits,
+        "splits_skipped": len(done),
+        "splits_processed": len(todo),
+        "docs_processed": docs_processed,
+    }

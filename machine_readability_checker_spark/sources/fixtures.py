@@ -340,6 +340,38 @@ FAMILIES = [
 ]
 
 
+def gen_doc(i: int, seed: int = SEED, whale_every: Optional[int] = 97,
+            chosen=None) -> Dict[str, Any]:
+    """Deterministically generate fixture document #i (index-keyed RNG, so
+    generation is embarrassingly parallel)."""
+    rng = np.random.RandomState(seed * 1_000_003 + i)
+    fams = chosen or FAMILIES
+    if whale_every and i > 0 and i % whale_every == 0:
+        d = fam_whale(rng, i)
+    else:
+        _, fam = fams[i % len(fams)]
+        d = fam(rng, i)
+    d["doc_id"] = f"doc{i:08d}_{d['doc_id']}"
+    return d
+
+
+def gen_corpus_spark(spark, n_docs: int, seed: int = SEED, partitions: int = 32):
+    """Distributed fixture generation: spark.range → mapInPandas running
+    ``gen_doc`` per index.  Keeps corpus synthesis off the driver so large
+    bench corpora materialize at cluster speed."""
+    from ..model import RAW_SCHEMA
+
+    def kernel(batches):
+        for batch in batches:
+            docs = [gen_doc(int(i), seed) for i in batch["id"]]
+            yield pd.DataFrame(docs)
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(kernel, schema=RAW_SCHEMA)
+    )
+
+
 def gen_corpus(
     n_docs: int,
     seed: int = SEED,

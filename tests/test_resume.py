@@ -1,0 +1,88 @@
+"""Checkpointed-manifest resume: kill after K waves → rerun → zero
+reprocessing of committed splits and byte-identical final content
+(FIXTURES.md family 19 / SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+from machine_readability_checker_spark.model import RAW_SCHEMA
+from machine_readability_checker_spark.operators.extract import extract
+from machine_readability_checker_spark.operators.repartition import (
+    salted_repartition,
+    split_id,
+)
+from machine_readability_checker_spark.plans.manifest import (
+    ManifestStore,
+    run_resumable,
+)
+from machine_readability_checker_spark.sources.fixtures import gen_corpus
+
+N_DOCS = 120
+N_SPLITS = 8
+
+
+def _transform(wave_df: DataFrame) -> DataFrame:
+    out = extract(salted_repartition(wave_df, 8))
+    return out.withColumn("split", split_id("doc_id", N_SPLITS))
+
+
+class _StopAfter(Exception):
+    pass
+
+
+def test_kill_and_resume(spark, tmp_path):
+    corpus = gen_corpus(N_DOCS)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    out_dir = str(tmp_path / "table")
+    store = ManifestStore(out_dir)
+
+    # run 1: crash after the first wave (2 splits committed)
+    def killer(wave):
+        raise _StopAfter()
+
+    with pytest.raises(_StopAfter):
+        run_resumable(
+            raw, store, _transform, n_splits=N_SPLITS, wave_size=2,
+            on_wave_done=killer,
+        )
+    committed_first = store.committed_splits()
+    assert len(committed_first) == 2
+    docs_first = sum(store.read_manifest(s)["docs"] for s in committed_first)
+    assert docs_first > 0
+
+    # run 2: resume — committed splits must be skipped entirely
+    stats = run_resumable(
+        raw, store, _transform, n_splits=N_SPLITS, wave_size=2
+    )
+    assert stats["splits_skipped"] == 2
+    assert stats["splits_processed"] == N_SPLITS - 2
+    assert stats["docs_processed"] == N_DOCS - docs_first
+
+    # final table complete and identical to a clean one-shot run
+    final = spark.read.parquet(store.data_dir)
+    assert final.count() == N_DOCS
+    assert sorted(store.committed_splits()) == list(range(N_SPLITS))
+
+    clean_dir = str(tmp_path / "clean")
+    run_resumable(
+        raw, ManifestStore(clean_dir), _transform,
+        n_splits=N_SPLITS, wave_size=N_SPLITS,
+    )
+    clean = spark.read.parquet(os.path.join(clean_dir, "data"))
+    a = final.select("doc_id", F.to_json("spans").alias("j")).orderBy("doc_id")
+    b = clean.select("doc_id", F.to_json("spans").alias("j")).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_rerun_after_complete_is_noop(spark, tmp_path):
+    corpus = gen_corpus(30)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    store = ManifestStore(str(tmp_path / "t2"))
+    run_resumable(raw, store, _transform, n_splits=4, wave_size=4)
+    stats = run_resumable(raw, store, _transform, n_splits=4, wave_size=4)
+    assert stats["splits_processed"] == 0
+    assert stats["docs_processed"] == 0
