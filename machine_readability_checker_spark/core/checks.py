@@ -525,6 +525,53 @@ def check_csv_fields_quoted(doc: ParsedDoc, ctx, body) -> CheckResult:
     )
 
 
+def check_code_format_for_choices(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    """Historical L3 check (pyc:level3_checks F13): a choice column
+    (<10 distinct non-null values) should be numerically coded — flag
+    columns whose small label set mixes digit codes with free labels."""
+    flagged: List[str] = []
+    for col_idx in range(body.shape[1]):
+        col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
+        series = body.iloc[:, col_idx].dropna()
+        if series.empty:
+            continue
+        uniques = {str(v).strip() for v in series.unique()}
+        if len(uniques) >= 10:
+            continue
+        digit_vals = {u for u in uniques if u.isdigit()}
+        if digit_vals and digit_vals != uniques:
+            flagged.append(f"{col_name}（列: {C.col_letter(col_idx + 1)}）")
+    if flagged:
+        return (
+            False,
+            f"選択肢列で数値コードとラベルが混在しています: {flagged}",
+        )
+    return True, "選択肢列のコード形式に問題はありません"
+
+
+_CODEBOOK_TITLE_RE = re.compile(r"コード表|コードブック|code\s*book", re.IGNORECASE)
+_CODE_MAPPING_RE = re.compile(r"\b1\s*[=：]\s*\w+")
+
+
+def check_codebook_exists(doc: ParsedDoc, ctx, body) -> CheckResult:
+    """Historical L3 sheet classifier (pyc:level3_checks): look for a
+    codebook — a sheet whose name matches, or whose top rows contain
+    code-mapping lines like '1=男性'.  Regex/keyword lane only (the LLM
+    variant is out of scope per the public-knowledge constraint)."""
+    for sheet in doc.sheets:
+        if _CODEBOOK_TITLE_RE.search(sheet.name):
+            return True, f"コード表シートが見つかりました: {sheet.name}"
+        for row in sheet.rows[:10]:
+            joined = " ".join(
+                str(v) for v in row if not is_empty_cell(v)
+            )
+            if _CODEBOOK_TITLE_RE.search(joined) or _CODE_MAPPING_RE.search(joined):
+                return True, f"コード対応の記載が見つかりました: {sheet.name}"
+    return False, "コード表（コードブック）が見つかりませんでした"
+
+
 # ------------------------------------------------------------ rule catalog
 
 # (rule_id, description, check callable) — rules/level1.json order; the
@@ -547,6 +594,8 @@ RULES: List[Tuple[str, str, Any]] = [
     ("L1-15", "csv: fields quoted", check_csv_fields_quoted),
     ("X-01", "numeric columns contain only numerics", check_numeric_columns_only),
     ("X-02", "choice columns free of free text", check_separate_other_detail_columns),
+    ("X-03", "choice columns consistently coded", check_code_format_for_choices),
+    ("X-04", "codebook sheet present", check_codebook_exists),
 ]
 
 

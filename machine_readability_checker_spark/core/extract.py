@@ -70,8 +70,11 @@ def extract_document(
     format_flags: Optional[int] = None
     layout: Optional[str] = None
 
-    if doc.parse_error is None and doc.fmt == "html":
-        for kind, text, media_ref in getattr(doc, "html_spans", []):
+    if doc.parse_error is None and doc.fmt in ("html", "pdf"):
+        layout_triples = getattr(doc, "html_spans", None) or getattr(
+            doc, "layout_spans", []
+        )
+        for kind, text, media_ref in layout_triples:
             spans.append(_mk_span(kind, text, media_ref, len(spans)))
     elif doc.parse_error is None and doc.fmt in GRID_FORMATS:
         main_ctx: Optional[ZoneContext] = None

@@ -24,7 +24,7 @@ import pandas as pd
 
 from .xlsx import XlsxWorkbook, read_xlsx
 
-ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html"}
+ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf"}
 GRID_FORMATS = {"csv", "xlsx", "xls"}
 
 
@@ -119,6 +119,14 @@ def parse_document(fmt: str, content: bytes) -> ParsedDoc:
         return parse_xlsx(content)
     if fmt == "xls":
         return parse_xls(content)
+    if fmt == "pdf":
+        from .pdf import extract_pdf_spans
+
+        doc = ParsedDoc(fmt="pdf")
+        spans, err = extract_pdf_spans(content)
+        doc.parse_error = err
+        doc.layout_spans = spans  # type: ignore[attr-defined]
+        return doc
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content)

@@ -318,6 +318,61 @@ def fam_html(rng, i) -> Dict[str, Any]:
     return _doc(f"html{i:05d}", "html", html.encode("utf-8"))
 
 
+def fam_pdf(rng, i) -> Dict[str, Any]:
+    """Single-page PDF: big title, prose lines, a 3-column x-aligned table
+    block, an image XObject — exercises the layout lane (line clustering,
+    reading order, heading + table detection)."""
+    from ..core.pdf import write_pdf
+
+    items = [
+        {"text": f"Report {i}", "x": 72, "y": 720, "size": 20},
+        {"text": "This is the opening paragraph line.", "x": 72, "y": 690, "size": 11},
+        {"text": "A second prose line follows here.", "x": 72, "y": 675, "size": 11},
+    ]
+    y = 640
+    items.append({"text": "item", "x": 72, "y": y, "size": 11})
+    items.append({"text": "qty", "x": 200, "y": y, "size": 11})
+    items.append({"text": "price", "x": 320, "y": y, "size": 11})
+    for r in range(3):
+        y -= 16
+        items.append({"text": WORDS[rng.randint(0, len(WORDS))], "x": 72, "y": y, "size": 11})
+        items.append({"text": str(int(rng.randint(1, 99))), "x": 200, "y": y, "size": 11})
+        items.append({"text": str(int(rng.randint(100, 999))), "x": 320, "y": y, "size": 11})
+    items.append({"text": "Closing remark sentence.", "x": 72, "y": y - 40, "size": 11})
+    items.append({"image": True})
+    return _doc(f"pdf{i:05d}", "pdf", write_pdf(items))
+
+
+def fam_multisheet_codebook(rng, i) -> Dict[str, Any]:
+    """Two-sheet workbook: data sheet + a コード表 codebook sheet —
+    exercises sheet enumeration (S4) and the codebook classifier (X-04)."""
+    n_cols = 3
+    data_rows = [_header(n_cols)] + [
+        [WORDS[rng.randint(0, len(WORDS))], int(rng.randint(1, 4)),
+         int(rng.randint(0, 100))]
+        for _ in range(6)
+    ]
+    code_rows = [
+        ["コード表", None],
+        ["status_code", "1=有効 2=無効 3=保留"],
+    ]
+    sheets = [
+        {"name": "データ", "rows": data_rows},
+        {"name": "コード表", "rows": code_rows},
+    ]
+    return _doc(f"cbook{i:05d}", "xlsx", write_xlsx(sheets))
+
+
+def fam_code_mix(rng, i) -> Dict[str, Any]:
+    """Choice column mixing digit codes with labels (X-03)."""
+    rows = [["answer_col", "num_col"]]
+    opts = ["1", "2", "わからない"]
+    for r in range(8):
+        rows.append([opts[rng.randint(0, len(opts))], int(rng.randint(0, 50))])
+    rows.append(["わからない", 0])  # guarantee the digit/label mix
+    return _doc(f"cmix{i:05d}", "csv", _csv_bytes(rows))
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -337,6 +392,9 @@ FAMILIES = [
     ("csv_quirks", fam_csv_quirks),
     ("long_format", fam_long_format),
     ("html_docs", fam_html),
+    ("multisheet_codebook", fam_multisheet_codebook),
+    ("code_mix", fam_code_mix),
+    ("pdf_docs", fam_pdf),
 ]
 
 

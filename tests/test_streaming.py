@@ -42,6 +42,20 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert (
         got2.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     )
-    # spans identical to the batch kernel for a sample doc
+    # spans identical to the single-node oracle for a sample doc
+    from machine_readability_checker_spark.core.extract import extract_document
+
     sample = got2.filter(F.col("doc_id").contains("mhdr")).collect()[0]
-    assert [s["kind"] for s in sample["spans"]][:5] == ["header"] * 5
+    src = corpus[corpus.doc_id == sample["doc_id"]].iloc[0]
+    expected = extract_document(
+        src.doc_id, src.fmt, bytes(src.content),
+        src.header_start_row, src.header_end_row,
+        src.data_start_row, src.data_end_row,
+    )["spans"]
+    got_spans = [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in sample["spans"]
+    ]
+    assert got_spans == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in expected
+    ]
