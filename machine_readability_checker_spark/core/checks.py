@@ -66,8 +66,29 @@ def detect_multiple_tables(
         return False, "データが少ないため複数テーブルの検出をスキップ"
 
     isna = body.isna()
-    as_str = body.astype(str).apply(lambda s: s.str.strip())
-    empty_mask = (isna.all(axis=1) | (as_str == "").all(axis=1)).to_numpy()
+    notna = (~isna).to_numpy()
+    n_rows, n_cols = body.shape
+
+    # per-cell flags, column-vectorized with a numeric-dtype fast path:
+    # a real number renders to a digit string after stripping '.'/'-'
+    # (NaN is excluded by notna), and never to the empty string
+    str_empty = np.zeros((n_rows, n_cols), dtype=bool)
+    num_like = np.zeros((n_rows, n_cols), dtype=bool)
+    for c in range(n_cols):
+        col = body.iloc[:, c]
+        if pd.api.types.is_numeric_dtype(col) and not pd.api.types.is_bool_dtype(col):
+            num_like[:, c] = True
+            continue
+        s = col.astype(str).str.strip()
+        str_empty[:, c] = (s == "").to_numpy()
+        num_like[:, c] = (
+            s.str.replace(".", "", regex=False)
+            .str.replace("-", "", regex=False)
+            .str.isdigit()
+            .to_numpy()
+        )
+
+    empty_mask = isna.to_numpy().all(axis=1) | str_empty.all(axis=1)
     empty_rows = np.flatnonzero(empty_mask)
 
     if empty_rows.size > 0:
@@ -75,15 +96,7 @@ def detect_multiple_tables(
         n_groups = int(1 + np.sum(np.diff(empty_rows) > 1))
         return True, f"複数の連続空行グループが見つかりました: {n_groups}箇所"
 
-    # header-likeness, fully column-vectorized: per cell, str(val).strip()
-    # with '.'/'-' removed must be all-digits; ratio over non-null cells
-    numeric_like = as_str.apply(
-        lambda s: s.str.replace(".", "", regex=False)
-        .str.replace("-", "", regex=False)
-        .str.isdigit()
-    )
-    notna = (~isna).to_numpy()
-    num_counts = (numeric_like.to_numpy() & notna).sum(axis=1)
+    num_counts = (num_like & notna).sum(axis=1)
     nonna_counts = notna.sum(axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(nonna_counts > 0, num_counts / nonna_counts, 1.0)

