@@ -106,6 +106,26 @@ def q_extract_rule_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_main_content_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip over the canonical spans table: keep only the
+    data-body (`cell`) spans — headers/annotations are the boilerplate —
+    and report per-document main-content size."""
+    extracted = extract(_docs_as_csv(spark, sf_dir))
+    cells = (
+        extracted.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "cell")
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.length("s.text")).alias("content_len"),
+        )
+        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -386,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_span_stats": q_extract_span_stats,
         "extract_rule_results": q_extract_rule_results,
+        "main_content_strip": q_main_content_strip,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -500,6 +521,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_span_stats": _SPAN_STATS_SQL,
         "extract_rule_results": _RULE_RESULTS_SQL,
+        "main_content_strip": f"""
+            WITH per_doc AS (
+              SELECT doc_id,
+                     len({_TOKS}) AS n,
+                     n_chars,
+                     CAST((5 - (len({_TOKS}) % 5)) % 5 AS BIGINT) AS pad
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((n + pad) / 5 AS BIGINT) AS n_cells,
+                   (n_chars - n + 1) + 3 * pad
+                     + 4 * CAST((n + pad) / 5 AS BIGINT) AS content_len
+            FROM per_doc ORDER BY doc_id
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(SUM(l_quantity), 2) AS sum_qty,

@@ -60,6 +60,9 @@ def extract_document(
 ) -> Dict[str, Any]:
     """Extract one document.  Never raises — parse failures produce zero
     spans and a metrics record with ``parse_errors=1`` (quarantine row)."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
     doc = parse_document(fmt, content)
     spans: List[Span] = []
     results: List[Dict[str, Any]] = []
@@ -124,6 +127,7 @@ def extract_document(
         "format_flags": format_flags,
         "n_sheets": len(doc.sheets) if doc.sheets else 0,
         "layout": layout,
+        "wall_ms": (_time.perf_counter() - _t0) * 1000.0,
     }
     return {
         "doc_id": doc_id,

@@ -79,6 +79,7 @@ METRICS_STRUCT = T.StructType(
         T.StructField("format_flags", T.IntegerType(), True),
         T.StructField("n_sheets", T.IntegerType(), True),
         T.StructField("layout", T.StringType(), True),
+        T.StructField("wall_ms", T.DoubleType(), True),
     ]
 )
 

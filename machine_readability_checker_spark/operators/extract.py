@@ -80,6 +80,7 @@ def lineage_table(extracted: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.col("metrics.encoding") == "shift_jis", 1).otherwise(0)
         ).alias("encoding_fallbacks"),
+        F.round(F.sum("metrics.wall_ms"), 3).alias("kernel_wall_ms"),
     )
 
 
