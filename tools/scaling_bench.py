@@ -80,28 +80,64 @@ def run_job(cores: int, input_path: str, out_dir: str, pyfiles: str) -> dict:
     return stats
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+RESULTS_FILE = "/tmp/mrc_scale_results.jsonl"
+INPUT_PATH = "/tmp/mrc_scale_input"
+
+
+def phase_gen(n_docs: int) -> None:
     pyfiles = os.path.join(REPO, "dist", "engine.zip")
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py"), pyfiles],
         check=True,
     )
+    gen_input(n_docs, INPUT_PATH, pyfiles)
+    if os.path.exists(RESULTS_FILE):
+        os.unlink(RESULTS_FILE)
+    print("generated", n_docs)
 
-    input_path = "/tmp/mrc_scale_input"
-    gen_input(n_docs, input_path, pyfiles)
 
+def phase_run(cores: int) -> None:
+    pyfiles = os.path.join(REPO, "dist", "engine.zip")
+    r = run_job(cores, INPUT_PATH, f"/tmp/mrc_scale_{cores}", pyfiles)
+    with open(RESULTS_FILE, "a") as f:
+        f.write(json.dumps(r) + "\n")
+    print(f"local[{cores}]: {r}")
+
+
+def phase_report(n_docs: int) -> None:
+    results: dict = {}
+    with open(RESULTS_FILE) as f:
+        for line in f:
+            r = json.loads(line)
+            c = r["cores"]
+            if c not in results or r["docs_per_sec"] > results[c]["docs_per_sec"]:
+                results[c] = r  # best-of-N guards against host interference
+    _write_report(results, n_docs)
+
+
+def main() -> None:
+    # phase mode: gen N | run CORES | report N
+    if len(sys.argv) > 2 and sys.argv[1] in ("gen", "run", "report"):
+        phase = sys.argv[1]
+        arg = int(sys.argv[2])
+        if phase == "gen":
+            phase_gen(arg)
+        elif phase == "run":
+            phase_run(arg)
+        else:
+            phase_report(arg)
+        return
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    phase_gen(n_docs)
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
-    results = {}
     for cores in (4, 16, 8, 32):
-        best = None
-        for rep in range(repeats):
-            r = run_job(cores, input_path, f"/tmp/mrc_scale_{cores}", pyfiles)
-            print(f"local[{cores}] run {rep + 1}: {r}")
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        # best-of-N guards against transient host interference
-        results[cores] = best
+        for _ in range(repeats):
+            phase_run(cores)
+    phase_report(n_docs)
+
+
+def _write_report(results: dict, n_docs: int) -> None:
 
     eff_4_16 = (results[16]["docs_per_sec"] / results[4]["docs_per_sec"]) / 4.0
     eff_8_32 = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
