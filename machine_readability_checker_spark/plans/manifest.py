@@ -99,6 +99,9 @@ def run_resumable(
     docs_processed}.  Deterministic split assignment + atomic per-split
     manifests ⇒ rerunning after a kill reprocesses only uncommitted
     splits, and the final output directory is identical."""
+    import time as _time
+
+    verbose = bool(int(os.environ.get("MRC_TIMING", "0")))
     df = df_raw.withColumn("split", split_id(doc_id_col, n_splits, salt))
     done = set(store.committed_splits())
     todo = [s for s in range(n_splits) if s not in done]
@@ -106,6 +109,7 @@ def run_resumable(
     docs_processed = 0
     for wave_start in range(0, len(todo), wave_size):
         wave = todo[wave_start : wave_start + wave_size]
+        _tw = _time.time()
         wave_df = df.filter(F.col("split").isin(wave))
         out = transform(wave_df)
         # one write per wave, partitioned by split → per-split directories.
@@ -119,6 +123,7 @@ def run_resumable(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(store.data_dir)
         )
+        _twrite = _time.time()
         # derive per-split commit stats from the *written* data (read-back
         # counts are the exactly-once source of truth).  Only the `split`
         # partition column is touched — column pruning keeps this a
@@ -137,6 +142,12 @@ def run_resumable(
             docs = stats.get(s, 0)
             store.commit_split(s, {"docs": docs})
             docs_processed += docs
+        if verbose:
+            print(
+                f"[wave {wave}] transform+write={_twrite - _tw:.1f}s "
+                f"readback+commit={_time.time() - _twrite:.1f}s",
+                flush=True,
+            )
         if on_wave_done is not None:
             on_wave_done(wave)
 

@@ -35,6 +35,7 @@ def gen_input(n_docs: int, path: str, pyfiles: str) -> None:
     cmd = [
         _spark_submit(),
         "--master", "local[32]",
+        "--driver-memory", "16g",
         "--conf", "spark.ui.enabled=false",
         "--py-files", pyfiles,
         os.path.join(REPO, "jobs", "gen_corpus.py"),
@@ -52,9 +53,13 @@ def run_job(cores: int, input_path: str, out_dir: str, pyfiles: str) -> dict:
     # cores, overstating N-core throughput and understating the scaling
     # ratio.  taskset makes the run an honest N-core machine.
     pin = ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
+    # --driver-memory must be a submit-time flag: in local mode the driver
+    # JVM hosts all executor threads, and the 1g default GC-throttles the
+    # whole job (SparkSession-level spark.driver.memory is too late).
     cmd = pin + [
         _spark_submit(),
         "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
         "--conf", "spark.ui.enabled=false",
         "--py-files", pyfiles,
         os.path.join(REPO, "jobs", "extract.py"),
