@@ -363,7 +363,8 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.8 (rows-only check)."""
+    """Exact 3-gram Jaccard pairs ≥ 0.8 (DuckDB-oracled: the set-similarity
+    join is re-expressed with list comprehensions on the SQL side)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
@@ -688,7 +689,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
             LIMIT 10
         """,
-        # minhash_near_dups / simhash_near_dups / ngram_jaccard_pairs /
-        # ann_lsh_topk / embedding_near_dups: banded LSH bucketing and
-        # hyperplane signatures are not ANSI-SQL-expressible → rows-only.
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     {_TOKS} AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      for i in range(1, len(toks) - 1)] END
+              )) AS shingle FROM t
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common,
+                   round(CAST(n_common AS DOUBLE)
+                         / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE)
+                  / (sa.set_size + sb.set_size - n_common) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # minhash_near_dups / simhash_near_dups / ann_lsh_topk /
+        # embedding_near_dups: banded LSH bucketing and hyperplane
+        # signatures are not ANSI-SQL-expressible → rows-only.
     }

@@ -52,7 +52,10 @@ def windowed_event_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over a (streaming or batch)
-    events DataFrame with an event-time ``ts`` column."""
+    events DataFrame with an event-time ``ts`` column.  NTZ timestamps are
+    cast to instant timestamps — watermarks require TIMESTAMP type."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
