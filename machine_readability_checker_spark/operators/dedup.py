@@ -83,25 +83,32 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature array<bigint>) — narrow, no shuffle."""
+    """(id, signature array<bigint>).
+
+    Formulated as explode(shingle hashes) → groupBy(id).agg(64 × min):
+    plain min aggregates run inside whole-stage codegen with map-side
+    partial aggregation, which is several times faster than evaluating 64
+    interpreted higher-order ``transform``/``array_min`` expressions per
+    row — and the shuffle carries only the tiny partial signatures."""
     a, b = _perm_params(num_perm, seed)
     sh = _shingles(F.col(text_col), shingle_k)
-
-    def _min_perm(aj: int, bj: int) -> Column:
-        return F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda h: F.pmod(
-                    F.lit(aj) * F.pmod(h, F.lit(MERSENNE_P)) + F.lit(bj),
-                    F.lit(MERSENNE_P),
-                ),
-            )
+    exploded = df.select(id_col, sh.alias("_sh")).select(
+        id_col, F.explode("_sh").alias("_h")
+    )
+    hmod = F.pmod(F.col("_h"), F.lit(MERSENNE_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a[j]) * hmod + F.lit(b[j]), F.lit(MERSENNE_P))).alias(
+            f"_m{j}"
         )
-
-    sig = F.array(*[_min_perm(a[j], b[j]) for j in range(num_perm)])
+        for j in range(num_perm)
+    ]
     return (
-        df.select(id_col, sh.alias("_sh"))
-        .select(id_col, sig.alias("signature"))
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_m{j}") for j in range(num_perm)]).alias("signature"),
+        )
     )
 
 
@@ -122,11 +129,16 @@ def minhash_lsh_pairs(
     of equal signature positions → filter ≥ threshold."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    # signatures feed three subtrees (bands + both verify joins) —
+    # materialize once instead of recomputing the aggregation per subtree
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, seed
+    ).localCheckpoint(eager=False)
 
+    # slim band table: (id, band, band_hash) only — shipping the full
+    # 64-long signature 16× through the bucket shuffle would dominate IO
     band_entries = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(
             F.array(
                 *[
@@ -146,11 +158,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.band_hash")
+    ).select(id_col, "bb.band", "bb.band_hash")
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
-    pairs = (
+    candidates = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -160,11 +172,12 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    pairs = candidates.join(sa, "id_a").join(sb, "id_b")
     est = (
         F.aggregate(
             F.zip_with(
@@ -235,10 +248,29 @@ def simhash(text: Column, bits: int = 64) -> Column:
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """(id, sh) with the vote aggregate evaluated exactly once per row."""
-    return df.select(
-        id_col, simhash_votes(F.col(text_col), bits).alias("_votes")
-    ).select(id_col, pack_votes(F.col("_votes"), bits).alias("sh"))
+    """(id, sh) via explode(token hashes) → 64 codegen'd sum aggregates →
+    pack.  Same explode-over-HOF rationale as ``minhash_signatures``."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    exploded = df.select(id_col, F.explode(toks).alias("_t")).select(
+        id_col, F.xxhash64("_t").alias("_h")
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    votes = exploded.groupBy(id_col).agg(*aggs)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_val = (1 << b) if b < bits - 1 else -(1 << (bits - 1))
+        out = out.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(id_col, out.alias("sh"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
