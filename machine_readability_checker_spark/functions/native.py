@@ -25,7 +25,9 @@ FREE_TEXT_RLIKE = (
     r"|フリーテキスト|フリー回答)\s*[:：])"
 )
 
-UNCLEAR_HEADER_RLIKE = r"^(?:\s*|.|\d+|[\W_]+|[A-Za-z]\d?)$"
+# (?U) = Java UNICODE_CHARACTER_CLASS so \W/\d agree with Python's
+# Unicode-aware classes (e.g. '①テスト' is word-ish in both engines)
+UNCLEAR_HEADER_RLIKE = r"(?U)^(?:\s*|.|\d+|[\W_]+|[A-Za-z]\d?)$"
 
 
 def has_platform_chars(col: Column) -> Column:
@@ -34,10 +36,11 @@ def has_platform_chars(col: Column) -> Column:
 
 
 def is_clean_numeric(col: Column) -> Column:
-    """Clean-numeric test (F5): only [0-9.-] characters AND casts to
-    double."""
+    """Clean-numeric test (F5): only [0-9.-] characters AND parses as a
+    double.  ``try_cast`` (not ``cast``) — ANSI mode throws on malformed
+    numerics, and a rule scan must classify bad cells, not die on them."""
     s = F.trim(col)
-    return s.rlike(r"^[\d.\-]+$") & s.cast("double").isNotNull()
+    return s.rlike(r"^[\d.\-]+$") & s.try_cast("double").isNotNull()
 
 
 def is_free_text_marker(col: Column) -> Column:

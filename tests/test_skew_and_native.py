@@ -1,0 +1,76 @@
+"""Skew handling and native/kernel predicate consistency.
+
+1. The salted size-bucketed repartition must spread whale documents so no
+   partition carries a grossly disproportionate byte share (FIXTURES.md
+   family 18; SURVEY.md §4.2).
+2. The JVM Column predicates in ``functions/native.py`` must agree with
+   their Python kernel twins in ``core/cells.py`` on adversarial strings —
+   one semantics, two engines (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.core import cells as C
+from machine_readability_checker_spark.functions import native as N
+from machine_readability_checker_spark.model import RAW_SCHEMA
+from machine_readability_checker_spark.operators.repartition import (
+    salted_repartition,
+)
+from machine_readability_checker_spark.sources.fixtures import gen_corpus
+
+
+def test_whales_spread_across_partitions(spark):
+    # every ~10th doc a whale → 30 whales over 300 docs
+    corpus = gen_corpus(300, whale_every=10)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    df = salted_repartition(raw, 16)
+    per_part = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("n_bytes").alias("part_bytes"), F.count("*").alias("docs"))
+        .collect()
+    )
+    sizes = [r["part_bytes"] for r in per_part]
+    total = sum(sizes)
+    # with 30 whales ≈ 97% of total bytes, a single partition must not
+    # hoard them: cap any partition at 3× the fair byte share
+    assert len(per_part) > 8
+    assert max(sizes) < 3 * (total / len(sizes)), sizes
+
+
+ADVERSARIAL = [
+    "", " ", "12.5", "-3", "1,000", "¥100", "1-2.3-", "0.0.1", ".", "-",
+    "abc", "①テスト", "㈱会社", "※note", "a,b", "x;y", "p/q", "line\nbreak",
+    "全角　空白", "不明", " 該当なし ", "N/A", "ＮＵＬＬ", "null", "none?",
+    "その他: 自由", "備考: メモ", "そのほか-", "コメント：はい", "Unnamed: 3",
+    "A", "B1", "123", "__", "ID", "長い列名です", "ー", "―", "?",
+]
+
+
+def test_native_predicates_match_kernel(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ADVERSARIAL}), schema="s string"
+    )
+    got = df.select(
+        "s",
+        N.has_platform_chars(F.col("s")).alias("plat"),
+        N.is_clean_numeric(F.col("s")).alias("clean"),
+        N.is_missing_expression(F.col("s")).alias("miss"),
+        N.has_multiple_values(F.col("s")).alias("multi"),
+        N.has_fullwidth_space(F.col("s")).alias("fw"),
+        N.is_free_text_marker(F.col("s")).alias("free"),
+        N.is_unclear_header(F.col("s")).alias("unclear"),
+    ).collect()
+    for r in got:
+        s = r["s"]
+        assert r["plat"] == C.detect_platform_characters(s), ("plat", s)
+        assert r["clean"] == C.is_clean_numeric(s), ("clean", s)
+        assert r["miss"] == (s.strip().lower() in C.MISSING_VALUE_SET), ("miss", s)
+        assert r["multi"] == bool(C._MULTI_VALUE_RE.search(s)), ("multi", s)
+        assert r["fw"] == (C.FULL_WIDTH_SPACE in s), ("fw", s)
+        assert r["free"] == bool(C.FREE_TEXT_PATTERN.search(s)), ("free", s)
+        expected_unclear = C.is_unclear_header(s) or ("Unnamed" in s)
+        assert r["unclear"] == expected_unclear, ("unclear", s)
