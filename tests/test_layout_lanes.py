@@ -1,0 +1,167 @@
+"""HTML and PDF layout lanes: unit + property tests.
+
+The layout analyzers must never crash on arbitrary input, must keep
+reading order, and must classify the deterministic fixtures exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from machine_readability_checker_spark.core.checks import (
+    check_code_format_for_choices,
+    check_codebook_exists,
+)
+from machine_readability_checker_spark.core.extract import extract_document
+from machine_readability_checker_spark.core.html import extract_html_spans
+from machine_readability_checker_spark.core.pdf import (
+    analyze_layout,
+    cluster_lines,
+    extract_pdf_spans,
+    parse_text_runs,
+    write_pdf,
+    TextRun,
+)
+
+
+# ---------------------------------------------------------------- pdf
+
+
+def test_pdf_reading_order_and_kinds():
+    items = [
+        {"text": "Title", "x": 72, "y": 700, "size": 20},
+        {"text": "para one", "x": 72, "y": 650, "size": 11},
+        {"text": "colA", "x": 72, "y": 600, "size": 11},
+        {"text": "colB", "x": 200, "y": 600, "size": 11},
+        {"text": "a1", "x": 72, "y": 584, "size": 11},
+        {"text": "b1", "x": 200, "y": 584, "size": 11},
+        {"text": "footer", "x": 72, "y": 100, "size": 11},
+        {"image": True},
+    ]
+    spans, err = extract_pdf_spans(write_pdf(items))
+    assert err is None
+    kinds = [k for k, _, _ in spans]
+    texts = [t for _, t, _ in spans]
+    assert kinds == ["heading", "line", "cell", "cell", "line", "media"]
+    assert texts[0] == "Title"
+    assert texts[2] == "colA\tcolB" and texts[3] == "a1\tb1"
+    assert texts[4] == "footer"
+    assert spans[-1][2].startswith("pdf/obj")
+
+
+def test_pdf_escapes_roundtrip():
+    items = [{"text": "a(b)c\\d", "x": 72, "y": 700, "size": 12}]
+    spans, err = extract_pdf_spans(write_pdf(items))
+    assert err is None
+    assert spans[0][1] == "a(b)c\\d"
+
+
+def test_pdf_compressed_stream_quarantines():
+    fake = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 4 >>\n"
+        b"stream\nBTxx\nendstream\nendobj\n"
+    )
+    spans, err = extract_pdf_spans(fake)
+    assert spans == [] and "Flate" in err
+
+
+pdf_item = st.fixed_dictionaries(
+    {
+        "text": st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ),
+        "x": st.integers(0, 600),
+        "y": st.integers(0, 780),
+        "size": st.sampled_from([8, 11, 12, 14, 20]),
+    }
+)
+
+
+@given(st.lists(pdf_item, min_size=0, max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_pdf_layout_invariants(items):
+    content = write_pdf(items)
+    spans, err = extract_pdf_spans(content)
+    if not items:
+        assert spans == []
+        return
+    assert err is None
+    # every non-empty text item lands in exactly one span, in y-descending
+    # (reading) order of its line
+    runs = parse_text_runs(
+        content.split(b"stream\n")[1].split(b"\nendstream")[0].decode("latin-1")
+    )
+    lines = cluster_lines(runs)
+    ys = [line[0].y for line in lines]
+    assert ys == sorted(ys, reverse=True)
+    assert len(analyze_layout(runs)) == len(lines)
+    joined_spans = " ".join(t for _, t, _ in spans)
+    for it in items:
+        assert it["text"] in joined_spans
+
+
+# ---------------------------------------------------------------- html
+
+html_chunk = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x3050),
+    max_size=30,
+)
+
+
+@given(st.lists(html_chunk, max_size=10), st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_html_never_crashes(chunks, variant):
+    parts = []
+    for i, c in enumerate(chunks):
+        tag = ["p", "div", "a href='x'", "nav"][(i + variant) % 4]
+        parts.append(f"<{tag.split()[0]}>{c}</{tag.split()[0]}>")
+    doc = f"<html><body>{''.join(parts)}</body></html>".encode("utf-8")
+    spans, enc = extract_html_spans(doc)
+    for kind, text, ref in spans:
+        assert kind in {"title", "heading", "main", "boilerplate", "media"}
+    # idempotent through the full kernel, offsets strictly increasing
+    r = extract_document("h", "html", doc)
+    offs = [s["offset"] for s in r["spans"]]
+    assert offs == list(range(len(offs)))
+
+
+# --------------------------------------------------------- L3 checks
+
+
+def test_code_format_check_branches():
+    import pandas as pd
+
+    from machine_readability_checker_spark.core.grid import ParsedDoc
+    from machine_readability_checker_spark.core.zones import ZoneContext
+
+    doc = ParsedDoc(fmt="csv")
+    ctx = ZoneContext(sheet_name="s", valid=True)
+    mixed = pd.DataFrame({"c": ["1", "2", "ラベル"]})
+    passed, msg = check_code_format_for_choices(doc, ctx, mixed)
+    assert not passed and "c" in msg
+
+    pure_codes = pd.DataFrame({"c": ["1", "2", "3"]})
+    assert check_code_format_for_choices(doc, ctx, pure_codes)[0]
+
+    pure_labels = pd.DataFrame({"c": ["はい", "いいえ"]})
+    assert check_code_format_for_choices(doc, ctx, pure_labels)[0]
+
+    many = pd.DataFrame({"c": [str(i) if i % 2 else f"l{i}" for i in range(30)]})
+    assert check_code_format_for_choices(doc, ctx, many)[0]  # ≥10 distinct
+
+
+def test_codebook_check_branches():
+    from machine_readability_checker_spark.core.grid import ParsedDoc, SheetGrid
+
+    doc = ParsedDoc(fmt="xlsx")
+    doc.sheets = [SheetGrid("データ", [["a", "b"]])]
+    assert not check_codebook_exists(doc, None, None)[0]
+
+    doc.sheets.append(SheetGrid("コード表", [["x"]]))
+    assert check_codebook_exists(doc, None, None)[0]
+
+    doc2 = ParsedDoc(fmt="csv")
+    doc2.sheets = [SheetGrid("CSV", [["補足"], ["1 = 男性"]])]
+    assert check_codebook_exists(doc2, None, None)[0]
