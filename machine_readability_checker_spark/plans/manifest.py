@@ -107,18 +107,21 @@ def run_resumable(
     todo = [s for s in range(n_splits) if s not in done]
 
     docs_processed = 0
+    wave_secs: List[float] = []
+    wave_docs: List[int] = []
     for wave_start in range(0, len(todo), wave_size):
         wave = todo[wave_start : wave_start + wave_size]
         _tw = _time.time()
         wave_df = df.filter(F.col("split").isin(wave))
         out = transform(wave_df)
         # one write per wave, partitioned by split → per-split directories.
-        # Coalescing to one task per split first keeps the dynamic-
-        # partition commit to |wave| file moves instead of
-        # |tasks|×|wave| (the commit's file renames are driver-serial).
+        # Written directly from the kernel's partitioning: a repartition-
+        # by-split first would both shuffle the full span payload and
+        # throttle the write stage to |wave| tasks.  The dynamic-partition
+        # commit renames |tasks|×|wave| files driver-side, which is why
+        # waves are small (wave_size × partitions files per commit).
         (
-            out.repartition(len(wave), F.col("split"))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("split")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(store.data_dir)
@@ -138,10 +141,14 @@ def run_resumable(
             .agg(F.count("*").alias("docs"))
             .collect()
         }
+        this_wave_docs = 0
         for s in wave:
             docs = stats.get(s, 0)
             store.commit_split(s, {"docs": docs})
             docs_processed += docs
+            this_wave_docs += docs
+        wave_secs.append(round(_time.time() - _tw, 3))
+        wave_docs.append(this_wave_docs)
         if verbose:
             print(
                 f"[wave {wave}] transform+write={_twrite - _tw:.1f}s "
@@ -151,9 +158,17 @@ def run_resumable(
         if on_wave_done is not None:
             on_wave_done(wave)
 
+    # steady-state throughput: waves after the first (wave 1 carries JVM
+    # codegen + python-worker spawn warmup)
+    steady = None
+    if len(wave_secs) > 1 and sum(wave_secs[1:]) > 0:
+        steady = round(sum(wave_docs[1:]) / sum(wave_secs[1:]), 1)
     return {
         "splits_total": n_splits,
         "splits_skipped": len(done),
         "splits_processed": len(todo),
         "docs_processed": docs_processed,
+        "wave_secs": wave_secs,
+        "wave_docs": wave_docs,
+        "steady_docs_per_sec": steady,
     }

