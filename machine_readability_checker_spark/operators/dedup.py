@@ -57,15 +57,50 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _shingles(text: Column, k: int) -> Column:
+    """k-token shingle hashes.
+
+    Each shingle hash is a polynomial combination of the per-token
+    xxhash64 values (wrapping 64-bit arithmetic) rather than a hash of the
+    re-concatenated string: hashing tokens once and rolling integers is
+    far cheaper than building k-token strings per position inside an
+    interpreted higher-order function, and is equally collision-resistant
+    for dedup purposes."""
+    return _shingles_from_hashes(_token_hashes(text), k)
+
+
+def _token_hashes(text: Column) -> Column:
+    """31-bit per-token hashes (bounded so the base-33 polynomial shingle
+    combination below stays inside a signed 64-bit long for k ≤ 7 — ANSI
+    mode throws on long overflow)."""
     toks = F.filter(F.split(text, " "), lambda x: x != "")
-    n = F.size(toks)
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(2147483647)))
+
+
+def _shingles_from_hashes(th: Column, k: int) -> Column:
+    """k-token shingle hashes from a *materialized* token-hash array
+    column.  IMPORTANT: pass a plain column reference, not a nested
+    expression — interpreted higher-order functions re-evaluate
+    subexpressions per element access, turning O(n·k) into O(n²·k)."""
+    n = F.size(th)
+
+    def _combo(i: Column) -> Column:
+        h = F.element_at(th, i + 1)
+        for j in range(1, k):
+            h = h * F.lit(33) + F.element_at(th, i + 1 + j)
+        return h
+
     return F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+        F.transform(F.sequence(F.lit(0), n - k), _combo),
+    ).otherwise(
+        F.array(
+            F.aggregate(
+                F.slice(th, 1, 7),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc * F.lit(33) + h,
+            )
+        )
+    )
 
 
 def _perm_params(num_perm: int, seed: int) -> Tuple[List[int], List[int]]:
@@ -91,9 +126,10 @@ def minhash_signatures(
     interpreted higher-order ``transform``/``array_min`` expressions per
     row — and the shuffle carries only the tiny partial signatures."""
     a, b = _perm_params(num_perm, seed)
-    sh = _shingles(F.col(text_col), shingle_k)
-    exploded = df.select(id_col, sh.alias("_sh")).select(
-        id_col, F.explode("_sh").alias("_h")
+    exploded = (
+        df.select(id_col, _token_hashes(F.col(text_col)).alias("_th"))
+        .select(id_col, _shingles_from_hashes(F.col("_th"), shingle_k).alias("_sh"))
+        .select(id_col, F.explode("_sh").alias("_h"))
     )
     hmod = F.pmod(F.col("_h"), F.lit(MERSENNE_P))
     aggs = [
@@ -347,11 +383,12 @@ def ngram_jaccard_pairs(
     O(n²) candidates but contributes nothing to *near*-duplicate
     detection)."""
     sh = (
-        df.select(
+        df.select(F.col(id_col), _token_hashes(F.col(text_col)).alias("_th"))
+        .select(
             F.col(id_col),
-            F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))).alias(
-                "shingle"
-            ),
+            F.explode(
+                F.array_distinct(_shingles_from_hashes(F.col("_th"), shingle_k))
+            ).alias("shingle"),
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
