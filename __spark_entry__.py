@@ -211,6 +211,20 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (orderpriority → orderstatus) with
+    subtotal and grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
 def q_summary_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 summary analog: per event_type pass/total/pass-rate."""
     ev = _t(spark, sf_dir, "events")
@@ -413,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "event_windows": q_event_windows,
         "user_sessions": q_user_sessions,
+        "rollup_orders": q_rollup_orders,
         "summary_by_type": q_summary_by_type,
         "props_numeric": q_props_numeric,
         "rule_scan_docs": q_rule_scan_docs,
@@ -594,6 +609,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, SUM(new_session) AS n_sessions,
                    COUNT(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   round(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
         """,
         "summary_by_type": """
             SELECT event_type, COUNT(*) AS total,
