@@ -189,8 +189,30 @@ def check_no_hidden_rows_or_columns(
 ) -> CheckResult:
     if doc.fmt == "csv":
         return True, "csvファイルのため非表示行・列の概念はありません"
-    if doc.fmt != "xlsx" or doc.workbook is None:
+    if doc.workbook is None or doc.fmt not in ("xlsx", "xls"):
         return True, "サポート外形式のため非表示行・列チェックをスキップします"
+
+    if doc.fmt == "xls":
+        # legacy branch scans every sheet and prefixes the sheet name
+        h_rows = [
+            (s.name, r) for s in doc.workbook.sheets for r in sorted(set(s.hidden_rows))
+        ]
+        h_cols = [
+            (s.name, c) for s in doc.workbook.sheets for c in sorted(set(s.hidden_cols))
+        ]
+        row_str = (
+            ", ".join(f"{sn}シートの{r + 1}行" for sn, r in h_rows)
+            if h_rows
+            else "該当なし"
+        )
+        col_str = (
+            ", ".join(f"{sn}シートの{C.col_letter(c + 1)}列" for sn, c in h_cols)
+            if h_cols
+            else "該当なし"
+        )
+        if h_rows or h_cols:
+            return False, f"非表示行／列があります（行: {row_str}, 列: {col_str}）"
+        return True, "非表示行／列はありません"
 
     sheet = doc.workbook.sheets[sheet_idx]
     hidden_rows = sorted(set(sheet.hidden_rows))
@@ -232,14 +254,28 @@ def check_no_merged_cells(
 ) -> CheckResult:
     if doc.fmt == "csv":
         return True, "csvファイルのため結合セルは存在しません"
-    if doc.fmt != "xlsx" or doc.workbook is None:
+    if doc.workbook is None or doc.fmt not in ("xlsx", "xls"):
         return True, "サポート外形式のため結合セルチェックをスキップします"
     if not ctx.column_rows:
         return False, "結合セルチェックに必要な情報が不足しています"
 
+    sheet = doc.workbook.sheets[sheet_idx]
+    if doc.fmt == "xls":
+        # legacy branch quirks preserved: exclusive bottom-right indexing
+        # in the A1 render and NO sort of the findings
+        start0 = min(ctx.column_rows)
+        end0 = ctx.data_end
+        merged = [
+            f"{C.col_letter(c0 + 1)}{r0 + 1}:{C.col_letter(c1 + 1)}{r1 + 1}"
+            for (r0, c0, r1, c1) in sheet.merged
+            if r0 >= start0 and r1 <= end0
+        ]
+        if merged:
+            return False, f"結合セルが検出されました: {merged}"
+        return True, "結合セルはありません"
+
     start = min(ctx.column_rows) + 1  # 1-based
     end = ctx.data_end + 1
-    sheet = doc.workbook.sheets[sheet_idx]
     relevant = [
         f"{C.col_letter(c0 + 1)}{r0 + 1}:{C.col_letter(c1 + 1)}{r1 + 1}"
         for (r0, c0, r1, c1) in sheet.merged

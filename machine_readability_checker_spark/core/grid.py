@@ -92,18 +92,30 @@ def parse_xlsx(content: bytes) -> ParsedDoc:
 
 
 def parse_xls(content: bytes) -> ParsedDoc:
+    """Legacy Excel: xlrd when available, else the stdlib BIFF8 reader
+    (``core/xls.py``) — both produce the grid + workbook side-channel."""
     doc = ParsedDoc(fmt="xls")
     try:
-        import xlrd  # noqa: F401  (not installed in this container)
+        import xlrd
     except ImportError:
-        doc.parse_error = "xls support requires xlrd (not installed)"
-        return doc
-    try:  # pragma: no cover — exercised only where xlrd exists
-        wb = xlrd.open_workbook(file_contents=content, formatting_info=True)
-        for sheet in wb.sheets():
-            rows = [sheet.row_values(r) for r in range(sheet.nrows)]
-            doc.sheets.append(SheetGrid(name=sheet.name, rows=rows))
-    except Exception as e:  # pragma: no cover
+        xlrd = None
+    if xlrd is not None:  # pragma: no cover — xlrd absent in container
+        try:
+            wb = xlrd.open_workbook(file_contents=content, formatting_info=True)
+            for sheet in wb.sheets():
+                rows = [sheet.row_values(r) for r in range(sheet.nrows)]
+                doc.sheets.append(SheetGrid(name=sheet.name, rows=rows))
+            return doc
+        except Exception as e:
+            doc.parse_error = f"xls parse failed: {e}"
+            return doc
+    try:
+        from .xls import read_xls
+
+        wb8 = read_xls(content)
+        doc.workbook = wb8
+        doc.sheets = [SheetGrid(name=s.name, rows=s.rows) for s in wb8.sheets]
+    except Exception as e:
         doc.parse_error = f"xls parse failed: {e}"
     return doc
 

@@ -318,6 +318,30 @@ def fam_html(rng, i) -> Dict[str, Any]:
     return _doc(f"html{i:05d}", "html", html.encode("utf-8"))
 
 
+def fam_merged_xls(rng, i) -> Dict[str, Any]:
+    """Legacy .xls with merged cells in the body (BIFF8 lane, P7)."""
+    from ..core.xls import write_xls
+
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    sheets = [
+        {"name": "Sheet1", "rows": rows, "merged": [(2, 0, 3, 0)]}
+    ]
+    return _doc(f"xmrg{i:05d}", "xls", write_xls(sheets))
+
+
+def fam_hidden_xls(rng, i) -> Dict[str, Any]:
+    """Legacy .xls with hidden row/column (BIFF8 lane, P9)."""
+    from ..core.xls import write_xls
+
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    sheets = [
+        {"name": "Sheet1", "rows": rows, "hidden_rows": [3], "hidden_cols": [2]}
+    ]
+    return _doc(f"xhid{i:05d}", "xls", write_xls(sheets))
+
+
 def fam_pdf(rng, i) -> Dict[str, Any]:
     """Single-page PDF: big title, prose lines, a 3-column x-aligned table
     block, an image XObject — exercises the layout lane (line clustering,
@@ -395,6 +419,8 @@ FAMILIES = [
     ("multisheet_codebook", fam_multisheet_codebook),
     ("code_mix", fam_code_mix),
     ("pdf_docs", fam_pdf),
+    ("merged_cells_xls", fam_merged_xls),
+    ("hidden_dims_xls", fam_hidden_xls),
 ]
 
 
