@@ -52,6 +52,23 @@ def _grid_row_nonempty(row: List[Any]) -> bool:
     return any(not is_empty_cell(v) for v in row)
 
 
+def _columns(body: pd.DataFrame) -> List[Tuple[pd.Series, np.ndarray]]:
+    """Per-document cache of ``(series, object-values)`` per column.
+
+    Six checks iterate the body column-wise; repeated ``.iloc[:, c]``
+    slicing (a fresh Series + block manager walk each time) dominated the
+    kernel profile on small grids.  The cache lives in ``DataFrame.attrs``
+    so it amortizes across all checks run on the same body."""
+    cached = body.attrs.get("_col_cache")
+    if cached is None:
+        cached = []
+        for c in range(body.shape[1]):
+            s = body.iloc[:, c]
+            cached.append((s, s.to_numpy(dtype=object)))
+        body.attrs["_col_cache"] = cached
+    return cached
+
+
 # ------------------------------------------------- multi-table detection
 
 
@@ -69,24 +86,24 @@ def detect_multiple_tables(
     notna = (~isna).to_numpy()
     n_rows, n_cols = body.shape
 
-    # per-cell flags, column-vectorized with a numeric-dtype fast path:
-    # a real number renders to a digit string after stripping '.'/'-'
-    # (NaN is excluded by notna), and never to the empty string
+    # per-cell flags with a numeric-dtype fast path: a real number renders
+    # to a digit string after stripping '.'/'-' (NaN is excluded by notna),
+    # and never to the empty string.  Object columns take one plain-Python
+    # pass over the raw array — the pandas str-accessor chain this replaces
+    # costs ~10 Series allocations per column, which dominates on the small
+    # grids that make up most real corpora.
     str_empty = np.zeros((n_rows, n_cols), dtype=bool)
     num_like = np.zeros((n_rows, n_cols), dtype=bool)
-    for c in range(n_cols):
-        col = body.iloc[:, c]
+    for c, (col, vals) in enumerate(_columns(body)):
         if pd.api.types.is_numeric_dtype(col) and not pd.api.types.is_bool_dtype(col):
             num_like[:, c] = True
             continue
-        s = col.astype(str).str.strip()
-        str_empty[:, c] = (s == "").to_numpy()
-        num_like[:, c] = (
-            s.str.replace(".", "", regex=False)
-            .str.replace("-", "", regex=False)
-            .str.isdigit()
-            .to_numpy()
-        )
+        for i, v in enumerate(vals):
+            s = str(v).strip()
+            if s == "":
+                str_empty[i, c] = True
+            elif s.replace(".", "").replace("-", "").isdigit():
+                num_like[i, c] = True
 
     empty_mask = isna.to_numpy().all(axis=1) | str_empty.all(axis=1)
     empty_rows = np.flatnonzero(empty_mask)
@@ -431,19 +448,26 @@ def check_numeric_columns_only(
     values list their offending cells (thresholds from the reference,
     ``level1_checker.py:833,837``)."""
     problem_cells: Dict[Any, List[str]] = {}
-    for col_idx in range(body.shape[1]):
+    ridx = body.index
+    for col_idx, (col, vals) in enumerate(_columns(body)):
         col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
-        series = body.iloc[:, col_idx].dropna()
-        if series.empty:
+        if pd.api.types.is_numeric_dtype(col) or pd.api.types.is_bool_dtype(col):
+            continue  # every non-null value is a real number → all clean
+        present = [
+            (i, v) for i, v in enumerate(vals) if not (v is None or v != v)
+        ]
+        if not present:
             continue
-        clean = C.is_clean_numeric_series(series)
-        total = len(series)
-        ok = int(clean.sum())
+        clean = [C.is_clean_numeric(v) for _, v in present]
+        total = len(present)
+        ok = sum(clean)
         if ok / total < 0.8:
             continue
         if ok / total < 0.99:
-            for row_idx, val in series[~clean].items():
-                coord = f"{C.col_letter(col_idx + 1)}{row_idx + 1}"
+            for (i, val), is_ok in zip(present, clean):
+                if is_ok:
+                    continue
+                coord = f"{C.col_letter(col_idx + 1)}{ridx[i] + 1}"
                 problem_cells.setdefault(col_name, []).append(f"{coord}: '{val}'")
     if problem_cells:
         for cs in problem_cells.values():
@@ -460,16 +484,12 @@ def check_separate_other_detail_columns(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
 ) -> CheckResult:
     flagged: List[str] = []
-    for col_idx in range(body.shape[1]):
+    search = C.FREE_TEXT_PATTERN.search
+    for col_idx, (series, vals) in enumerate(_columns(body)):
         col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
-        series = body.iloc[:, col_idx]
         if pd.api.types.is_numeric_dtype(series):
             continue
-        series = series.dropna()
-        strs = series[series.map(lambda v: isinstance(v, str))].astype(str)
-        if strs.empty:
-            continue
-        if strs.str.contains(C.FREE_TEXT_PATTERN).any():
+        if any(isinstance(v, str) and search(v) for v in vals):
             flagged.append(f"{col_name}（列: {C.col_letter(col_idx + 1)}）")
     if flagged:
         return False, f"選択肢列に自由記述が混在している可能性があります: {flagged}"
@@ -496,18 +516,18 @@ def check_handling_of_missing_values(
 ) -> CheckResult:
     problems_by_value: Dict[str, List[str]] = {}
     offset = ctx.data_start
-    for col_idx in range(body.shape[1]):
-        series = body.iloc[:, col_idx]
+    ridx = body.index
+    missing = C.MISSING_VALUE_SET
+    for col_idx, (series, vals) in enumerate(_columns(body)):
         if pd.api.types.is_numeric_dtype(series):
             continue  # no string cells possible
-        strs = series[series.map(lambda v: isinstance(v, str))]
-        if strs.empty:
-            continue
-        cleaned = strs.astype(str).str.strip()
-        hits = cleaned[cleaned.str.lower().isin(C.MISSING_VALUE_SET)]
-        for row_idx, cleaned_val in hits.items():
-            coord = f"{C.col_letter(col_idx + 1)}{row_idx + offset + 1}"
-            problems_by_value.setdefault(cleaned_val, []).append(coord)
+        for i, v in enumerate(vals):
+            if not isinstance(v, str):
+                continue
+            cleaned_val = v.strip()
+            if cleaned_val.lower() in missing:
+                coord = f"{C.col_letter(col_idx + 1)}{ridx[i] + offset + 1}"
+                problems_by_value.setdefault(cleaned_val, []).append(coord)
 
     if problems_by_value:
         # coordinate lists must be in scan order (column-major, like the
@@ -528,18 +548,21 @@ def check_csv_single_line_per_data(
     if doc.fmt != "csv":
         return True, "CSVファイルではないためチェック対象外"
     problem_cells: List[str] = []
-    for col_idx in range(body.shape[1]):
-        series = body.iloc[:, col_idx]
+    ridx = body.index
+    for col_idx, (series, vals) in enumerate(_columns(body)):
         if not (
             pd.api.types.is_string_dtype(series)
             or pd.api.types.is_object_dtype(series)
         ):
             continue
-        strs = series.dropna().astype(str)
-        hits = strs[strs.str.contains(r"[\n\r]", na=False)]
-        for row_idx, val in hits.items():
-            coord = f"列{C.col_letter(col_idx + 1)} 行{row_idx + 1}"
-            display = str(val).replace("\n", "↵").replace("\r", "↵")
+        for i, v in enumerate(vals):
+            if v is None or v != v:
+                continue
+            val = str(v)
+            if "\n" not in val and "\r" not in val:
+                continue
+            coord = f"列{C.col_letter(col_idx + 1)} 行{ridx[i] + 1}"
+            display = val.replace("\n", "↵").replace("\r", "↵")
             problem_cells.append(f"{coord}: '{display[:20]}...'")
     if problem_cells:
         problem_cells.sort(key=C.a1_sort_key)
@@ -581,12 +604,12 @@ def check_code_format_for_choices(
     (<10 distinct non-null values) should be numerically coded — flag
     columns whose small label set mixes digit codes with free labels."""
     flagged: List[str] = []
-    for col_idx in range(body.shape[1]):
+    for col_idx, (series, vals) in enumerate(_columns(body)):
         col_name = body.columns[col_idx] if col_idx < len(body.columns) else col_idx
-        series = body.iloc[:, col_idx].dropna()
-        if series.empty:
+        present = [v for v in vals if not (v is None or v != v)]
+        if not present:
             continue
-        uniques = {str(v).strip() for v in series.unique()}
+        uniques = {str(v).strip() for v in present}
         if len(uniques) >= 10:
             continue
         digit_vals = {u for u in uniques if u.isdigit()}
