@@ -20,13 +20,25 @@ def main() -> None:
     ap.add_argument("--n", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument(
+        "--splits", type=int, default=0,
+        help="pre-bucket the corpus by split_id(doc_id) and write it "
+        "partitioned by split — the Iceberg bucket(N, doc_id) layout; "
+        "downstream wave filters then read only their splits (partition "
+        "pruning) instead of re-scanning the whole corpus per wave",
+    )
     args = ap.parse_args()
 
     spark = get_spark("mrc-gen-corpus")
     spark.sparkContext.setLogLevel("WARN")
-    gen_corpus_spark(spark, args.n, partitions=args.partitions).write.mode(
-        "overwrite"
-    ).parquet(args.out)
+    corpus = gen_corpus_spark(spark, args.n, partitions=args.partitions)
+    writer = corpus.write.mode("overwrite")
+    if args.splits:
+        from machine_readability_checker_spark.operators.repartition import split_id
+
+        corpus = corpus.withColumn("split", split_id("doc_id", args.splits))
+        writer = corpus.write.mode("overwrite").partitionBy("split")
+    writer.parquet(args.out)
     print(args.out)
     spark.stop()
 

@@ -395,6 +395,18 @@ def ngram_jaccard_pairs(
     blowup bounded at corpus scale (a shingle shared by everyone generates
     O(n²) candidates but contributes nothing to *near*-duplicate
     detection)."""
+    # PLAN-SHAPE WARNING (measured, not theoretical): the explode MUST be
+    # applied to the shingle expression in the same select that consumes
+    # the materialized `_th` column.  Exploding a separately-projected
+    # `_sh` column looks cleaner but makes InferFiltersFromGenerate +
+    # PushDownPredicates push a `size(shingles)>0` filter below BOTH
+    # projections, substituting the token-hash `transform` into every
+    # `element_at` — an O(n²·k) interpreted re-evaluation per row on each
+    # join side (5-7× slower end-to-end at sf0.1).  Likewise, computing
+    # set_size after the explode forces Generate to carry the whole array
+    # per exploded row.  Hence the old-school shape below: explode-in-one-
+    # select, sizes as their own aggregation, verify joins on the (small)
+    # candidate-pair table.
     sh = (
         df.select(F.col(id_col), _token_hashes(F.col(text_col)).alias("_th"))
         .select(
@@ -406,13 +418,19 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     if max_df is not None:
-        rare = (
+        # Drop hot shingles by broadcast ANTI-join: a shingle is hot only
+        # if it occurs > max_df times, so there are at most
+        # total_rows / max_df distinct hot shingles (≤0.1% of the corpus
+        # at max_df=1000) — always broadcastable, unlike the rare set
+        # (≈ every shingle), which the previous formulation shuffled
+        # through a full equi-join.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
 
     l, r = sh.alias("l"), sh.alias("r")
     common = (

@@ -102,7 +102,15 @@ def run_resumable(
     import time as _time
 
     verbose = bool(int(os.environ.get("MRC_TIMING", "0")))
-    df = df_raw.withColumn("split", split_id(doc_id_col, n_splits, salt))
+    if "split" in df_raw.columns:
+        # input is pre-bucketed (Iceberg bucket(N, doc_id) layout, written
+        # partitioned by split): the wave filter below becomes partition
+        # pruning — each wave reads only its own split directories instead
+        # of re-scanning the whole corpus.  split_id is deterministic, so
+        # a pre-bucketed column is identical to the derived one.
+        df = df_raw
+    else:
+        df = df_raw.withColumn("split", split_id(doc_id_col, n_splits, salt))
     done = set(store.committed_splits())
     todo = [s for s in range(n_splits) if s not in done]
 

@@ -41,6 +41,9 @@ def gen_input(n_docs: int, path: str, pyfiles: str) -> None:
         os.path.join(REPO, "jobs", "gen_corpus.py"),
         "--n", str(n_docs),
         "--out", path,
+        # pre-bucketed by split (Iceberg bucket(N, doc_id) layout) so wave
+        # filters in the timed runs are partition-pruned scans
+        "--splits", "16",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=1800)
 
