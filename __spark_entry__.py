@@ -407,6 +407,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.4 over the embeddings table (DuckDB
+    oracle via list_cosine_similarity) — the brute-force twin that the
+    LSH near-dup query approximates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        S.cosine_pairs(emb, threshold=0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (rows-only).
     The synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -442,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,
     }
 
@@ -739,6 +752,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_common AS DOUBLE)
                   / (sa.set_size + sb.set_size - n_common) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
             ORDER BY id_a, id_b
         """,
         # minhash_near_dups / simhash_near_dups / ann_lsh_topk /

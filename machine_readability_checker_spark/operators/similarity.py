@@ -147,6 +147,29 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — O(n²), the verification twin
+    of ``embedding_near_dups`` (which finds a subset of these pairs via
+    LSH buckets).  Use only on bounded inputs (a bucket, a sample, a
+    test corpus); the LSH variant is the 100 TB path."""
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine_sim(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -117,6 +117,24 @@ def test_embedding_near_dups(vectors):
     assert all(p == (100, 101) for p in got)
 
 
+def test_lsh_near_dups_subset_of_exact_pairs(vectors):
+    """The LSH near-dup pairs must be a subset of the exact cosine pairs
+    (same threshold), and must not lose the planted near-duplicate —
+    cosine_pairs is the brute-force verification twin."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(vectors, threshold=0.9).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dups(
+            vectors, threshold=0.9, dim=16
+        ).collect()
+    }
+    assert approx <= exact
+    assert (100, 101) in exact and (100, 101) in approx
+
+
 def test_text_stats(spark):
     df = spark.createDataFrame(
         [("a", "the cat sat on the mat"), ("b", "el la de y que en los x")],
