@@ -1,0 +1,115 @@
+"""Physical-plan regression tests.
+
+At 100 TB the plan IS the performance: these tests pin the plan
+properties the engine relies on, so a refactor that silently loses a
+broadcast, adds an exchange, or re-triggers the Generate-pushdown trap
+(see operators/dedup.py ngram docstring) fails CI instead of shipping a
+5× regression.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from machine_readability_checker_spark.operators import dedup, similarity
+from machine_readability_checker_spark.operators.extract import extract
+from machine_readability_checker_spark.operators.repartition import (
+    salted_repartition,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_is_narrow_single_exchange(spark):
+    """Extraction must stay embarrassingly parallel: exactly one exchange
+    (the explicit salted skew repartition), zero otherwise."""
+    raw = E._docs_as_csv(spark, SF)
+    assert _plan(extract(raw)).count("Exchange") == 0
+    assert _plan(extract(salted_repartition(raw, 8))).count("Exchange") == 1
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """orders ⋈ customer ⋈ nation must broadcast the dims — a shuffle
+    join on the fact table's key would add two full exchanges."""
+    plan = _plan(E.q_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """tpch_q1's filter must reach the parquet scan, and the scan must
+    read only the referenced columns, not the whole lineitem schema."""
+    plan = _plan(E.q_tpch_q1(spark, SF))
+    scan = plan.split("FileScan")[1]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # widest column pruned away
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert col in read_schema
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    """Signature computation is per-document work inside an Arrow UDF —
+    any Exchange here means someone reintroduced a reduction shuffle."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = _plan(dedup.minhash_signatures(docs, shingle_k=3))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_ngram_plan_avoids_generate_pushdown_trap(spark):
+    """The shingle HOF chain must not be inlined into a pre-scan Filter
+    (InferFiltersFromGenerate + pushdown re-evaluates the token-hash
+    transform per element — O(n²·k); see dedup.ngram_jaccard_pairs)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = _plan(dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8))
+    for scan_part in plan.split("FileScan")[1:]:
+        data_filters = scan_part.split("DataFilters:")[1].splitlines()[0]
+        assert "element_at(transform" not in data_filters
+        assert "xxhash64" not in data_filters
+
+
+def test_lsh_topk_broadcasts_queries(spark):
+    """ANN bucket join must broadcast the (small) query table."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(similarity.lsh_bucket_topk(emb, queries, k=5, n_planes=4, dim=64))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle_on_hash(spark):
+    """exact_dedup must shuffle once, keyed on the md5 hash — never on
+    the raw text column."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = _plan(dedup.exact_dedup(docs))
+    assert plan.count("Exchange") == 1
+    exchange_line = [ln for ln in plan.splitlines() if "Exchange" in ln][0]
+    assert "_h" in exchange_line and "text" not in exchange_line
+
+
+def test_rule_scan_reads_only_needed_columns(spark):
+    """Native rule scan over documents must prune to exactly the columns
+    it uses (text + the source grouping key) — reading doc_id/lang/
+    n_chars would inflate scan IO for nothing."""
+    plan = _plan(E.q_rule_scan_docs(spark, SF))
+    scan = plan.split("FileScan")[1]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" in read_schema
+    for unused in ("doc_id", "lang", "n_chars"):
+        assert unused not in read_schema
