@@ -89,5 +89,32 @@ class IcebergLayoutTable:
         with open(os.path.join(self.snapshot_dir, name)) as f:
             return json.load(f)
 
-    def read(self, spark):
-        return spark.read.parquet(self.store.data_dir)
+    def snapshot(self, version: int) -> Dict[str, Any]:
+        with open(os.path.join(self.snapshot_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def read(self, spark, version: Optional[int] = None):
+        """Read the table; with ``version`` this is a time-travel read —
+        only the splits that snapshot had committed are visible, via a
+        partition-pruned filter on the ``split`` directory column (splits
+        are append-once, so split membership fully determines snapshot
+        contents — the shim analog of Iceberg ``VERSION AS OF``)."""
+        df = spark.read.parquet(self.store.data_dir)
+        if version is None:
+            return df
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(version)
+        return df.filter(F.col("split").isin([int(s) for s in snap["splits"]]))
+
+    def read_incremental(self, spark, from_version: int, to_version: int):
+        """Changelog read: rows appended between two snapshots = the
+        splits committed in ``to_version`` but not in ``from_version``
+        (Iceberg incremental-scan analog); partition-pruned like read()."""
+        from pyspark.sql import functions as F
+
+        before = set(self.snapshot(from_version)["splits"])
+        after = set(self.snapshot(to_version)["splits"])
+        new_splits = sorted(int(s) for s in after - before)
+        df = spark.read.parquet(self.store.data_dir)
+        return df.filter(F.col("split").isin(new_splits))

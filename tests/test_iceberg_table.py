@@ -36,3 +36,48 @@ def test_snapshot_commit_and_read(spark, tmp_path):
     snap2 = table.commit_snapshot()
     assert snap2["version"] == 2
     assert table.current_snapshot()["version"] == 2
+
+
+def test_time_travel_and_incremental_read(spark, tmp_path):
+    """v1 sees only the splits committed before it; the v1→v2 changelog
+    is exactly the rows appended after v1 — and both reads prune on the
+    split partition column."""
+    import pytest
+
+    corpus = gen_corpus(32)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    table = IcebergLayoutTable(str(tmp_path / "tt"))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return extract(df).withColumn("split", split_id("doc_id", 8))
+
+    # phase 1: kill the job after its first wave (4 of 8 splits
+    # committed), snapshot v1 — the mid-ingest table state
+    class _Stop(Exception):
+        pass
+
+    def stop_after_first(wave):
+        raise _Stop
+
+    with pytest.raises(_Stop):
+        run_resumable(
+            raw, table.store, transform,
+            n_splits=8, wave_size=4, on_wave_done=stop_after_first,
+        )
+    v1 = table.commit_snapshot()["version"]
+    n_v1 = table.read(spark, version=v1).count()
+    assert 0 < n_v1 < 32
+    assert len(table.snapshot(v1)["splits"]) == 4
+
+    # phase 2: resume to completion, snapshot v2
+    run_resumable(raw, table.store, transform, n_splits=8, wave_size=4)
+    v2 = table.commit_snapshot()["version"]
+
+    assert table.read(spark, version=v1).count() == n_v1  # time travel
+    total = table.read(spark, version=v2).count()
+    assert total == 32
+    delta = table.read_incremental(spark, v1, v2)
+    assert delta.count() == total - n_v1
+    v1_splits = set(table.snapshot(v1)["splits"])
+    got_splits = {r["split"] for r in delta.select("split").distinct().collect()}
+    assert got_splits.isdisjoint(v1_splits)
