@@ -46,6 +46,55 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_to_table(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+):
+    """Continuous extraction into an Iceberg-layout table with
+    exactly-once batch commits.
+
+    ``foreachBatch`` writes each micro-batch to its own
+    ``data/split=<batch_id>`` partition directory in overwrite mode —
+    a replayed batch (crash between sink write and checkpoint commit)
+    simply rewrites the identical directory, so the sink is idempotent —
+    then commits a per-batch manifest through the same atomic
+    write-fsync-rename protocol the batch job uses.  With a real Iceberg
+    catalog this is ``foreachBatch + MERGE INTO`` / append snapshots."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.manifest import ManifestStore
+
+    store = ManifestStore(table_root)
+
+    def _commit(batch_df, batch_id: int) -> None:
+        n = batch_df.count()
+        out = extract(batch_df).withColumn(
+            "split", F.lit(int(batch_id)).cast("int")
+        )
+        (
+            out.write.mode("overwrite").parquet(
+                os.path.join(store.data_dir, f"split={int(batch_id)}")
+            )
+        )
+        store.commit_split(int(batch_id), {"docs": n, "source": "stream"})
+
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    return (
+        raw.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

@@ -59,3 +59,42 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert got_spans == [
         (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in expected
     ]
+
+
+def test_stream_to_iceberg_table_exactly_once(spark, tmp_path):
+    """foreachBatch sink: batches land as split=<batch_id> partitions
+    with atomic manifests; replaying the stream from the same checkpoint
+    adds nothing (exactly-once), and new files arrive as new snapshots."""
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        IcebergLayoutTable,
+    )
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_extract_to_table,
+    )
+
+    in_dir = str(tmp_path / "in")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = gen_corpus(30)
+    _write_batch(spark, corpus.iloc[:18], in_dir)
+
+    q = stream_extract_to_table(spark, in_dir, root, ckpt)
+    q.awaitTermination(120)
+    table = IcebergLayoutTable(root)
+    v1 = table.commit_snapshot()["version"]
+    n1 = table.read(spark).count()
+    assert n1 == 18
+    assert table.store.committed_splits()  # batch manifests exist
+
+    # replay with the same checkpoint: no new batches, no duplicates
+    q = stream_extract_to_table(spark, in_dir, root, ckpt)
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 18
+
+    # late-arriving files → picked up as a new batch, new snapshot delta
+    _write_batch(spark, corpus.iloc[18:], in_dir)
+    q = stream_extract_to_table(spark, in_dir, root, ckpt)
+    q.awaitTermination(120)
+    v2 = table.commit_snapshot()["version"]
+    assert table.read(spark).count() == 30
+    assert table.read_incremental(spark, v1, v2).count() == 12
