@@ -38,9 +38,17 @@ def has_platform_chars(col: Column) -> Column:
 def is_clean_numeric(col: Column) -> Column:
     """Clean-numeric test (F5): only [0-9.-] characters AND parses as a
     double.  ``try_cast`` (not ``cast``) — ANSI mode throws on malformed
-    numerics, and a rule scan must classify bad cells, not die on them."""
+    numerics, and a rule scan must classify bad cells, not die on them.
+
+    Python's ``float()`` accepts any Unicode decimal digit, so the kernel
+    twin admits full-width ``１２３`` — here ``(?U)`` makes Java's ``\\d``
+    Unicode-aware and ``translate`` maps the full-width digits (the
+    reference's Japanese domain) to ASCII before the cast.  Digits from
+    other Nd blocks (e.g. Arabic-Indic) still diverge: Python parses
+    them, the JVM cast never will — out of the reference's domain."""
     s = F.trim(col)
-    return s.rlike(r"^[\d.\-]+$") & s.try_cast("double").isNotNull()
+    ascii_s = F.translate(s, "０１２３４５６７８９", "0123456789")
+    return s.rlike(r"(?U)^[\d.\-]+$") & ascii_s.try_cast("double").isNotNull()
 
 
 def is_free_text_marker(col: Column) -> Column:

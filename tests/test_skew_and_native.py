@@ -47,6 +47,10 @@ ADVERSARIAL = [
     "全角　空白", "不明", " 該当なし ", "N/A", "ＮＵＬＬ", "null", "none?",
     "その他: 自由", "備考: メモ", "そのほか-", "コメント：はい", "Unnamed: 3",
     "A", "B1", "123", "__", "ID", "長い列名です", "ー", "―", "?",
+    # full-width digits: Python float() parses them, so the reference's
+    # clean-numeric admits them — the native twin must agree (translate
+    # + (?U) in functions/native.py)
+    "１２３", "１.５", "１２３あ", "１２－３",
 ]
 
 
