@@ -30,6 +30,14 @@ FREE_TEXT_RLIKE = (
 UNCLEAR_HEADER_RLIKE = r"(?U)^(?:\s*|.|\d+|[\W_]+|[A-Za-z]\d?)$"
 
 
+def ustrip(col: Column) -> Column:
+    """Unicode-aware strip: Python's ``str.strip()`` removes all Unicode
+    whitespace (U+3000, NBSP, tabs), while Spark's ``trim`` removes only
+    ASCII spaces — a silent parity break on Japanese full-width padding.
+    ``(?U)`` makes Java's ``\s`` match the Unicode White_Space set."""
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+
+
 def has_platform_chars(col: Column) -> Column:
     """Platform-dependent character detector (F4)."""
     return col.rlike(PLATFORM_CHARS_PATTERN)
@@ -46,7 +54,7 @@ def is_clean_numeric(col: Column) -> Column:
     reference's Japanese domain) to ASCII before the cast.  Digits from
     other Nd blocks (e.g. Arabic-Indic) still diverge: Python parses
     them, the JVM cast never will — out of the reference's domain."""
-    s = F.trim(col)
+    s = ustrip(col)
     ascii_s = F.translate(s, "０１２３４５６７８９", "0123456789")
     return s.rlike(r"(?U)^[\d.\-]+$") & ascii_s.try_cast("double").isNotNull()
 
@@ -59,7 +67,7 @@ def is_free_text_marker(col: Column) -> Column:
 def is_missing_expression(col: Column) -> Column:
     """Missing-value vocabulary membership (F7): strip().lower() ∈ the
     36-entry set (broadcast as a literal IN list)."""
-    return F.lower(F.trim(col)).isin(
+    return F.lower(ustrip(col)).isin(
         [x.strip().lower() for x in MISSING_VALUE_EXPRESSIONS]
     )
 
@@ -82,7 +90,7 @@ def has_embedded_newline(col: Column) -> Column:
 def is_unclear_header(col: Column) -> Column:
     """Unclear header name (F12): empty / one char / digits-only /
     symbols-only / short latin code, or the pandas 'Unnamed' sentinel."""
-    s = F.trim(col)
+    s = ustrip(col)
     return s.rlike(UNCLEAR_HEADER_RLIKE) | col.contains("Unnamed")
 
 

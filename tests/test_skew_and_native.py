@@ -51,6 +51,9 @@ ADVERSARIAL = [
     # clean-numeric admits them — the native twin must agree (translate
     # + (?U) in functions/native.py)
     "１２３", "１.５", "１２３あ", "１２－３",
+    # Unicode whitespace padding: Python strip() removes U+3000/NBSP/tabs,
+    # Spark trim() removes only ASCII spaces — ustrip() closes the gap
+    "　不明　", "\xa0該当なし\xa0", "\t不明\n", "　１２３　", "　A　",
 ]
 
 
