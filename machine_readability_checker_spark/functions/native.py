@@ -18,9 +18,11 @@ from ..core.cells import (
     PLATFORM_CHARS_PATTERN,
 )
 
-# free-text markers, flattened from the reference's verbose regex
+# free-text markers, flattened from the reference's verbose regex;
+# (?U) so \s matches the full-width space U+3000 between a Japanese
+# marker and its colon, as Python's Unicode \s does
 FREE_TEXT_RLIKE = (
-    r"^\s*(?:(?:その他|そのほか)\s*[:：\-–/]|(?:その他|そのほか)\s*[\(（].+?[\)）]"
+    r"(?U)^\s*(?:(?:その他|そのほか)\s*[:：\-–/]|(?:その他|そのほか)\s*[\(（].+?[\)）]"
     r"|(?:コメント|自由記述|詳細|備考|補足|感想|意見|メモ|特記事項|注釈|自己PR"
     r"|フリーテキスト|フリー回答)\s*[:：])"
 )

@@ -54,6 +54,9 @@ ADVERSARIAL = [
     # Unicode whitespace padding: Python strip() removes U+3000/NBSP/tabs,
     # Spark trim() removes only ASCII spaces — ustrip() closes the gap
     "　不明　", "\xa0該当なし\xa0", "\t不明\n", "　１２３　", "　A　",
+    # full-width space between a free-text marker and its colon — needs
+    # (?U) in FREE_TEXT_RLIKE so Java \s matches U+3000 like Python's
+    "その他　: 自由", "備考　：メモ", "その他　（詳細）",
 ]
 
 
