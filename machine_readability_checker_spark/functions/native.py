@@ -33,7 +33,7 @@ UNCLEAR_HEADER_RLIKE = r"(?U)^(?:\s*|.|\d+|[\W_]+|[A-Za-z]\d?)$"
 
 
 def ustrip(col: Column) -> Column:
-    """Unicode-aware strip: Python's ``str.strip()`` removes all Unicode
+    r"""Unicode-aware strip: Python's ``str.strip()`` removes all Unicode
     whitespace (U+3000, NBSP, tabs), while Spark's ``trim`` removes only
     ASCII spaces — a silent parity break on Japanese full-width padding.
     ``(?U)`` makes Java's ``\s`` match the Unicode White_Space set."""

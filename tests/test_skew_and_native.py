@@ -84,3 +84,46 @@ def test_native_predicates_match_kernel(spark):
         assert r["free"] == bool(C.FREE_TEXT_PATTERN.search(s)), ("free", s)
         expected_unclear = C.is_unclear_header(s) or ("Unnamed" in s)
         assert r["unclear"] == expected_unclear, ("unclear", s)
+
+
+def test_native_predicates_match_kernel_fuzz(spark):
+    """Randomized parity fuzz over the reference's character domain
+    (ASCII, Japanese, full-width digits/space, Unicode whitespace,
+    platform-dependent chars, markers).  One Spark round-trip for the
+    whole corpus — this is the net that catches Java-vs-Python regex
+    semantic drift (ASCII \\s/\\d, trim vs strip) before it ships."""
+    import random
+
+    rng = random.Random(20260816)
+    alphabet = (
+        "abcXYZ019 \t\n\xa0　０１２３４５６７８９.,-;/:：()（）"
+        "不明該当なし備考その他コメント①㈱※ーテスト長列名=\n"
+    )
+    corpus = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(400)
+    ]
+    corpus += [w + m + t for w in ("", "　", " ") for m in ("その他", "備考", "n/a")
+               for t in ("", "：メモ", ": x", "　（詳細）")]
+
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = df.select(
+        "s",
+        N.has_platform_chars(F.col("s")).alias("plat"),
+        N.is_clean_numeric(F.col("s")).alias("clean"),
+        N.is_missing_expression(F.col("s")).alias("miss"),
+        N.has_multiple_values(F.col("s")).alias("multi"),
+        N.has_fullwidth_space(F.col("s")).alias("fw"),
+        N.is_free_text_marker(F.col("s")).alias("free"),
+        N.is_unclear_header(F.col("s")).alias("unclear"),
+    ).collect()
+    for r in got:
+        s = r["s"]
+        assert r["plat"] == C.detect_platform_characters(s), ("plat", s)
+        assert r["clean"] == C.is_clean_numeric(s), ("clean", s)
+        assert r["miss"] == (s.strip().lower() in C.MISSING_VALUE_SET), ("miss", s)
+        assert r["multi"] == bool(C._MULTI_VALUE_RE.search(s)), ("multi", s)
+        assert r["fw"] == (C.FULL_WIDTH_SPACE in s), ("fw", s)
+        assert r["free"] == bool(C.FREE_TEXT_PATTERN.search(s)), ("free", s)
+        expected_unclear = C.is_unclear_header(s) or ("Unnamed" in s)
+        assert r["unclear"] == expected_unclear, ("unclear", s)
