@@ -181,3 +181,73 @@ def test_csv_span_sequence_matches_reference_zones(ref, tmp_path):
             for s in ours["spans"]
         ]
         assert got == expected, row["doc_id"]
+
+
+ADVERSARIAL_CSVS = {
+    # numeric-classifier thresholds: 1 bad cell in 10 (0.9 -> listed),
+    # 3 bad in 10 (0.7 -> column not numeric, silent)
+    "numeric_boundary": (
+        "id,v1,v2\n" +
+        "\n".join(f"{i},{i}.5,{i}" for i in range(9)) +
+        "\n9,abc,9\n"
+    ).encode("utf-8"),
+    # blank-row groups: two consecutive empties then another table
+    # (rows must not exceed the header width — the reference raises on
+    # extra fields, a discovered load-gate behavior)
+    "blank_row_tables": (
+        "a,b\n1,2\n3,4\n,\n,\n5,6\n7,8\n"
+    ).encode("utf-8"),
+    # header-like rows far apart (gap > 3) inside the body
+    "stacked_headers": (
+        "h1,h2\n" + "\n".join(f"{i},{i + 1}" for i in range(5)) +
+        "\nname,label\n10,11\n"
+    ).encode("utf-8"),
+    # full-width space formatting + >10 hits (scan-order cap quirk)
+    "fullwidth_cap": (
+        "c1,c2\n" + "\n".join(f"あ　い{i},x" for i in range(14)) + "\n"
+    ).encode("utf-8"),
+    # missing-value vocabulary with padding and case variants
+    "missing_vocab": (
+        "k,v\n1, 不明 \n2,N/A\n3,該当なし\n4,ー\n5,null\n6,？\n7,0\n"
+    ).encode("utf-8"),
+    # multi-value cells + platform-dependent chars + free-text markers
+    "mixed_quirks": (
+        "q,other\n1;2,その他: コメントです\n3/4,備考: ①㈱※\na,b\n"
+    ).encode("utf-8"),
+    # quoted embedded newline and carriage return (display ↵, 20-char cap)
+    "embedded_newlines": (
+        'c1,c2\n"line1\nline2 which is quite long indeed",ok\n"x\ry",z\n'
+    ).encode("utf-8"),
+    # Shift-JIS bytes (UTF-8 decode fails -> fallback)
+    "sjis": "名前,値\nデータ甲,不明\nデータ乙,12\n".encode("shift_jis"),
+    # ragged short rows: pandas pads missing trailing fields with NaN
+    "width_mismatch": ("a,b,c\n1,2\n4,5,6\n").encode("utf-8"),
+    # unclear headers: blanks, single char, digits, symbols, short code
+    "bad_headers": ("a,,1,__,B1\nv,w,x,y,z\n").encode("utf-8"),
+}
+
+
+def test_adversarial_csv_parity(ref, tmp_path):
+    """Hand-crafted CSVs aimed at the reference's threshold and quirk
+    branches (0.8/0.99 numeric ratios, blank-row grouping, stacked
+    headers, the 10-example scan-order cap, encoding fallback, ragged
+    widths) — full L1 rule-result equality on each."""
+    loader, checker, rules = ref
+    for name, content in ADVERSARIAL_CSVS.items():
+        path = tmp_path / f"{name}.csv"
+        path.write_bytes(content)
+        expected = _reference_results(loader, checker, rules, str(path))
+        ours = extract_document(
+            name, "csv", content,
+            header_start_row=1, header_end_row=1,
+            data_start_row=0, data_end_row=0,
+        )
+        got = {
+            r["rule_id"]: (r["passed"], r["message"])
+            for r in ours["results"]
+            if r["rule_id"].startswith("L1-")
+        }
+        for rule_id in expected:
+            assert got[rule_id] == expected[rule_id], (
+                name, rule_id, got[rule_id], expected[rule_id]
+            )
