@@ -86,19 +86,29 @@ def ref():
                 sys.modules[k] = v
 
 
+# registry functions present in the reference source but bound to no
+# level-1 rule (historically level-3): parity-tested as X-ids
+EXTRA_FUNCTIONS = {
+    "X-01": "check_numeric_columns_only",
+    "X-02": "check_separate_other_detail_columns",
+}
+
+
 def _reference_results(loader, checker, rules, path: str):
     ctx = loader.load_file_and_extract_context(
         Path(path), "CSV", header_start_row=1, header_end_row=1,
         data_start_row=0, data_end_row=0,
     )
+    bindings = [(r["id"], r["function"]) for r in rules]
+    bindings += list(EXTRA_FUNCTIONS.items())
     out = {}
-    for rule in rules:
-        fn = getattr(checker, rule["function"])
+    for rule_id, fn_name in bindings:
+        fn = getattr(checker, fn_name)
         try:
             passed, msg = fn(ctx, None, path)
         except Exception as e:  # router-style catch-all (pyc:router)
             passed, msg = False, f"エラー発生: {e}"
-        out[rule["id"]] = (bool(passed), msg)
+        out[rule_id] = (bool(passed), msg)
     return out
 
 
@@ -122,7 +132,7 @@ def test_csv_rule_results_match_reference(ref, tmp_path):
         got = {
             r["rule_id"]: (r["passed"], r["message"])
             for r in ours["results"]
-            if r["rule_id"].startswith("L1-")
+            if r["rule_id"].startswith("L1-") or r["rule_id"] in EXTRA_FUNCTIONS
         }
         assert set(got) == set(expected), row["doc_id"]
         for rule_id in expected:
@@ -245,7 +255,7 @@ def test_adversarial_csv_parity(ref, tmp_path):
         got = {
             r["rule_id"]: (r["passed"], r["message"])
             for r in ours["results"]
-            if r["rule_id"].startswith("L1-")
+            if r["rule_id"].startswith("L1-") or r["rule_id"] in EXTRA_FUNCTIONS
         }
         for rule_id in expected:
             assert got[rule_id] == expected[rule_id], (
