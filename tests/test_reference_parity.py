@@ -261,3 +261,73 @@ def test_adversarial_csv_parity(ref, tmp_path):
             assert got[rule_id] == expected[rule_id], (
                 name, rule_id, got[rule_id], expected[rule_id]
             )
+
+
+def test_multirow_header_zones_match_reference(ref, tmp_path):
+    """Multi-row headers: the reference builds a MultiIndex with left
+    forward-fill and the '(空白)' placeholder (loader.py:89-104); our
+    kernel flattens the same merged levels into level-joined header text
+    (MultiIndex never crosses the Arrow boundary — SURVEY §1.4).  Assert
+    the zone structure and merged header content agree: each reference
+    MultiIndex tuple '/'-joined equals our header span, and body /
+    annotation spans line up."""
+    from machine_readability_checker_spark.core import cells as C
+    from machine_readability_checker_spark.core.zones import is_empty_cell
+
+    loader, checker, rules = ref
+    cases = {
+        # 2-level header with blanks to forward-fill; one upper annotation
+        "two_level": (
+            "調査票A,,,\n"
+            "グループ1,,グループ2,\n"
+            "項目a,項目b,項目c,項目d\n"
+            "1,2,3,4\n5,6,7,8\n"
+        ).encode("utf-8"),
+        # 3-level header, blanks at the left edge -> '(空白)' placeholder
+        "three_level_blank_left": (
+            ",上位,上位,右\n"
+            ",中位,,右中\n"
+            "k,v1,v2,v3\n"
+            "x,1,2,3\n"
+        ).encode("utf-8"),
+    }
+    header_bounds = {"two_level": (2, 3), "three_level_blank_left": (1, 3)}
+
+    for name, content in cases.items():
+        h_start, h_end = header_bounds[name]
+        path = tmp_path / f"{name}.csv"
+        path.write_bytes(content)
+        ctx = loader.load_file_and_extract_context(
+            Path(str(path)), "CSV",
+            header_start_row=h_start, header_end_row=h_end,
+            data_start_row=0, data_end_row=0,
+        )
+
+        expected = []
+        for _, ann in ctx.upper_annotations.iterrows():
+            text = ", ".join(
+                C.render_cell(v) for v in ann.tolist() if not is_empty_cell(v)
+            )
+            expected.append(("annotation_upper", text, "", len(expected)))
+        for col in list(ctx.columns):
+            text = "/".join(str(p) for p in col) if isinstance(col, tuple) else str(col)
+            expected.append(("header", text, "", len(expected)))
+        for _, data_row in ctx.data.iterrows():
+            text = "\t".join(C.render_cell(v) for v in data_row.tolist())
+            expected.append(("cell", text, "", len(expected)))
+        for _, ann in ctx.lower_annotations.iterrows():
+            text = ", ".join(
+                C.render_cell(v) for v in ann.tolist() if not is_empty_cell(v)
+            )
+            expected.append(("annotation_lower", text, "", len(expected)))
+
+        ours = extract_document(
+            name, "csv", content,
+            header_start_row=h_start, header_end_row=h_end,
+            data_start_row=0, data_end_row=0,
+        )
+        got = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in ours["spans"]
+        ]
+        assert got == expected, (name, got, expected)
