@@ -331,3 +331,68 @@ def test_multirow_header_zones_match_reference(ref, tmp_path):
             for s in ours["spans"]
         ]
         assert got == expected, (name, got, expected)
+
+
+def test_explicit_data_bounds_and_lower_annotations(ref, tmp_path):
+    """Explicit data_end_row: rows after it become lower annotations in
+    the reference (loader.py:84) — rule results AND span sequence parity
+    including the annotation_lower zone, which auto bounds never hit."""
+    from machine_readability_checker_spark.core import cells as C
+    from machine_readability_checker_spark.core.zones import is_empty_cell
+
+    loader, checker, rules = ref
+    content = (
+        "注記: 上部の説明,\n"
+        "名前,値\n"
+        "alpha,1\n"
+        "beta,2\n"
+        "gamma,3\n"
+        "出典: 統計局,\n"
+        "注: 単位は千円,\n"
+    ).encode("utf-8")
+    bounds = dict(
+        header_start_row=2, header_end_row=2, data_start_row=3, data_end_row=5
+    )
+    path = tmp_path / "bounded.csv"
+    path.write_bytes(content)
+    ctx = loader.load_file_and_extract_context(Path(str(path)), "CSV", **bounds)
+    assert len(ctx.lower_annotations) == 2  # the zone is actually exercised
+
+    expected_res = {}
+    for rule in rules:
+        fn = getattr(checker, rule["function"])
+        try:
+            passed, msg = fn(ctx, None, str(path))
+        except Exception as e:
+            passed, msg = False, f"エラー発生: {e}"
+        expected_res[rule["id"]] = (bool(passed), msg)
+
+    ours = extract_document("bounded", "csv", content, **bounds)
+    got_res = {
+        r["rule_id"]: (r["passed"], r["message"])
+        for r in ours["results"]
+        if r["rule_id"].startswith("L1-")
+    }
+    for rule_id, exp in expected_res.items():
+        assert got_res[rule_id] == exp, (rule_id, got_res[rule_id], exp)
+
+    expected_spans = []
+    for _, ann in ctx.upper_annotations.iterrows():
+        text = ", ".join(
+            C.render_cell(v) for v in ann.tolist() if not is_empty_cell(v)
+        )
+        expected_spans.append(("annotation_upper", text, "", len(expected_spans)))
+    for col in list(ctx.columns):
+        expected_spans.append(("header", str(col), "", len(expected_spans)))
+    for _, data_row in ctx.data.iterrows():
+        text = "\t".join(C.render_cell(v) for v in data_row.tolist())
+        expected_spans.append(("cell", text, "", len(expected_spans)))
+    for _, ann in ctx.lower_annotations.iterrows():
+        text = ", ".join(
+            C.render_cell(v) for v in ann.tolist() if not is_empty_cell(v)
+        )
+        expected_spans.append(("annotation_lower", text, "", len(expected_spans)))
+    got_spans = [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ours["spans"]
+    ]
+    assert got_spans == expected_spans
