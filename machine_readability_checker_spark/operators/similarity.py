@@ -147,6 +147,75 @@ def lsh_bucket_topk(
     )
 
 
+def write_bucketed_index(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF-style ANN index: the corpus written
+    partitioned by hyperplane bucket (`path/bucket=K/*.parquet`).  At
+    100 TB this is the index-build job; queries then read only their
+    bucket partition(s) via partition pruning (see
+    ``query_bucketed_index``)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+        )
+        .withColumn("bucket", lsh_signature(F.col("_cv"), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def query_bucketed_index(
+    spark,
+    path: str,
+    query_vec: List[float],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    seed: int = 42,
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Top-k over a materialized bucket index: compute the query's bucket
+    driver-side, read ONLY the matching partition directories (partition
+    pruning — the scan must list `PartitionFilters`, not a full scan),
+    rank by cosine.  ``probe_hamming`` > 0 additionally probes buckets
+    within that Hamming distance of the query bucket (multi-probe recall
+    knob, still pruned)."""
+    import numpy as np
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, np.asarray(plane))) >= 0:
+            qbucket |= 1 << i
+    buckets = [
+        b
+        for b in range(1 << n_planes)
+        if bin(b ^ qbucket).count("1") <= probe_hamming
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    return (
+        df.select(
+            F.col(id_col),
+            "bucket",
+            cosine_sim(F.col("_cv"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

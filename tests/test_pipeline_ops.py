@@ -162,3 +162,27 @@ def test_media_features(spark):
     assert ok["decode_error"] is None
     bad = out["img/2.png"]
     assert bad["decode_error"] is not None and bad["width"] is None
+
+
+def test_bucketed_index_prunes_partitions(spark, vectors, tmp_path):
+    """IVF-style index: write corpus partitioned by hyperplane bucket,
+    query reads only its bucket partition (PartitionFilters in the scan),
+    finds the planted near-dup, and multi-probe widens recall."""
+    path = str(tmp_path / "ann_index")
+    similarity.write_bucketed_index(vectors, path, n_planes=4, dim=16)
+
+    q = vectors.filter("vec_id = 100").collect()[0]["embedding"]
+    top = similarity.query_bucketed_index(spark, path, q, k=5, n_planes=4, dim=16)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[1]
+    part_filters = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in part_filters  # pruned, not a full scan
+
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids[0] == 100 and 101 in ids  # same bucket by construction
+
+    probed = similarity.query_bucketed_index(
+        spark, path, q, k=50, n_planes=4, dim=16, probe_hamming=1
+    )
+    n_exact = top.count()
+    assert probed.count() >= n_exact  # multi-probe reads more buckets
