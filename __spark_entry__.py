@@ -407,6 +407,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact 3-gram Jaccard ≥ 0.8 pair
+    graph: (doc_id, cluster_id=min member).  DuckDB oracle computes the
+    same closure with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    pairs = D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8, max_df=None)
+    return D.near_dup_clusters(pairs).orderBy("doc_id")
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 over the embeddings table (DuckDB
     oracle via list_cosine_similarity) — the brute-force twin that the
@@ -454,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "near_dup_clusters": q_near_dup_clusters,
         "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,
     }
@@ -753,6 +765,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_common AS DOUBLE)
                   / (sa.set_size + sb.set_size - n_common) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     {_TOKS} AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      for i in range(1, len(toks) - 1)] END
+              )) AS shingle FROM t
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_common AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_common) >= 0.8
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) seed
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+            )
+            SELECT u AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

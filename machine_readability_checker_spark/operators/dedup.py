@@ -375,6 +375,85 @@ def simhash_pairs(
     )
 
 
+# ----------------------------------------------- near-dup clustering
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph
+    ``(id_a, id_b)`` → ``(doc_id, cluster_id)`` with ``cluster_id`` = the
+    minimum member id.  This is the canonical keep-one-per-cluster step
+    after MinHash/SimHash candidate generation.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are tiny and dense, so
+    2-4 rounds in practice).  Each round localCheckpoints the label
+    table — without the barrier the join lineage doubles per iteration
+    and the plan blows up.  For adversarial web-scale graphs with long
+    chains, swap in the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce"); the API is
+    the same."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select("u").distinct().select(F.col("u"), F.col("u").alias("label"))
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iterations):
+        # distinct column names end-to-end: labels derives from edges, so
+        # attribute-based join conditions would be ambiguous self-joins
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("_lu"), F.col("label").alias("_llabel")
+                ),
+                F.col("v") == F.col("_lu"),
+            )
+            .groupBy("u")
+            .agg(F.min("_llabel").alias("_nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.select("u", F.col("label").alias("_new"))
+            .join(labels, "u")
+            .filter(F.col("_new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_list(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rows of ``df`` surviving near-dup dedup: cluster members other than
+    the canonical (minimum-id) representative are dropped; documents
+    outside the pair graph survive untouched."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # -------------------------------------------------- exact n-gram jaccard
 
 

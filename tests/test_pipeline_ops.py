@@ -186,3 +186,22 @@ def test_bucketed_index_prunes_partitions(spark, vectors, tmp_path):
     )
     n_exact = top.count()
     assert probed.count() >= n_exact  # multi-probe reads more buckets
+
+
+def test_near_dup_clusters_and_keep_list(docs, spark):
+    """Clustering over a near-dup pair graph: transitive closure via
+    min-label propagation, then keep-one-per-cluster."""
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d5", "d6")], ["id_a", "id_b"]
+    )
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    assert clusters == {
+        "d1": "d1", "d2": "d1", "d3": "d1",  # chain closes transitively
+        "d5": "d5", "d6": "d5",
+    }
+    kept = {r["doc_id"] for r in dedup.dedup_keep_list(docs, 
+        dedup.near_dup_clusters(pairs)).collect()}
+    assert kept == {"d1", "d4", "d5"}  # reps survive; d4 untouched
