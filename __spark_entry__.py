@@ -407,6 +407,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline funnel: doc counts after
+    exact dedup -> normalized-fingerprint dedup -> min-token filter ->
+    language-known filter (DuckDB-oracled stage by stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.cleaning_funnel(docs)
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact 3-gram Jaccard ≥ 0.8 pair
     graph: (doc_id, cluster_id=min member).  DuckDB oracle computes the
@@ -465,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
         "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -765,6 +774,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_common AS DOUBLE)
                   / (sa.set_size + sb.set_size - n_common) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "cleaning_funnel": f"""
+            WITH s1 AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents
+              ) WHERE rn = 1
+            ), s2 AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY md5(lower(
+                    regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM s1
+              ) WHERE rn = 1
+            ), s3 AS (
+              SELECT doc_id, text FROM s2
+              WHERE len({_TOKS}) >= 5
+            ), s3s AS (
+              SELECT doc_id, {_SCORE_COLS} FROM s3
+            ), s4 AS (
+              SELECT doc_id FROM s3s
+              WHERE greatest(s_en, s_es, s_de, s_fr, s_zh) > 0
+            )
+            SELECT * FROM (
+              SELECT 0 AS stage_idx, 'raw' AS stage,
+                     (SELECT COUNT(*) FROM documents) AS n_docs
+              UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM s1)
+              UNION ALL SELECT 2, 'normalized_dedup', (SELECT COUNT(*) FROM s2)
+              UNION ALL SELECT 3, 'min_tokens', (SELECT COUNT(*) FROM s3)
+              UNION ALL SELECT 4, 'lang_known', (SELECT COUNT(*) FROM s4)
+            ) ORDER BY stage_idx
         """,
         "near_dup_clusters": f"""
             WITH RECURSIVE t AS (

@@ -118,3 +118,55 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", doc_fingerprint(c))
         .withColumn("quality", quality_flags(c))
     )
+
+
+def cleaning_funnel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The composed training-data cleaning pipeline as a funnel report:
+    ``(stage_idx, stage, n_docs)`` after each cumulative stage —
+
+      0. raw              : input corpus
+      1. exact_dedup      : one keeper per identical text (min id)
+      2. normalized_dedup : one keeper per normalized fingerprint
+                            (lowercase, alphanumerics only)
+      3. min_tokens       : ≥ 5 whitespace tokens
+      4. lang_known       : stopword-vote language ID ≠ 'und'
+
+    Each stage is a narrow filter or a single hash shuffle; counts come
+    from codegen'd aggregates, so the funnel costs one pass per stage at
+    corpus scale (and stages share scan/shuffle work through Spark's
+    exchange reuse where plans allow)."""
+    from pyspark.sql import Window
+
+    from .dedup import exact_dedup
+
+    stages: list[tuple[str, DataFrame]] = [("raw", df)]
+
+    s1 = exact_dedup(df, text_col, id_col)
+    stages.append(("exact_dedup", s1))
+
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    s2 = (
+        s1.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    stages.append(("normalized_dedup", s2))
+
+    s3 = s2.filter(token_count(F.col(text_col)) >= 5)
+    stages.append(("min_tokens", s3))
+
+    s4 = s3.filter(lang_id(F.col(text_col)) != "und")
+    stages.append(("lang_known", s4))
+
+    counts = None
+    for idx, (name, frame) in enumerate(stages):
+        row = frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts.orderBy("stage_idx")
