@@ -205,3 +205,47 @@ def test_near_dup_clusters_and_keep_list(docs, spark):
     kept = {r["doc_id"] for r in dedup.dedup_keep_list(docs, 
         dedup.near_dup_clusters(pairs)).collect()}
     assert kept == {"d1", "d4", "d5"}  # reps survive; d4 untouched
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """Statistical correctness of the signature math: with 128
+    permutations the signature-position estimate must track the true
+    shingle-set Jaccard within ~3 standard errors across the range.
+    (Computed from signatures directly — banded LSH candidate recall is
+    a separate, intentionally lossy property: only the high-similarity
+    pair is required to surface as a candidate.)"""
+    base_tokens = [f"tok{i}" for i in range(300)]
+    rows = [("full", " ".join(base_tokens))]
+    for frac in (0.25, 0.5, 0.75):
+        n = int(300 * frac)
+        mixed = base_tokens[:n] + [f"alt{frac}_{i}" for i in range(300 - n)]
+        rows.append((f"frac{frac}", " ".join(mixed)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    num_perm = 128
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in dedup.minhash_signatures(df, num_perm=num_perm, shingle_k=3).collect()
+    }
+    sh = (
+        df.select("doc_id", F.explode(F.array_distinct(
+            dedup._shingles_from_hashes(dedup._token_hashes(F.col("text")), 3)
+        )).alias("s"))
+        .groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    )
+    sets = {r["doc_id"]: set(r["ss"]) for r in sh.collect()}
+    for frac in (0.25, 0.5, 0.75):
+        a, b = sets["full"], sets[f"frac{frac}"]
+        true_j = len(a & b) / len(a | b)
+        sa, sb = sigs["full"], sigs[f"frac{frac}"]
+        est = sum(x == y for x, y in zip(sa, sb)) / num_perm
+        se = (true_j * (1 - true_j) / num_perm) ** 0.5
+        assert abs(est - true_j) <= max(3 * se, 0.06), (frac, est, true_j)
+
+    # banded LSH must surface the high-similarity pair (detection
+    # probability ≈ 1 at j≈0.6 with 32 bands of 4 rows)
+    pairs = dedup.minhash_lsh_pairs(
+        df, num_perm=num_perm, bands=32, shingle_k=3, threshold=0.0
+    )
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.collect()}
+    assert ("frac0.75", "full") in got
