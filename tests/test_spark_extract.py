@@ -108,3 +108,53 @@ def test_media_spans_present(spark, corpus):
     refs = [r["s"]["media_ref"] for r in media.collect()]
     assert any(ref.startswith("xl/drawings/") for ref in refs)
     assert any(ref.endswith(".png") for ref in refs)
+
+
+def test_per_document_reports(spark):
+    """Report sink: one markdown report per document, rendered JVM-side
+    with a broadcast rule-catalog join; matches the driver-side renderer
+    line for line."""
+    from machine_readability_checker_spark.model import RAW_SCHEMA
+    from machine_readability_checker_spark.operators.extract import (
+        extract,
+        results_table,
+    )
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators import report as R
+    from machine_readability_checker_spark.sources.fixtures import gen_corpus
+
+    corpus = gen_corpus(12)
+    csv_rows = corpus[corpus["fmt"] == "csv"]
+    raw = spark.createDataFrame(csv_rows, schema=RAW_SCHEMA)
+    results = results_table(extract(raw))
+
+    reports = {r["doc_id"]: r["report"]
+               for r in R.per_document_reports(results).collect()}
+    assert len(reports) == len(csv_rows)
+
+    # plan property: the rule catalog rides a broadcast join
+    plan = R.per_document_reports(results)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # line-for-line agreement with the driver-side renderer
+    rows = results.filter(F.col("rule_id").startswith("L1-")).collect()
+    catalog = {rid: desc for rid, desc, _ in __import__(
+        "machine_readability_checker_spark.core.checks", fromlist=["RULES"]
+    ).RULES}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append({
+            "id": r["rule_id"],
+            "description": catalog[r["rule_id"]],
+            "result": "✓" if r["passed"] else "✗",
+            "message": r["message"],
+        })
+    for doc_id, checks in by_doc.items():
+        checks.sort(key=lambda c: c["id"])
+        expected = R.render_report(doc_id, checks)
+        assert reports[doc_id] == expected, doc_id
+    sample = next(iter(reports.values()))
+    assert sample.startswith("# 機械可読性チェックレポート（レベル1）")
+    assert "## LEVEL1：" in sample and "### LEVEL1 チェック詳細" in sample
