@@ -249,3 +249,27 @@ def test_minhash_estimates_true_jaccard(spark):
     )
     got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.collect()}
     assert ("frac0.75", "full") in got
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    """SimHash property: Hamming distance grows monotonically as token
+    overlap falls, and stays near 0/32/64-ish expectations at the
+    extremes (identical → 0; unrelated → ≈32 of 64 bits differ)."""
+    base = [f"w{i}" for i in range(400)]
+    rows = [("same", " ".join(base))]
+    for frac in (0.9, 0.5, 0.0):
+        n = int(400 * frac)
+        rows.append((f"f{frac}", " ".join(base[:n] + [f"z{frac}_{i}" for i in range(400 - n)])))
+    df = spark.createDataFrame([("ref", " ".join(base))] + rows, ["doc_id", "text"])
+    sh = {r["doc_id"]: r["sh"] for r in dedup.simhash_table(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh["ref"], sh["same"]) == 0
+    d_hi = ham(sh["ref"], sh["f0.9"])
+    d_mid = ham(sh["ref"], sh["f0.5"])
+    d_lo = ham(sh["ref"], sh["f0.0"])
+    assert d_hi <= d_mid <= d_lo
+    assert d_hi <= 12          # near-dup stays close
+    assert 20 <= d_lo <= 44    # unrelated ≈ half the bits
