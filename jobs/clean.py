@@ -1,0 +1,110 @@
+"""spark-submit entry point: training-data cleaning over extracted spans.
+
+Chains the extraction output into the training-data prep lane:
+
+    read spans table (jobs/extract.py output, or --gen to self-generate)
+      → main-content text per document (cell spans joined; headers and
+        annotations are boilerplate)
+      → cleaning funnel (exact dedup → normalized dedup → min tokens →
+        language known)
+      → near-duplicate clustering (3-gram Jaccard pairs → connected
+        components) → keep-list
+      → write cleaned corpus + funnel stats + cluster map, print one
+        JSON stats line
+
+Usage:
+    spark-submit --master local[32] --py-files dist/engine.zip \\
+        jobs/clean.py --input /tmp/mrc_out/data --out /tmp/mrc_clean
+    spark-submit ... jobs/clean.py --gen 2000 --out /tmp/mrc_clean
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from machine_readability_checker_spark.model import RAW_SCHEMA  # noqa: E402
+from machine_readability_checker_spark.operators import (  # noqa: E402
+    dedup as D,
+    textstats as TS,
+)
+from machine_readability_checker_spark.operators.extract import extract  # noqa: E402
+from machine_readability_checker_spark.operators.repartition import (  # noqa: E402
+    salted_repartition,
+)
+from machine_readability_checker_spark.session import get_spark  # noqa: E402
+from machine_readability_checker_spark.sources.fixtures import gen_corpus  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of extracted spans")
+    ap.add_argument("--gen", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "mrc-clean-job",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(8, args.cores),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    if args.input:
+        extracted = spark.read.parquet(args.input)
+    elif args.gen:
+        raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
+        extracted = extract(salted_repartition(raw, max(8, args.cores)))
+    else:
+        ap.error("need --input or --gen")
+        return
+
+    # boilerplate strip: main content = cell/main/line spans
+    texts = (
+        extracted.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind").isin("cell", "main", "line"))
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("s.text")).alias("text"))
+    ).persist()
+
+    funnel = TS.cleaning_funnel(texts)
+    funnel.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
+    funnel_rows = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+
+    pairs = D.ngram_jaccard_pairs(texts, shingle_k=3, threshold=args.jaccard)
+    clusters = D.near_dup_clusters(pairs)
+    clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+    cleaned = D.dedup_keep_list(texts, clusters)
+    cleaned.write.mode("overwrite").parquet(os.path.join(args.out, "cleaned"))
+
+    n_in = texts.count()
+    n_out = spark.read.parquet(os.path.join(args.out, "cleaned")).count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_cleaned": n_out,
+                "near_dup_removed": n_in - n_out,
+                "funnel": funnel_rows,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_in / wall, 1) if wall > 0 else None,
+                "cores": args.cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
