@@ -111,3 +111,133 @@ def media_from_spans(spans_df: DataFrame, media_store: DataFrame) -> DataFrame:
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
     return refs.join(media_store, ["doc_id", "media_ref"])
+
+
+FAKE_VIDEO_MAGIC = b"FAKEVID"
+
+
+def encode_fake_video(frames: list[bytes]) -> bytes:
+    """Fake video container: magic + frame count + length-prefixed frames
+    (each frame is a fake-image blob)."""
+    out = [FAKE_VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _iter_fake_frames(content: bytes):
+    if not content.startswith(FAKE_VIDEO_MAGIC):
+        raise ValueError("unknown video container")
+    off = len(FAKE_VIDEO_MAGIC)
+    (n,) = struct.unpack_from("<I", content, off)
+    off += 4
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", content, off)
+        off += 4
+        yield content[off : off + ln]
+        off += ln
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _resize_payload(w: int, h: int, payload: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor downsample of the fake row-major byte image —
+    the stand-in for a real resampling kernel (PIL.Image.resize /
+    libvips); the distributed contract (binary in → binary out, bounded
+    Arrow batches) is identical."""
+    if w <= 0 or h <= 0 or len(payload) < w * h:
+        raise ValueError("payload does not match dimensions")
+    rows = []
+    for ty in range(th):
+        sy = ty * h // th
+        row = payload[sy * w : (sy + 1) * w]
+        rows.append(bytes(row[tx * w // tw] for tx in range(tw)))
+    return b"".join(rows)
+
+
+def resize_images(media_df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image resize as an Arrow-batched kernel: decode → resample →
+    re-encode; bad blobs become quarantine rows (decode_error set)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "doc_id": [], "media_ref": [], "width": [], "height": [],
+                "content": [], "decode_error": [],
+            }
+            for row in batch.itertuples(index=False):
+                out["doc_id"].append(row.doc_id)
+                out["media_ref"].append(row.media_ref)
+                try:
+                    w, h, payload = decode_backend(bytes(row.content))
+                    resized = _resize_payload(w, h, payload, target_w, target_h)
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["content"].append(
+                        encode_fake_image(target_w, target_h, resized)
+                    )
+                    out["decode_error"].append(None)
+                except Exception as e:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["content"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling as a flat-mapping Arrow kernel: one input blob
+    → every k-th frame as its own row (table-generating, like explode but
+    over binary containers).  Decode failures yield one quarantine row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "doc_id": [], "media_ref": [], "frame_idx": [],
+                "content": [], "decode_error": [],
+            }
+            for row in batch.itertuples(index=False):
+                try:
+                    for i, frame in enumerate(
+                        _iter_fake_frames(bytes(row.content))
+                    ):
+                        if i % every_k:
+                            continue
+                        out["doc_id"].append(row.doc_id)
+                        out["media_ref"].append(row.media_ref)
+                        out["frame_idx"].append(i)
+                        out["content"].append(frame)
+                        out["decode_error"].append(None)
+                except Exception as e:
+                    out["doc_id"].append(row.doc_id)
+                    out["media_ref"].append(row.media_ref)
+                    out["frame_idx"].append(None)
+                    out["content"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema=FRAMES_SCHEMA)

@@ -273,3 +273,40 @@ def test_simhash_hamming_tracks_similarity(spark):
     assert d_hi <= d_mid <= d_lo
     assert d_hi <= 12          # near-dup stays close
     assert 20 <= d_lo <= 44    # unrelated ≈ half the bits
+
+
+def test_resize_and_frame_sampling(spark):
+    """Multimodal resize + video frame-sample kernels: real Spark-side
+    plumbing (schemas, Arrow batches, quarantine rows) over the fake
+    codec; a decoded-and-resized image round-trips through the container,
+    frame sampling keeps every k-th frame."""
+    from machine_readability_checker_spark.operators import multimodal as M
+
+    img = M.encode_fake_image(4, 4, bytes(range(16)))
+    rows = [
+        ("d1", "img/a", "image", bytearray(img)),
+        ("d2", "img/bad", "image", bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    resized = {r["media_ref"]: r for r in M.resize_images(df, 2, 2).collect()}
+    ok = resized["img/a"]
+    assert (ok["width"], ok["height"]) == (2, 2)
+    w, h, payload = M.decode_backend(bytes(ok["content"]))
+    assert (w, h) == (2, 2)
+    assert list(payload) == [0, 2, 8, 10]  # nearest-neighbor picks
+    assert resized["img/bad"]["decode_error"] is not None
+
+    frames = [M.encode_fake_image(2, 1, bytes([i, i])) for i in range(5)]
+    vid = M.encode_fake_video(frames)
+    vdf = spark.createDataFrame(
+        [("d3", "vid/a", "video", bytearray(vid)),
+         ("d4", "vid/bad", "video", bytearray(b"nope"))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    sampled = M.sample_frames(vdf, every_k=2).collect()
+    good = sorted(
+        (r["frame_idx"] for r in sampled if r["doc_id"] == "d3")
+    )
+    assert good == [0, 2, 4]
+    bad = [r for r in sampled if r["doc_id"] == "d4"]
+    assert len(bad) == 1 and bad[0]["decode_error"] is not None
