@@ -100,11 +100,13 @@ def is_header_like_text(col: Column, threshold: float = 0.5) -> Column:
     """Row-level header-likeness (P4 heuristic) over a tab-joined cell-row
     span: fraction of fields that are numeric-like < threshold."""
     fields = F.split(col, "\t")
-    nonempty = F.filter(fields, lambda x: F.trim(x) != "")
+    nonempty = F.filter(fields, lambda x: ustrip(x) != "")
+    # (?U): the kernel twin uses Python str.isdigit(), which accepts any
+    # Unicode decimal digit (full-width included)
     numericish = F.filter(
         nonempty,
         lambda x: F.regexp_replace(F.regexp_replace(x, r"\.", ""), "-", "").rlike(
-            r"^\d+$"
+            r"(?U)^\d+$"
         ),
     )
     return (
