@@ -426,6 +426,19 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(pairs).orderBy("doc_id")
 
 
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered exact Jaccard join — same semantics and
+    DuckDB oracle as ngram_jaccard_pairs, far fewer candidates."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return (
+        D.ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.8)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 over the embeddings table (DuckDB
     oracle via list_cosine_similarity) — the brute-force twin that the
@@ -471,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
@@ -568,6 +582,12 @@ _MISSING_LIST = (
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_literal()
+    out["ngram_jaccard_prefix"] = out["ngram_jaccard_pairs"]
+    return out
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "extract_span_stats": _SPAN_STATS_SQL,
         "extract_rule_results": _RULE_RESULTS_SQL,
@@ -808,6 +828,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 4, 'lang_known', (SELECT COUNT(*) FROM s4)
             ) ORDER BY stage_idx
         """,
+        # ngram_jaccard_prefix shares the exact semantics of
+        # ngram_jaccard_pairs; its oracle is added programmatically below
         "near_dup_clusters": f"""
             WITH RECURSIVE t AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

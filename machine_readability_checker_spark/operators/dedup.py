@@ -375,6 +375,71 @@ def simhash_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard join with PPJoin-style prefix filtering
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection") — same output as ``ngram_jaccard_pairs``, far fewer
+    candidates.
+
+    Two sets with Jaccard ≥ t must share an element within the first
+    ⌊(1-t)·|A|⌋+1 elements of any global canonical order, so only that
+    prefix is exploded into the self-join (5× fewer candidate rows at
+    t=0.8 on the sf0.1 corpus; the gap widens with t and document
+    count — this is the feasibility trick at corpus scale).
+    Verification joins the (small) candidate set back to the full
+    sorted-array column and counts the intersection per pair.
+
+    The array column is localCheckpoint'ed: it feeds three subtrees AND
+    the barrier stops predicate pushdown from inlining the shingle HOF
+    below the scan (the plan-shape trap documented above)."""
+    arrs = (
+        df.select(F.col(id_col), _token_hashes(F.col(text_col)).alias("_th"))
+        .select(
+            F.col(id_col),
+            F.sort_array(
+                F.array_distinct(_shingles_from_hashes(F.col("_th"), shingle_k))
+            ).alias("arr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pref_len = (F.floor(F.size("arr") * F.lit(1.0 - threshold)) + 1).cast("int")
+    pref = arrs.select(
+        F.col(id_col), F.explode(F.slice("arr", F.lit(1), pref_len)).alias("shingle")
+    )
+    l, r = pref.alias("l"), pref.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("arr_a") + F.size("arr_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 # ----------------------------------------------- near-dup clustering
 
 

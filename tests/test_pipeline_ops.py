@@ -310,3 +310,13 @@ def test_resize_and_frame_sampling(spark):
     assert good == [0, 2, 4]
     bad = [r for r in sampled if r["doc_id"] == "d4"]
     assert len(bad) == 1 and bad[0]["decode_error"] is not None
+
+
+def test_prefix_jaccard_equals_plain(docs):
+    """PPJoin prefix filtering must not change results — only shrink the
+    candidate set."""
+    plain = {(r["id_a"], r["id_b"], r["n_common"])
+             for r in dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3).collect()}
+    pref = {(r["id_a"], r["id_b"], r["n_common"])
+            for r in dedup.ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.3).collect()}
+    assert plain == pref and plain
