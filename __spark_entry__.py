@@ -433,7 +433,7 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").cast("string")
     )
     return (
-        D.ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.8)
+        D.ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.8, max_df=None)
         .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

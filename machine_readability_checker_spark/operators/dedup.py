@@ -142,13 +142,19 @@ def minhash_signatures(
     def _sig(sh: pd.Series) -> pd.Series:
         out = []
         for arr in sh:
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64) % p
+            vals = [x for x in arr if x is not None]  # defensive
+            h = np.asarray(vals, dtype=np.int64).astype(np.uint64) % p
             mins = ((av[:, None] * h[None, :] + bv[:, None]) % p).min(axis=1)
             out.append(mins.astype(np.int64))
         return pd.Series(out)
 
+    # NULL/empty text yields no tokens → no meaningful signature; drop
+    # those docs here (a doc with no tokens cannot be a near-duplicate of
+    # anything).  Without the filter a NULL text reaches the UDF as
+    # [None] and kills the task.
     return (
         df.select(id_col, _token_hashes(F.col(text_col)).alias("_th"))
+        .filter(F.size("_th") > 0)
         .select(
             id_col,
             F.array_distinct(_shingles_from_hashes(F.col("_th"), shingle_k)).alias(
@@ -381,6 +387,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_df: Optional[int] = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard join with PPJoin-style prefix filtering
     (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -397,7 +404,17 @@ def ngram_jaccard_pairs_prefix(
 
     The array column is localCheckpoint'ed: it feeds three subtrees AND
     the barrier stops predicate pushdown from inlining the shingle HOF
-    below the scan (the plan-shape trap documented above)."""
+    below the scan (the plan-shape trap documented above).
+
+    ``max_df`` mirrors the plain operator's hot-shingle cap with the same
+    semantics: shingles occurring in > max_df documents are removed from
+    the sets before intersection counting, while set sizes stay those of
+    the UNFILTERED sets (that is what ``ngram_jaccard_pairs`` computes).
+    The hot set is provably small (≤ total_rows / max_df entries) and is
+    shipped as a broadcast variable into a vectorized array-filter UDF.
+    Prefix soundness is preserved: jaccard ≥ t on unfiltered sizes
+    implies n_common ≥ t·|A| ≥ t·|A_filtered|, so the per-set prefix
+    bound still holds on the filtered arrays."""
     arrs = (
         df.select(F.col(id_col), _token_hashes(F.col(text_col)).alias("_th"))
         .select(
@@ -408,7 +425,33 @@ def ngram_jaccard_pairs_prefix(
         )
         .localCheckpoint(eager=False)
     )
-    pref_len = (F.floor(F.size("arr") * F.lit(1.0 - threshold)) + 1).cast("int")
+    arrs = arrs.select(id_col, "arr", F.size("arr").alias("orig_size"))
+    if max_df is not None:
+        hot_rows = (
+            arrs.select(F.explode("arr").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+        )
+        hot = {r["shingle"] for r in hot_rows.collect()}
+        if hot:
+            bhot = df.sparkSession.sparkContext.broadcast(hot)
+
+            @F.pandas_udf(ArrayType(LongType()))
+            def _drop_hot(c: pd.Series) -> pd.Series:
+                hs = bhot.value
+                return c.apply(lambda a: [x for x in a if x not in hs])
+
+            arrs = arrs.select(
+                id_col, _drop_hot(F.col("arr")).alias("arr"), "orig_size"
+            ).localCheckpoint(eager=False)
+    # prefix length = |A| - ceil(t·|A|) + 1.  The epsilon guards float
+    # error in t·|A|: 0.8*5 evaluates to 4.000000000000001, whose plain
+    # ceil is 5 — one element short, silently dropping qualifying pairs
+    # whenever t·|A| lands on an integer.  Subtracting 1e-9 can only
+    # lengthen the prefix (sound: more candidates, never fewer).
+    required = F.ceil(F.lit(float(threshold)) * F.size("arr") - F.lit(1e-9))
+    pref_len = (F.size("arr") - required + 1).cast("int")
     pref = arrs.select(
         F.col(id_col), F.explode(F.slice("arr", F.lit(1), pref_len)).alias("shingle")
     )
@@ -424,8 +467,16 @@ def ngram_jaccard_pairs_prefix(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    a = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
-    b = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    a = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("orig_size").alias("size_a"),
+    )
+    b = arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("orig_size").alias("size_b"),
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -433,7 +484,7 @@ def ngram_jaccard_pairs_prefix(
         .withColumn(
             "jaccard",
             F.col("n_common")
-            / (F.size("arr_a") + F.size("arr_b") - F.col("n_common")),
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
@@ -506,6 +557,15 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning half-propagated labels would under-dedup the
+        # corpus (multiple "representatives" per true cluster) — refuse.
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} "
+            "iterations — the pair graph has a component with diameter "
+            "above the cap; raise max_iterations or use the "
+            "large-star/small-star formulation for chain-shaped graphs"
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

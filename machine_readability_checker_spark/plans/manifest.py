@@ -106,8 +106,25 @@ def run_resumable(
         # input is pre-bucketed (Iceberg bucket(N, doc_id) layout, written
         # partitioned by split): the wave filter below becomes partition
         # pruning — each wave reads only its own split directories instead
-        # of re-scanning the whole corpus.  split_id is deterministic, so
-        # a pre-bucketed column is identical to the derived one.
+        # of re-scanning the whole corpus.  Trusting the column requires
+        # it to actually be a bucket id for THIS n_splits: a corpus
+        # bucketed with a different --splits (or an unrelated column that
+        # happens to be named 'split') would make some waves select
+        # nothing and the job report success while silently dropping
+        # data.  The domain check below is metadata-cheap on
+        # directory-partitioned input (partition listing, no data read).
+        observed = [
+            r["split"]
+            for r in df_raw.select("split").distinct().collect()
+        ]
+        bad = [s for s in observed if s is None or int(s) not in range(n_splits)]
+        if bad:
+            raise ValueError(
+                f"pre-bucketed 'split' column has values {sorted(bad)[:5]} "
+                f"outside range({n_splits}) — the input was bucketed with a "
+                "different n_splits/salt (or 'split' is not a bucket id); "
+                "drop the column or re-bucket with matching --splits"
+            )
         df = df_raw
     else:
         df = df_raw.withColumn("split", split_id(doc_id_col, n_splits, salt))

@@ -320,3 +320,56 @@ def test_prefix_jaccard_equals_plain(docs):
     pref = {(r["id_a"], r["id_b"], r["n_common"])
             for r in dedup.ngram_jaccard_pairs_prefix(docs, shingle_k=3, threshold=0.3).collect()}
     assert plain == pref and plain
+
+
+def test_prefix_filter_integer_boundary(spark):
+    """Float-error regression: at t=0.8 with |A|=5 distinct shingles,
+    (1-t)*|A| computes as 0.9999... and a naive floor()+1 prefix misses
+    the qualifying 4/5-overlap pair."""
+    docs = spark.createDataFrame(
+        [("A", "a b c d e"), ("B", "b c d e")], ["doc_id", "text"]
+    )
+    plain = dedup.ngram_jaccard_pairs(
+        docs, shingle_k=1, threshold=0.8, max_df=None
+    ).collect()
+    pref = dedup.ngram_jaccard_pairs_prefix(
+        docs, shingle_k=1, threshold=0.8, max_df=None
+    ).collect()
+    assert len(plain) == len(pref) == 1
+
+
+def test_prefix_filter_max_df_parity(spark):
+    """max_df semantics match the plain operator: hot shingles removed
+    from intersections, sizes stay unfiltered."""
+    rows = [
+        (f"h{i:02d}", f"hot1 hot2 u{i} v{i} w{i} s{i // 2}") for i in range(30)
+    ]
+    hd = spark.createDataFrame(rows, ["doc_id", "text"])
+    key = lambda r: (r["id_a"], r["id_b"], r["n_common"], round(r["jaccard"], 9))
+    p1 = {key(r) for r in dedup.ngram_jaccard_pairs(
+        hd, shingle_k=1, threshold=0.05, max_df=10).collect()}
+    p2 = {key(r) for r in dedup.ngram_jaccard_pairs_prefix(
+        hd, shingle_k=1, threshold=0.05, max_df=10).collect()}
+    assert p1 == p2 and len(p1) == 15
+
+
+def test_minhash_null_and_empty_text(spark):
+    """NULL/empty text must be dropped, not crash the Arrow UDF task."""
+    nd = spark.createDataFrame(
+        [("x", None), ("e", ""), ("y", "hello world hello world")],
+        "doc_id string, text string",
+    )
+    rows = dedup.minhash_signatures(nd, shingle_k=3).collect()
+    assert [r["doc_id"] for r in rows] == ["y"]
+
+
+def test_clusters_raise_on_nonconvergence(spark):
+    """A component with diameter above max_iterations must fail loudly,
+    never return half-propagated labels."""
+    chain = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(24)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(chain, max_iterations=5).collect()
+    full = dedup.near_dup_clusters(chain, max_iterations=30)
+    assert full.filter(F.col("cluster_id") == "d000").count() == 25

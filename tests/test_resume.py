@@ -86,3 +86,30 @@ def test_rerun_after_complete_is_noop(spark, tmp_path):
     stats = run_resumable(raw, store, _transform, n_splits=4, wave_size=4)
     assert stats["splits_processed"] == 0
     assert stats["docs_processed"] == 0
+
+
+def test_mismatched_prebucketed_split_rejected(spark, tmp_path):
+    """A pre-bucketed split column from a different n_splits must be
+    rejected, not silently drop the out-of-range splits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.model import RAW_SCHEMA
+    from machine_readability_checker_spark.operators.extract import extract
+    from machine_readability_checker_spark.operators.repartition import split_id
+    from machine_readability_checker_spark.plans.manifest import (
+        ManifestStore,
+        run_resumable,
+    )
+    from machine_readability_checker_spark.sources.fixtures import gen_corpus
+
+    raw = spark.createDataFrame(gen_corpus(40), schema=RAW_SCHEMA).withColumn(
+        "split", split_id("doc_id", 16)
+    )
+    store = ManifestStore(str(tmp_path / "mm"))
+    with pytest.raises(ValueError, match="outside range"):
+        run_resumable(
+            raw, store, lambda d: extract(d).withColumn(
+                "split", split_id("doc_id", 4)
+            ), n_splits=4, wave_size=4,
+        )
