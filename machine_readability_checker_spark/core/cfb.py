@@ -42,7 +42,9 @@ def read_stream(data: bytes, name: str) -> Optional[bytes]:
     n_difat = _u32(data, 72)
 
     def sector(idx: int) -> bytes:
-        off = SECTOR + idx * sector_size
+        # per spec, sector i starts at (i+1)*sector_size: the header
+        # occupies one full sector (4096 bytes in v4 files, not 512)
+        off = (idx + 1) * sector_size
         return data[off : off + sector_size]
 
     # DIFAT: first 109 entries in header, then chained sectors
@@ -128,12 +130,21 @@ def write_single_stream(name: str, payload: bytes) -> bytes:
 
     # layout: [FAT sectors][directory sector][payload sectors]
     n_dir_sectors = 1
-    while True:
-        n_fat = 1 + (n_payload_sectors + n_dir_sectors) // (SECTOR // 4)
-        total = n_fat + n_dir_sectors + n_payload_sectors
-        if n_fat * (SECTOR // 4) >= total:
-            break
+    # smallest n_fat covering itself + directory + payload (the previous
+    # formulation recomputed n_fat from scratch each iteration, clobbering
+    # the increment and hanging on ~12%% of payload sizes)
+    n_fat = 1
+    while n_fat * (SECTOR // 4) < n_fat + n_dir_sectors + n_payload_sectors:
         n_fat += 1
+    if n_fat > 109:
+        # only the 109 header DIFAT slots are written; a bigger FAT would
+        # need chained DIFAT sectors this fixture writer does not emit —
+        # fail loudly rather than produce a silently-truncated container
+        raise ValueError(
+            f"payload needs {n_fat} FAT sectors > 109 header DIFAT slots "
+            "(~6.9 MB max); the single-stream fixture writer does not "
+            "chain DIFAT sectors"
+        )
     fat_ids = list(range(n_fat))
     dir_id = n_fat
     payload_start = n_fat + n_dir_sectors

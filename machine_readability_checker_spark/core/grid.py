@@ -92,23 +92,15 @@ def parse_xlsx(content: bytes) -> ParsedDoc:
 
 
 def parse_xls(content: bytes) -> ParsedDoc:
-    """Legacy Excel: xlrd when available, else the stdlib BIFF8 reader
-    (``core/xls.py``) — both produce the grid + workbook side-channel."""
+    """Legacy Excel via the stdlib BIFF8 reader (``core/xls.py``).
+
+    Always the stdlib reader, even when xlrd is importable: an optional
+    xlrd fast path would not populate the workbook side-channel (merged
+    ranges, hidden dims, format flags) and returns '' where this reader
+    returns None for blank cells — the same document would then produce
+    different rule results depending on which libraries happen to be on
+    the cluster, breaking the one-implementation determinism contract."""
     doc = ParsedDoc(fmt="xls")
-    try:
-        import xlrd
-    except ImportError:
-        xlrd = None
-    if xlrd is not None:  # pragma: no cover — xlrd absent in container
-        try:
-            wb = xlrd.open_workbook(file_contents=content, formatting_info=True)
-            for sheet in wb.sheets():
-                rows = [sheet.row_values(r) for r in range(sheet.nrows)]
-                doc.sheets.append(SheetGrid(name=sheet.name, rows=rows))
-            return doc
-        except Exception as e:
-            doc.parse_error = f"xls parse failed: {e}"
-            return doc
     try:
         from .xls import read_xls
 

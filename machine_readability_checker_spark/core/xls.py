@@ -94,12 +94,15 @@ def _rk_value(rk: int):
             v -= 0x40000000
         val: Any = v
     else:
-        val = struct.unpack("<d", struct.pack("<I", rk & 0xFFFFFFFC)[:4].ljust(4, b"\x00") + b"\x00\x00\x00\x00")[0]
+        # RK floats are the high 32 bits of an IEEE double (low half zero)
         val = struct.unpack("<d", b"\x00\x00\x00\x00" + struct.pack("<I", rk & 0xFFFFFFFC))[0]
     if cents:
         val = val / 100
-    if isinstance(val, float) and val.is_integer() and not cents:
-        pass
+    # integral doubles become int, exactly like the NUMBER-record path —
+    # the same sheet value must render identically regardless of which
+    # record type the producing writer chose
+    if isinstance(val, float) and val.is_integer() and abs(val) < 1e15:
+        val = int(val)
     return val
 
 
@@ -229,7 +232,10 @@ def read_xls(content: bytes) -> XlsxWorkbook:
                     sheet.hidden_rows.append(r)
             elif rec == R_COLINFO:
                 c0, c1, width, _xf, flags = struct.unpack_from("<HHHHH", data, 0)
-                if width == 0:
+                # real Excel hides a column by setting fHidden (0x0001)
+                # and KEEPS the stored width for unhide — width==0 alone
+                # misses those (the ROW handler above checks both, too)
+                if width == 0 or flags & 0x0001:
                     sheet.hidden_cols.extend(range(c0, min(c1, 255) + 1))
             elif rec == R_MERGEDCELLS:
                 (cnt,) = struct.unpack_from("<H", data, 0)

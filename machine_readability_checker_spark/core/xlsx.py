@@ -272,9 +272,6 @@ def read_xlsx(content: bytes) -> XlsxWorkbook:
                         if s_attr is not None:
                             for flag in _style_flags(int(s_attr), fonts, fills, xfs):
                                 sheet.format_flags.append((rr, cc, flag))
-                            if val is not None:
-                                max_r = max(max_r, rr)
-                                max_c = max(max_c, cc)
 
             if max_r >= 0:
                 grid: List[List[Any]] = [
