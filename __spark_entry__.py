@@ -727,7 +727,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "fingerprints": """
             SELECT source, COUNT(*) AS n_docs,
                    COUNT(DISTINCT md5(lower(
-                     regexp_replace(text, '[^A-Za-z0-9]', '', 'g')
+                     regexp_replace(text, '[^\p{L}\p{N}]', '', 'g')
                    ))) AS n_distinct_fp
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -806,7 +806,7 @@ def _oracle_sql_literal() -> dict[str, str]:
               SELECT doc_id, text FROM (
                 SELECT doc_id, text, row_number() OVER (
                   PARTITION BY md5(lower(
-                    regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+                    regexp_replace(text, '[^\p{{L}}\p{{N}}]', '', 'g')))
                   ORDER BY doc_id) AS rn
                 FROM s1
               ) WHERE rn = 1

@@ -77,8 +77,11 @@ def _token_hashes(text: Column) -> Column:
     """31-bit per-token hashes (bounded so the base-33 polynomial shingle
     combination below stays inside a signed 64-bit long for k ≤ 7 — ANSI
     mode throws on long overflow)."""
-    toks = F.filter(F.split(text, " "), lambda x: x != "")
-    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(2147483647)))
+    from .textstats import tokens
+
+    return F.transform(
+        tokens(text), lambda t: F.pmod(F.xxhash64(t), F.lit(2147483647))
+    )
 
 
 def _shingles_from_hashes(th: Column, k: int) -> Column:
@@ -86,6 +89,11 @@ def _shingles_from_hashes(th: Column, k: int) -> Column:
     column.  IMPORTANT: pass a plain column reference, not a nested
     expression — interpreted higher-order functions re-evaluate
     subexpressions per element access, turning O(n·k) into O(n²·k)."""
+    if not 1 <= k <= 7:
+        # 31-bit token hashes × base-33 polynomial stay inside a signed
+        # long only for k ≤ 7 (ANSI mode throws on overflow), and the
+        # short-document fallback slices the first 7 hashes
+        raise ValueError(f"shingle_k must be in [1, 7], got {k}")
     n = F.size(th)
 
     def _combo(i: Column) -> Column:
@@ -256,8 +264,9 @@ def simhash_votes(text: Column, bits: int = 64) -> Column:
     """Per-bit ±1 vote array over token xxhash64 values.  Shift amounts
     must be Python ints in the DataFrame API, so the bit loop is unrolled
     driver-side; the expression tree stays JVM-only."""
-    toks = F.filter(F.split(text, " "), lambda x: x != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    from .textstats import tokens
+
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     return F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),
@@ -319,8 +328,9 @@ def simhash_table(
             out[i] = packed.astype(np.int64)
         return pd.Series(out)
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    from .textstats import tokens
+
+    hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     return (
         df.select(id_col, hashes.alias("_hs"))
         .filter(F.size("_hs") > 0)
@@ -338,12 +348,25 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    band_bits: int = 16,
+    band_bits: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 64/band_bits
     chunks (pigeonhole: any pair within max_hamming shares ≥1 exact band
-    when bands > max_hamming), bucket-join, verify true Hamming."""
+    when bands > max_hamming), bucket-join, verify true Hamming.
+
+    ``band_bits`` defaults to the largest width that still satisfies the
+    pigeonhole guarantee (bands = 64//band_bits > max_hamming); passing a
+    wider value explicitly is rejected rather than silently losing
+    qualifying pairs."""
+    if band_bits is None:
+        band_bits = max(1, 64 // (max_hamming + 1))
     n_bands = 64 // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"{n_bands} bands of {band_bits} bits cannot guarantee recall "
+            f"at max_hamming={max_hamming}: a pair may differ in every "
+            "band (need bands > max_hamming)"
+        )
     hashed = simhash_table(df, text_col, id_col)
     mask = (1 << band_bits) - 1
     bandsdf = hashed.select(

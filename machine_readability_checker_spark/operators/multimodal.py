@@ -126,17 +126,28 @@ def encode_fake_video(frames: list[bytes]) -> bytes:
     return b"".join(out)
 
 
-def _iter_fake_frames(content: bytes):
+def _decode_fake_frames(content: bytes) -> list:
+    """Decode ALL frames up front, validating every length prefix — a
+    truncated container must yield one quarantine row, never a mix of
+    'good' frame rows and an error row for the same blob (the either-or
+    contract of the other media kernels), and a lying length prefix must
+    not silently produce short frame bytes."""
     if not content.startswith(FAKE_VIDEO_MAGIC):
         raise ValueError("unknown video container")
     off = len(FAKE_VIDEO_MAGIC)
     (n,) = struct.unpack_from("<I", content, off)
     off += 4
-    for _ in range(n):
+    frames = []
+    for i in range(n):
+        if off + 4 > len(content):
+            raise ValueError(f"truncated container at frame {i}")
         (ln,) = struct.unpack_from("<I", content, off)
         off += 4
-        yield content[off : off + ln]
+        if off + ln > len(content):
+            raise ValueError(f"frame {i} length {ln} exceeds container")
+        frames.append(content[off : off + ln])
         off += ln
+    return frames
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -222,9 +233,8 @@ def sample_frames(media_df: DataFrame, every_k: int = 2) -> DataFrame:
             }
             for row in batch.itertuples(index=False):
                 try:
-                    for i, frame in enumerate(
-                        _iter_fake_frames(bytes(row.content))
-                    ):
+                    frames = _decode_fake_frames(bytes(row.content))
+                    for i, frame in enumerate(frames):
                         if i % every_k:
                             continue
                         out["doc_id"].append(row.doc_id)

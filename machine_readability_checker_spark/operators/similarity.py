@@ -41,7 +41,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero/empty vectors (try_divide) instead of the ANSI
+    DIVIDE_BY_ZERO task failure — one all-zeros embedding must not kill
+    a corpus-scale job; threshold/rank filters then drop the NULLs."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

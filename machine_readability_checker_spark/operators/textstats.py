@@ -100,10 +100,14 @@ def lang_id(col: Column) -> Column:
 
 
 def doc_fingerprint(col: Column) -> Column:
-    """Deterministic document fingerprint: md5 of the lowercased text with
-    all non-alphanumerics removed (portable across engines — the rolling-
-    hash analog of the reference's deterministic finding keys)."""
-    normalized = F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
+    """Deterministic document fingerprint: md5 of the lowercased text
+    with everything outside Unicode letters/digits removed (portable
+    across engines — Spark's Java regex and DuckDB's RE2 agree on
+    \p{L}\p{N}).  MUST be Unicode classes, not [A-Za-z0-9]: an ASCII
+    class normalizes every CJK-only document to the empty string, and a
+    fingerprint-dedup stage would then collapse an entire Japanese
+    corpus into one "duplicate" group."""
+    normalized = F.lower(F.regexp_replace(col, r"[^\p{L}\p{N}]", ""))
     return F.md5(F.encode(normalized, "UTF-8"))
 
 

@@ -468,14 +468,9 @@ def gen_corpus(
     chosen = (
         [f for f in FAMILIES if f[0] in set(families)] if families else FAMILIES
     )
-    docs: List[Dict[str, Any]] = []
-    for i in range(n_docs):
-        rng = np.random.RandomState(seed * 1_000_003 + i)
-        if whale_every and i > 0 and i % whale_every == 0:
-            docs.append(fam_whale(rng, i))
-        else:
-            _, fam = chosen[i % len(chosen)]
-            docs.append(fam(rng, i))
-    df = pd.DataFrame(docs)
-    df["doc_id"] = [f"doc{i:08d}_{d}" for i, d in enumerate(df["doc_id"])]
-    return df
+    # one per-index body, shared with the distributed path
+    # (gen_corpus_spark) — duplicated seeding/cycling logic would let the
+    # local and Spark-generated corpora silently diverge
+    return pd.DataFrame(
+        [gen_doc(i, seed, whale_every, chosen) for i in range(n_docs)]
+    )

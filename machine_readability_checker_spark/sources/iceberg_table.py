@@ -73,10 +73,17 @@ class IcebergLayoutTable:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)
-        # pointer flip: write-temp + rename, same protocol as manifests
+        # pointer flip: write-temp + fsync + rename, same protocol as
+        # manifests (without the fsync a crash can journal the rename
+        # before the data blocks land, leaving an empty pointer that
+        # bricks every subsequent read).  Single-writer protocol: like
+        # Iceberg's, version allocation assumes one committer at a time
+        # (a real catalog arbitrates concurrent commits).
         fd, tmp = tempfile.mkstemp(prefix=".cur.", dir=self.snapshot_dir)
         with os.fdopen(fd, "w") as f:
             f.write(f"v{version}.json")
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.snapshot_dir, "current"))
         return snap
 

@@ -38,10 +38,17 @@ def extension_gate(df_raw: DataFrame) -> Tuple[DataFrame, DataFrame]:
     """(supported, quarantined) split on the format column.  Pure filter —
     pushed into the scan, no shuffle."""
     fmt = F.lower(F.col("fmt"))
-    supported = df_raw.filter(fmt.isin(SUPPORTED_FORMATS))
-    rejected = df_raw.filter(~fmt.isin(SUPPORTED_FORMATS)).withColumn(
+    # coalesce: a NULL fmt makes isin() NULL, and BOTH filter(p) and
+    # filter(~p) drop NULL rows — the document would vanish from the
+    # pipeline with no quarantine record, the exact failure the gate
+    # exists to prevent.  NULL routes to quarantine.
+    ok = F.coalesce(fmt.isin(SUPPORTED_FORMATS), F.lit(False))
+    supported = df_raw.filter(ok)
+    rejected = df_raw.filter(~ok).withColumn(
         "quarantine_reason",
-        F.concat(F.lit("unsupported format: "), F.col("fmt")),
+        F.concat(
+            F.lit("unsupported format: "), F.coalesce(F.col("fmt"), F.lit("<null>"))
+        ),
     )
     return supported, rejected
 

@@ -71,15 +71,16 @@ def stream_extract_to_table(
     store = ManifestStore(table_root)
 
     def _commit(batch_df, batch_id: int) -> None:
-        n = batch_df.count()
         out = extract(batch_df).withColumn(
             "split", F.lit(int(batch_id)).cast("int")
         )
-        (
-            out.write.mode("overwrite").parquet(
-                os.path.join(store.data_dir, f"split={int(batch_id)}")
-            )
-        )
+        target = os.path.join(store.data_dir, f"split={int(batch_id)}")
+        out.write.mode("overwrite").parquet(target)
+        # count from the committed output (footer metadata read, no data
+        # scan) instead of a separate count() job over the batch input —
+        # that pre-count re-scanned every micro-batch's files, and the
+        # manifest should record what was written, not what arrived
+        n = batch_df.sparkSession.read.parquet(target).count()
         store.commit_split(int(batch_id), {"docs": n, "source": "stream"})
 
     raw = (

@@ -373,3 +373,61 @@ def test_clusters_raise_on_nonconvergence(spark):
         dedup.near_dup_clusters(chain, max_iterations=5).collect()
     full = dedup.near_dup_clusters(chain, max_iterations=30)
     assert full.filter(F.col("cluster_id") == "d000").count() == 25
+
+
+def test_fingerprint_distinguishes_cjk_documents(spark):
+    """Regression: an ASCII-only normalization class collapsed every
+    CJK-only document to md5('') — distinct Japanese docs must keep
+    distinct fingerprints, and the funnel must not dedup them away."""
+    rows = [("j1", "品目 数量 単価 合計 備考"), ("j2", "調査 回答 年齢 性別 地域"),
+            ("j3", "品目 数量 単価 合計 備考")]  # j3 dups j1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", textstats.doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps["j1"] != fps["j2"]
+    assert fps["j1"] == fps["j3"]
+    funnel = {r["stage"]: r["n_docs"]
+              for r in textstats.cleaning_funnel(df).collect()}
+    assert funnel["normalized_dedup"] == 2  # j3 deduped, j2 kept
+
+
+def test_simhash_pairs_banding_guarantee(spark, docs):
+    """Defaults must satisfy the pigeonhole bound; an explicit band_bits
+    that cannot is rejected."""
+    import pytest
+
+    # hamming-4 pair that the old 4-band default could miss entirely
+    rows = [("a", 0x0001000100010001), ("b", 0x0)]
+    # (can't inject raw hashes through the public API; assert the
+    #  parameter contract instead)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_pairs(docs, max_hamming=8, band_bits=16)
+    # defaults now derive a compliant banding
+    pairs = dedup.simhash_pairs(docs, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("d1", "d2") in got
+
+
+def test_extension_gate_null_fmt_quarantined(spark):
+    from machine_readability_checker_spark.sources.ingest import extension_gate
+
+    df = spark.createDataFrame(
+        [("a", "csv"), ("b", None), ("c", "docx")],
+        "doc_id string, fmt string",
+    )
+    ok, rej = extension_gate(df)
+    assert {r["doc_id"] for r in ok.collect()} == {"a"}
+    assert {r["doc_id"] for r in rej.collect()} == {"b", "c"}
+
+
+def test_truncated_video_yields_single_quarantine_row(spark):
+    from machine_readability_checker_spark.operators import multimodal as M
+
+    frames = [M.encode_fake_image(2, 1, bytes([i, i])) for i in range(5)]
+    vid = M.encode_fake_video(frames)
+    truncated = vid[: len(vid) - len(frames[-1]) - 10]  # cut mid-frame
+    vdf = spark.createDataFrame(
+        [("d", "vid/t", "video", bytearray(truncated))], schema=M.MEDIA_SCHEMA
+    )
+    rows = M.sample_frames(vdf, every_k=1).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is not None
