@@ -28,9 +28,6 @@ from machine_readability_checker_spark.operators.extract import (  # noqa: E402
 )
 from machine_readability_checker_spark.functions import native as N  # noqa: E402
 
-SF_DEFAULT = "/root/testdata/sf0.01"
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -51,8 +48,15 @@ def _docs_as_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), (F.size(padded) / 5).cast("int") - 1),
         lambda i: F.concat_ws(",", F.slice(padded, i * F.lit(5) + 1, 5)),
     )
+    # token-less documents: F.sequence(0, -1) would yield [0, -1] and
+    # fabricate two phantom blank rows — emit a header-only CSV instead
+    # (0 data rows, matching the (n+pad)/5 = 0 the DuckDB oracles compute)
     csv = F.concat(
-        F.lit("c1,c2,c3,c4,c5\n"), F.array_join(rows, "\n"), F.lit("\n")
+        F.lit("c1,c2,c3,c4,c5\n"),
+        F.when(
+            F.size(padded) > 0,
+            F.concat(F.array_join(rows, "\n"), F.lit("\n")),
+        ).otherwise(F.lit("")),
     )
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),

@@ -50,6 +50,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument(
+        "--require-known-lang", action="store_true",
+        help="also drop documents whose stopword-vote language ID is "
+        "'und' (off by default: synthetic/tabular corpora are mostly "
+        "language-free and would be wiped out)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -77,23 +83,41 @@ def main() -> None:
         .agg(F.concat_ws(" ", F.collect_list("s.text")).alias("text"))
     ).persist()
 
-    funnel = TS.cleaning_funnel(texts)
-    funnel.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
-    funnel_rows = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    # the SAME stage list produces both the reported funnel counts and
+    # the materialized survivors — stats can never describe a corpus
+    # that was not actually built
+    stages = TS.cleaning_stages(
+        texts, require_known_lang=args.require_known_lang
+    )
+    funnel_rows = {}
+    rows = []
+    for idx, (name, frame) in enumerate(stages):
+        n = frame.count()
+        funnel_rows[name] = n
+        rows.append((idx, name, n))
+    spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_docs long"
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
+    survivors = stages[-1][1].persist()
 
-    pairs = D.ngram_jaccard_pairs(texts, shingle_k=3, threshold=args.jaccard)
+    # default max_df=1000 is the scale-safe hot-shingle cap; it is sound
+    # here because exact duplicates were already removed by the funnel's
+    # dedup stages (a >1000-member identical-text cluster can no longer
+    # zero out its own intersections)
+    pairs = D.ngram_jaccard_pairs(survivors, shingle_k=3, threshold=args.jaccard)
     clusters = D.near_dup_clusters(pairs)
     clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
-    cleaned = D.dedup_keep_list(texts, clusters)
+    cleaned = D.dedup_keep_list(survivors, clusters)
     cleaned.write.mode("overwrite").parquet(os.path.join(args.out, "cleaned"))
 
-    n_in = texts.count()
+    n_in = survivors.count()
     n_out = spark.read.parquet(os.path.join(args.out, "cleaned")).count()
     wall = time.time() - t0
     print(
         json.dumps(
             {
-                "docs_in": n_in,
+                "docs_in": texts.count(),
+                "docs_after_funnel": n_in,
                 "docs_cleaned": n_out,
                 "near_dup_removed": n_in - n_out,
                 "funnel": funnel_rows,

@@ -32,12 +32,13 @@ def main() -> None:
     spark = get_spark("mrc-gen-corpus")
     spark.sparkContext.setLogLevel("WARN")
     corpus = gen_corpus_spark(spark, args.n, partitions=args.partitions)
-    writer = corpus.write.mode("overwrite")
     if args.splits:
         from machine_readability_checker_spark.operators.repartition import split_id
 
         corpus = corpus.withColumn("split", split_id("doc_id", args.splits))
-        writer = corpus.write.mode("overwrite").partitionBy("split")
+    writer = corpus.write.mode("overwrite")
+    if args.splits:
+        writer = writer.partitionBy("split")
     writer.parquet(args.out)
     print(args.out)
     spark.stop()

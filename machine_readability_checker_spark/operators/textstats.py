@@ -124,6 +124,51 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def cleaning_stages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    require_known_lang: bool = True,
+) -> list:
+    """The cleaning pipeline's cumulative stages as (name, DataFrame)
+    pairs — the single definition both ``cleaning_funnel`` (stats) and
+    ``apply_cleaning`` (materialization) consume, so the reported funnel
+    can never drift from what a job actually applies."""
+    from pyspark.sql import Window
+
+    from .dedup import exact_dedup
+
+    stages = [("raw", df)]
+    s1 = exact_dedup(df, text_col, id_col)
+    stages.append(("exact_dedup", s1))
+
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    s2 = (
+        s1.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    stages.append(("normalized_dedup", s2))
+
+    s3 = s2.filter(token_count(F.col(text_col)) >= 5)
+    stages.append(("min_tokens", s3))
+
+    if require_known_lang:
+        stages.append(("lang_known", s3.filter(lang_id(F.col(text_col)) != "und")))
+    return stages
+
+
+def apply_cleaning(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    require_known_lang: bool = True,
+) -> DataFrame:
+    """The cleaned corpus: survivors of the final cleaning stage."""
+    return cleaning_stages(df, text_col, id_col, require_known_lang)[-1][1]
+
+
 def cleaning_funnel(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -141,30 +186,7 @@ def cleaning_funnel(
     from codegen'd aggregates, so the funnel costs one pass per stage at
     corpus scale (and stages share scan/shuffle work through Spark's
     exchange reuse where plans allow)."""
-    from pyspark.sql import Window
-
-    from .dedup import exact_dedup
-
-    stages: list[tuple[str, DataFrame]] = [("raw", df)]
-
-    s1 = exact_dedup(df, text_col, id_col)
-    stages.append(("exact_dedup", s1))
-
-    w = Window.partitionBy("_fp").orderBy(id_col)
-    s2 = (
-        s1.withColumn("_fp", doc_fingerprint(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
-    )
-    stages.append(("normalized_dedup", s2))
-
-    s3 = s2.filter(token_count(F.col(text_col)) >= 5)
-    stages.append(("min_tokens", s3))
-
-    s4 = s3.filter(lang_id(F.col(text_col)) != "und")
-    stages.append(("lang_known", s4))
-
+    stages = cleaning_stages(df, text_col, id_col)
     counts = None
     for idx, (name, frame) in enumerate(stages):
         row = frame.agg(F.count("*").alias("n_docs")).select(

@@ -107,21 +107,34 @@ def run_resumable(
         # partitioned by split): the wave filter below becomes partition
         # pruning — each wave reads only its own split directories instead
         # of re-scanning the whole corpus.  Trusting the column requires
-        # it to actually be a bucket id for THIS n_splits: a corpus
-        # bucketed with a different --splits (or an unrelated column that
-        # happens to be named 'split') would make some waves select
-        # nothing and the job report success while silently dropping
-        # data.  The domain check below is metadata-cheap on
-        # directory-partitioned input (partition listing, no data read).
-        observed = [
-            r["split"]
-            for r in df_raw.select("split").distinct().collect()
+        # it to actually be split_id(doc_id, n_splits, salt): a corpus
+        # bucketed with a DIFFERENT n_splits passes a mere range check
+        # (every mod-12 value lies inside range(16)) and cross-wave
+        # dynamic partition overwrites then silently destroy data.  So
+        # re-derive the bucket for a sample of rows and compare with the
+        # stored value — a modulus/salt mismatch disagrees on roughly
+        # (1 - 1/n_splits) of rows, so 500 samples make a false pass
+        # astronomically unlikely, for the cost of one tiny scan.
+        sample = (
+            df_raw.select(
+                F.col("split").alias("_stored"),
+                split_id(doc_id_col, n_splits, salt).alias("_derived"),
+            )
+            .limit(500)
+            .collect()
+        )
+        mismatched = [
+            (r["_stored"], r["_derived"])
+            for r in sample
+            if r["_stored"] is None or int(r["_stored"]) != int(r["_derived"])
         ]
-        bad = [s for s in observed if s is None or int(s) not in range(n_splits)]
-        if bad:
+        if mismatched:
             raise ValueError(
-                f"pre-bucketed 'split' column has values {sorted(bad)[:5]} "
-                f"outside range({n_splits}) — the input was bucketed with a "
+                f"pre-bucketed 'split' column disagrees with "
+                f"split_id(doc_id, {n_splits}, salt={salt}) on "
+                f"{len(mismatched)}/{len(sample)} sampled rows (e.g. "
+                f"stored={mismatched[0][0]!r} vs derived="
+                f"{mismatched[0][1]!r}) — the input was bucketed with a "
                 "different n_splits/salt (or 'split' is not a bucket id); "
                 "drop the column or re-bucket with matching --splits"
             )

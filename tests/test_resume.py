@@ -103,13 +103,26 @@ def test_mismatched_prebucketed_split_rejected(spark, tmp_path):
     )
     from machine_readability_checker_spark.sources.fixtures import gen_corpus
 
-    raw = spark.createDataFrame(gen_corpus(40), schema=RAW_SCHEMA).withColumn(
+    # bucketed with MORE splits than the job expects (values out of range)
+    raw16 = spark.createDataFrame(gen_corpus(40), schema=RAW_SCHEMA).withColumn(
         "split", split_id("doc_id", 16)
     )
     store = ManifestStore(str(tmp_path / "mm"))
-    with pytest.raises(ValueError, match="outside range"):
+    with pytest.raises(ValueError, match="disagrees with split_id"):
         run_resumable(
-            raw, store, lambda d: extract(d).withColumn(
+            raw16, store, lambda d: extract(d).withColumn(
                 "split", split_id("doc_id", 4)
             ), n_splits=4, wave_size=4,
+        )
+    # bucketed with FEWER splits: every value is in range(16), but a
+    # range check alone would pass and cross-wave dynamic overwrites
+    # would silently destroy data — the derivation check must catch it
+    raw4 = spark.createDataFrame(gen_corpus(40), schema=RAW_SCHEMA).withColumn(
+        "split", split_id("doc_id", 4)
+    )
+    with pytest.raises(ValueError, match="disagrees with split_id"):
+        run_resumable(
+            raw4, ManifestStore(str(tmp_path / "mm2")),
+            lambda d: extract(d).withColumn("split", split_id("doc_id", 16)),
+            n_splits=16, wave_size=4,
         )

@@ -56,6 +56,11 @@ def main():
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only is not None and only not in qs:
+        raise SystemExit(
+            f"unknown query {only!r} — nothing would be checked; "
+            f"valid names: {', '.join(sorted(qs))}"
+        )
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name != only:

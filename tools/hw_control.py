@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHUNK_DOCS = 200
+CHUNK_DOCS = 100
 _DF = None
 
 
@@ -55,10 +55,18 @@ def main() -> None:
         for start in range(0, total, CHUNK_DOCS)
     ]
 
+    if len(chunks) < workers * 4:
+        print(
+            f"warning: only {len(chunks)} work units for {workers} workers "
+            "— use a larger corpus or the control under-utilizes the pool",
+            file=sys.stderr,
+        )
     ctx = mp.get_context("fork")
     t0 = time.time()
     with ctx.Pool(workers) as pool:
-        done = sum(pool.imap_unordered(_run_chunk, chunks, chunksize=4))
+        # chunksize=1: grouping dispatch units starves workers on small
+        # corpora and invalidates the ceiling measurement
+        done = sum(pool.imap_unordered(_run_chunk, chunks, chunksize=1))
     wall = time.time() - t0
     print(
         json.dumps(

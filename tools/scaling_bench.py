@@ -146,6 +146,16 @@ def main() -> None:
 
 
 def _write_report(results: dict, n_docs: int) -> None:
+    missing = [c for c in (4, 8, 16, 32) if c not in results]
+    if missing:
+        raise SystemExit(
+            f"results file lacks runs for cores {missing}; run "
+            f"'python tools/scaling_bench.py run <cores>' for each before "
+            "'report' (existing results are preserved)"
+        )
+    for c in (4, 8, 16, 32):
+        if results[c].get("steady_docs_per_sec") is None:
+            results[c]["steady_docs_per_sec"] = results[c]["docs_per_sec"]
 
     eff_4_16 = (results[16]["docs_per_sec"] / results[4]["docs_per_sec"]) / 4.0
     eff_8_32 = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
