@@ -296,7 +296,7 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("tc").alias("total_tokens"),
-            F.max("tc").alias("max_tokens"),
+            F.max("tc").cast("long").alias("max_tokens"),
             F.round(F.avg("tc"), 4).alias("avg_tokens"),
         )
         .orderBy("lang")
@@ -519,13 +519,13 @@ WITH per_doc AS (
   FROM per_doc
 )
 SELECT 'cell' AS kind,
-       SUM(n_rows) AS n_spans,
-       SUM(text_len) AS total_text_len
+       CAST(SUM(n_rows) AS BIGINT) AS n_spans,
+       CAST(SUM(text_len) AS BIGINT) AS total_text_len
 FROM cells
 UNION ALL
 SELECT 'header' AS kind,
-       5 * COUNT(*) AS n_spans,
-       10 * COUNT(*) AS total_text_len
+       CAST(5 * COUNT(*) AS BIGINT) AS n_spans,
+       CAST(10 * COUNT(*) AS BIGINT) AS total_text_len
 FROM documents
 ORDER BY kind
 """
@@ -631,7 +631,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY n_name ORDER BY n_name
         """,
         "top_orders_per_customer": """
-            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                   CAST(rn AS INTEGER) AS rn
             FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
                      row_number() OVER (
@@ -664,7 +665,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM events
               )
             )
-            SELECT user_id, SUM(new_session) AS n_sessions,
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
@@ -678,7 +679,8 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "summary_by_type": """
             SELECT event_type, COUNT(*) AS total,
-                   SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS passed,
+                   CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS passed,
                    round(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) * 100.0
                          / COUNT(*), 1) AS pass_rate_pct
             FROM events GROUP BY event_type ORDER BY event_type
@@ -690,27 +692,27 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT (regexp_full_match(trim(kv), '[0-9.\-]+')
                     AND TRY_CAST(trim(kv) AS DOUBLE) IS NOT NULL) AS is_clean,
                    COUNT(*) AS n,
-                   SUM(CAST(kv AS INT)) AS sum_k
+                   CAST(SUM(CAST(kv AS INT)) AS BIGINT) AS sum_k
             FROM k GROUP BY 1 ORDER BY 1
         """,
         "rule_scan_docs": f"""
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(CASE WHEN regexp_matches(text, '[\n,;/]')
-                            THEN 1 ELSE 0 END) AS n_multivalue,
-                   SUM(CASE WHEN regexp_matches(text,
+                   CAST(SUM(CASE WHEN regexp_matches(text, '[\n,;/]')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_multivalue,
+                   CAST(SUM(CASE WHEN regexp_matches(text,
                        '[①-⑳⓪-⓿Ⅰ-Ⅻ㊤㊥㊦㊧㊨㈱㈲㈹℡〒〓※]')
-                            THEN 1 ELSE 0 END) AS n_platform_chars,
-                   SUM(CASE WHEN contains(text, '　') THEN 1 ELSE 0 END)
-                     AS n_fw_space,
-                   SUM(len(list_filter({_TOKS},
-                       x -> lower(trim(x)) IN {_MISSING_LIST})))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_platform_chars,
+                   CAST(SUM(CASE WHEN contains(text, '　') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fw_space,
+                   CAST(SUM(len(list_filter({_TOKS},
+                       x -> lower(trim(x)) IN {_MISSING_LIST}))) AS BIGINT)
                      AS n_missing_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
         "token_stats_by_lang": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len({_TOKS})) AS total_tokens,
-                   MAX(len({_TOKS})) AS max_tokens,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+                   CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens,
                    round(AVG(len({_TOKS})), 4) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -737,15 +739,15 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "quality_flags": f"""
             SELECT lang,
-                   SUM(CASE WHEN len({_TOKS}) < 5 THEN 1 ELSE 0 END)
-                     AS n_too_short,
-                   SUM(CASE WHEN (CASE WHEN length(text) > 0 THEN
+                   CAST(SUM(CASE WHEN len({_TOKS}) < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_too_short,
+                   CAST(SUM(CASE WHEN (CASE WHEN length(text) > 0 THEN
                        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                             AS DOUBLE) / length(text) ELSE 0.0 END) < 0.5
-                       THEN 1 ELSE 0 END) AS n_low_alpha,
-                   SUM(CASE WHEN len(list_filter({_TOKS},
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
+                   CAST(SUM(CASE WHEN len(list_filter({_TOKS},
                        x -> x IN ('the','a','of','and','to','in','is'))) = 0
-                       THEN 1 ELSE 0 END) AS n_no_stopwords
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stopwords
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "exact_dedup_count": """

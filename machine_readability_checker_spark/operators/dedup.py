@@ -434,7 +434,9 @@ def ngram_jaccard_pairs_prefix(
     the sets before intersection counting, while set sizes stay those of
     the UNFILTERED sets (that is what ``ngram_jaccard_pairs`` computes).
     The hot set is provably small (≤ total_rows / max_df entries) and is
-    shipped as a broadcast variable into a vectorized array-filter UDF.
+    removed by the same broadcast ANTI-join shape the plain operator
+    uses (explode → anti-join → re-collect, fully distributed — no
+    driver collect), then re-sorted so the prefix slice stays canonical.
     Prefix soundness is preserved: jaccard ≥ t on unfiltered sizes
     implies n_common ≥ t·|A| ≥ t·|A_filtered|, so the per-set prefix
     bound still holds on the filtered arrays."""
@@ -450,24 +452,25 @@ def ngram_jaccard_pairs_prefix(
     )
     arrs = arrs.select(id_col, "arr", F.size("arr").alias("orig_size"))
     if max_df is not None:
-        hot_rows = (
-            arrs.select(F.explode("arr").alias("shingle"))
-            .groupBy("shingle")
+        ex = arrs.select(
+            id_col, "orig_size", F.explode("arr").alias("shingle")
+        )
+        hot = (
+            ex.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
+            .select("shingle")
         )
-        hot = {r["shingle"] for r in hot_rows.collect()}
-        if hot:
-            bhot = df.sparkSession.sparkContext.broadcast(hot)
-
-            @F.pandas_udf(ArrayType(LongType()))
-            def _drop_hot(c: pd.Series) -> pd.Series:
-                hs = bhot.value
-                return c.apply(lambda a: [x for x in a if x not in hs])
-
-            arrs = arrs.select(
-                id_col, _drop_hot(F.col("arr")).alias("arr"), "orig_size"
-            ).localCheckpoint(eager=False)
+        # Documents whose every shingle is hot drop out of `arrs` here;
+        # they cannot appear in `cands` (no surviving prefix rows) nor be
+        # needed for verification, so the inner joins below are unaffected.
+        arrs = (
+            ex.join(F.broadcast(hot), "shingle", "left_anti")
+            .groupBy(id_col, "orig_size")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+            .select(id_col, "arr", "orig_size")
+            .localCheckpoint(eager=False)
+        )
     # prefix length = |A| - ceil(t·|A|) + 1.  The epsilon guards float
     # error in t·|A|: 0.8*5 evaluates to 4.000000000000001, whose plain
     # ceil is 5 — one element short, silently dropping qualifying pairs
@@ -503,7 +506,10 @@ def ngram_jaccard_pairs_prefix(
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")

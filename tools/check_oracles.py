@@ -1,7 +1,9 @@
 """Local emulation of the driver's correctness gate: run each
 ``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin
-on DuckDB over the same parquet, compare row count, column names, and
-order-insensitive values.
+on DuckDB over the same parquet, compare row count, column names,
+column TYPES (Arrow-level, strict — the driver's value hash is
+type-sensitive, so DuckDB HUGEINT vs Spark BIGINT is a FAIL here even
+when the values are equal), and order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query_name]
 """
@@ -11,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -21,18 +24,73 @@ from machine_readability_checker_spark.model import TESTDATA_TABLES  # noqa: E40
 from machine_readability_checker_spark.session import get_spark  # noqa: E402
 
 
+# Canonical type names: Spark simpleString -> canonical
+_SPARK_TYPES = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date",
+    "binary": "binary",
+}
+
+# Arrow type string (DuckDB fetch_arrow_table) -> canonical
+_ARROW_TYPES = {
+    "int8": "int8",
+    "int16": "int16",
+    "int32": "int32",
+    "int64": "int64",
+    "float": "float32",
+    "float32": "float32",
+    "double": "float64",
+    "float64": "float64",
+    "string": "string",
+    "large_string": "string",
+    "bool": "bool",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def canon_spark_type(t: str) -> str:
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return _SPARK_TYPES.get(t, t)
+
+
+def canon_arrow_type(t: str) -> str:
+    if t.startswith("decimal128"):
+        return t.replace("decimal128", "decimal").replace(" ", "")
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return _ARROW_TYPES.get(t, t)
+
+
 def canon(v):
+    """Type-preserving canonical value: NO int->float coercion. Floats are
+    rounded (engines legitimately differ in last-ulp on doubles); ints,
+    bools, Decimals, and strings keep their type so a typed-hash mismatch
+    shows up as a value mismatch too."""
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
     if isinstance(v, int):
-        return float(v) if not isinstance(v, bool) else v
-    return str(v)
+        return ("i", v)
+    if isinstance(v, Decimal):
+        return ("d", str(v))
+    return ("s", str(v))
 
 
 def rows_to_set(rows, cols):
@@ -68,6 +126,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = {c: canon_spark_type(t) for c, t in sdf.dtypes}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -78,9 +137,16 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = tbl.schema.names
+            d_types = {
+                f.name: canon_arrow_type(str(f.type)) for f in tbl.schema
+            }
+            d_rows = [
+                tuple(col[i] for col in cols_py)
+                for cols_py in [[c.to_pylist() for c in tbl.columns]]
+                for i in range(tbl.num_rows)
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -89,18 +155,28 @@ def main():
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL  {name}: columns spark={s_cols} duckdb={d_cols}")
             ok = False
-        elif len(s_rows) != len(d_rows):
-            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
-            ok = False
         else:
-            sset = rows_to_set(s_rows, s_cols)
-            dset = rows_to_set(d_rows, d_cols)
-            if sset != dset:
-                diffs = [
-                    (a, b) for a, b in zip(sset, dset) if a != b
-                ][:5]
-                print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
+            type_diffs = {
+                c: (s_types[c], d_types[c])
+                for c in s_cols
+                if s_types[c] != d_types[c]
+            }
+            if type_diffs:
+                print(f"FAIL  {name}: column TYPE mismatch: {type_diffs}")
                 ok = False
+            elif len(s_rows) != len(d_rows):
+                print(
+                    f"FAIL  {name}: rowcount spark={len(s_rows)} "
+                    f"duckdb={len(d_rows)}"
+                )
+                ok = False
+            else:
+                sset = rows_to_set(s_rows, s_cols)
+                dset = rows_to_set(d_rows, d_cols)
+                if sset != dset:
+                    diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+                    print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
+                    ok = False
         if ok:
             print(f"PASS  {name}: {len(s_rows)} rows")
             n_pass += 1
