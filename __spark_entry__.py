@@ -362,22 +362,29 @@ def q_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs (rows-only check: the
-    banded-LSH bucketing is not expressible in ANSI SQL)."""
+    """MinHash-LSH near-duplicate candidate pairs.  The engine-portable
+    md5-derived token hash lets a DuckDB oracle rebuild the 64-perm
+    signatures and the banded bucket join bit-for-bit; the production
+    default (xxhash64 tokens, hashed band keys) is the same algorithm
+    with a faster hash."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    return D.minhash_lsh_pairs(docs, threshold=0.2, shingle_k=3).orderBy(
-        "id_a", "id_b"
-    )
+    return D.minhash_lsh_pairs(
+        docs, threshold=0.2, shingle_k=3, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded Hamming near-dup pairs (rows-only check)."""
+    """SimHash banded Hamming near-dup pairs (portable 32-bit md5-derived
+    hash for the oracle lane).  The pigeonhole banding is recall-complete,
+    so the DuckDB oracle is the plain all-pairs Hamming ≤ max filter."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
-    return D.simhash_pairs(docs, max_hamming=4).orderBy("id_a", "id_b")
+    return D.simhash_pairs(
+        docs, max_hamming=4, bits=32, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,7 +595,183 @@ _MISSING_LIST = (
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["ngram_jaccard_prefix"] = out["ngram_jaccard_pairs"]
+    out["minhash_near_dups"] = _minhash_oracle_sql()
+    out["simhash_near_dups"] = _simhash_oracle_sql()
+    out["ann_lsh_topk"] = _ann_oracle_sql()
+    out["embedding_near_dups"] = _embedding_near_dups_oracle_sql()
     return out
+
+
+# Engine-portable LSH oracles: the query lanes use md5-derived token
+# hashes (dedup.py portable=True) and literal seeded hyperplanes, so the
+# DuckDB side below reconstructs signatures / buckets bit-for-bit.
+
+
+def _md5_int_sql(var: str, nhex: int) -> str:
+    """SQL for the integer value of the first ``nhex`` hex chars of
+    md5(var) — the DuckDB twin of Spark's conv(substring(md5(t),1,n),16,10)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({var}),{i},1))-1)"
+        f"*{16 ** (nhex - i)}"
+        for i in range(1, nhex + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _minhash_oracle_sql(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.2, seed: int = 42
+) -> str:
+    """Band-for-band MinHash-LSH twin of ``q_minhash_near_dups``
+    (shingle_k=3): portable 28-bit token hashes → base-33 3-gram shingles
+    (with the short-document fallback) → 64 permutation mins with the
+    same seeded (a,b) constants → 16 bands of 4 keyed on the value string
+    → candidate pairs → signature-estimated Jaccard ≥ threshold."""
+    from machine_readability_checker_spark.operators.dedup import (
+        MERSENNE_P,
+        _perm_params,
+    )
+
+    a, b = _perm_params(num_perm, seed)
+    rpb = num_perm // bands
+    hex7 = _md5_int_sql("t", 7)
+    mins = ",\n          ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"({ai} * (s % {MERSENNE_P}) + {bi}) % {MERSENNE_P}))"
+        for ai, bi in zip(a, b)
+    )
+    est = (
+        f"len(list_filter(range(1, {num_perm + 1}), "
+        f"i -> sa.sig[i] = sb.sig[i])) / {float(num_perm)}"
+    )
+    return f"""
+        WITH tk AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 list_transform({_TOKS}, t -> {hex7}) AS th
+          FROM documents
+        ), base AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(th) >= 3
+                   THEN [th[i]*1089 + th[i+1]*33 + th[i+2]
+                         for i in range(1, len(th) - 1)]
+                   ELSE [list_reduce(th[1:7], (acc, x) -> acc*33 + x)] END
+                 ) AS sh
+          FROM tk WHERE len(th) > 0
+        ), sigs AS (
+          SELECT doc_id, [{mins}] AS sig FROM base
+        ), bandtab AS (
+          SELECT doc_id, j AS band,
+                 array_to_string(sig[{rpb}*j+1 : {rpb}*j+{rpb}], '-')
+                   AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS j)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandtab a JOIN bandtab b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, {est} AS jaccard_est
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.id_a
+        JOIN sigs sb ON sb.doc_id = cand.id_b
+        WHERE {est} >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 4) -> str:
+    """Twin of ``q_simhash_near_dups``.  The banded bucket join is
+    recall-complete (pigeonhole: bands > max_hamming) and false positives
+    are removed by the true-Hamming filter, so the banding is pure
+    optimization — the oracle is the plain all-pairs Hamming ≤ max filter
+    over identical portable SimHash values."""
+    hex8 = _md5_int_sql("t", bits // 4)
+    bit_terms = "\n               + ".join(
+        f"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h // {1 << b}) % 2))"
+        f" - len(hs) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH tk AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 list_transform({_TOKS}, t -> {hex8}) AS hs
+          FROM documents
+        ), sim AS (
+          SELECT doc_id, ({bit_terms}) AS sh
+          FROM tk WHERE len(hs) > 0
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def _plane_lit(plane) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _bucket_expr_sql(n_planes: int, dim: int, seed: int) -> str:
+    from machine_readability_checker_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_oracle_sql(
+    k: int = 5, n_planes: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Twin of ``q_ann_lsh_topk``: bucket assignment with the same literal
+    seeded hyperplanes, within-bucket cosine ranking."""
+    bucket = _bucket_expr_sql(n_planes, dim, seed)
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cb AS (
+          SELECT vec_id, v, ({bucket}) AS bucket FROM c
+        ), ranked AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 list_cosine_similarity(c.v, q.v) AS cos_raw,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id
+                 ) AS rank
+          FROM cb c JOIN cb q ON c.bucket = q.bucket
+          WHERE q.vec_id < 4
+        )
+        SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _embedding_near_dups_oracle_sql(
+    threshold: float = 0.45, n_planes: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Twin of ``q_embedding_near_dups``: cosine ≥ threshold within
+    identical hyperplane buckets."""
+    bucket = _bucket_expr_sql(n_planes, dim, seed)
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cb AS (
+          SELECT vec_id, v, ({bucket}) AS bucket FROM c
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM cb a JOIN cb b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+        ORDER BY id_a, id_b
+    """
 
 
 def _oracle_sql_literal() -> dict[str, str]:

@@ -19,11 +19,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E  # noqa: E402
+from machine_readability_checker_spark.operators import dedup as D  # noqa: E402
 from machine_readability_checker_spark.operators.extract import extract  # noqa: E402
 from machine_readability_checker_spark.operators.repartition import (  # noqa: E402
     salted_repartition,
 )
 from machine_readability_checker_spark.session import get_spark  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
 
 BENCH_QUERIES = [
     "tpch_q1",
@@ -76,7 +79,25 @@ def main() -> None:
     timings["extract"] = round(t_extract, 3)
     raw.unpersist()
 
+    # The driver-contract queries() for minhash/simhash run the md5-based
+    # PORTABLE hash so their DuckDB oracles can reproduce signatures
+    # bit-for-bit; the bench times the PRODUCTION variants (xxhash64
+    # tokens, 64-bit simhash) — the path a real corpus job runs.
+    def _prod_minhash(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        return D.minhash_lsh_pairs(docs, threshold=0.2, shingle_k=3)
+
+    def _prod_simhash(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        return D.simhash_pairs(docs, max_hamming=4)
+
     qs = E.queries()
+    qs["minhash_near_dups"] = _prod_minhash
+    qs["simhash_near_dups"] = _prod_simhash
     for name in BENCH_QUERIES:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))

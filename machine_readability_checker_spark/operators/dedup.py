@@ -73,12 +73,25 @@ def _shingles(text: Column, k: int) -> Column:
     return _shingles_from_hashes(_token_hashes(text), k)
 
 
-def _token_hashes(text: Column) -> Column:
-    """31-bit per-token hashes (bounded so the base-33 polynomial shingle
+def _token_hashes(text: Column, portable: bool = False) -> Column:
+    """Bounded per-token hashes (≤31 bits so the base-33 polynomial shingle
     combination below stays inside a signed 64-bit long for k ≤ 7 — ANSI
-    mode throws on long overflow)."""
+    mode throws on long overflow).
+
+    ``portable=False`` (production): ``pmod(xxhash64(token), 2^31-1)`` —
+    fastest JVM-side hash.  ``portable=True`` (oracle lane): the integer
+    value of the first 7 hex chars of md5 (28 bits) — md5 is the one hash
+    both Spark and DuckDB compute identically, so a DuckDB oracle can
+    reproduce the signatures bit-for-bit."""
     from .textstats import tokens
 
+    if portable:
+        return F.transform(
+            tokens(text),
+            lambda t: F.conv(
+                F.substring(F.md5(F.encode(t, "UTF-8")), 1, 7), 16, 10
+            ).cast("long"),
+        )
     return F.transform(
         tokens(text), lambda t: F.pmod(F.xxhash64(t), F.lit(2147483647))
     )
@@ -130,6 +143,7 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, signature array<bigint>).
 
@@ -161,7 +175,7 @@ def minhash_signatures(
     # anything).  Without the filter a NULL text reaches the UDF as
     # [None] and kills the task.
     return (
-        df.select(id_col, _token_hashes(F.col(text_col)).alias("_th"))
+        df.select(id_col, _token_hashes(F.col(text_col), portable).alias("_th"))
         .filter(F.size("_th") > 0)
         .select(
             id_col,
@@ -182,19 +196,36 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     signature → ``bands`` band hashes → explode → bucket self-join (the
     only shuffle, on the band hash) → per-pair Jaccard estimate = fraction
-    of equal signature positions → filter ≥ threshold."""
+    of equal signature positions → filter ≥ threshold.
+
+    ``portable=True`` switches to the md5-derived token hash AND keys the
+    bucket join on the raw band-value string instead of its xxhash64 —
+    both reproducible in a DuckDB oracle (and collision-free by
+    construction, where the 64-bit band hash is merely collision-free in
+    practice)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     # signatures feed three subtrees (bands + both verify joins) —
     # materialize once instead of recomputing the aggregation per subtree
     sigs = minhash_signatures(
-        df, text_col, id_col, num_perm, shingle_k, seed
+        df, text_col, id_col, num_perm, shingle_k, seed, portable
     ).localCheckpoint(eager=False)
+
+    def _band_key(bi: int) -> Column:
+        vals = [
+            F.col("signature")[bi * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        joined = F.concat_ws("-", *vals)
+        # production: hash the band tuple to a slim 8-byte key; portable:
+        # keep the exact string so DuckDB can build the identical key
+        return joined if portable else F.xxhash64(joined)
 
     # slim band table: (id, band, band_hash) only — shipping the full
     # 64-long signature 16× through the bucket shuffle would dominate IO
@@ -205,15 +236,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                "-",
-                                *[
-                                    F.col("signature")[bi * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
+                        _band_key(bi).alias("band_hash"),
                     )
                     for bi in range(bands)
                 ]
@@ -308,13 +331,22 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sh): token xxhash64 JVM-side, then a numpy pandas UDF does the
     per-document bit voting + packing over the Arrow batch — one C-level
     unpack/sum per doc, zero shuffle (same rationale + measured win as
     ``minhash_signatures``).  Documents with no tokens are dropped, matching
-    the previous explode→groupBy formulation (no rows → no group)."""
+    the previous explode→groupBy formulation (no rows → no group).
+
+    ``portable=True``: 32-bit md5-derived token hashes (first 8 hex chars)
+    so a DuckDB oracle reproduces the exact SimHash values; pass
+    ``bits=32`` with it (voting over bit positions the hash doesn't fill
+    would just produce constant zeros)."""
 
     @F.pandas_udf(LongType())
     def _sh(hs: pd.Series) -> pd.Series:
@@ -330,7 +362,15 @@ def simhash_table(
 
     from .textstats import tokens
 
-    hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    if portable:
+        hashes = F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.conv(
+                F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10
+            ).cast("long"),
+        )
+    else:
+        hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     return (
         df.select(id_col, hashes.alias("_hs"))
         .filter(F.size("_hs") > 0)
@@ -349,25 +389,30 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     band_bits: Optional[int] = None,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 64/band_bits
-    chunks (pigeonhole: any pair within max_hamming shares ≥1 exact band
-    when bands > max_hamming), bucket-join, verify true Hamming.
+    """Near-dup pairs by SimHash: band the ``bits``-wide hash into
+    bits/band_bits chunks (pigeonhole: any pair within max_hamming shares
+    ≥1 exact band when bands > max_hamming), bucket-join, verify true
+    Hamming.  Because the banding is recall-COMPLETE under that guarantee,
+    the result equals the plain all-pairs Hamming filter — which is what
+    the DuckDB oracle computes for the portable lane.
 
     ``band_bits`` defaults to the largest width that still satisfies the
-    pigeonhole guarantee (bands = 64//band_bits > max_hamming); passing a
-    wider value explicitly is rejected rather than silently losing
+    pigeonhole guarantee (bands = bits//band_bits > max_hamming); passing
+    a wider value explicitly is rejected rather than silently losing
     qualifying pairs."""
     if band_bits is None:
-        band_bits = max(1, 64 // (max_hamming + 1))
-    n_bands = 64 // band_bits
+        band_bits = max(1, bits // (max_hamming + 1))
+    n_bands = bits // band_bits
     if n_bands <= max_hamming:
         raise ValueError(
             f"{n_bands} bands of {band_bits} bits cannot guarantee recall "
             f"at max_hamming={max_hamming}: a pair may differ in every "
             "band (need bands > max_hamming)"
         )
-    hashed = simhash_table(df, text_col, id_col)
+    hashed = simhash_table(df, text_col, id_col, bits, portable)
     mask = (1 << band_bits) - 1
     bandsdf = hashed.select(
         id_col,

@@ -68,6 +68,52 @@ def test_ngram_jaccard(docs):
     assert ("d1", "d4") not in got
 
 
+def test_portable_token_hash_and_minhash(docs, spark):
+    """The engine-portable (oracle-lane) token hash must equal
+    int(md5(token).hexdigest()[:7], 16) — the value a DuckDB oracle
+    computes — and the portable MinHash lane must keep the production
+    lane's semantics."""
+    import hashlib
+
+    row = (
+        spark.createDataFrame([("x", "hello world")], ["doc_id", "text"])
+        .select(dedup._token_hashes(F.col("text"), portable=True).alias("th"))
+        .collect()[0]
+    )
+    exp = [
+        int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+        for t in ["hello", "world"]
+    ]
+    assert row["th"] == exp
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.4, shingle_k=3, portable=True
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs.collect()}
+    assert got.get(("d1", "d2")) == 1.0
+    assert ("d1", "d4") not in got
+
+
+def test_portable_simhash_banding_recall_complete(docs):
+    """The pigeonhole banding must equal the brute-force all-pairs
+    Hamming filter exactly — that equivalence is what lets the DuckDB
+    oracle skip the band logic."""
+    import itertools
+
+    table = dedup.simhash_table(docs, bits=32, portable=True)
+    sh = {r["doc_id"]: r["sh"] for r in table.collect()}
+    assert all(0 <= v < (1 << 32) for v in sh.values())
+    expected = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 16
+    }
+    pairs = dedup.simhash_pairs(docs, max_hamming=16, bits=32, portable=True)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == expected
+    assert got.get(("d1", "d2")) == 0
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)
