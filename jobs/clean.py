@@ -83,22 +83,25 @@ def main() -> None:
         .agg(F.concat_ws(" ", F.collect_list("s.text")).alias("text"))
     ).persist()
 
-    # the SAME stage list produces both the reported funnel counts and
-    # the materialized survivors — stats can never describe a corpus
-    # that was not actually built
-    stages = TS.cleaning_stages(
+    # ONE labeling pass produces both the reported funnel counts and the
+    # materialized survivors — stats can never describe a corpus that was
+    # not actually built, and the dedup window shuffles run exactly once
+    # (the old per-stage recount re-executed stages 1..k-1 for stage k)
+    labeled = TS.label_drop_stage(
         texts, require_known_lang=args.require_known_lang
+    ).persist()
+    funnel_df = TS.funnel_from_labels(
+        labeled, require_known_lang=args.require_known_lang
     )
-    funnel_rows = {}
-    rows = []
-    for idx, (name, frame) in enumerate(stages):
-        n = frame.count()
-        funnel_rows[name] = n
-        rows.append((idx, name, n))
-    spark.createDataFrame(
-        rows, "stage_idx int, stage string, n_docs long"
-    ).write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
-    survivors = stages[-1][1].persist()
+    funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
+    funnel_rows = {
+        r["stage"]: r["n_docs"]
+        for r in sorted(
+            spark.read.parquet(os.path.join(args.out, "funnel")).collect(),
+            key=lambda r: r["stage_idx"],
+        )
+    }
+    survivors = labeled.filter(F.col("_drop").isNull()).drop("_drop").persist()
 
     # default max_df=1000 is the scale-safe hot-shingle cap; it is sound
     # here because exact duplicates were already removed by the funnel's

@@ -124,39 +124,61 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def cleaning_stages(
+def stage_names(require_known_lang: bool = True) -> List[str]:
+    """Cumulative cleaning-stage names, index-aligned with the ``_drop``
+    labels produced by ``label_drop_stage`` (index 0 = raw input)."""
+    names = ["raw", "exact_dedup", "normalized_dedup", "min_tokens"]
+    if require_known_lang:
+        names.append("lang_known")
+    return names
+
+
+def label_drop_stage(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     require_known_lang: bool = True,
-) -> list:
-    """The cleaning pipeline's cumulative stages as (name, DataFrame)
-    pairs — the single definition both ``cleaning_funnel`` (stats) and
-    ``apply_cleaning`` (materialization) consume, so the reported funnel
-    can never drift from what a job actually applies."""
+) -> DataFrame:
+    """ONE pass over the corpus: each document gains ``_drop`` = the
+    1-based index of the cleaning stage that removes it (NULL =
+    survivor).  This is the single definition that both the funnel
+    report and the materialized survivors consume, so the stats can
+    never drift from the corpus actually built — and, unlike a
+    cumulative re-count per stage, the two dedup window shuffles
+    execute exactly once regardless of stage count.
+
+      1. exact_dedup      : one keeper per identical text (min id)
+      2. normalized_dedup : one keeper per normalized fingerprint
+                            (lowercase, alphanumerics only) among
+                            stage-1 keepers
+      3. min_tokens       : ≥ 5 whitespace tokens
+      4. lang_known       : stopword-vote language ID ≠ 'und'
+
+    The stage-2 keeper is the min-id *stage-1 survivor* of each
+    fingerprint group; ordering the fingerprint window by
+    (_rn1, id) puts every stage-1 keeper ahead of every loser, so
+    row 1 of that window is exactly that document (every fingerprint
+    group contains at least one stage-1 keeper, because identical
+    texts share a fingerprint)."""
     from pyspark.sql import Window
 
-    from .dedup import exact_dedup
-
-    stages = [("raw", df)]
-    s1 = exact_dedup(df, text_col, id_col)
-    stages.append(("exact_dedup", s1))
-
-    w = Window.partitionBy("_fp").orderBy(id_col)
-    s2 = (
-        s1.withColumn("_fp", doc_fingerprint(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+    c = F.col(text_col)
+    w1 = Window.partitionBy("_h").orderBy(id_col)
+    w2 = Window.partitionBy("_fp").orderBy("_rn1", id_col)
+    lab = (
+        df.withColumn("_h", F.md5(F.encode(c, "UTF-8")))
+        .withColumn("_rn1", F.row_number().over(w1))
+        .withColumn("_fp", doc_fingerprint(c))
+        .withColumn("_rn2", F.row_number().over(w2))
     )
-    stages.append(("normalized_dedup", s2))
-
-    s3 = s2.filter(token_count(F.col(text_col)) >= 5)
-    stages.append(("min_tokens", s3))
-
+    drop = (
+        F.when(F.col("_rn1") > 1, F.lit(1))
+        .when(F.col("_rn2") > 1, F.lit(2))
+        .when(token_count(c) < 5, F.lit(3))
+    )
     if require_known_lang:
-        stages.append(("lang_known", s3.filter(lang_id(F.col(text_col)) != "und")))
-    return stages
+        drop = drop.when(lang_id(c) == "und", F.lit(4))
+    return lab.withColumn("_drop", drop).drop("_h", "_rn1", "_fp", "_rn2")
 
 
 def apply_cleaning(
@@ -165,34 +187,55 @@ def apply_cleaning(
     id_col: str = "doc_id",
     require_known_lang: bool = True,
 ) -> DataFrame:
-    """The cleaned corpus: survivors of the final cleaning stage."""
-    return cleaning_stages(df, text_col, id_col, require_known_lang)[-1][1]
+    """The cleaned corpus: documents no cleaning stage drops."""
+    return (
+        label_drop_stage(df, text_col, id_col, require_known_lang)
+        .filter(F.col("_drop").isNull())
+        .drop("_drop")
+    )
+
+
+def funnel_from_labels(
+    lab: DataFrame, require_known_lang: bool = True
+) -> DataFrame:
+    """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
+    frame: ONE aggregate over the labels (conditional sums), exploded
+    into the per-stage rows — no per-stage recount."""
+    names = stage_names(require_known_lang)
+    aggs = [F.count("*").alias("n_0")] + [
+        F.sum(
+            F.when(
+                F.col("_drop").isNull() | (F.col("_drop") > k), 1
+            ).otherwise(0)
+        ).alias(f"n_{k}")
+        for k in range(1, len(names))
+    ]
+    one = lab.agg(*aggs)
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("stage_idx"),
+                            F.lit(nm).alias("stage"),
+                            F.col(f"n_{i}").alias("n_docs"),
+                        )
+                        for i, nm in enumerate(names)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage_idx")
+    )
 
 
 def cleaning_funnel(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """The composed training-data cleaning pipeline as a funnel report:
-    ``(stage_idx, stage, n_docs)`` after each cumulative stage —
-
-      0. raw              : input corpus
-      1. exact_dedup      : one keeper per identical text (min id)
-      2. normalized_dedup : one keeper per normalized fingerprint
-                            (lowercase, alphanumerics only)
-      3. min_tokens       : ≥ 5 whitespace tokens
-      4. lang_known       : stopword-vote language ID ≠ 'und'
-
-    Each stage is a narrow filter or a single hash shuffle; counts come
-    from codegen'd aggregates, so the funnel costs one pass per stage at
-    corpus scale (and stages share scan/shuffle work through Spark's
-    exchange reuse where plans allow)."""
-    stages = cleaning_stages(df, text_col, id_col)
-    counts = None
-    for idx, (name, frame) in enumerate(stages):
-        row = frame.agg(F.count("*").alias("n_docs")).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    return counts.orderBy("stage_idx")
+    ``(stage_idx, stage, n_docs)`` after each cumulative stage (see
+    ``label_drop_stage`` for the stage list).  One labeling pass + one
+    aggregate — the dedup window shuffles run exactly once."""
+    return funnel_from_labels(label_drop_stage(df, text_col, id_col))

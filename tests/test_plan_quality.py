@@ -113,3 +113,25 @@ def test_rule_scan_reads_only_needed_columns(spark):
     assert "text" in read_schema and "source" in read_schema
     for unused in ("doc_id", "lang", "n_chars"):
         assert unused not in read_schema
+
+
+def test_cleaning_funnel_single_pass(spark):
+    """The funnel must label each document once: exactly the two dedup
+    window shuffles plus the final aggregation — not a per-stage recount
+    (the old shape re-executed stages 1..k-1 to count stage k, so the
+    window dedups ran ~4x)."""
+    from machine_readability_checker_spark.operators import textstats as TS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    f = TS.cleaning_funnel(docs)
+    plan = _plan(f)
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    rows = {r["stage"]: r["n_docs"] for r in f.collect()}
+    assert (
+        rows["raw"]
+        >= rows["exact_dedup"]
+        >= rows["normalized_dedup"]
+        >= rows["min_tokens"]
+        >= rows["lang_known"]
+    )
