@@ -57,9 +57,17 @@ def extract_document(
     header_end_row: int = 0,
     data_start_row: int = 0,
     data_end_row: int = 0,
+    sheet_idx: int = 0,
 ) -> Dict[str, Any]:
     """Extract one document.  Never raises — parse failures produce zero
-    spans and a metrics record with ``parse_errors=1`` (quarantine row)."""
+    spans and a metrics record with ``parse_errors=1`` (quarantine row).
+
+    ``sheet_idx`` mirrors the reference's sheet picker (the app runs the
+    rule checks on the user-selected sheet — src/app/app.py:80-133):
+    spans are emitted for every sheet, but the rule results, block count,
+    layout classification and sheet-level metrics describe the selected
+    sheet.  Out-of-range values fall back to sheet 0 (the UI cannot
+    produce them)."""
     import time as _time
 
     _t0 = _time.perf_counter()
@@ -80,6 +88,9 @@ def extract_document(
         for kind, text, media_ref in layout_triples:
             spans.append(_mk_span(kind, text, media_ref, len(spans)))
     elif doc.parse_error is None and doc.fmt in GRID_FORMATS:
+        eff_sheet = (
+            sheet_idx if doc.sheets and 0 <= sheet_idx < len(doc.sheets) else 0
+        )
         main_ctx: Optional[ZoneContext] = None
         for i, sheet in enumerate(doc.sheets):
             ctx = extract_zones(
@@ -90,7 +101,7 @@ def extract_document(
                 data_start_row=data_start_row,
                 data_end_row=data_end_row,
             )
-            if i == 0:
+            if i == eff_sheet:
                 main_ctx = ctx
             _sheet_spans(ctx, spans)
         if doc.workbook is not None:
@@ -98,19 +109,23 @@ def extract_document(
                 spans.append(_mk_span("media", "", part, len(spans)))
 
         if main_ctx is not None:
-            for rule_id, passed, msg in run_checks(doc, main_ctx, sheet_idx=0):
+            for rule_id, passed, msg in run_checks(
+                doc, main_ctx, sheet_idx=eff_sheet
+            ):
                 results.append(
                     {"rule_id": rule_id, "passed": passed, "message": msg}
                 )
             if main_ctx.valid and doc.sheets:
-                block_count = _count_main_blocks(doc, main_ctx)
+                block_count = _count_main_blocks(doc, main_ctx, eff_sheet)
             layout = (
                 "long"
                 if C.is_likely_long_format(main_ctx.columns, main_ctx.n_cols)
                 else "wide"
             )
         if doc.workbook is not None and doc.workbook.sheets:
-            s0 = doc.workbook.sheets[0]
+            s0 = doc.workbook.sheets[
+                eff_sheet if eff_sheet < len(doc.workbook.sheets) else 0
+            ]
             merged_cells = len(s0.merged)
             hidden_rows = len(set(s0.hidden_rows))
             hidden_cols = len(set(s0.hidden_cols))
@@ -138,12 +153,16 @@ def extract_document(
     }
 
 
-def _count_main_blocks(doc: ParsedDoc, ctx: ZoneContext) -> int:
+def _count_main_blocks(
+    doc: ParsedDoc, ctx: ZoneContext, sheet_idx: int = 0
+) -> int:
     from .checks import count_blocks
 
     if not ctx.column_rows or not doc.sheets:
         return 0
-    return count_blocks(doc.sheets[0].rows, min(ctx.column_rows), ctx.data_end)
+    return count_blocks(
+        doc.sheets[sheet_idx].rows, min(ctx.column_rows), ctx.data_end
+    )
 
 
 def _hint(v: Any) -> int:
@@ -163,6 +182,7 @@ def extract_batch(batch) -> List[Dict[str, Any]]:
     applies per Arrow batch."""
     out: List[Dict[str, Any]] = []
     has_hints = "header_start_row" in batch.columns
+    has_sheet = "sheet_idx" in batch.columns
     for row in batch.itertuples(index=False):
         hints = {}
         if has_hints:
@@ -172,6 +192,8 @@ def extract_batch(batch) -> List[Dict[str, Any]]:
                 "data_start_row": _hint(getattr(row, "data_start_row")),
                 "data_end_row": _hint(getattr(row, "data_end_row")),
             }
+        if has_sheet:
+            hints["sheet_idx"] = _hint(getattr(row, "sheet_idx"))
         out.append(
             extract_document(
                 str(row.doc_id), str(row.fmt), bytes(row.content), **hints

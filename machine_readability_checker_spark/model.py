@@ -54,6 +54,11 @@ RAW_SCHEMA = T.StructType(
         T.StructField("header_end_row", T.IntegerType(), True),
         T.StructField("data_start_row", T.IntegerType(), True),
         T.StructField("data_end_row", T.IntegerType(), True),
+        # 0-based index of the sheet the rule checks target, mirroring the
+        # reference's sheet picker (src/app/app.py:80-133); NULL/0 = first
+        # sheet.  Spans are still emitted for every sheet — this selects
+        # which sheet the rule results describe.
+        T.StructField("sheet_idx", T.IntegerType(), True),
     ]
 )
 

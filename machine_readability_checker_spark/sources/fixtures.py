@@ -436,6 +436,10 @@ def gen_doc(i: int, seed: int = SEED, whale_every: Optional[int] = 97,
         _, fam = fams[i % len(fams)]
         d = fam(rng, i)
     d["doc_id"] = f"doc{i:08d}_{d['doc_id']}"
+    # rule checks target the first sheet unless a fixture says otherwise
+    # (RAW_SCHEMA sheet_idx hint; set centrally so the local and Spark
+    # generation paths stay schema-identical)
+    d.setdefault("sheet_idx", 0)
     return d
 
 

@@ -16,7 +16,8 @@ def test_extension_gate(spark):
     corpus = gen_corpus(20)
     raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
     bad = spark.createDataFrame(
-        [("baddoc1", "docx", bytearray(b"x"), 1, 0, 0, 0, 0)], schema=RAW_SCHEMA
+        [("baddoc1", "docx", bytearray(b"x"), 1, 0, 0, 0, 0, 0)],
+        schema=RAW_SCHEMA
     )
     supported, rejected = extension_gate(raw.unionByName(bad))
     assert supported.count() == 20

@@ -158,3 +158,68 @@ def test_per_document_reports(spark):
     sample = next(iter(reports.values()))
     assert sample.startswith("# 機械可読性チェックレポート（レベル1）")
     assert "## LEVEL1：" in sample and "### LEVEL1 チェック詳細" in sample
+
+
+def test_sheet_targeted_rule_results(spark):
+    """A multi-sheet workbook whose problem cells live on sheet 2 must
+    produce sheet-2 rule results when the RAW_SCHEMA sheet_idx hint says
+    so — mirroring the reference's sheet picker (the app runs checks on
+    the user-selected sheet, src/app/app.py:80-133)."""
+    from machine_readability_checker_spark.core.extract import extract_document
+    from machine_readability_checker_spark.core.xlsx import write_xlsx
+    from machine_readability_checker_spark.model import RAW_SCHEMA
+    from machine_readability_checker_spark.operators.extract import (
+        extract,
+        results_table,
+    )
+
+    clean_rows = [["id", "name", "val"]] + [
+        [str(r), f"item{r}", str(r * 10)] for r in range(1, 6)
+    ]
+    messy_rows = [["code", "label", "amount"]] + [
+        [str(r), f"row{r}", str(r)] for r in range(1, 6)
+    ]
+    content = write_xlsx(
+        [
+            {"name": "Clean", "rows": clean_rows},
+            {
+                "name": "Messy",
+                "rows": messy_rows,
+                "merged": [(2, 0, 3, 0)],
+                "hidden_rows": [4],
+            },
+        ]
+    )
+
+    # core oracle: selected sheet flips L1-12 (merged) / L1-13 (hidden)
+    def rules(sheet_idx):
+        res = extract_document("d1", "xlsx", content, sheet_idx=sheet_idx)
+        return {r["rule_id"]: r["passed"] for r in res["results"]}, res
+
+    r0, full0 = rules(0)
+    r1, full1 = rules(1)
+    assert r0["L1-12"] and r0["L1-13"]
+    assert not r1["L1-12"] and not r1["L1-13"]
+    assert full0["metrics"]["merged_cells"] == 0
+    assert full1["metrics"]["merged_cells"] == 1
+    # spans cover every sheet regardless of the selected one
+    assert [s["text"] for s in full0["spans"]] == [
+        s["text"] for s in full1["spans"]
+    ]
+    # out-of-range hint falls back to sheet 0
+    assert rules(7)[0] == r0
+
+    # Spark lane: the hint column flows through the kernel
+    raw = spark.createDataFrame(
+        [
+            ("docA", "xlsx", bytearray(content), len(content), 0, 0, 0, 0, 0),
+            ("docB", "xlsx", bytearray(content), len(content), 0, 0, 0, 0, 1),
+        ],
+        schema=RAW_SCHEMA,
+    )
+    got = {
+        (r["doc_id"], r["rule_id"]): r["passed"]
+        for r in results_table(extract(raw)).collect()
+    }
+    assert got[("docA", "L1-12")] and got[("docA", "L1-13")]
+    assert not got[("docB", "L1-12")] and not got[("docB", "L1-13")]
