@@ -644,6 +644,85 @@ def check_codebook_exists(doc: ParsedDoc, ctx, body) -> CheckResult:
     return False, "コード表（コードブック）が見つかりませんでした"
 
 
+# question-master vocabulary: the pyc judged sheets with an LLM
+# (pyc:utils is_sheet_likely, category '設問マスターや変数定義'; the prompt
+# glosses the category as 変数名、設問文、選択肢などの設問一覧表) — this is
+# the deterministic keyword lane per the public-knowledge constraint
+_QMASTER_RE = re.compile(r"設問マスター|変数定義|設問一覧|変数一覧")
+# metadata vocabulary: category '調査概要やメタデータ'; the content terms
+# are the pyc prompt's own example list (調査時期、出典、対象、単位、備考、
+# 調査方法、問合せ先)
+_METADATA_NAME_RE = re.compile(r"調査概要|メタデータ|メタ情報")
+_METADATA_TERMS_RE = re.compile(
+    r"調査時期|出典|調査対象|単位|備考|調査方法|問合せ先|調査概要"
+)
+# pyc:level3_checks check_metadata_presence candidate-chunk filter:
+# plain-text cells only (letters/digits/space/ideographic space/middots/
+# commas), length > 10
+_METADATA_CHUNK_RE = re.compile(r"^[\w\s　・･、,]+$")
+
+
+def _sheet_top_lines(sheet, max_rows: int = 15) -> List[str]:
+    """Joined non-empty top rows of a sheet (pyc:utils is_sheet_likely
+    samples rows 1..15, space-joined per row)."""
+    lines = []
+    for row in sheet.rows[:max_rows]:
+        line = " ".join(str(v).strip() for v in row if not is_empty_cell(v))
+        if line:
+            lines.append(line)
+    return lines
+
+
+def check_question_master_exists(doc: ParsedDoc, ctx, body) -> CheckResult:
+    """Historical L3 sheet classifier (pyc:level3_checks
+    check_question_master_exists): look for a question-master /
+    variable-definition sheet.  Message shapes and the workbook-required
+    precondition mirror the bytecode; the per-sheet judgment is the
+    keyword fallback (the pyc's LLM call is out of scope)."""
+    if doc.workbook is None:
+        return False, "エラー: 有効な workbook が渡されていません"
+    for sheet in doc.sheets:
+        likely = _QMASTER_RE.search(sheet.name) or any(
+            _QMASTER_RE.search(line)
+            or ("変数名" in line and ("設問" in line or "選択肢" in line))
+            for line in _sheet_top_lines(sheet)
+        )
+        if likely:
+            return True, f"設問マスターとみられるシート: {sheet.name}"
+    return False, "設問マスター（変数定義表）が見つかりません"
+
+
+def check_metadata_presence(doc: ParsedDoc, ctx, body) -> CheckResult:
+    """Historical L3 sheet classifier (pyc:level3_checks
+    check_metadata_presence): first a sheet-level pass (name/top-row
+    metadata vocabulary), then the content fallback — sample plain-text
+    cells (>10 chars, chunk regex) from the top 20 rows and look for the
+    pyc prompt's survey-metadata example terms; the first hit is quoted
+    in the message exactly as the bytecode quotes its first chunk."""
+    if doc.workbook is None:
+        return False, "エラー: 有効な workbook が渡されていません"
+    for sheet in doc.sheets:
+        if _METADATA_NAME_RE.search(sheet.name) or any(
+            _METADATA_NAME_RE.search(line) for line in _sheet_top_lines(sheet)
+        ):
+            return True, f"メタ情報とみられるシート: {sheet.name}"
+    for sheet in doc.sheets:
+        for row in sheet.rows[:20]:
+            for cell in row:
+                if isinstance(cell, str):
+                    text = cell.strip()
+                    if (
+                        len(text) > 10
+                        and _METADATA_CHUNK_RE.match(text)
+                        and _METADATA_TERMS_RE.search(text)
+                    ):
+                        return (
+                            True,
+                            f"内容からメタデータが見つかりました（例: {text}）",
+                        )
+    return False, "調査概要やメタデータが確認できません"
+
+
 # ------------------------------------------------------------ rule catalog
 
 # (rule_id, description, check callable) — rules/level1.json order; the
@@ -668,6 +747,8 @@ RULES: List[Tuple[str, str, Any]] = [
     ("X-02", "choice columns free of free text", check_separate_other_detail_columns),
     ("X-03", "choice columns consistently coded", check_code_format_for_choices),
     ("X-04", "codebook sheet present", check_codebook_exists),
+    ("X-05", "question master sheet present", check_question_master_exists),
+    ("X-06", "survey metadata present", check_metadata_presence),
 ]
 
 

@@ -268,3 +268,70 @@ def test_unsupported_and_broken_formats_quarantine():
     assert r3["metrics"]["parse_errors"] == 1  # xlrd not installed: stub lane
     r4 = extract_document("d4", "csv", b"\xff\xfe\x00bad\x81")
     assert r4["metrics"]["parse_errors"] in (0, 1)  # decode fallback path
+
+
+def test_question_master_and_metadata_checks():
+    """X-05/X-06 — pyc:level3_checks check_question_master_exists /
+    check_metadata_presence keyword-fallback lanes: message shapes and
+    the workbook-required precondition mirror the bytecode."""
+    from machine_readability_checker_spark.core.extract import extract_document
+    from machine_readability_checker_spark.core.xlsx import write_xlsx
+
+    def run(fmt, content):
+        res = extract_document("d", fmt, content)["results"]
+        return {r["rule_id"]: (r["passed"], r["message"]) for r in res}
+
+    # csv has no workbook -> both fail with the workbook-error message
+    csv = run("csv", b"a,b\n1,2\n3,4\n")
+    assert csv["X-05"] == (False, "エラー: 有効な workbook が渡されていません")
+    assert csv["X-06"] == (False, "エラー: 有効な workbook が渡されていません")
+
+    data = [["id", "val"], ["1", "9"], ["2", "8"]]
+
+    # plain data workbook -> not found
+    plain = run("xlsx", write_xlsx([{"name": "Data", "rows": data}]))
+    assert plain["X-05"] == (False, "設問マスター（変数定義表）が見つかりません")
+    assert plain["X-06"] == (False, "調査概要やメタデータが確認できません")
+
+    # sheet NAME carries question-master vocabulary
+    byname = run(
+        "xlsx",
+        write_xlsx(
+            [{"name": "Data", "rows": data}, {"name": "変数定義", "rows": data}]
+        ),
+    )
+    assert byname["X-05"] == (True, "設問マスターとみられるシート: 変数定義")
+
+    # top-row header combo (変数名 + 設問) counts as question-master content
+    bycontent = run(
+        "xlsx",
+        write_xlsx(
+            [
+                {
+                    "name": "Sheet2",
+                    "rows": [["変数名", "設問文", "選択肢"], ["Q1", "age?", "1-5"]],
+                }
+            ]
+        ),
+    )
+    assert bycontent["X-05"][0] is True
+
+    # metadata by sheet name
+    metaname = run(
+        "xlsx",
+        write_xlsx(
+            [{"name": "Data", "rows": data}, {"name": "調査概要", "rows": data}]
+        ),
+    )
+    assert metaname["X-06"] == (True, "メタ情報とみられるシート: 調査概要")
+
+    # metadata by content: a long plain-text cell quoting a survey term
+    chunk = "調査方法は郵送によるアンケート方式です"
+    metacontent = run(
+        "xlsx",
+        write_xlsx([{"name": "Data", "rows": [[chunk]] + data}]),
+    )
+    assert metacontent["X-06"] == (
+        True,
+        f"内容からメタデータが見つかりました（例: {chunk}）",
+    )
