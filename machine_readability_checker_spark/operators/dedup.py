@@ -187,6 +187,46 @@ def minhash_signatures(
     )
 
 
+def _band_key_expr(bi: int, rows_per_band: int, portable: bool) -> Column:
+    """Band key for band ``bi`` over a ``signature`` column.  Production:
+    xxhash64 of the dash-joined band tuple (slim 8-byte key); portable:
+    the exact value string, so a DuckDB oracle can build the identical
+    key (and the key is collision-free by construction)."""
+    vals = [
+        F.col("signature")[bi * rows_per_band + r] for r in range(rows_per_band)
+    ]
+    joined = F.concat_ws("-", *vals)
+    return joined if portable else F.xxhash64(joined)
+
+
+def _bands_struct_array(rows_per_band: int, bands: int, portable: bool) -> Column:
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    _band_key_expr(bi, rows_per_band, portable).alias(
+                        "band_hash"
+                    ),
+                )
+                for bi in range(bands)
+            ]
+        )
+    ).alias("bb")
+
+
+def _sig_jaccard_est(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """MinHash Jaccard estimate = fraction of equal signature positions."""
+    return (
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_perm)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -217,31 +257,11 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_perm, shingle_k, seed, portable
     ).localCheckpoint(eager=False)
 
-    def _band_key(bi: int) -> Column:
-        vals = [
-            F.col("signature")[bi * rows_per_band + r]
-            for r in range(rows_per_band)
-        ]
-        joined = F.concat_ws("-", *vals)
-        # production: hash the band tuple to a slim 8-byte key; portable:
-        # keep the exact string so DuckDB can build the identical key
-        return joined if portable else F.xxhash64(joined)
-
     # slim band table: (id, band, band_hash) only — shipping the full
     # 64-long signature 16× through the bucket shuffle would dominate IO
     band_entries = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        _band_key(bi).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        _bands_struct_array(rows_per_band, bands, portable),
     ).select(id_col, "bb.band", "bb.band_hash")
 
     left = band_entries.alias("l")
@@ -262,20 +282,122 @@ def minhash_lsh_pairs(
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     pairs = candidates.join(sa, "id_a").join(sb, "id_b")
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("sig_a"),
-                F.col("sig_b"),
-                lambda x, y: F.when(x == y, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(num_perm)
+    est = _sig_jaccard_est(
+        F.col("sig_a"), F.col("sig_b"), num_perm
     ).alias("jaccard_est")
     return (
         pairs.select("id_a", "id_b", est)
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the banded-MinHash near-duplicate index: band entries
+    written partitioned by ``band=K/bucket=M`` (bucket = band-hash mod
+    n_buckets), each row carrying the document's full signature.
+
+    This is the incremental-dedup shape at 100 TB: "is this NEW document
+    a near-dup of anything in the corpus" becomes a partition-pruned
+    read of the query's own ``bands × 1`` partitions instead of a corpus
+    scan or a full LSH self-join (the text-side analog of
+    ``similarity.write_bucketed_index``).  Storage trades 16× signature
+    duplication for single-partition queries; at 64 perms that is
+    ~8 KB/doc of index — index-build is a one-off batch job, and
+    re-ingest batches query the index before appending to it."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    entries = (
+        sigs.select(
+            F.col(id_col),
+            F.col("signature"),
+            _bands_struct_array(rows_per_band, bands, portable=False),
+        )
+        .select(id_col, "signature", "bb.band", "bb.band_hash")
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("band_hash").cast("string")), F.lit(n_buckets)),
+        )
+    )
+    entries.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+
+
+def query_minhash_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Near-duplicates of the (small) query batch against a materialized
+    ``write_minhash_index``: compute the queries' band keys, read ONLY
+    the matching ``band=K/bucket=M`` partitions (the scan must list
+    ``PartitionFilters`` — pruned, not a corpus scan), join on the exact
+    band hash, verify with the signature Jaccard estimate.
+
+    Returns (query_id, doc_id, jaccard_est).  The driver round-trip is
+    bounded: ≤ n_queries × bands (band, bucket) literals."""
+    from functools import reduce as _reduce
+
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    qsigs = minhash_signatures(
+        queries, text_col, id_col, num_perm, shingle_k, seed
+    )
+    qband = (
+        qsigs.select(
+            F.col(id_col).alias("query_id"),
+            F.col("signature").alias("qsig"),
+            _bands_struct_array(rows_per_band, bands, portable=False),
+        )
+        .select("query_id", "qsig", "bb.band", "bb.band_hash")
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("band_hash").cast("string")), F.lit(n_buckets)),
+        )
+    )
+    targets = {
+        (r["band"], r["bucket"])
+        for r in qband.select("band", "bucket").distinct().collect()
+    }
+    if not targets:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id string, jaccard_est double"
+        )
+    prune = _reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("band") == bd) & (F.col("bucket") == bk)
+            for bd, bk in sorted(targets)
+        ],
+    )
+    idx = spark.read.parquet(path).filter(prune)
+    return (
+        idx.join(F.broadcast(qband), ["band", "band_hash", "bucket"])
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            _sig_jaccard_est(F.col("qsig"), F.col("signature"), num_perm).alias(
+                "jaccard_est"
+            ),
+        )
+        .dropDuplicates(["query_id", "doc_id"])
         .filter(F.col("jaccard_est") >= threshold)
     )
 

@@ -477,3 +477,37 @@ def test_truncated_video_yields_single_quarantine_row(spark):
     )
     rows = M.sample_frames(vdf, every_k=1).collect()
     assert len(rows) == 1 and rows[0]["decode_error"] is not None
+
+
+def test_minhash_index_prunes_partitions(docs, spark, tmp_path):
+    """Materialized MinHash band index: queries read only their own
+    band/bucket partitions (PartitionFilters in the scan) and find the
+    planted near-duplicates — the incremental-dedup query path."""
+    path = str(tmp_path / "mh_index")
+    dedup.write_minhash_index(docs, path, shingle_k=3)
+
+    queries = docs.filter(F.col("doc_id") == "d2")  # exact dup of d1
+    hits = dedup.query_minhash_index(
+        spark, path, queries, shingle_k=3, threshold=0.4
+    )
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[1]
+    part_filters = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "band" in part_filters and "bucket" in part_filters
+
+    got = {(r["query_id"], r["doc_id"]): r["jaccard_est"] for r in hits.collect()}
+    assert got[("d2", "d1")] == 1.0  # identical text -> estimate 1.0
+    assert got[("d2", "d2")] == 1.0  # the query itself is in the index
+    assert ("d2", "d4") not in got  # unrelated never pairs
+
+    # results agree with the self-join operator on the same corpus
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.4, shingle_k=3)
+    self_join = {
+        frozenset((r["id_a"], r["id_b"])) for r in pairs.collect()
+    }
+    via_index = {
+        frozenset(k) for k in got if k[0] != k[1]
+    }
+    assert {p for p in via_index if "d2" in p} <= self_join | {
+        frozenset(("d1", "d2"))
+    }
