@@ -9,6 +9,11 @@
                             scans only its bucket(s); the 100 TB path
 - ``embedding_near_dups`` : near-duplicate pairs by cosine ≥ threshold
                             within LSH buckets
+- ``kmeans_centroids`` /
+  ``write_ivf_index`` /
+  ``query_ivf_index``     : true k-means IVF — distributed Lloyd fit,
+                            cell-partitioned inverted lists, n_probe
+                            partition-pruned queries
 
 Hyperplanes are generated driver-side from a fixed seed and shipped as
 literal arrays — deterministic, no Python on executors.
@@ -212,6 +217,125 @@ def query_bucketed_index(
         df.select(
             F.col(id_col),
             "bucket",
+            cosine_sim(F.col("_cv"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------- k-means IVF
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: List[List[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), ties to the lowest
+    index: array_min over (dist, idx) structs compares lexicographically,
+    entirely JVM-side."""
+    entries = [
+        F.struct(
+            _sq_dist(vec, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*entries))["i"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> List[List[float]]:
+    """Lloyd's k-means for IVF coarse quantization, distributed and
+    deterministic: init = the k lowest-id vectors; each iteration ships
+    the centroids as literal arrays (broadcast by construction — no
+    Python on executors), assigns every vector JVM-side, and recomputes
+    means with one posexplode + groupBy.  The driver round-trip per
+    iteration is k x dim rows — independent of corpus size.
+
+    (``seed`` is kept for API stability; the deterministic lowest-id
+    init makes runs reproducible without RNG.)"""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    centroids = [
+        [float(x) for x in r["_v"]]
+        for r in v.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = v.withColumn("cell", _nearest_centroid(F.col("_v"), centroids))
+        sums = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cells keep their centroid
+        by_cell: dict = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new[cell] = [dims[p] for p in sorted(dims)]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the k-means IVF index: every vector assigned to its
+    nearest centroid cell, written partitioned by ``cell`` — the classic
+    IVF layout (coarse quantizer + inverted lists).  At 100 TB this is
+    the index-build batch job; queries read n_probe cell partitions via
+    partition pruning instead of the corpus."""
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn("cell", _nearest_centroid(F.col("_cv"), centroids))
+    v.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: List[float],
+    centroids: List[List[float]],
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a materialized IVF index: rank the centroids against
+    the query driver-side (k x dim floats — tiny), read ONLY the
+    ``n_probe`` nearest cell partitions (the scan must list
+    ``PartitionFilters``), rank by cosine within them."""
+    qv = np.asarray(query_vec, dtype=float)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: float(np.sum((qv - np.asarray(centroids[i])) ** 2)),
+    )
+    cells = order[: max(1, n_probe)]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return (
+        df.select(
+            F.col(id_col),
+            "cell",
             cosine_sim(F.col("_cv"), q).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)

@@ -511,3 +511,32 @@ def test_minhash_index_prunes_partitions(docs, spark, tmp_path):
     assert {p for p in via_index if "d2" in p} <= self_join | {
         frozenset(("d1", "d2"))
     }
+
+
+def test_kmeans_ivf_index(spark, vectors, tmp_path):
+    """k-means IVF: deterministic distributed Lloyd fit, cell-partitioned
+    index, partition-pruned probes; the planted near-dup pair lands in
+    one cell and multi-probe monotonically widens coverage."""
+    cents = similarity.kmeans_centroids(vectors, k=4, iters=4)
+    assert len(cents) == 4 and all(len(c) == 16 for c in cents)
+    # deterministic: same input -> same centroids
+    assert cents == similarity.kmeans_centroids(vectors, k=4, iters=4)
+
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(vectors, path, cents)
+
+    q = vectors.filter("vec_id = 100").collect()[0]["embedding"]
+    top = similarity.query_ivf_index(spark, path, q, cents, k=5, n_probe=1)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[1]
+    part_filters = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters  # pruned, not a full scan
+
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids[0] == 100 and 101 in ids  # same cell: near-identical vectors
+
+    probed = similarity.query_ivf_index(
+        spark, path, q, cents, k=100, n_probe=4
+    )
+    assert probed.count() >= top.count()
+    assert probed.count() == vectors.count()  # all cells = whole corpus
