@@ -83,17 +83,18 @@ def main() -> None:
     # PORTABLE hash so their DuckDB oracles can reproduce signatures
     # bit-for-bit; the bench times the PRODUCTION variants (xxhash64
     # tokens, 64-bit simhash) — the path a real corpus job runs.
-    def _prod_minhash(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    def _bench_docs(spark, sf_dir):
+        return E._t(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
-        return D.minhash_lsh_pairs(docs, threshold=0.2, shingle_k=3)
+
+    def _prod_minhash(spark, sf_dir):
+        return D.minhash_lsh_pairs(
+            _bench_docs(spark, sf_dir), threshold=0.2, shingle_k=3
+        )
 
     def _prod_simhash(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-            "doc_id", F.col("doc_id").cast("string")
-        )
-        return D.simhash_pairs(docs, max_hamming=4)
+        return D.simhash_pairs(_bench_docs(spark, sf_dir), max_hamming=4)
 
     qs = E.queries()
     qs["minhash_near_dups"] = _prod_minhash

@@ -371,6 +371,9 @@ def query_minhash_index(
             "bucket",
             F.pmod(F.xxhash64(F.col("band_hash").cast("string")), F.lit(n_buckets)),
         )
+        # two consumers (the targets collect below + the broadcast join)
+        # — checkpoint so the signature UDF + band explode run once
+        .localCheckpoint(eager=False)
     )
     targets = {
         (r["band"], r["bucket"])

@@ -171,13 +171,20 @@ def label_drop_stage(
         .withColumn("_fp", doc_fingerprint(c))
         .withColumn("_rn2", F.row_number().over(w2))
     )
+    # survival predicates are coalesced to False so NULL text (NULL
+    # token count) is DROPPED at its stage, exactly like the filter
+    # formulation this replaces (`filter(token_count >= 5)` removes
+    # NULL-predicate rows; a bare `when(token_count < 5)` would let
+    # them fall through as survivors)
+    keep_tokens = F.coalesce(token_count(c) >= 5, F.lit(False))
     drop = (
         F.when(F.col("_rn1") > 1, F.lit(1))
         .when(F.col("_rn2") > 1, F.lit(2))
-        .when(token_count(c) < 5, F.lit(3))
+        .when(~keep_tokens, F.lit(3))
     )
     if require_known_lang:
-        drop = drop.when(lang_id(c) == "und", F.lit(4))
+        keep_lang = F.coalesce(lang_id(c) != "und", F.lit(False))
+        drop = drop.when(~keep_lang, F.lit(4))
     return lab.withColumn("_drop", drop).drop("_h", "_rn1", "_fp", "_rn2")
 
 
@@ -202,11 +209,16 @@ def funnel_from_labels(
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
     names = stage_names(require_known_lang)
+    # coalesce: F.sum over an empty corpus is NULL where the old
+    # per-stage count() was 0
     aggs = [F.count("*").alias("n_0")] + [
-        F.sum(
-            F.when(
-                F.col("_drop").isNull() | (F.col("_drop") > k), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_drop").isNull() | (F.col("_drop") > k), 1
+                ).otherwise(0)
+            ),
+            F.lit(0).cast("long"),
         ).alias(f"n_{k}")
         for k in range(1, len(names))
     ]

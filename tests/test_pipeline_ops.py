@@ -540,3 +540,35 @@ def test_kmeans_ivf_index(spark, vectors, tmp_path):
     )
     assert probed.count() >= top.count()
     assert probed.count() == vectors.count()  # all cells = whole corpus
+
+
+def test_funnel_null_text_and_empty_corpus(spark):
+    """Regressions from review: NULL-text documents must be DROPPED at
+    min_tokens (like the filter formulation labeling replaced), and an
+    empty corpus must report 0 — not NULL — for every stage."""
+    df = spark.createDataFrame(
+        [("a", None), ("b", "the quick brown fox jumps over dogs")],
+        "doc_id string, text string",
+    )
+    kept = textstats.apply_cleaning(df, require_known_lang=False)
+    assert [r["doc_id"] for r in kept.collect()] == ["b"]
+    lab = {
+        r["doc_id"]: r["_drop"]
+        for r in textstats.label_drop_stage(
+            df, require_known_lang=False
+        ).collect()
+    }
+    assert lab == {"a": 3, "b": None}
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in textstats.cleaning_funnel(empty).collect()
+    }
+    assert rows == {
+        "raw": 0,
+        "exact_dedup": 0,
+        "normalized_dedup": 0,
+        "min_tokens": 0,
+        "lang_known": 0,
+    }
