@@ -229,6 +229,68 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query (TPC-H Q3 shape): 3-way join with date
+    filters, revenue aggregate, top-10.  The customer dimension is
+    broadcast; lineitem⋈orders shuffles on the order key."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join: customers with no high-value order (> 400k),
+    counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): every grouping-set
+    combination with count + rounded revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
 def q_summary_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 summary analog: per event_type pass/total/pass-rate."""
     ev = _t(spark, sf_dir, "events")
@@ -483,6 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "user_sessions": q_user_sessions,
         "rollup_orders": q_rollup_orders,
+        "tpch_q3": q_tpch_q3,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_grouping_sets": q_orders_grouping_sets,
         "summary_by_type": q_summary_by_type,
         "props_numeric": q_props_numeric,
         "rule_scan_docs": q_rule_scan_docs,
@@ -859,6 +924,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(SUM(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT c_nationkey, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+            )
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   round(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
         """,
         "summary_by_type": """
