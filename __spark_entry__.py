@@ -534,6 +534,75 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _idx_path(kind: str, sf_dir: str) -> str:
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"mrc_driver_idx_{kind}_{base}")
+
+
+def _is_query_doc(col):
+    """Portable 1-in-8 split of the corpus into query batch vs indexed
+    corpus: integer of the first 2 md5 hex chars of the string doc_id,
+    mod 8 — reproducible in DuckDB via ``_md5_int_sql``."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 2), 16, 10)
+        .cast("long")
+        % 8
+        == 0
+    )
+
+
+def q_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup lookup against a materialized banded-MinHash
+    index: the corpus (7/8 of documents, md5-split) is written as a
+    band/bucket-partitioned index, then the query batch (1/8) probes
+    ONLY its own band partitions — the 100 TB shape where a new ingest
+    batch is checked against the corpus without a self-join.  Portable
+    md5 token hashes so the DuckDB oracle rebuilds both sides'
+    signatures and the bipartite band join bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    is_q = _is_query_doc(F.col("doc_id"))
+    path = _idx_path("minhash", sf_dir)
+    # n_buckets sizes the partition grid to the corpus: 8 at fixture
+    # scale (band×bucket = 128 dirs); a real corpus uses the 64+ default
+    D.write_minhash_index(
+        docs.filter(~is_q), path, shingle_k=3, portable=True, n_buckets=8
+    )
+    return D.query_minhash_index(
+        spark,
+        path,
+        docs.filter(is_q),
+        shingle_k=3,
+        threshold=0.2,
+        portable=True,
+        n_buckets=8,
+    ).orderBy("query_id", "doc_id")
+
+
+def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over a materialized IVF index: 8 seed centroids (the k
+    lowest-id vectors — ``kmeans_centroids(iters=0)``, chosen so the
+    DuckDB oracle can rebuild the coarse quantizer in SQL; production
+    runs Lloyd iterations), cell-partitioned inverted lists, n_probe=2
+    partition-pruned read, cosine ranking within the probed cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, k=8, iters=0)
+    path = _idx_path("ivf", sf_dir)
+    S.write_ivf_index(emb, path, cents)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return S.query_ivf_index(spark, path, qvec, cents, k=10, n_probe=2).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_span_stats": q_extract_span_stats,
@@ -567,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "minhash_index_query": q_minhash_index_query,
+        "ivf_index_query": q_ivf_index_query,
     }
 
 
@@ -665,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_near_dups"] = _simhash_oracle_sql()
     out["ann_lsh_topk"] = _ann_oracle_sql()
     out["embedding_near_dups"] = _embedding_near_dups_oracle_sql()
+    out["minhash_index_query"] = _minhash_index_oracle_sql()
+    out["ivf_index_query"] = _IVF_INDEX_SQL
     return out
 
 
@@ -743,6 +816,99 @@ def _minhash_oracle_sql(
         WHERE {est} >= {threshold}
         ORDER BY id_a, id_b
     """
+
+
+def _minhash_index_oracle_sql(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.2, seed: int = 42
+) -> str:
+    """Bipartite twin of ``q_minhash_index_query``: same portable
+    signatures as ``_minhash_oracle_sql``, but candidates come from a
+    query-side × corpus-side band join (md5-mod-8 split) instead of a
+    self-join — the SQL mirror of probing the materialized index."""
+    from machine_readability_checker_spark.operators.dedup import (
+        MERSENNE_P,
+        _perm_params,
+    )
+
+    a, b = _perm_params(num_perm, seed)
+    rpb = num_perm // bands
+    hex7 = _md5_int_sql("t", 7)
+    split = _md5_int_sql("CAST(doc_id AS VARCHAR)", 2)
+    mins = ",\n          ".join(
+        f"list_min(list_transform(sh, s -> "
+        f"({ai} * (s % {MERSENNE_P}) + {bi}) % {MERSENNE_P}))"
+        for ai, bi in zip(a, b)
+    )
+    est = (
+        f"len(list_filter(range(1, {num_perm + 1}), "
+        f"i -> sa.sig[i] = sb.sig[i])) / {float(num_perm)}"
+    )
+    return f"""
+        WITH tk AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 ({split} % 8 = 0) AS is_q,
+                 list_transform({_TOKS}, t -> {hex7}) AS th
+          FROM documents
+        ), base AS (
+          SELECT doc_id, is_q,
+                 list_distinct(
+                   CASE WHEN len(th) >= 3
+                   THEN [th[i]*1089 + th[i+1]*33 + th[i+2]
+                         for i in range(1, len(th) - 1)]
+                   ELSE [list_reduce(th[1:7], (acc, x) -> acc*33 + x)] END
+                 ) AS sh
+          FROM tk WHERE len(th) > 0
+        ), sigs AS (
+          SELECT doc_id, is_q, [{mins}] AS sig FROM base
+        ), bandtab AS (
+          SELECT doc_id, is_q, j AS band,
+                 array_to_string(sig[{rpb}*j+1 : {rpb}*j+{rpb}], '-')
+                   AS band_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS j)
+        ), cand AS (
+          SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS doc_id
+          FROM bandtab q JOIN bandtab c
+            ON q.band = c.band AND q.band_key = c.band_key
+          WHERE q.is_q AND NOT c.is_q
+        )
+        SELECT cand.query_id, cand.doc_id, {est} AS jaccard_est
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.query_id
+        JOIN sigs sb ON sb.doc_id = cand.doc_id
+        WHERE {est} >= {threshold}
+        ORDER BY cand.query_id, cand.doc_id
+    """
+
+
+_IVF_INDEX_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), c AS (
+      SELECT vec_id, ev AS cv,
+             row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+    ), assign AS (
+      SELECT vec_id, ev, cell_id FROM (
+        SELECT v.vec_id, v.ev, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.ev, c.cv), c.cell_id
+               ) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT ev AS qv FROM v WHERE vec_id = 0
+    ), probe AS (
+      SELECT cell_id FROM c CROSS JOIN q
+      ORDER BY list_distance(cv, qv), cell_id LIMIT 2
+    )
+    SELECT a.vec_id, CAST(a.cell_id AS INTEGER) AS cell,
+           round(list_cosine_similarity(a.ev, q.qv), 6) AS cosine
+    FROM assign a JOIN probe p ON a.cell_id = p.cell_id CROSS JOIN q
+    ORDER BY list_cosine_similarity(a.ev, q.qv) DESC, a.vec_id
+    LIMIT 10
+"""
 
 
 def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 4) -> str:

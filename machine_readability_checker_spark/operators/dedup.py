@@ -301,10 +301,18 @@ def write_minhash_index(
     shingle_k: int = 5,
     seed: int = 42,
     n_buckets: int = 64,
+    portable: bool = False,
 ) -> None:
     """Materialize the banded-MinHash near-duplicate index: band entries
     written partitioned by ``band=K/bucket=M`` (bucket = band-hash mod
     n_buckets), each row carrying the document's full signature.
+
+    ``portable=True`` uses the md5-derived token hash and value-string
+    band keys (see ``minhash_lsh_pairs``) so a DuckDB oracle can
+    reproduce index queries bit-for-bit; the bucket assignment stays
+    xxhash64-based either way — it only places rows in partitions and a
+    matching band key always lands in the same bucket on both sides of
+    a query, so it never affects result semantics.
 
     This is the incremental-dedup shape at 100 TB: "is this NEW document
     a near-dup of anything in the corpus" becomes a partition-pruned
@@ -316,12 +324,14 @@ def write_minhash_index(
     re-ingest batches query the index before appending to it."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, seed, portable
+    )
     entries = (
         sigs.select(
             F.col(id_col),
             F.col("signature"),
-            _bands_struct_array(rows_per_band, bands, portable=False),
+            _bands_struct_array(rows_per_band, bands, portable),
         )
         .select(id_col, "signature", "bb.band", "bb.band_hash")
         .withColumn(
@@ -329,7 +339,13 @@ def write_minhash_index(
             F.pmod(F.xxhash64(F.col("band_hash").cast("string")), F.lit(n_buckets)),
         )
     )
-    entries.write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+    # cluster rows by their target directory before the partitioned
+    # write: without this every task writes a file into every populated
+    # band/bucket dir (tasks × dirs small files); with it each dir gets
+    # one writer (split further only by maxRecordsPerFile at real scale)
+    entries.repartition("band", "bucket").write.mode("overwrite").partitionBy(
+        "band", "bucket"
+    ).parquet(path)
 
 
 def query_minhash_index(
@@ -344,6 +360,7 @@ def query_minhash_index(
     threshold: float = 0.5,
     seed: int = 42,
     n_buckets: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicates of the (small) query batch against a materialized
     ``write_minhash_index``: compute the queries' band keys, read ONLY
@@ -352,19 +369,25 @@ def query_minhash_index(
     band hash, verify with the signature Jaccard estimate.
 
     Returns (query_id, doc_id, jaccard_est).  The driver round-trip is
-    bounded: ≤ n_queries × bands (band, bucket) literals."""
+    bounded: ≤ n_queries × bands (band, bucket) literals, folded into at
+    most ``bands`` IN-list disjuncts (a naive one-OR-per-pair predicate
+    overflows the analyzer's stack past a few hundred pairs, and a large
+    ingest batch legitimately produces thousands); when the batch's
+    bands cover most partitions anyway, the filter is skipped — the
+    bucket join prunes, and listing 90% of the partitions costs planner
+    time for nothing."""
     from functools import reduce as _reduce
 
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     qsigs = minhash_signatures(
-        queries, text_col, id_col, num_perm, shingle_k, seed
+        queries, text_col, id_col, num_perm, shingle_k, seed, portable
     )
     qband = (
         qsigs.select(
             F.col(id_col).alias("query_id"),
             F.col("signature").alias("qsig"),
-            _bands_struct_array(rows_per_band, bands, portable=False),
+            _bands_struct_array(rows_per_band, bands, portable),
         )
         .select("query_id", "qsig", "bb.band", "bb.band_hash")
         .withColumn(
@@ -383,14 +406,19 @@ def query_minhash_index(
         return spark.createDataFrame(
             [], "query_id string, doc_id string, jaccard_est double"
         )
-    prune = _reduce(
-        lambda a, b: a | b,
-        [
-            (F.col("band") == bd) & (F.col("bucket") == bk)
-            for bd, bk in sorted(targets)
-        ],
-    )
-    idx = spark.read.parquet(path).filter(prune)
+    idx = spark.read.parquet(path)
+    if len(targets) < bands * n_buckets // 2:
+        by_band: dict = {}
+        for bd, bk in sorted(targets):
+            by_band.setdefault(bd, []).append(bk)
+        prune = _reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("band") == bd) & F.col("bucket").isin(bks)
+                for bd, bks in sorted(by_band.items())
+            ],
+        )
+        idx = idx.filter(prune)
     return (
         idx.join(F.broadcast(qband), ["band", "band_hash", "bucket"])
         .select(

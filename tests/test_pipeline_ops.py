@@ -513,6 +513,33 @@ def test_minhash_index_prunes_partitions(docs, spark, tmp_path):
     }
 
 
+def test_minhash_index_portable_matches_self_join(docs, spark, tmp_path):
+    """Portable-hash index queries (the DuckDB-oracle lane of
+    ``minhash_index_query`` in ``__spark_entry__.py``) return exactly the
+    query×corpus restriction of the portable self-join operator: same
+    pairs, same signature-Jaccard estimates."""
+    queries = docs.filter(F.col("doc_id").isin("d2", "d4"))
+    corpus = docs.filter(~F.col("doc_id").isin("d2", "d4"))
+    path = str(tmp_path / "mh_index_portable")
+    dedup.write_minhash_index(corpus, path, shingle_k=3, portable=True)
+    hits = dedup.query_minhash_index(
+        spark, path, queries, shingle_k=3, threshold=0.4, portable=True
+    )
+    got = {(r["query_id"], r["doc_id"]): r["jaccard_est"] for r in hits.collect()}
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.4, shingle_k=3, portable=True
+    )
+    qids = {"d2", "d4"}
+    want = {}
+    for r in pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a in qids) != (b in qids):  # cross query/corpus pairs only
+            q, c = (a, b) if a in qids else (b, a)
+            want[(q, c)] = r["jaccard_est"]
+    assert got == want and ("d2", "d1") in got
+
+
 def test_kmeans_ivf_index(spark, vectors, tmp_path):
     """k-means IVF: deterministic distributed Lloyd fit, cell-partitioned
     index, partition-pruned probes; the planted near-dup pair lands in
