@@ -175,6 +175,8 @@ def write_bucketed_index(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
         )
         .withColumn("bucket", lsh_signature(F.col("_cv"), planes))
+        # one writer per bucket dir (not tasks × dirs small files)
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -308,7 +310,8 @@ def write_ivf_index(
     v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
     ).withColumn("cell", _nearest_centroid(F.col("_cv"), centroids))
-    v.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # one writer per cell dir (not tasks × dirs small files)
+    v.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def query_ivf_index(
