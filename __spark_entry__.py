@@ -534,6 +534,47 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals + filter verdicts per document —
+    duplicate-token fraction, duplicate-bigram fraction, most-frequent-
+    bigram fraction (all computed as per-row codegen expressions; the
+    DuckDB oracle recomputes them with unnest + group-by)."""
+    docs = _t(spark, sf_dir, "documents")
+    # 0.1 (vs the 0.18 operator default) so the fixture corpus exercises
+    # both verdicts of the looping-bigram flag
+    r = TS.with_repetition_stats(docs, max_top_bigram_frac=0.1)
+    return r.select(
+        "doc_id",
+        F.round("repetition.dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("repetition.dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("repetition.top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.col("repetition_flag.too_many_dup_tokens").alias(
+            "too_many_dup_tokens"
+        ),
+        F.col("repetition_flag.looping_bigram").alias("looping_bigram"),
+    ).orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination overlap pairs: the md5-mod-8 document
+    slice plays the benchmark/eval set, the rest the training corpus;
+    a pair is contaminated when ≥ 5 distinct 3-token shingles are
+    shared.  Portable token hashes so the DuckDB oracle rebuilds the
+    shingle sets exactly."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    is_b = _is_query_doc(F.col("doc_id"))
+    return D.contamination_pairs(
+        docs.filter(~is_b),
+        docs.filter(is_b),
+        shingle_k=3,
+        min_common=5,
+        max_df=None,
+        portable=True,
+    ).orderBy("corpus_id", "bench_id")
+
+
 def _idx_path(kind: str, sf_dir: str) -> str:
     import tempfile
 
@@ -638,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_index_query": q_minhash_index_query,
         "ivf_index_query": q_ivf_index_query,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
     }
 
 
@@ -738,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_near_dups"] = _embedding_near_dups_oracle_sql()
     out["minhash_index_query"] = _minhash_index_oracle_sql()
     out["ivf_index_query"] = _IVF_INDEX_SQL
+    out["repetition_stats"] = _REPETITION_SQL
+    out["contamination"] = _contamination_oracle_sql()
     return out
 
 
@@ -877,6 +922,77 @@ def _minhash_index_oracle_sql(
         JOIN sigs sb ON sb.doc_id = cand.doc_id
         WHERE {est} >= {threshold}
         ORDER BY cand.query_id, cand.doc_id
+    """
+
+
+_REPETITION_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             ELSE [] END AS bgs
+      FROM t
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+        GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    ), stats AS (
+      SELECT bg.doc_id,
+        CASE WHEN len(toks) > 0
+             THEN (len(toks) - len(list_distinct(toks))) / len(toks)
+             ELSE 0.0 END AS dtf,
+        CASE WHEN len(bgs) > 0
+             THEN (len(bgs) - len(list_distinct(bgs))) / len(bgs)
+             ELSE 0.0 END AS dbf,
+        CASE WHEN len(bgs) > 0
+             THEN COALESCE(top.top_cnt, 0) / len(bgs)
+             ELSE 0.0 END AS tbf
+      FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+    )
+    SELECT doc_id,
+           round(dtf, 6) AS dup_token_frac,
+           round(dbf, 6) AS dup_bigram_frac,
+           round(tbf, 6) AS top_bigram_frac,
+           dtf > 0.6 AS too_many_dup_tokens,
+           tbf > 0.1 AS looping_bigram
+    FROM stats ORDER BY doc_id
+"""
+
+
+def _contamination_oracle_sql(min_common: int = 5) -> str:
+    """Twin of ``q_contamination``: portable 3-gram shingle sets, unnest
+    both sides, count distinct shared shingles per (corpus, bench) pair."""
+    hex7 = _md5_int_sql("t", 7)
+    split = _md5_int_sql("CAST(doc_id AS VARCHAR)", 2)
+    return f"""
+        WITH tk AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 ({split} % 8 = 0) AS is_b,
+                 list_transform({_TOKS}, t -> {hex7}) AS th
+          FROM documents
+        ), base AS (
+          SELECT doc_id, is_b,
+                 list_distinct(
+                   CASE WHEN len(th) >= 3
+                   THEN [th[i]*1089 + th[i+1]*33 + th[i+2]
+                         for i in range(1, len(th) - 1)]
+                   ELSE [list_reduce(th[1:7], (acc, x) -> acc*33 + x)] END
+                 ) AS sh
+          FROM tk WHERE len(th) > 0
+        ), cs AS (
+          SELECT doc_id AS corpus_id, unnest(sh) AS s FROM base WHERE NOT is_b
+        ), bs AS (
+          SELECT doc_id AS bench_id, unnest(sh) AS s FROM base WHERE is_b
+        )
+        SELECT corpus_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cs JOIN bs USING (s)
+        GROUP BY corpus_id, bench_id
+        HAVING COUNT(*) >= {min_common}
+        ORDER BY corpus_id, bench_id
     """
 
 

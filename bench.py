@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "minhash_index_query",
     "ivf_index_query",
+    "repetition_stats",
+    "contamination",
 ]
 
 
@@ -135,9 +137,17 @@ def main() -> None:
         ]
         return SIM.query_ivf_index(spark, path, qvec, cents, k=10, n_probe=2)
 
+    def _prod_contamination(spark, sf_dir):
+        docs = _bench_docs(spark, sf_dir)
+        is_b = E._is_query_doc(F.col("doc_id"))
+        return D.contamination_pairs(
+            docs.filter(~is_b), docs.filter(is_b), shingle_k=3, min_common=5
+        )
+
     qs = E.queries()
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
+    qs["contamination"] = _prod_contamination
     qs["minhash_index_query"] = _prod_minhash_index
     qs["ivf_index_query"] = _prod_ivf_index
     for name in BENCH_QUERIES:

@@ -891,3 +891,85 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+# ------------------------------------------------- decontamination
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_common: int = 5,
+    max_df: Optional[int] = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark-decontamination join: (corpus_id, bench_id, n_common)
+    for every corpus document sharing ≥ ``min_common`` distinct k-token
+    shingles with a benchmark document (the GPT-3/Pile-style n-gram
+    overlap check, k=13 at production scale).
+
+    Scale shape: the benchmark side is small by definition (eval sets),
+    so its exploded shingle table is BROADCAST — the corpus is never
+    shuffled for the join; only the matched (corpus_id, bench_id) rows
+    (a tiny fraction) move for the count aggregation.  ``max_df`` drops
+    corpus-hot shingles first (stopword n-grams match everything and
+    signal nothing); the cap threshold applies to corpus frequency.
+
+    ``portable=True`` switches to the md5-derived token hash so a DuckDB
+    oracle reproduces the shingle sets exactly."""
+
+    def _sh(df: DataFrame, out_id: str) -> DataFrame:
+        # explode-in-one-select: see the plan-shape warning in
+        # ngram_jaccard_pairs
+        return df.select(
+            F.col(id_col).alias(out_id),
+            _token_hashes(F.col(text_col), portable).alias("_th"),
+        ).select(
+            out_id,
+            F.explode(
+                F.array_distinct(_shingles_from_hashes(F.col("_th"), shingle_k))
+            ).alias("shingle"),
+        )
+
+    c = _sh(corpus, "corpus_id")
+    b = _sh(benchmark, "bench_id")
+    if max_df is not None:
+        hot = (
+            c.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        c = c.join(F.broadcast(hot), "shingle", "left_anti")
+        b = b.join(F.broadcast(hot), "shingle", "left_anti")
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_common: int = 5,
+    max_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Corpus rows that do NOT overlap the benchmark (anti-join on the
+    contaminated id set) — run before training-data export so eval
+    questions never leak into the training corpus."""
+    flagged = (
+        contamination_pairs(
+            corpus, benchmark, text_col, id_col, shingle_k, min_common, max_df
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")

@@ -111,6 +111,103 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(F.encode(normalized, "UTF-8"))
 
 
+def _bigrams(toks: Column) -> Column:
+    """Adjacent token bigrams as "a b" strings (empty for < 2 tokens)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_equal_run_sorted(s: Column) -> Column:
+    """Longest run of equal adjacent elements of a *sorted* array column
+    (= count of the most frequent element), per row — no explode, no
+    shuffle.  Run boundaries, not a fold: indices where ``s[i] ≠ s[i-1]``
+    start a new run; run lengths are the diffs between consecutive
+    starts.  ``s`` MUST be a materialized plain column — element_at over
+    a nested sort expression re-evaluates the sort per element access
+    (the interpreted-HOF trap documented in dedup._shingles_from_hashes).
+    The i ≥ 2 guard keeps element_at inputs ≥ 1 (ANSI mode throws on
+    index 0) and dodges sequence()'s descending-range surprise at n < 2."""
+    n = F.size(s)
+    boundaries = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(s, i) != F.element_at(s, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), boundaries)
+    m = F.size(starts)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(m - 1, F.lit(0))), F.array(n + 1)
+    )
+    runs = F.zip_with(ends, starts, lambda e, st: e - st)
+    return F.when(n > 0, F.array_max(runs)).otherwise(F.lit(0))
+
+
+# Gopher §A1-style default thresholds: drop documents dominated by
+# repeated tokens or one looping bigram
+MAX_DUP_TOKEN_FRAC = 0.6
+MAX_TOP_BIGRAM_FRAC = 0.18
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_token_frac: float = MAX_DUP_TOKEN_FRAC,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
+) -> DataFrame:
+    """Attach Gopher-style repetition signals and filter verdicts:
+
+    - ``repetition.dup_token_frac``  : 1 − distinct/total whitespace tokens
+    - ``repetition.dup_bigram_frac`` : 1 − distinct/total adjacent bigrams
+    - ``repetition.top_bigram_frac`` : occurrences of the most frequent
+      bigram ÷ total bigrams
+    - ``repetition_flag.too_many_dup_tokens`` / ``.looping_bigram``
+
+    Each ratio is 0.0 when its denominator is empty (incl. NULL text).
+    The classic training-data filter drops documents whose text loops
+    (template spam, boilerplate echoes, keyword stuffing).
+
+    Staged as materialized intermediate columns so the token array is
+    built once, the bigram array once, and the sorted copy once per row
+    — one nested expression naively re-derives the whole chain per
+    element access and per consumer, which measured ~20× slower at
+    sf0.1.  Everything stays a narrow per-row map at corpus scale."""
+    base = list(df.columns)
+    toks, bg, bgsort = F.col("_toks"), F.col("_bg"), F.col("_bgsort")
+    nt, nb = F.size(toks), F.size(bg)
+    frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    dtf = frac(nt - F.size(F.array_distinct(toks)), nt)
+    tbf = frac(_max_equal_run_sorted(bgsort), nb)
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_bg", _bigrams(toks))
+        .withColumn("_bgsort", F.array_sort(bg))
+        .select(
+            *base,
+            F.struct(
+                dtf.alias("dup_token_frac"),
+                frac(nb - F.size(F.array_distinct(bg)), nb).alias(
+                    "dup_bigram_frac"
+                ),
+                tbf.alias("top_bigram_frac"),
+            ).alias("repetition"),
+            F.struct(
+                (dtf > max_dup_token_frac).alias("too_many_dup_tokens"),
+                (tbf > max_top_bigram_frac).alias("looping_bigram"),
+            ).alias("repetition_flag"),
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     c = F.col(text_col)

@@ -569,6 +569,69 @@ def test_kmeans_ivf_index(spark, vectors, tmp_path):
     assert probed.count() == vectors.count()  # all cells = whole corpus
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals against hand-computed values,
+    including the degenerate empty/NULL/single-token documents."""
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x x"),          # one token repeated
+            ("b", "p q r s"),          # all distinct
+            ("c", "x"),                # no bigrams
+            ("d", ""),                 # empty
+            ("e", None),               # NULL
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: {"s": r["repetition"], "f": r["repetition_flag"]}
+        for r in textstats.with_repetition_stats(df).collect()
+    }
+    a = rows["a"]["s"]
+    assert a["dup_token_frac"] == 0.75  # 1 - 1/4
+    assert a["dup_bigram_frac"] == 2 / 3  # 3 bigrams, 1 distinct
+    assert a["top_bigram_frac"] == 1.0  # "x x" is every bigram
+    assert rows["a"]["f"]["too_many_dup_tokens"]
+    assert rows["a"]["f"]["looping_bigram"]
+    b = rows["b"]["s"]
+    assert b["dup_token_frac"] == 0.0 and b["dup_bigram_frac"] == 0.0
+    assert b["top_bigram_frac"] == 1 / 3  # 3 distinct bigrams, max count 1
+    for degenerate in ("c", "d", "e"):
+        s = rows[degenerate]["s"]
+        assert s["dup_bigram_frac"] == 0.0 and s["top_bigram_frac"] == 0.0
+        f = rows[degenerate]["f"]
+        assert not f["too_many_dup_tokens"] and not f["looping_bigram"]
+    assert rows["c"]["s"]["dup_token_frac"] == 0.0
+
+
+def test_contamination_and_decontaminate(spark):
+    """A corpus document quoting a benchmark question is flagged (and
+    dropped by decontaminate); paraphrases below the shingle-overlap
+    threshold and unrelated documents survive."""
+    bench_text = "what is the capital city of france and when was it founded"
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "intro words " + bench_text + " trailing answer text"),
+            ("c2", "the capital city means nothing here by itself"),
+            ("c3", "completely unrelated document about spark physical plans"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", bench_text)], "doc_id string, text string"
+    )
+    pairs = dedup.contamination_pairs(
+        corpus, bench, shingle_k=3, min_common=5, max_df=None
+    )
+    got = {(r["corpus_id"], r["bench_id"]): r["n_common"] for r in pairs.collect()}
+    assert set(got) == {("c1", "b1")}
+    assert got[("c1", "b1")] >= 9  # the full quote shares its shingle run
+
+    kept = dedup.decontaminate(
+        corpus, bench, shingle_k=3, min_common=5, max_df=None
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {"c2", "c3"}
+
+
 def test_funnel_null_text_and_empty_corpus(spark):
     """Regressions from review: NULL-text documents must be DROPPED at
     min_tokens (like the filter formulation labeling replaced), and an
