@@ -135,3 +135,38 @@ def test_cleaning_funnel_single_pass(spark):
         >= rows["min_tokens"]
         >= rows["lang_known"]
     )
+
+
+def test_repetition_stats_is_narrow(spark):
+    """The repetition scan is per-row expression work: zero exchanges,
+    and the staged _toks/_bg/_bgsort projections must not collapse back
+    into one nested expression (the collapse re-derives the token chain
+    per element access — measured ~28x slower at sf0.1; the fast plan
+    keeps the stage columns as separate Project levels or aliases
+    evaluated once)."""
+    from machine_readability_checker_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = textstats.with_repetition_stats(docs)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 0
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (small) benchmark shingle side:
+    the corpus shingle table is never shuffled for the join — the only
+    exchange is the final (corpus_id, bench_id) count aggregation over
+    the matched sliver."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    is_b = E._is_query_doc(F.col("doc_id"))
+    pairs = dedup.contamination_pairs(
+        docs.filter(~is_b), docs.filter(is_b), max_df=None
+    )
+    plan = _plan(pairs)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges: broadcast distribution + the pair-count aggregation;
+    # the corpus side itself must not be hash-repartitioned on shingle
+    assert plan.count("Exchange hashpartitioning") <= 1
