@@ -6,7 +6,10 @@ Chains the extraction output into the training-data prep lane:
       → main-content text per document (cell spans joined; headers and
         annotations are boilerplate)
       → cleaning funnel (exact dedup → normalized dedup → min tokens →
-        language known)
+        [Gopher repetition flags, --drop-repetitive] → [language known,
+        --require-known-lang])
+      → benchmark decontamination (--benchmark eval-set parquet;
+        n-gram-overlap hits dropped)
       → near-duplicate clustering (3-gram Jaccard pairs → connected
         components) → keep-list
       → write cleaned corpus + funnel stats + cluster map, print one
@@ -56,6 +59,18 @@ def main() -> None:
         "'und' (off by default: synthetic/tabular corpora are mostly "
         "language-free and would be wiped out)",
     )
+    ap.add_argument(
+        "--drop-repetitive", action="store_true",
+        help="add the Gopher-style repetition stage to the funnel "
+        "(dup-token / looping-bigram flags)",
+    )
+    ap.add_argument(
+        "--benchmark",
+        help="parquet path of an eval set (doc_id, text); documents "
+        "sharing >= --min-common 3-gram shingles with any benchmark "
+        "document are dropped before near-dup clustering",
+    )
+    ap.add_argument("--min-common", type=int, default=5)
     args = ap.parse_args()
 
     spark = get_spark(
@@ -88,10 +103,14 @@ def main() -> None:
     # not actually built, and the dedup window shuffles run exactly once
     # (the old per-stage recount re-executed stages 1..k-1 for stage k)
     labeled = TS.label_drop_stage(
-        texts, require_known_lang=args.require_known_lang
+        texts,
+        require_known_lang=args.require_known_lang,
+        drop_repetitive=args.drop_repetitive,
     ).persist()
     funnel_df = TS.funnel_from_labels(
-        labeled, require_known_lang=args.require_known_lang
+        labeled,
+        require_known_lang=args.require_known_lang,
+        drop_repetitive=args.drop_repetitive,
     )
     funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
     funnel_rows = {
@@ -102,6 +121,15 @@ def main() -> None:
         )
     }
     survivors = labeled.filter(F.col("_drop").isNull()).drop("_drop").persist()
+
+    n_contaminated = 0
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        before = survivors.count()
+        survivors = D.decontaminate(
+            survivors, bench, shingle_k=3, min_common=args.min_common
+        ).persist()
+        n_contaminated = before - survivors.count()
 
     # default max_df=1000 is the scale-safe hot-shingle cap; it is sound
     # here because exact duplicates were already removed by the funnel's
@@ -123,6 +151,7 @@ def main() -> None:
                 "docs_after_funnel": n_in,
                 "docs_cleaned": n_out,
                 "near_dup_removed": n_in - n_out,
+                "contaminated_removed": n_contaminated,
                 "funnel": funnel_rows,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_in / wall, 1) if wall > 0 else None,

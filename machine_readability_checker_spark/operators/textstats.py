@@ -221,10 +221,14 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def stage_names(require_known_lang: bool = True) -> List[str]:
+def stage_names(
+    require_known_lang: bool = True, drop_repetitive: bool = False
+) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
     names = ["raw", "exact_dedup", "normalized_dedup", "min_tokens"]
+    if drop_repetitive:
+        names.append("repetition_ok")
     if require_known_lang:
         names.append("lang_known")
     return names
@@ -235,6 +239,7 @@ def label_drop_stage(
     text_col: str = "text",
     id_col: str = "doc_id",
     require_known_lang: bool = True,
+    drop_repetitive: bool = False,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -249,7 +254,9 @@ def label_drop_stage(
                             (lowercase, alphanumerics only) among
                             stage-1 keepers
       3. min_tokens       : ≥ 5 whitespace tokens
-      4. lang_known       : stopword-vote language ID ≠ 'und'
+      4. repetition_ok    : Gopher repetition flags clear (opt-in via
+                            ``drop_repetitive`` — shifts later stages)
+      5. lang_known       : stopword-vote language ID ≠ 'und'
 
     The stage-2 keeper is the min-id *stage-1 survivor* of each
     fingerprint group; ordering the fingerprint window by
@@ -258,6 +265,13 @@ def label_drop_stage(
     group contains at least one stage-1 keeper, because identical
     texts share a fingerprint)."""
     from pyspark.sql import Window
+
+    extra_cols = []
+    if drop_repetitive:
+        # materialized-stage computation (see with_repetition_stats);
+        # only the flag struct rides along into the labeling pass
+        df = with_repetition_stats(df, text_col).drop("repetition")
+        extra_cols = ["repetition_flag"]
 
     c = F.col(text_col)
     w1 = Window.partitionBy("_h").orderBy(id_col)
@@ -279,10 +293,19 @@ def label_drop_stage(
         .when(F.col("_rn2") > 1, F.lit(2))
         .when(~keep_tokens, F.lit(3))
     )
+    stage = 4
+    if drop_repetitive:
+        rep_bad = F.col("repetition_flag.too_many_dup_tokens") | F.col(
+            "repetition_flag.looping_bigram"
+        )
+        drop = drop.when(F.coalesce(rep_bad, F.lit(False)), F.lit(stage))
+        stage += 1
     if require_known_lang:
         keep_lang = F.coalesce(lang_id(c) != "und", F.lit(False))
-        drop = drop.when(~keep_lang, F.lit(4))
-    return lab.withColumn("_drop", drop).drop("_h", "_rn1", "_fp", "_rn2")
+        drop = drop.when(~keep_lang, F.lit(stage))
+    return lab.withColumn("_drop", drop).drop(
+        "_h", "_rn1", "_fp", "_rn2", *extra_cols
+    )
 
 
 def apply_cleaning(
@@ -290,22 +313,27 @@ def apply_cleaning(
     text_col: str = "text",
     id_col: str = "doc_id",
     require_known_lang: bool = True,
+    drop_repetitive: bool = False,
 ) -> DataFrame:
     """The cleaned corpus: documents no cleaning stage drops."""
     return (
-        label_drop_stage(df, text_col, id_col, require_known_lang)
+        label_drop_stage(
+            df, text_col, id_col, require_known_lang, drop_repetitive
+        )
         .filter(F.col("_drop").isNull())
         .drop("_drop")
     )
 
 
 def funnel_from_labels(
-    lab: DataFrame, require_known_lang: bool = True
+    lab: DataFrame,
+    require_known_lang: bool = True,
+    drop_repetitive: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
-    names = stage_names(require_known_lang)
+    names = stage_names(require_known_lang, drop_repetitive)
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0
     aggs = [F.count("*").alias("n_0")] + [

@@ -632,6 +632,53 @@ def test_contamination_and_decontaminate(spark):
     assert {r["doc_id"] for r in kept.collect()} == {"c2", "c3"}
 
 
+def test_funnel_repetition_stage(spark):
+    """Opt-in repetition stage: a looping document is dropped at the
+    repetition stage (index 4), later stages shift, and the funnel
+    counts stay aligned with stage_names; default funnel is unchanged."""
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog today"),
+            ("b", "spam spam spam spam spam spam spam spam"),  # looping
+            ("c", "el la de y que en los otros dias claros"),
+        ],
+        "doc_id string, text string",
+    )
+    lab = {
+        r["doc_id"]: r["_drop"]
+        for r in textstats.label_drop_stage(
+            df, require_known_lang=True, drop_repetitive=True
+        ).collect()
+    }
+    assert lab == {"a": None, "b": 4, "c": None}
+    names = textstats.stage_names(require_known_lang=True, drop_repetitive=True)
+    assert names == [
+        "raw", "exact_dedup", "normalized_dedup", "min_tokens",
+        "repetition_ok", "lang_known",
+    ]
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in textstats.funnel_from_labels(
+            textstats.label_drop_stage(
+                df, require_known_lang=True, drop_repetitive=True
+            ),
+            require_known_lang=True,
+            drop_repetitive=True,
+        ).collect()
+    }
+    assert funnel["min_tokens"] == 3 and funnel["repetition_ok"] == 2
+    assert funnel["lang_known"] == 2
+
+    # default path unchanged: no repetition stage, 'b' survives to lang
+    lab0 = {
+        r["doc_id"]: r["_drop"]
+        for r in textstats.label_drop_stage(
+            df, require_known_lang=True
+        ).collect()
+    }
+    assert lab0["b"] is None or lab0["b"] == 4  # 4 = lang_known now
+
+
 def test_funnel_null_text_and_empty_corpus(spark):
     """Regressions from review: NULL-text documents must be DROPPED at
     min_tokens (like the filter formulation labeling replaced), and an
