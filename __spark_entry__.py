@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from machine_readability_checker_spark.operators import (  # noqa: E402
     dedup as D,
+    sampling as SP,
     similarity as S,
     textstats as TS,
 )
@@ -575,6 +576,31 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("corpus_id", "bench_id")
 
 
+def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/valid/test split audit:
+    (split, lang, n_docs, n_tokens) — RNG-free so the DuckDB oracle
+    recomputes every assignment from the same md5 bucket arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return SP.split_manifest(docs, strata_col="lang").orderBy(
+        "split", "stratum"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample (training-mix shaping): keep
+    100% of 'de', 40% of 'en', 10% of everything else; report the
+    per-language survivor counts."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(
+        docs, {"de": 1.0, "en": 0.4}, default_frac=0.1
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 def _idx_path(kind: str, sf_dir: str) -> str:
     import tempfile
 
@@ -681,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_query": q_ivf_index_query,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "split_manifest": q_split_manifest,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -783,6 +811,8 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_index_query"] = _IVF_INDEX_SQL
     out["repetition_stats"] = _REPETITION_SQL
     out["contamination"] = _contamination_oracle_sql()
+    out["split_manifest"] = _SPLIT_MANIFEST_SQL
+    out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
     return out
 
 
@@ -994,6 +1024,36 @@ def _contamination_oracle_sql(min_common: int = 5) -> str:
         HAVING COUNT(*) >= {min_common}
         ORDER BY corpus_id, bench_id
     """
+
+
+_HASH_BUCKET = (
+    "("
+    + _md5_int_sql("CAST(doc_id AS VARCHAR)", 6)
+    + " % 10000)"
+)
+
+_SPLIT_MANIFEST_SQL = f"""
+    WITH b AS (
+      SELECT lang, {_TOKS} AS toks,
+        CASE WHEN {_HASH_BUCKET} < 9000 THEN 'train'
+             WHEN {_HASH_BUCKET} < 9500 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang AS stratum,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+    FROM b GROUP BY split, lang ORDER BY split, stratum
+"""
+
+_STRATIFIED_SAMPLE_SQL = f"""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE {_HASH_BUCKET} < CAST(round(
+      (CASE WHEN lang = 'de' THEN 1.0
+            WHEN lang = 'en' THEN 0.4 ELSE 0.1 END) * 10000) AS BIGINT)
+    GROUP BY lang ORDER BY lang
+"""
 
 
 _IVF_INDEX_SQL = """

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ivf_index_query",
     "repetition_stats",
     "contamination",
+    "split_manifest",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Deterministic sampling and dataset splits (training-data lane).
+
+RNG-free: every decision is a pure function of the document id via an
+md5 hash bucket, so splits are reproducible across runs, engines and
+cluster sizes (no seed drift between partitions, no dependence on row
+order), new documents never reshuffle old ones between splits, and a
+DuckDB oracle can recompute the assignment bit-for-bit.  All JVM-side
+expressions — sampling a 100 TB corpus is a narrow scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from the integer value of
+    the first 6 md5 hex chars of the (string) id — engine-portable (the
+    DuckDB twin is ``_md5_int_sql``-style arithmetic), uniform enough
+    for split assignment (24 bits ≫ 10⁴ buckets)."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 6), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.9,
+    valid_frac: float = 0.05,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Attach ``split`` ∈ {train, valid, test} by hash-bucket range:
+    bucket < train·B → train, < (train+valid)·B → valid, else test.
+    Fractions are exact at bucket granularity (1/10⁴ by default)."""
+    b = hash_bucket(F.col(id_col).cast("string"), buckets)
+    t_hi = int(round(train_frac * buckets))
+    v_hi = t_hi + int(round(valid_frac * buckets))
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_frac: float = 0.0,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the training-mix shaper:
+    e.g. keep 100% of rare languages, 10% of the dominant one).  A row
+    survives iff its hash bucket < frac(stratum)·buckets — no RNG, so
+    resampling with the same fractions returns the identical corpus,
+    and raising a fraction strictly grows the sample (nested samples).
+    The fraction map is a literal CASE chain — no join, no shuffle."""
+    frac = F.lit(float(default_frac))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    b = hash_bucket(F.col(id_col).cast("string"), buckets)
+    return df.filter(b < F.round(frac * buckets).cast("long"))
+
+
+def split_manifest(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_frac: float = 0.9,
+    valid_frac: float = 0.05,
+) -> DataFrame:
+    """(split, stratum, n_docs, n_tokens) audit table for a split —
+    the record a training run pins alongside the data."""
+    from .textstats import token_count
+
+    return (
+        with_split(df, id_col, train_frac, valid_frac)
+        .groupBy("split", F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+    )

@@ -141,3 +141,55 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest twin of
+    ``dedup.exact_dedup``: content-hash each document, then
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per hash
+    and evicts state older than the watermark, so the dedup map stays
+    bounded no matter how long the stream runs (an unbounded
+    ``dropDuplicates`` would accumulate one state row per distinct
+    document forever — at 10^12 documents that is the whole corpus in
+    the state store).  Exactly-once against the checkpoint: re-running
+    a trigger never re-emits a kept row.
+
+    Within-watermark semantics: a re-ingested copy arriving later than
+    the watermark delay after the kept original is NOT dropped — batch
+    ``exact_dedup`` over the materialized corpus remains the global
+    guarantee; this operator bounds the duplicate rate of the live
+    ingest path."""
+    if dict(docs.dtypes).get(ts_col) == "timestamp_ntz":
+        docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        docs.withColumn("_h", F.md5(F.encode(F.col(text_col), "UTF-8")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
+def stream_dedup_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "1 hour",
+):
+    """File-source stream → watermarked exact dedup → parquet append."""
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream_dedup(docs, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

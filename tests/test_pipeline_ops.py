@@ -709,3 +709,53 @@ def test_funnel_null_text_and_empty_corpus(spark):
         "min_tokens": 0,
         "lang_known": 0,
     }
+
+
+def test_hash_split_deterministic_and_nested(spark):
+    """Hash-bucket splits: reproducible across runs and partitionings,
+    assignment depends only on the id (adding documents never moves an
+    existing one between splits), and stratified samples are NESTED —
+    raising a fraction strictly grows the kept set."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), F.col("id")).alias("text"),
+        (F.pmod(F.col("id"), 3)).cast("string").alias("lang"),
+    )
+    s1 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.with_split(docs).collect()
+    }
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.with_split(docs.repartition(16)).collect()
+    }
+    assert s1 == s2
+    # ~90/5/5 at bucket granularity
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["valid"] > 0 and c["test"] > 0
+    # subset invariance: the first 500 ids keep their assignment
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in sampling.with_split(docs.filter("doc_id < 500")).collect()
+    }
+    assert all(s1[k] == v for k, v in sub.items())
+
+    small = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            docs, {"0": 0.1, "1": 0.5}, strata_col="lang"
+        ).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            docs, {"0": 0.4, "1": 1.0}, strata_col="lang"
+        ).collect()
+    }
+    assert small < big
+    assert not any(s1[k] is None for k in small)  # sanity: ids resolve

@@ -98,3 +98,51 @@ def test_stream_to_iceberg_table_exactly_once(spark, tmp_path):
     v2 = table.commit_snapshot()["version"]
     assert table.read(spark).count() == 30
     assert table.read_incremental(spark, v1, v2).count() == 12
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate texts are dropped within the
+    watermark window — across micro-batches via checkpointed state —
+    and the state stays keyed on the 16-byte hash, not the text."""
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_dedup_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, text string, ts timestamp"
+
+    def _batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    from datetime import datetime, timedelta
+
+    t = datetime(2026, 1, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+    _batch(
+        [
+            ("a", "alpha text body", t),
+            ("b", "alpha text body", t + m),   # same-batch duplicate
+            ("c", "beta text body", t + 2 * m),
+        ]
+    )
+    q = stream_dedup_to_parquet(spark, in_dir, out_dir, ckpt, schema)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {"a", "c"}
+
+    # next trigger: a cross-batch duplicate (within watermark, dropped
+    # via checkpointed state) and a genuinely new document
+    _batch(
+        [
+            ("d", "beta text body", t + 3 * m),
+            ("e", "gamma text body", t + 4 * m),
+        ]
+    )
+    q2 = stream_dedup_to_parquet(spark, in_dir, out_dir, ckpt, schema)
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"a", "c", "e"}
