@@ -78,8 +78,29 @@ _MULTI_VALUE_RE = re.compile(MULTI_VALUE_PATTERN)
 _NON_NUMERIC_CHAR_RE = re.compile(r"[^\d.\-]")
 
 
+# Memo tables for the pure string predicates below.  Cell values repeat
+# heavily in real tables (categorical columns, repeated labels), so a
+# dict hit replaces the regex search / strip+float parse for every
+# repeat.  On the synthetic bench corpus (~1.1k distinct values across
+# 1.35M predicate calls) this is roughly cost-neutral — the surrounding
+# per-cell loop dominates — but on corpora with longer or
+# pattern-heavier cells the saved regex work is real, and the memo never
+# loses.  Bounded so a long-lived executor scanning high-cardinality
+# corpora cannot grow them without limit; clearing resets amortization,
+# never correctness (the predicates are pure).
+_MEMO_MAX = 500_000
+_PLATFORM_MEMO: dict = {}
+_CLEAN_NUMERIC_MEMO: dict = {}
+
+
 def detect_platform_characters(text: str) -> bool:
-    return bool(_PLATFORM_RE.search(text))
+    hit = _PLATFORM_MEMO.get(text)
+    if hit is None:
+        hit = _PLATFORM_RE.search(text) is not None
+        if len(_PLATFORM_MEMO) >= _MEMO_MAX:
+            _PLATFORM_MEMO.clear()
+        _PLATFORM_MEMO[text] = hit
+    return hit
 
 
 def is_clean_numeric(val: Any) -> bool:
@@ -91,14 +112,21 @@ def is_clean_numeric(val: Any) -> bool:
     if isinstance(val, (int, float)):
         return True
     if isinstance(val, str):
-        s = val.strip()
-        if _NON_NUMERIC_CHAR_RE.search(s):
-            return False
-        try:
-            float(s)
-            return True
-        except ValueError:
-            return False
+        hit = _CLEAN_NUMERIC_MEMO.get(val)
+        if hit is None:
+            s = val.strip()
+            if _NON_NUMERIC_CHAR_RE.search(s):
+                hit = False
+            else:
+                try:
+                    float(s)
+                    hit = True
+                except ValueError:
+                    hit = False
+            if len(_CLEAN_NUMERIC_MEMO) >= _MEMO_MAX:
+                _CLEAN_NUMERIC_MEMO.clear()
+            _CLEAN_NUMERIC_MEMO[val] = hit
+        return hit
     return False
 
 
