@@ -601,6 +601,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding / context-window
+    prep): 32-token chunks, 8-token overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the two-phase distributed prefix
+    sum (no single-task global window); the DuckDB oracle is the plain
+    single-node running total — equality IS the proof that the
+    parallel decomposition reproduces the sequential semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    return SP.pack_shards(docs, budget_tokens=2000).orderBy("doc_id")
+
+
 def _idx_path(kind: str, sf_dir: str) -> str:
     import tempfile
 
@@ -709,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_shards": q_pack_shards,
     }
 
 
@@ -813,6 +833,8 @@ def oracle_sql() -> dict[str, str]:
     out["contamination"] = _contamination_oracle_sql()
     out["split_manifest"] = _SPLIT_MANIFEST_SQL
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
+    out["chunk_documents"] = _CHUNK_SQL
+    out["pack_shards"] = _PACK_SHARDS_SQL
     return out
 
 
@@ -1053,6 +1075,41 @@ _STRATIFIED_SAMPLE_SQL = f"""
       (CASE WHEN lang = 'de' THEN 1.0
             WHEN lang = 'en' THEN 0.4 ELSE 0.1 END) * 10000) AS BIGINT)
     GROUP BY lang ORDER BY lang
+"""
+
+
+# chunk_tokens=32, overlap=8 → stride 24; chunk i = tokens
+# [i·24+1, i·24+32] (1-based inclusive slice = Spark's slice(start, len))
+_CHUNK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, toks FROM (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+      ) WHERE len(toks) > 0
+    ), m AS (
+      SELECT doc_id, toks,
+             1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT)
+               AS nch
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(0, nch)) AS ci FROM m
+    )
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(toks[ci*24+1 : ci*24+32], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - ci*24) AS INTEGER) AS n_tokens
+    FROM e ORDER BY doc_id, chunk_idx
+"""
+
+# the sequential running-total twin of the two-phase parallel prefix sum
+_PACK_SHARDS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, COALESCE(len({_TOKS}), 0) AS tc FROM documents
+    )
+    SELECT doc_id, CAST(tc AS INTEGER) AS n_tokens,
+           CAST(floor(COALESCE(SUM(tc) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 2000.0) AS INTEGER) AS shard
+    FROM t ORDER BY doc_id
 """
 
 

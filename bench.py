@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "contamination",
     "split_manifest",
+    "chunk_documents",
+    "pack_shards",
 ]
 
 

@@ -71,6 +71,74 @@ def stratified_sample(
     return df.filter(b < F.round(frac * buckets).cast("long"))
 
 
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_ranges: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Assign each document a ``shard`` so consecutive documents (in
+    id order) fill ~``budget_tokens`` per shard — the export step that
+    turns a cleaned corpus into bounded training-data files.
+
+    shard = floor(exclusive-prefix-sum(tokens) / budget): a document
+    starts in the shard its running total lands in, so every shard
+    except the last holds ≥ budget tokens and the assignment is a pure
+    function of the global id order.
+
+    Scale shape — the naive ``Window.orderBy(id)`` running total drags
+    the whole corpus through ONE task (the classic global-window
+    bottleneck); this uses the two-phase parallel prefix sum instead:
+    range-partition by id, per-partition running totals in parallel
+    windows, then a ``num_ranges``-row driver round-trip turns
+    partition totals into exclusive offsets that are mapped back as a
+    literal CASE — no single-task stage anywhere."""
+    from pyspark.sql import Window
+
+    from .textstats import token_count
+
+    t = (
+        df.select(
+            F.col(id_col),
+            # NULL text counts as 0 tokens (NULL would poison the
+            # running totals on both engines differently)
+            F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("_tc"),
+        )
+        .repartitionByRange(num_ranges, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("_lcum", F.sum("_tc").over(w))
+    if checkpoint:
+        # two consumers (totals collect + final select) — materialize the
+        # token-count/window stage once.  checkpoint=False keeps the
+        # full lineage visible (plan audits / callers that cache higher)
+        t = t.localCheckpoint(eager=False)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in t.groupBy("_pid").agg(F.max("_lcum").alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off = F.lit(0).cast("long")
+    for pid, o in sorted(offsets.items()):
+        off = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(off)
+    prev_cum = off + F.col("_lcum") - F.col("_tc")
+    return t.select(
+        id_col,
+        F.col("_tc").alias("n_tokens"),
+        F.floor(prev_cum / F.lit(budget_tokens)).cast("int").alias("shard"),
+    )
+
+
 def split_manifest(
     df: DataFrame,
     strata_col: str = "lang",

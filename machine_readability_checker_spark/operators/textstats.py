@@ -208,6 +208,57 @@ def with_repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the embedding /
+    context-window prep step: (id, chunk_idx, chunk_text, n_tokens).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk is the first one
+    whose window reaches the end of the document (so short tails merge
+    into the final window instead of emitting a fragment).  Documents
+    with no tokens produce no chunks.  Pure per-row expressions +
+    posexplode — a narrow map at corpus scale, no Python."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, n - chunk) / stride)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    chunk = F.array_join(
+        F.slice(toks, F.col("chunk_idx") * stride + 1, chunk_tokens), " "
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias(
+                "chunk_idx", "_one"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            chunk.alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(F.col("_toks")) - F.col("chunk_idx") * stride,
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     c = F.col(text_col)

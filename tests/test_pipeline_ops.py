@@ -759,3 +759,80 @@ def test_hash_split_deterministic_and_nested(spark):
     }
     assert small < big
     assert not any(s1[k] is None for k in small)  # sanity: ids resolve
+
+
+def test_chunk_documents_hand_computed(spark):
+    """Overlapping windows: boundaries, tail merging, short docs,
+    empty/NULL docs, and the overlap validation."""
+    df = spark.createDataFrame(
+        [
+            ("a", " ".join(f"t{i}" for i in range(10))),  # 3 full chunks
+            ("b", " ".join(f"t{i}" for i in range(11))),  # + 2-token tail
+            ("c", "x y"),                                  # single short chunk
+            ("d", ""),
+            ("e", None),
+        ],
+        "doc_id string, text string",
+    )
+    rows = textstats.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in rows
+    }
+    assert got[("a", 0)] == ("t0 t1 t2 t3", 4)
+    assert got[("a", 1)] == ("t3 t4 t5 t6", 4)
+    assert got[("a", 2)] == ("t6 t7 t8 t9", 4)
+    assert max(ci for d, ci in got if d == "a") == 2
+    assert got[("b", 3)] == ("t9 t10", 2)  # tail window
+    assert got[("c", 0)] == ("x y", 2)
+    assert not any(d in ("d", "e") for d, _ in got)
+    # every token of 'a' appears in some chunk (coverage)
+    covered = " ".join(got[("a", i)][0] for i in range(3)).split()
+    assert set(covered) == {f"t{i}" for i in range(10)}
+
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_shards_matches_sequential(spark):
+    """The two-phase parallel prefix sum must equal the sequential
+    running-total definition, independent of num_ranges, and every
+    shard except the last must reach the budget."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.pmod(F.col("id"), 37) + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in sampling.pack_shards(docs, budget_tokens=300).collect()
+    }
+    # sequential oracle in plain Python
+    cum, want = 0, {}
+    for i in range(500):
+        tc = i % 37 + 1
+        want[i] = (tc, cum // 300)
+        cum += tc
+    assert out == want
+    # partition-count invariance
+    out1 = {
+        r["doc_id"]: r["shard"]
+        for r in sampling.pack_shards(
+            docs, budget_tokens=300, num_ranges=1
+        ).collect()
+    }
+    assert out1 == {k: v[1] for k, v in want.items()}
+    # all shards but the last fill to within one max-document of the
+    # budget (a straddling document starts in the NEXT shard, so a
+    # shard can undershoot by at most max_doc_tokens - 1)
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for tc, sh in out.values():
+        per[sh] += tc
+    last = max(per)
+    assert all(tot >= 300 - 36 for sh, tot in per.items() if sh != last)
+    assert sorted(per) == list(range(last + 1))  # no empty shard gaps

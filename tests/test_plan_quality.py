@@ -170,3 +170,19 @@ def test_contamination_broadcasts_benchmark(spark):
     # exchanges: broadcast distribution + the pair-count aggregation;
     # the corpus side itself must not be hash-repartitioned on shingle
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pack_shards_avoids_global_window(spark):
+    """Token-budget packing must never funnel the corpus through a
+    single task: the naive Window.orderBy(id) running total plans an
+    Exchange SinglePartition; the two-phase prefix sum plans only
+    parallel range/hash exchanges."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        sampling.pack_shards(docs, budget_tokens=2000, checkpoint=False)
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan  # the parallel id-order phase
+    assert "Window" in plan  # per-partition running totals
