@@ -619,6 +619,17 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.pack_shards(docs, budget_tokens=2000).orderBy("doc_id")
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data-quality profile of the documents table
+    (nulls, exact cardinality, rendered-value length bounds)."""
+    from machine_readability_checker_spark.operators.profile import (
+        profile_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs).orderBy("column")
+
+
 def _idx_path(kind: str, sf_dir: str) -> str:
     import tempfile
 
@@ -729,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
+        "table_profile": q_table_profile,
     }
 
 
@@ -835,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
     out["chunk_documents"] = _CHUNK_SQL
     out["pack_shards"] = _PACK_SHARDS_SQL
+    out["table_profile"] = _TABLE_PROFILE_SQL
     return out
 
 
@@ -1111,6 +1124,26 @@ _PACK_SHARDS_SQL = f"""
            ), 0) / 2000.0) AS INTEGER) AS shard
     FROM t ORDER BY doc_id
 """
+
+
+def _profile_col_sql(c: str) -> str:
+    r = f"CAST({c} AS VARCHAR)"
+    return f"""
+      SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({c}) AS n_nulls,
+             COUNT(DISTINCT {c}) AS n_distinct,
+             CAST(MIN(len({r})) AS INT) AS min_len,
+             CAST(MAX(len({r})) AS INT) AS max_len
+      FROM documents"""
+
+
+_TABLE_PROFILE_SQL = (
+    "\n      UNION ALL\n".join(
+        _profile_col_sql(c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    + '\n      ORDER BY "column"'
+)
 
 
 _IVF_INDEX_SQL = """

@@ -836,3 +836,23 @@ def test_pack_shards_matches_sequential(spark):
     last = max(per)
     assert all(tot >= 300 - 36 for sh, tot in per.items() if sh != last)
     assert sorted(per) == list(range(last + 1))  # no empty shard gaps
+
+
+def test_profile_table(spark):
+    """One-pass column profiler: nulls, exact cardinality, rendered
+    length bounds; all-null columns get NULL length bounds."""
+    from machine_readability_checker_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bbbb", None), (3, None, None), (3, "aa", None)],
+        "id bigint, s string, z string",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_len"] == 2 and rows["s"]["max_len"] == 4
+    assert rows["z"]["n_distinct"] == 0
+    assert rows["z"]["min_len"] is None and rows["z"]["max_len"] is None
