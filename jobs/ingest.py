@@ -1,0 +1,179 @@
+"""spark-submit entry point: incremental corpus ingest with index-backed
+near-duplicate rejection.
+
+The 100 TB shape this demonstrates: a standing corpus plus a materialized
+banded-MinHash index; each new batch is checked against the CORPUS via
+partition-pruned index probes (never a corpus self-join, never a corpus
+scan), deduplicated within itself, and the survivors are APPENDED to both
+the corpus table and the index — so the next batch's probes see them.
+
+    read new batch (or --gen to self-generate with planted duplicates)
+      → probe the minhash index (band-partition-pruned reads)
+      → reject near-dups of the existing corpus (jaccard_est ≥ --threshold)
+      → intra-batch dedup (exact + banded-MinHash, same threshold)
+      → append survivors to corpus parquet + their band entries to the
+        index → one JSON stats line
+
+Usage:
+    spark-submit --master local[32] --py-files dist/engine.zip \\
+        jobs/ingest.py --corpus /data/docs --index /data/mh_index \\
+        --new /data/batch.parquet --threshold 0.5
+    spark-submit ... jobs/ingest.py --corpus ... --index ... --gen 500
+
+First run: if --index does not exist it is built from --corpus (one-off
+batch job); an empty/missing corpus starts cold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from machine_readability_checker_spark.operators import dedup as D  # noqa: E402
+from machine_readability_checker_spark.session import get_spark  # noqa: E402
+
+MH = dict(num_perm=64, bands=16, shingle_k=3)
+
+
+def _gen_batch(spark, n: int, seed_tag: str):
+    """Self-generated demo batch: ~1/3 copies of corpus-style texts
+    (near-dup bait), 2/3 fresh texts."""
+    return spark.range(n).select(
+        F.concat(F.lit(f"{seed_tag}-"), F.col("id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.when(
+            F.pmod(F.col("id"), 3) == 0,
+            F.concat(
+                F.lit("shared boilerplate text that repeats across batches "
+                      "with common tokens "),
+                F.pmod(F.col("id"), 7).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(f"fresh document {seed_tag} number "),
+                F.col("id").cast("string"),
+                F.lit(" with distinct content tokens "),
+                F.md5(F.concat(F.lit(seed_tag), F.col("id").cast("string"))),
+            )
+        )
+        .alias("text"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="corpus parquet dir")
+    ap.add_argument("--index", required=True, help="minhash index dir")
+    ap.add_argument("--new", help="new-batch parquet (doc_id, text)")
+    ap.add_argument("--gen", type=int, default=0, help="self-generate N docs")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "mrc-ingest-job",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(8, args.cores),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    if args.new:
+        batch = spark.read.parquet(args.new).select("doc_id", "text")
+    elif args.gen:
+        batch = _gen_batch(spark, args.gen, f"b{int(t0)}")
+    else:
+        ap.error("need --new or --gen")
+        return
+    batch = batch.localCheckpoint(eager=False)
+    n_batch = batch.count()
+
+    def _index_has_data(path: str) -> bool:
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    corpus_exists = os.path.isdir(args.corpus) and any(
+        f.endswith(".parquet") for f in os.listdir(args.corpus)
+    )
+    if not os.path.isdir(args.index) and corpus_exists:
+        # one-off batch build from the standing corpus
+        D.write_minhash_index(
+            spark.read.parquet(args.corpus),
+            args.index,
+            n_buckets=args.n_buckets,
+            **MH,
+        )
+
+    # 1. reject near-dups of the EXISTING corpus via pruned index
+    # probes; a cold start (no index data yet) skips the probe — the
+    # first accepted batch creates the index via the append below
+    if _index_has_data(args.index):
+        hits = D.query_minhash_index(
+            spark,
+            args.index,
+            batch,
+            threshold=args.threshold,
+            n_buckets=args.n_buckets,
+            **MH,
+        )
+        dup_ids = hits.select(F.col("query_id").alias("doc_id")).distinct()
+        fresh = batch.join(dup_ids, "doc_id", "left_anti")
+    else:
+        fresh = batch
+    fresh = fresh.localCheckpoint(eager=False)
+    n_fresh = fresh.count()
+
+    # 2. intra-batch dedup: exact, then banded-MinHash pairs at the same
+    # threshold.  Pair-based keeper (drop the max id of each pair) is
+    # conservative — a chain a-b-c can drop both b and c; use
+    # near_dup_clusters for exact cluster semantics when that matters
+    deduped = D.exact_dedup(fresh)
+    pairs = D.minhash_lsh_pairs(deduped, threshold=args.threshold, **MH)
+    losers = pairs.select(
+        F.greatest("id_a", "id_b").alias("doc_id")
+    ).distinct()
+    accepted = deduped.join(losers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    n_accepted = accepted.count()
+
+    # 3. append survivors to the corpus and their band entries to the
+    # index (same parameters — probes of the NEXT batch will see them)
+    accepted.write.mode("append").parquet(args.corpus)
+    D.minhash_index_entries(
+        accepted, n_buckets=args.n_buckets, **MH
+    ).repartition("band", "bucket").write.mode("append").partitionBy(
+        "band", "bucket"
+    ).parquet(args.index)
+
+    print(
+        json.dumps(
+            {
+                "batch_docs": n_batch,
+                "corpus_dup_rejected": n_batch - n_fresh,
+                "intra_batch_removed": n_fresh - n_accepted,
+                "accepted": n_accepted,
+                "wall_sec": round(time.time() - t0, 2),
+                "cores": args.cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

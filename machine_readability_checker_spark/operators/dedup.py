@@ -322,12 +322,40 @@ def write_minhash_index(
     duplication for single-partition queries; at 64 perms that is
     ~8 KB/doc of index — index-build is a one-off batch job, and
     re-ingest batches query the index before appending to it."""
+    entries = minhash_index_entries(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed, n_buckets,
+        portable,
+    )
+    # cluster rows by their target directory before the partitioned
+    # write: without this every task writes a file into every populated
+    # band/bucket dir (tasks × dirs small files); with it each dir gets
+    # one writer (split further only by maxRecordsPerFile at real scale)
+    entries.repartition("band", "bucket").write.mode("overwrite").partitionBy(
+        "band", "bucket"
+    ).parquet(path)
+
+
+def minhash_index_entries(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    n_buckets: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """The (id, signature, band, band_hash, bucket) rows of a
+    ``write_minhash_index`` layout — exposed so incremental ingest can
+    APPEND a new batch's entries to an existing index with the same
+    parameters instead of rebuilding it (see ``jobs/ingest.py``)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, seed, portable
     )
-    entries = (
+    return (
         sigs.select(
             F.col(id_col),
             F.col("signature"),
@@ -339,13 +367,6 @@ def write_minhash_index(
             F.pmod(F.xxhash64(F.col("band_hash").cast("string")), F.lit(n_buckets)),
         )
     )
-    # cluster rows by their target directory before the partitioned
-    # write: without this every task writes a file into every populated
-    # band/bucket dir (tasks × dirs small files); with it each dir gets
-    # one writer (split further only by maxRecordsPerFile at real scale)
-    entries.repartition("band", "bucket").write.mode("overwrite").partitionBy(
-        "band", "bucket"
-    ).parquet(path)
 
 
 def query_minhash_index(

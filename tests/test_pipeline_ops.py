@@ -856,3 +856,56 @@ def test_profile_table(spark):
     assert rows["s"]["min_len"] == 2 and rows["s"]["max_len"] == 4
     assert rows["z"]["n_distinct"] == 0
     assert rows["z"]["min_len"] is None and rows["z"]["max_len"] is None
+
+
+def test_chunk_documents_reconstruction_invariant(spark):
+    """For every document length 1..120: chunk 0 plus each later
+    chunk minus its overlap prefix reconstructs the document exactly —
+    full coverage, exact overlap, no token lost or duplicated."""
+    chunk_tokens, overlap = 16, 4
+    docs = [
+        (str(n), " ".join(f"t{i}" for i in range(n))) for n in range(1, 121)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = textstats.chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    assert set(by_doc) == {str(n) for n in range(1, 121)}
+    for n in range(1, 121):
+        chunks = by_doc[str(n)]
+        assert sorted(chunks) == list(range(len(chunks)))
+        toks = chunks[0].split()
+        for i in range(1, len(chunks)):
+            ctoks = chunks[i].split()
+            assert ctoks[:overlap] == toks[-overlap:]  # exact overlap
+            toks += ctoks[overlap:]
+        assert toks == [f"t{i}" for i in range(n)]
+
+
+def test_minhash_index_append_visible_to_probes(docs, spark, tmp_path):
+    """Incremental ingest contract: band entries APPENDED to an existing
+    index (same parameters) are found by subsequent probes exactly like
+    originally-indexed documents."""
+    path = str(tmp_path / "mh_index_inc")
+    dedup.write_minhash_index(
+        docs.filter(F.col("doc_id") == "d4"), path, shingle_k=3
+    )
+    probe = docs.filter(F.col("doc_id") == "d2")
+    before = dedup.query_minhash_index(
+        spark, path, probe, shingle_k=3, threshold=0.4
+    )
+    assert before.count() == 0  # d2 unrelated to d4
+
+    dedup.minhash_index_entries(
+        docs.filter(F.col("doc_id") == "d1"), shingle_k=3
+    ).repartition("band", "bucket").write.mode("append").partitionBy(
+        "band", "bucket"
+    ).parquet(path)
+    after = dedup.query_minhash_index(
+        spark, path, probe, shingle_k=3, threshold=0.4
+    )
+    got = {(r["query_id"], r["doc_id"]): r["jaccard_est"] for r in after.collect()}
+    assert got == {("d2", "d1"): 1.0}  # the appended exact-dup surfaces
