@@ -619,6 +619,22 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.pack_shards(docs, budget_tokens=2000).orderBy("doc_id")
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings (symmetric
+    per-vector scale; cosine is scale-invariant so the integer qvec is
+    compared directly).  DuckDB oracle reproduces the quantization
+    arithmetic element-for-element."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    qt = S.quantize_embeddings(emb)
+    return S.quantized_cosine_topk(qt, qvec, k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data-quality profile of the documents table
     (nulls, exact cardinality, rendered-value length bounds)."""
@@ -741,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
+        "quantized_topk": q_quantized_topk,
     }
 
 
@@ -848,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
     out["chunk_documents"] = _CHUNK_SQL
     out["pack_shards"] = _PACK_SHARDS_SQL
     out["table_profile"] = _TABLE_PROFILE_SQL
+    out["quantized_topk"] = _QUANTIZED_TOPK_SQL
     return out
 
 
@@ -1144,6 +1162,30 @@ _TABLE_PROFILE_SQL = (
     )
     + '\n      ORDER BY "column"'
 )
+
+
+_QUANTIZED_TOPK_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), s AS (
+      SELECT vec_id, ev,
+             list_max(list_transform(ev, x -> abs(x))) / 127.0 AS sc
+      FROM v
+    ), q AS (
+      SELECT vec_id,
+             CASE WHEN sc > 0
+                  THEN list_transform(ev, x -> round(x / sc))
+                  ELSE list_transform(ev, x -> 0.0) END AS qv
+      FROM s
+    ), qq AS (
+      SELECT ev AS qev FROM v WHERE vec_id = 0
+    )
+    SELECT q.vec_id,
+           round(list_cosine_similarity(q.qv, qq.qev), 6) AS cosine
+    FROM q CROSS JOIN qq
+    ORDER BY list_cosine_similarity(q.qv, qq.qev) DESC, q.vec_id
+    LIMIT 10
+"""
 
 
 _IVF_INDEX_SQL = """

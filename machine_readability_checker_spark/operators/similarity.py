@@ -398,3 +398,57 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------ int8 quantization
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) ∈ [-127, 127] — a 4× storage/IO cut for
+    embedding corpora (the difference between an ANN index that fits in
+    cluster memory and one that doesn't).  Returns
+    (id, qvec array<tinyint>, scale double); all-zero vectors get
+    scale 0 and an all-zero qvec.  Pure JVM expressions."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    # _scale staged as a real column so the max-abs reduction runs once,
+    # not once per element of the quantizing transform
+    return df.withColumn("_scale", scale).select(
+        F.col(id_col),
+        F.transform(
+            v,
+            lambda x: F.when(
+                F.col("_scale") > 0, F.round(x / F.col("_scale"))
+            )
+            .otherwise(F.lit(0.0))
+            .cast("tinyint"),
+        ).alias("qvec"),
+        F.col("_scale").alias("scale"),
+    )
+
+
+def quantized_cosine_topk(
+    qdf: DataFrame,
+    query_vec: List[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine over a ``quantize_embeddings`` table.  Cosine is
+    scale-invariant per vector, so the corpus side needs NO
+    dequantization — the integer qvec IS the direction; only the query
+    stays full-precision.  TakeOrderedAndProject, no corpus shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    return (
+        qdf.select(
+            F.col(id_col),
+            cosine_sim(qv, q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -909,3 +909,34 @@ def test_minhash_index_append_visible_to_probes(docs, spark, tmp_path):
     )
     got = {(r["query_id"], r["doc_id"]): r["jaccard_est"] for r in after.collect()}
     assert got == {("d2", "d1"): 1.0}  # the appended exact-dup surfaces
+
+
+def test_quantize_embeddings_roundtrip_and_topk(spark, vectors):
+    """int8 quantization: values in [-127, 127], per-vector max hits
+    ±127, dequantized error <= scale/2 per element, all-zero vectors
+    survive with scale 0, and quantized top-k preserves the exact
+    search's planted neighbors."""
+    withzero = vectors.union(
+        spark.createDataFrame([(999, [0.0] * 16)], ["vec_id", "embedding"])
+    )
+    qt = similarity.quantize_embeddings(withzero)
+    rows = {r["vec_id"]: r for r in qt.collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in withzero.collect()}
+    for vid, r in rows.items():
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        if vid == 999:
+            assert r["scale"] == 0.0 and set(r["qvec"]) == {0}
+            continue
+        assert max(abs(q) for q in r["qvec"]) == 127  # scale saturates
+        for q, x in zip(r["qvec"], orig[vid]):
+            assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+
+    q = orig[100]
+    top = similarity.quantized_cosine_topk(qt, [float(x) for x in q], k=3)
+    ids = [r["vec_id"] for r in top.collect()]
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(vectors, q, k=3).collect()
+    ]
+    assert ids[0] == 100 and 101 in ids  # planted near-dup survives int8
+    assert set(ids) == set(exact)
