@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "split_manifest",
     "chunk_documents",
     "pack_shards",
+    "table_profile",
+    "quantized_topk",
 ]
 
 
