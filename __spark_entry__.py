@@ -635,6 +635,37 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click annotated with the user's most recent
+    prior (inclusive) purchase.  Spark lacks a native ASOF JOIN — the
+    operator is the union + running-last decomposition (one window
+    shuffle); DuckDB's native ASOF JOIN is the oracle, so gate equality
+    proves the decomposition."""
+    from machine_readability_checker_spark.operators.temporal import (
+        asof_join_last,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event"),
+    )
+    out = asof_join_last(
+        clicks,
+        purchases,
+        value_cols=["purchase_value", "purchase_event"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+        "last_purchase_event",
+    ).orderBy("event_id")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data-quality profile of the documents table
     (nulls, exact cardinality, rendered-value length bounds)."""
@@ -758,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
         "quantized_topk": q_quantized_topk,
+        "events_asof": q_events_asof,
     }
 
 
@@ -866,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
     out["pack_shards"] = _PACK_SHARDS_SQL
     out["table_profile"] = _TABLE_PROFILE_SQL
     out["quantized_topk"] = _QUANTIZED_TOPK_SQL
+    out["events_asof"] = _EVENTS_ASOF_SQL
     return out
 
 
@@ -1162,6 +1195,24 @@ _TABLE_PROFILE_SQL = (
     )
     + '\n      ORDER BY "column"'
 )
+
+
+# DuckDB's NATIVE ASOF JOIN is the oracle for the union+window
+# decomposition in operators/temporal.py
+_EVENTS_ASOF_SQL = """
+    WITH c AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts, value AS pv, event_id AS pe
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           round(p.pv, 6) AS last_purchase_value,
+           p.pe AS last_purchase_event
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+"""
 
 
 _QUANTIZED_TOPK_SQL = """

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pack_shards",
     "table_profile",
     "quantized_topk",
+    "events_asof",
 ]
 
 

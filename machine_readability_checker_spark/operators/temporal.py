@@ -1,0 +1,69 @@
+"""Temporal operators: as-of joins over event streams.
+
+Spark has no native ASOF JOIN; the scalable formulation here is the
+union + running-last trick — tag both sides, union them, and take the
+last right-side value at-or-before each left row inside one window:
+
+    one shuffle on (by, ts) total, fully parallel per key group.
+
+The naive alternatives either broadcast a range join (explodes at
+corpus scale) or theta-join on ``l.ts >= r.ts`` (O(n·m) per key).
+DuckDB HAS a native ASOF JOIN, which is exactly what makes this
+operator oracle-checkable: the driver gate proves the union+window
+decomposition equals the textbook semantics.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by_col: str = "user_id",
+    value_cols: List[str] = ("value",),
+    prefix: str = "last_",
+) -> DataFrame:
+    """For every left row: the right row with the greatest ``ts_col``
+    ≤ the left row's (same ``by_col``), inclusive — NULL columns when
+    no right row precedes it.  Right-side ``value_cols`` are returned
+    as ``{prefix}{col}``.
+
+    Ties between a left and a right row at the identical timestamp
+    resolve to the right row (tag ordering), matching ASOF's
+    at-or-before contract; multiple right rows sharing (by, ts) are
+    not ordered — pre-dedup the right side if that can occur."""
+    value_cols = list(value_cols)
+    lcols = left.columns
+    l = left.withColumn("_tag", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(f"_rv_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        F.col(by_col),
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    for c in lcols:
+        if c not in (by_col, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*lcols, "_tag", *[f"_rv_{c}" for c in value_cols]).unionByName(
+        r.select(*lcols, "_tag", *[f"_rv_{c}" for c in value_cols])
+    )
+    w = (
+        Window.partitionBy(by_col)
+        .orderBy(ts_col, "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = u
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("_tag") == 1).select(
+        *lcols, *[f"{prefix}{c}" for c in value_cols]
+    )

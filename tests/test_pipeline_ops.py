@@ -940,3 +940,46 @@ def test_quantize_embeddings_roundtrip_and_topk(spark, vectors):
     ]
     assert ids[0] == 100 and 101 in ids  # planted near-dup survives int8
     assert set(ids) == set(exact)
+
+
+def test_asof_join_last_hand_computed(spark):
+    """As-of semantics: greatest right ts <= left ts per key, inclusive
+    at equal timestamps, NULLs before any right row, keys isolated."""
+    from datetime import datetime
+
+    from machine_readability_checker_spark.operators.temporal import (
+        asof_join_last,
+    )
+
+    t = lambda s: datetime(2026, 1, 1, 10, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, t(0), 7),   # before any purchase -> NULL
+            (2, t(5), 7),   # exactly at purchase p1 -> inclusive match
+            (3, t(9), 7),   # between p1 and p2 -> p1
+            (4, t(20), 7),  # after p2 -> p2
+            (5, t(30), 8),  # other user, no purchases -> NULL
+        ],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t(5), 10.5, 101),
+            (7, t(10), 20.5, 102),
+        ],
+        "user_id bigint, ts timestamp, purchase_value double,"
+        " purchase_event bigint",
+    )
+    out = {
+        r["event_id"]: (r["last_purchase_value"], r["last_purchase_event"])
+        for r in asof_join_last(
+            left, right, value_cols=["purchase_value", "purchase_event"]
+        ).collect()
+    }
+    assert out == {
+        1: (None, None),
+        2: (10.5, 101),
+        3: (10.5, 101),
+        4: (20.5, 102),
+        5: (None, None),
+    }
