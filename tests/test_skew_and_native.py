@@ -127,3 +127,67 @@ def test_native_predicates_match_kernel_fuzz(spark):
         assert r["free"] == bool(C.FREE_TEXT_PATTERN.search(s)), ("free", s)
         expected_unclear = C.is_unclear_header(s) or ("Unnamed" in s)
         assert r["unclear"] == expected_unclear, ("unclear", s)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Hot-key joins must not serialize through one task: with AQE skew
+    handling on (session default), a join whose left side is dominated
+    by a single key gets its skewed partition SPLIT at runtime — the
+    final adaptive plan marks the sort-merge join ``skew=true``.  This
+    is the executed plan, not a static property: the test drives the
+    join and inspects the post-execution adaptive plan."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # shrink the skew thresholds so the fixture-sized hot key (~8 MB
+        # in one partition) is "skewed" the way a hot domain is at 100 TB
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "262144",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        fact = spark.range(0, 80_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))  # 90% on key 0
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("x" * 120), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("y" * 120), F.col("id").cast("string")).alias(
+                "attr"
+            ),
+        )
+        # the aggregate must CONSUME the payload columns — a count(*)
+        # lets column pruning strip them before the join, deflating the
+        # hot partition below the skew threshold
+        joined = fact.join(dim, "k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload") + F.length("attr")).alias("bytes"),
+        )
+        [row] = joined.collect()
+        assert row["n"] == 80_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan[:1500]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
