@@ -757,9 +757,9 @@ def near_dup_clusters(
     2-4 rounds in practice).  Each round localCheckpoints the label
     table — without the barrier the join lineage doubles per iteration
     and the plan blows up.  For adversarial web-scale graphs with long
-    chains, swap in the large-star/small-star formulation
-    (Kiveris et al., "Connected Components in MapReduce"); the API is
-    the same."""
+    chains use ``near_dup_clusters_star`` below (the Kiveris et al.
+    large-star/small-star formulation, O(log n) rounds); the API and
+    output contract are identical."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(
@@ -994,3 +994,108 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def near_dup_clusters_star(
+    pairs: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same contract as ``near_dup_clusters``
+    (``(doc_id, cluster_id = min member)``) but O(log n) rounds instead
+    of O(diameter): the formulation for adversarial web-scale pair
+    graphs with long chains, where min-label propagation needs one
+    round per hop.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its closed neighborhood; small-star: every node and its smaller
+    neighbors point at that minimum.  Both strictly shrink the total
+    edge "potential", the fixpoint is a star per component centered on
+    its minimum, and each round is one groupBy + one join — the same
+    shuffle budget per round as propagation, far fewer rounds on
+    chains.  Raises on non-convergence rather than returning
+    half-contracted stars (same policy as ``near_dup_clusters``)."""
+    # undirected edge set, kept asymmetric as (hi, lo) pairs
+    e = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    for _ in range(max_iterations):
+        # ---- large-star: u's neighbors > u  →  min(N(u) ∪ {u})
+        sym = _sym(e)
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        e_ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: u and its neighbors ≤ u → min of that set
+        sym2 = _sym(e_ls)
+        small = sym2.filter(F.col("v") <= F.col("u"))
+        smins = small.groupBy("u").agg(F.min("v").alias("m"))
+        e_ss = (
+            small.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                smins.select(F.col("u"), F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # converged when every edge points a node at a component min and
+        # no node has two distinct parents (a star forest)
+        multi_parent = (
+            e_ss.groupBy("u").agg(F.countDistinct("v").alias("np"))
+            .filter(F.col("np") > 1)
+            .limit(1)
+            .count()
+        )
+        # a parent that is itself a child of something else → not a root
+        chained = (
+            e_ss.alias("a")
+            .join(
+                e_ss.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi"
+            )
+            .limit(1)
+            .count()
+        )
+        e = e_ss
+        if multi_parent == 0 and chained == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters_star did not converge in {max_iterations} "
+            "rounds — pathological input; raise max_iterations"
+        )
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return members.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )

@@ -983,3 +983,70 @@ def test_asof_join_last_hand_computed(spark):
         4: (20.5, 102),
         5: (None, None),
     }
+
+
+def test_near_dup_clusters_star_matches_union_find(spark):
+    """Large-star/small-star connected components: equals a plain
+    union-find oracle on random graphs AND on a 60-node chain — the
+    O(diameter) shape where per-hop min-label propagation needs one
+    round per link but star contraction converges in O(log n)."""
+    import random
+
+    from machine_readability_checker_spark.operators.dedup import (
+        near_dup_clusters_star,
+    )
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(11)
+    cases = []
+    for _ in range(3):  # random sparse graphs
+        n = 60
+        edges = {
+            tuple(sorted((f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")))
+            for _ in range(50)
+        }
+        cases.append([e for e in edges if e[0] != e[1]])
+    # the adversarial case: one long chain (diameter 59)
+    cases.append([(f"c{i:02d}", f"c{i + 1:02d}") for i in range(59)])
+
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters_star(df).collect()
+        }
+        assert got == uf_components(edges)
+
+
+def test_near_dup_clusters_star_agrees_with_propagation(docs):
+    """Both CC formulations must label the real near-dup pair graph
+    identically."""
+    from machine_readability_checker_spark.operators.dedup import (
+        near_dup_clusters_star,
+    )
+
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3)
+    a = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters_star(pairs).collect()
+    }
+    assert a == b and a  # non-empty and identical
