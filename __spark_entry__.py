@@ -500,6 +500,18 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(pairs).orderBy("doc_id")
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``near_dup_clusters`` via the Kiveris
+    large-star/small-star contraction (O(log n) rounds — the chain-graph
+    formulation); shares the recursive-CTE oracle, so the driver gate
+    proves both CC formulations against the same closure."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    pairs = D.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8, max_df=None)
+    return D.near_dup_clusters_star(pairs).orderBy("doc_id")
+
+
 def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin prefix-filtered exact Jaccard join — same semantics and
     DuckDB oracle as ngram_jaccard_pairs, far fewer candidates."""
@@ -777,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_star": q_near_dup_clusters_star,
         "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_index_query": q_minhash_index_query,
@@ -884,6 +897,7 @@ _MISSING_LIST = (
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["ngram_jaccard_prefix"] = out["ngram_jaccard_pairs"]
+    out["near_dup_clusters_star"] = out["near_dup_clusters"]
     out["minhash_near_dups"] = _minhash_oracle_sql()
     out["simhash_near_dups"] = _simhash_oracle_sql()
     out["ann_lsh_topk"] = _ann_oracle_sql()

@@ -186,3 +186,23 @@ def test_pack_shards_avoids_global_window(spark):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan  # the parallel id-order phase
     assert "Window" in plan  # per-partition running totals
+
+
+def test_asof_join_stays_parallel(spark):
+    """The as-of join's union + running-last decomposition must shuffle
+    on the key, never through a single task (a global-ordered window
+    would plan Exchange SinglePartition)."""
+    from machine_readability_checker_spark.operators.temporal import (
+        asof_join_last,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(asof_join_last(left, right, value_cols=["value"]))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
