@@ -137,16 +137,14 @@ def main() -> None:
     fresh = fresh.localCheckpoint(eager=False)
     n_fresh = fresh.count()
 
-    # 2. intra-batch dedup: exact, then banded-MinHash pairs at the same
-    # threshold.  Pair-based keeper (drop the max id of each pair) is
-    # conservative — a chain a-b-c can drop both b and c; use
-    # near_dup_clusters for exact cluster semantics when that matters
+    # 2. intra-batch dedup: exact, then banded-MinHash pairs clustered
+    # with the star-contraction CC (O(log n) rounds even on chain-shaped
+    # pair graphs) — exactly one keeper per near-dup cluster, vs a
+    # pair-based max-id drop that over-removes chains
     deduped = D.exact_dedup(fresh)
     pairs = D.minhash_lsh_pairs(deduped, threshold=args.threshold, **MH)
-    losers = pairs.select(
-        F.greatest("id_a", "id_b").alias("doc_id")
-    ).distinct()
-    accepted = deduped.join(losers, "doc_id", "left_anti").localCheckpoint(
+    clusters = D.near_dup_clusters_star(pairs)
+    accepted = D.dedup_keep_list(deduped, clusters).localCheckpoint(
         eager=False
     )
     n_accepted = accepted.count()
