@@ -424,6 +424,27 @@ def q_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group report: (content_hash, n_dups, doc_ids)
+    for every text occurring more than once — md5 is computed
+    identically by both engines, so the oracle is direct."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    # doc_ids joined to one string: Arrow list types carry engine-
+    # specific element field names (Spark `element` vs DuckDB `l`) that
+    # fail the driver's strict type compare even when values match
+    return (
+        D.duplicate_groups(docs)
+        .select(
+            "content_hash",
+            "n_dups",
+            F.array_join("doc_ids", ",").alias("doc_ids_csv"),
+        )
+        .orderBy("content_hash")
+    )
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs.  The engine-portable
     md5-derived token hash lets a DuckDB oracle rebuild the 64-perm
@@ -781,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "quality_flags": q_quality_flags,
         "exact_dedup_count": q_exact_dedup_count,
+        "duplicate_groups": q_duplicate_groups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1579,6 +1601,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                 PARTITION BY md5(text) ORDER BY doc_id
               ) AS rn FROM documents
             ) WHERE rn = 1
+        """,
+        "duplicate_groups": """
+            SELECT md5(text) AS content_hash,
+                   COUNT(*) AS n_dups,
+                   array_to_string(
+                     list_sort(list(CAST(doc_id AS VARCHAR))), ','
+                   ) AS doc_ids_csv
+            FROM documents
+            GROUP BY md5(text)
+            HAVING COUNT(*) > 1
+            ORDER BY content_hash
         """,
         "cosine_topk": """
             WITH q AS (
