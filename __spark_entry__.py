@@ -197,6 +197,32 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_hop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 2-hour width, 1-hour slide — every
+    event lands in exactly two windows (`F.window(ts, w, s)`; the batch
+    twin of a sliding streaming aggregation).  The DuckDB oracle
+    re-derives the epoch-aligned hop starts with an unnest over the
+    w/s offsets."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap."""
     ev = _t(spark, sf_dir, "events")
@@ -788,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "event_windows": q_event_windows,
+        "event_hop_windows": q_event_hop_windows,
         "user_sessions": q_user_sessions,
         "rollup_orders": q_rollup_orders,
         "tpch_q3": q_tpch_q3,
@@ -1460,6 +1487,21 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(SUM(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_hop_windows": """
+            WITH h AS (
+              SELECT event_type, value,
+                     date_trunc('hour', ts) - to_hours(CAST(i AS BIGINT))
+                       AS ws
+              FROM (SELECT *, unnest(range(0, 2)) AS i FROM events)
+              WHERE date_trunc('hour', ts) - to_hours(CAST(i AS BIGINT))
+                      > ts - INTERVAL 2 HOUR
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 2) AS sum_value
+            FROM h GROUP BY 1, 2 ORDER BY window_start, event_type
         """,
         "user_sessions": """
             WITH g AS (
