@@ -1,0 +1,148 @@
+"""Per-rule kernel micro-benchmarks + a host-speed-invariant regression
+guard (VERDICT r2 "Next round" #1).
+
+Background: BENCH_r02 showed the flagship extract lane at 1.473 s vs
+BENCH_r01's 1.005 s at sf0.1.  Bisecting with interleaved A/B runs of
+the r1 kernel (commit 88ae9a9) vs HEAD on the same host showed the two
+are statistically identical (best-of-4: 0.877 s vs 0.884 s) — the r2
+number was host-load noise on a single timed pass, not a code
+regression.  These benches exist so a *real* kernel CPU regression
+fails in-round instead of surfacing as an unexplained bench delta:
+
+- ``test_rule_microbench``: pytest-benchmark per rule (informational —
+  run ``pytest tests/test_kernel_bench.py --benchmark-enable`` and
+  compare against a saved ``--benchmark-autosave`` run).
+- ``test_checks_vs_parse_ratio``: asserts the full rule catalog costs
+  at most RATIO_CAP× the pandas CSV parse of the same documents.  Both
+  sides run in-process back-to-back, so host speed cancels out; the
+  measured ratio is ~2.0 (r1 kernel: ~2.1), and the cap of 3.5 trips
+  on any ~75%+ rule-side CPU blowup while staying flake-free on
+  loaded hosts.
+- ``test_kernel_absolute_floor``: a very generous absolute floor
+  (>100 docs/s/core; measured ~500) that catches catastrophic
+  regressions (accidental O(n²), per-call regex compiles).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from machine_readability_checker_spark.core.checks import (
+    RULES,
+    _body_df,
+    run_checks,
+)
+from machine_readability_checker_spark.core.grid import parse_document
+from machine_readability_checker_spark.core.zones import extract_zones
+
+
+def _synth_csv(doc_idx: int, n_rows: int = 24) -> bytes:
+    """Deterministic CSV document shaped like the bench corpus
+    (5 columns, token-ish cells, a sprinkle of numerics and blanks)."""
+    rows = ["c1,c2,c3,c4,c5"]
+    for r in range(n_rows):
+        cells = []
+        for c in range(5):
+            v = (doc_idx * 31 + r * 7 + c * 3) % 29
+            if v == 0:
+                cells.append("")
+            elif v < 8:
+                cells.append(str(v * 100 + r))
+            else:
+                cells.append(f"tok{v}w{r}")
+        rows.append(",".join(cells))
+    return ("\n".join(rows) + "\n").encode("utf-8")
+
+
+@pytest.fixture(scope="module")
+def parsed_docs():
+    docs = []
+    for i in range(40):
+        doc = parse_document("csv", _synth_csv(i))
+        sheet = doc.sheets[0]
+        ctx = extract_zones(
+            sheet.rows,
+            sheet.name,
+            header_start_row=1,
+            header_end_row=1,
+            data_start_row=0,
+            data_end_row=0,
+        )
+        docs.append((doc, ctx, _body_df(ctx)))
+    return docs
+
+
+_SHEET_ARG_FNS = {
+    "check_one_table_per_sheet",
+    "check_no_hidden_rows_or_columns",
+    "check_no_merged_cells",
+    "check_no_format_based_semantics",
+    "check_no_whitespace_formatting",
+    "check_no_platform_dependent_characters",
+}
+
+
+@pytest.mark.parametrize(
+    "rule_id,fn", [(rid, fn) for rid, _d, fn in RULES], ids=[r[0] for r in RULES]
+)
+def test_rule_microbench(benchmark, parsed_docs, rule_id, fn):
+    """Per-rule cost over the 40-doc fixture set.  Pedantic mode keeps
+    the default (benchmark-disabled) suite fast."""
+
+    def run_all():
+        for doc, ctx, body in parsed_docs:
+            if fn.__name__ in _SHEET_ARG_FNS:
+                fn(doc, ctx, body, 0)
+            else:
+                fn(doc, ctx, body)
+
+    benchmark.pedantic(run_all, rounds=3, iterations=1, warmup_rounds=1)
+
+
+def test_checks_vs_parse_ratio(parsed_docs):
+    """run_checks ≤ 3.5× parse_document on the same docs (ratio is
+    host-speed-invariant; measured ~2.0 at HEAD, ~2.1 on the r1
+    kernel)."""
+    raw = [_synth_csv(i) for i in range(40)]
+    # warmup both sides (regex compile caches, pandas import paths)
+    for b in raw[:5]:
+        parse_document("csv", b)
+    for doc, ctx, body in parsed_docs[:5]:
+        run_checks(doc, ctx)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for b in raw:
+            parse_document("csv", b)
+    t_parse = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for doc, ctx, body in parsed_docs:
+            run_checks(doc, ctx)
+    t_checks = time.perf_counter() - t0
+
+    ratio = t_checks / t_parse
+    assert ratio < 3.5, (
+        f"rule catalog costs {ratio:.2f}x the CSV parse (cap 3.5x) — "
+        "a kernel CPU regression landed; bisect the checks/cells diff"
+    )
+
+
+def test_kernel_absolute_floor(parsed_docs):
+    """Catastrophe guard: full extract path must exceed 100 docs/s/core
+    on the fixture docs (measured ~500 on the bench host)."""
+    from machine_readability_checker_spark.core.extract import extract_document
+
+    raw = [(f"d{i}", _synth_csv(i)) for i in range(40)]
+    for did, b in raw[:5]:
+        extract_document(did, "csv", b, 1, 1, 0, 0)
+    t0 = time.perf_counter()
+    for did, b in raw:
+        extract_document(did, "csv", b, 1, 1, 0, 0)
+    dt = time.perf_counter() - t0
+    rate = len(raw) / dt
+    assert rate > 100, f"kernel at {rate:.0f} docs/s/core (floor 100)"
