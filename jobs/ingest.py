@@ -88,6 +88,21 @@ def main() -> None:
         shuffle_partitions=max(8, args.cores),
     )
     spark.sparkContext.setLogLevel("WARN")
+    stats = run(spark, args)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+def _index_has_data(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def run(spark, args) -> dict:
+    """One ingest wave; returns the stats dict (testable in-process —
+    ``main`` owns session lifecycle and JSON printing)."""
     t0 = time.time()
 
     if args.new:
@@ -95,21 +110,16 @@ def main() -> None:
     elif args.gen:
         batch = _gen_batch(spark, args.gen, f"b{int(t0)}")
     else:
-        ap.error("need --new or --gen")
-        return
+        raise SystemExit("need --new or --gen")
     batch = batch.localCheckpoint(eager=False)
-    n_batch = batch.count()
-
-    def _index_has_data(path: str) -> bool:
-        for _root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
 
     corpus_exists = os.path.isdir(args.corpus) and any(
         f.endswith(".parquet") for f in os.listdir(args.corpus)
     )
-    if not os.path.isdir(args.index) and corpus_exists:
+    # gate the bootstrap on index DATA, not directory existence: a
+    # pre-created or crash-leftover empty dir must not skip both the
+    # bootstrap and the probe (silent corpus/index drift — ADVICE r2)
+    if not _index_has_data(args.index) and corpus_exists:
         # one-off batch build from the standing corpus
         D.write_minhash_index(
             spark.read.parquet(args.corpus),
@@ -130,12 +140,16 @@ def main() -> None:
             n_buckets=args.n_buckets,
             **MH,
         )
-        dup_ids = hits.select(F.col("query_id").alias("doc_id")).distinct()
+        dup_ids = (
+            hits.select(F.col("query_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         fresh = batch.join(dup_ids, "doc_id", "left_anti")
     else:
+        dup_ids = batch.select("doc_id").limit(0)
         fresh = batch
     fresh = fresh.localCheckpoint(eager=False)
-    n_fresh = fresh.count()
 
     # 2. intra-batch dedup: exact, then banded-MinHash pairs clustered
     # with the star-contraction CC (O(log n) rounds even on chain-shaped
@@ -147,30 +161,51 @@ def main() -> None:
     accepted = D.dedup_keep_list(deduped, clusters).localCheckpoint(
         eager=False
     )
-    n_accepted = accepted.count()
 
-    # 3. append survivors to the corpus and their band entries to the
-    # index (same parameters — probes of the NEXT batch will see them)
-    accepted.write.mode("append").parquet(args.corpus)
+    # 3. append survivors' band entries to the index FIRST, then the
+    # docs to the corpus: if the job dies between the two writes, an
+    # indexed-but-absent doc merely over-rejects one batch's re-send
+    # (re-probing is idempotent), while the reverse order leaves an
+    # unindexed corpus doc that every future batch silently duplicates
+    # (fail-closed — ADVICE r2).  Same parameters, so the NEXT batch's
+    # probes see these docs.
     D.minhash_index_entries(
         accepted, n_buckets=args.n_buckets, **MH
     ).repartition("band", "bucket").write.mode("append").partitionBy(
         "band", "bucket"
     ).parquet(args.index)
+    accepted.write.mode("append").parquet(args.corpus)
 
-    print(
-        json.dumps(
-            {
-                "batch_docs": n_batch,
-                "corpus_dup_rejected": n_batch - n_fresh,
-                "intra_batch_removed": n_fresh - n_accepted,
-                "accepted": n_accepted,
-                "wall_sec": round(time.time() - t0, 2),
-                "cores": args.cores,
-            }
+    # one conditional aggregate for ALL stats (was three count() jobs):
+    # label every batch doc with its fate and sum the labels
+    stats = (
+        batch.select("doc_id")
+        .join(dup_ids.withColumn("_rej", F.lit(1)), "doc_id", "left")
+        .join(
+            accepted.select("doc_id").withColumn("_acc", F.lit(1)),
+            "doc_id",
+            "left",
         )
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.sum(F.coalesce(F.col("_rej"), F.lit(0))).alias("n_rej"),
+            F.sum(F.coalesce(F.col("_acc"), F.lit(0))).alias("n_acc"),
+        )
+        .collect()[0]
     )
-    spark.stop()
+    n_batch, n_rej, n_acc = (
+        stats["n_batch"],
+        int(stats["n_rej"] or 0),
+        int(stats["n_acc"] or 0),
+    )
+    return {
+        "batch_docs": n_batch,
+        "corpus_dup_rejected": n_rej,
+        "intra_batch_removed": n_batch - n_rej - n_acc,
+        "accepted": n_acc,
+        "wall_sec": round(time.time() - t0, 2),
+        "cores": args.cores,
+    }
 
 
 if __name__ == "__main__":

@@ -87,13 +87,21 @@ _NON_NUMERIC_CHAR_RE = re.compile(r"[^\d.\-]")
 # pattern-heavier cells the saved regex work is real, and the memo never
 # loses.  Bounded so a long-lived executor scanning high-cardinality
 # corpora cannot grow them without limit; clearing resets amortization,
-# never correctness (the predicates are pure).
-_MEMO_MAX = 500_000
+# never correctness (the predicates are pure).  Bounds are deliberately
+# small (ADVICE r2): 50k entries ≈ single-digit MB of repeated labels,
+# and values longer than _MEMO_MAX_LEN are never memoized — long
+# strings are the least likely to repeat and the costliest to retain,
+# so each long-lived worker stays far under the hundreds-of-MB ceiling
+# the 500k/unbounded-length combination allowed.
+_MEMO_MAX = 50_000
+_MEMO_MAX_LEN = 256
 _PLATFORM_MEMO: dict = {}
 _CLEAN_NUMERIC_MEMO: dict = {}
 
 
 def detect_platform_characters(text: str) -> bool:
+    if len(text) > _MEMO_MAX_LEN:
+        return _PLATFORM_RE.search(text) is not None
     hit = _PLATFORM_MEMO.get(text)
     if hit is None:
         hit = _PLATFORM_RE.search(text) is not None
@@ -112,22 +120,27 @@ def is_clean_numeric(val: Any) -> bool:
     if isinstance(val, (int, float)):
         return True
     if isinstance(val, str):
+        if len(val) > _MEMO_MAX_LEN:
+            return _clean_numeric_uncached(val)
         hit = _CLEAN_NUMERIC_MEMO.get(val)
         if hit is None:
-            s = val.strip()
-            if _NON_NUMERIC_CHAR_RE.search(s):
-                hit = False
-            else:
-                try:
-                    float(s)
-                    hit = True
-                except ValueError:
-                    hit = False
+            hit = _clean_numeric_uncached(val)
             if len(_CLEAN_NUMERIC_MEMO) >= _MEMO_MAX:
                 _CLEAN_NUMERIC_MEMO.clear()
             _CLEAN_NUMERIC_MEMO[val] = hit
         return hit
     return False
+
+
+def _clean_numeric_uncached(val: str) -> bool:
+    s = val.strip()
+    if _NON_NUMERIC_CHAR_RE.search(s):
+        return False
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def is_clean_numeric_series(series: pd.Series) -> pd.Series:

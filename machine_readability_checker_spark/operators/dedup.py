@@ -424,8 +424,20 @@ def query_minhash_index(
         for r in qband.select("band", "bucket").distinct().collect()
     }
     if not targets:
+        # derive the id type from the queries frame — a hardcoded
+        # string schema breaks union/join for bigint ids (ADVICE r2)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = queries.schema[id_col].dataType
         return spark.createDataFrame(
-            [], "query_id string, doc_id string, jaccard_est double"
+            [],
+            StructType(
+                [
+                    StructField("query_id", id_type),
+                    StructField("doc_id", id_type),
+                    StructField("jaccard_est", DoubleType()),
+                ]
+            ),
         )
     idx = spark.read.parquet(path)
     if len(targets) < bands * n_buckets // 2:

@@ -33,37 +33,54 @@ def asof_join_last(
     no right row precedes it.  Right-side ``value_cols`` are returned
     as ``{prefix}{col}``.
 
+    All right-side values travel in ONE struct carrying a non-null
+    ``_present`` marker, and the window takes ``last(ignorenulls)`` of
+    the whole struct: the matched row's values are returned atomically
+    (never stitched from different right rows), and a genuinely-NULL
+    right value stays NULL instead of falling back to a staler non-NULL
+    one — the failure mode of per-column running-last.
+
     Ties between a left and a right row at the identical timestamp
     resolve to the right row (tag ordering), matching ASOF's
     at-or-before contract; multiple right rows sharing (by, ts) are
     not ordered — pre-dedup the right side if that can occur."""
     value_cols = list(value_cols)
     lcols = left.columns
-    l = left.withColumn("_tag", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(f"_rv_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rv_struct = F.struct(
+        F.lit(1).alias("_present"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    l = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_rv",
+        F.lit(None).cast(
+            "struct<_present:int,"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            )
+            + ">"
+        ),
+    )
     r = right.select(
-        F.col(by_col),
-        F.col(ts_col),
-        F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(by_col), F.col(ts_col), F.lit(0).alias("_tag"),
+        rv_struct.alias("_rv"),
     )
     for c in lcols:
         if c not in (by_col, ts_col):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l.select(*lcols, "_tag", *[f"_rv_{c}" for c in value_cols]).unionByName(
-        r.select(*lcols, "_tag", *[f"_rv_{c}" for c in value_cols])
+    u = l.select(*lcols, "_tag", "_rv").unionByName(
+        r.select(*lcols, "_tag", "_rv")
     )
     w = (
         Window.partitionBy(by_col)
         .orderBy(ts_col, "_tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u
-    for c in value_cols:
-        out = out.withColumn(
-            f"{prefix}{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w)
-        )
+    out = u.withColumn("_last_rv", F.last("_rv", ignorenulls=True).over(w))
     return out.filter(F.col("_tag") == 1).select(
-        *lcols, *[f"{prefix}{c}" for c in value_cols]
+        *lcols,
+        *[
+            F.col(f"_last_rv.{c}").alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
     )

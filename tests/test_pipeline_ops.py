@@ -513,6 +513,32 @@ def test_minhash_index_prunes_partitions(docs, spark, tmp_path):
     }
 
 
+def test_minhash_index_empty_batch_keeps_id_type(docs, spark, tmp_path):
+    """An empty query batch must return a frame whose id columns carry
+    the QUERIES frame's id type (bigint here), not a hardcoded string —
+    so unions/joins with non-empty results stay valid (ADVICE r2)."""
+    path = str(tmp_path / "mh_index_bigint")
+    big = docs.select(
+        F.xxhash64("doc_id").alias("doc_id"), "text"
+    )
+    dedup.write_minhash_index(big, path, shingle_k=3)
+    empty_q = big.limit(0)
+    out = dedup.query_minhash_index(
+        spark, path, empty_q, shingle_k=3, threshold=0.4
+    )
+    assert out.count() == 0
+    assert dict(out.dtypes) == {
+        "query_id": "bigint",
+        "doc_id": "bigint",
+        "jaccard_est": "double",
+    }
+    # unions with a non-empty probe result without AnalysisException
+    nonempty = dedup.query_minhash_index(
+        spark, path, big.limit(2), shingle_k=3, threshold=0.4
+    )
+    assert out.unionByName(nonempty).count() == nonempty.count()
+
+
 def test_minhash_index_portable_matches_self_join(docs, spark, tmp_path):
     """Portable-hash index queries (the DuckDB-oracle lane of
     ``minhash_index_query`` in ``__spark_entry__.py``) return exactly the
@@ -983,6 +1009,40 @@ def test_asof_join_last_hand_computed(spark):
         4: (20.5, 102),
         5: (None, None),
     }
+
+
+def test_asof_join_null_right_values_stay_null(spark):
+    """A matched right row whose value is genuinely NULL must yield
+    NULL — not silently fall back to a staler non-NULL value — and with
+    multiple value_cols every returned column must come from the SAME
+    matched right row (atomic struct, not per-column running-last).
+    This is the ADVICE-r2 failure mode of the per-column formulation."""
+    from datetime import datetime
+
+    from machine_readability_checker_spark.operators.temporal import (
+        asof_join_last,
+    )
+
+    t = lambda s: datetime(2026, 1, 1, 10, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(6), 7), (2, t(12), 7)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    # p1 has values, p2 (the later match for event 2) has NULL value and
+    # a different event id: per-column last(ignorenulls) would stitch
+    # (10.5 from p1, 102 from p2) — wrong on both counts.
+    right = spark.createDataFrame(
+        [(7, t(5), 10.5, 101), (7, t(10), None, 102)],
+        "user_id bigint, ts timestamp, purchase_value double,"
+        " purchase_event bigint",
+    )
+    out = {
+        r["event_id"]: (r["last_purchase_value"], r["last_purchase_event"])
+        for r in asof_join_last(
+            left, right, value_cols=["purchase_value", "purchase_event"]
+        ).collect()
+    }
+    assert out == {1: (10.5, 101), 2: (None, 102)}
 
 
 def test_near_dup_clusters_star_matches_union_find(spark):
