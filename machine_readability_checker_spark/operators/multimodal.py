@@ -1,24 +1,29 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-The container ships no image/audio codecs, so the *decode* step is a
-deterministic fake behind ``decode_backend()`` — the Spark-side contract
-(schemas, batch shapes, partitioning, UDF signatures) is real and tested;
-swapping in PIL/ffmpeg later changes one function.
+Two image containers decode for real:
 
-Fake media format (used by fixtures/tests):
-    b"FAKEIMG" + width:uint16 + height:uint16 + payload bytes
-Anything else decodes to an error row (quarantine semantics, mirroring the
-extraction kernel's parse_error lane).
+- **PNG** (``core/png.py``: pure-stdlib chunk parse + zlib inflate +
+  all five scanline filters; 8-bit gray/RGB/RGBA/gray-alpha/palette) —
+  actual image bytes, golden-pixel tested.
+- The deterministic **fake** container the older fixtures use:
+  ``b"FAKEIMG" + width:uint16 + height:uint16 + payload`` (1 channel).
+
+Anything else decodes to an error row (quarantine semantics, mirroring
+the extraction kernel's parse_error lane).  Video remains the fake
+length-prefixed frame container (no ffmpeg in this build); each frame
+may itself be a PNG.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core.png import PNG_SIG, decode_png, encode_png
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -35,6 +40,7 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("mean_byte", T.DoubleType(), True),
         T.StructField("decode_error", T.StringType(), True),
@@ -48,31 +54,53 @@ def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
     return FAKE_MAGIC + struct.pack("<HH", width, height) + payload
 
 
-def decode_backend(content: bytes):
-    """Decode one media blob → (width, height, payload) or raise.
+class DecodedImage(NamedTuple):
+    container: str  # "png" | "fake"
+    width: int
+    height: int
+    channels: int
+    pixels: bytes  # row-major, channels interleaved, 8-bit
 
-    Real deployment: replace the body with PIL/libvips/ffmpeg decode.  The
-    deterministic fake keeps the distributed plumbing testable here."""
-    try:
-        import PIL.Image  # noqa: F401  — not installed in this container
-    except ImportError:
-        pass
-    else:  # pragma: no cover — a real codec is present; still unsupported
-        raise NotImplementedError(
-            "real image decode intentionally not wired in this build"
+
+def decode_image(content: bytes) -> DecodedImage:
+    """Decode one still-image blob, dispatching on container magic.
+    Raises ``ValueError`` for unknown/corrupt bytes — the kernels turn
+    that into a quarantine row."""
+    if content.startswith(PNG_SIG):
+        w, h, ch, px = decode_png(content)
+        return DecodedImage("png", w, h, ch, px)
+    if content.startswith(FAKE_MAGIC):
+        w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
+        return DecodedImage(
+            "fake", w, h, 1, bytes(content[len(FAKE_MAGIC) + 4 :])
         )
-    if not content.startswith(FAKE_MAGIC):
-        raise ValueError("unknown media container")
-    w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
-    payload = content[len(FAKE_MAGIC) + 4 :]
-    return w, h, payload
+    raise ValueError("unknown media container")
+
+
+def encode_image(img: DecodedImage) -> bytes:
+    """Re-encode into the blob's original container (resize output keeps
+    the input format)."""
+    if img.container == "png":
+        return encode_png(img.width, img.height, img.channels, img.pixels)
+    if img.container == "fake":
+        if img.channels != 1:
+            raise ValueError("fake container is single-channel")
+        return encode_fake_image(img.width, img.height, img.pixels)
+    raise ValueError(f"unknown container {img.container}")
+
+
+def decode_backend(content: bytes):
+    """Back-compat 3-tuple view: (width, height, pixel bytes)."""
+    d = decode_image(content)
+    return d.width, d.height, d.pixels
 
 
 def _features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
         out = {
             "doc_id": [], "media_ref": [], "width": [], "height": [],
-            "n_bytes": [], "mean_byte": [], "decode_error": [],
+            "channels": [], "n_bytes": [], "mean_byte": [],
+            "decode_error": [],
         }
         for row in batch.itertuples(index=False):
             content = bytes(row.content)
@@ -80,16 +108,20 @@ def _features_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["media_ref"].append(row.media_ref)
             out["n_bytes"].append(len(content))
             try:
-                w, h, payload = decode_backend(content)
-                out["width"].append(w)
-                out["height"].append(h)
+                img = decode_image(content)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["channels"].append(img.channels)
                 out["mean_byte"].append(
-                    float(sum(payload)) / len(payload) if payload else 0.0
+                    float(sum(img.pixels)) / len(img.pixels)
+                    if img.pixels
+                    else 0.0
                 )
                 out["decode_error"].append(None)
             except Exception as e:
                 out["width"].append(None)
                 out["height"].append(None)
+                out["channels"].append(None)
                 out["mean_byte"].append(None)
                 out["decode_error"].append(str(e))
         yield pd.DataFrame(out)
@@ -162,18 +194,26 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _resize_payload(w: int, h: int, payload: bytes, tw: int, th: int) -> bytes:
-    """Nearest-neighbor downsample of the fake row-major byte image —
-    the stand-in for a real resampling kernel (PIL.Image.resize /
-    libvips); the distributed contract (binary in → binary out, bounded
-    Arrow batches) is identical."""
-    if w <= 0 or h <= 0 or len(payload) < w * h:
+def _resize_pixels(img: DecodedImage, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of a row-major interleaved image, any
+    channel count.  NN is the format-preserving baseline (a production
+    build swaps in an area/Lanczos numpy kernel); the distributed
+    contract — binary in → binary out, bounded Arrow batches — is
+    identical."""
+    w, h, ch, px = img.width, img.height, img.channels, img.pixels
+    if w <= 0 or h <= 0 or len(px) < w * h * ch:
         raise ValueError("payload does not match dimensions")
     rows = []
     for ty in range(th):
         sy = ty * h // th
-        row = payload[sy * w : (sy + 1) * w]
-        rows.append(bytes(row[tx * w // tw] for tx in range(tw)))
+        base = sy * w * ch
+        row = bytearray(tw * ch)
+        for tx in range(tw):
+            sx = tx * w // tw
+            row[tx * ch : (tx + 1) * ch] = px[
+                base + sx * ch : base + (sx + 1) * ch
+            ]
+        rows.append(bytes(row))
     return b"".join(rows)
 
 
@@ -191,13 +231,17 @@ def resize_images(media_df: DataFrame, target_w: int, target_h: int) -> DataFram
                 out["doc_id"].append(row.doc_id)
                 out["media_ref"].append(row.media_ref)
                 try:
-                    w, h, payload = decode_backend(bytes(row.content))
-                    resized = _resize_payload(w, h, payload, target_w, target_h)
+                    img = decode_image(bytes(row.content))
+                    resized = DecodedImage(
+                        img.container,
+                        target_w,
+                        target_h,
+                        img.channels,
+                        _resize_pixels(img, target_w, target_h),
+                    )
                     out["width"].append(target_w)
                     out["height"].append(target_h)
-                    out["content"].append(
-                        encode_fake_image(target_w, target_h, resized)
-                    )
+                    out["content"].append(encode_image(resized))
                     out["decode_error"].append(None)
                 except Exception as e:
                     out["width"].append(None)
