@@ -896,7 +896,7 @@ FROM (VALUES
   ('L1-09', true), ('L1-10', true), ('L1-11', true), ('L1-12', true),
   ('L1-13', true), ('L1-14', true), ('L1-15', true), ('X-01', true),
   ('X-02', true), ('X-03', true), ('X-04', false), ('X-05', false),
-  ('X-06', false)
+  ('X-06', false), ('X-07', false)
 ) AS r(rule_id, passed), n
 ORDER BY rule_id, passed
 """

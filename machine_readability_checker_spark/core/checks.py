@@ -723,6 +723,50 @@ def check_metadata_presence(doc: ParsedDoc, ctx, body) -> CheckResult:
     return False, "調査概要やメタデータが確認できません"
 
 
+# X-07: the HISTORICAL whitespace-variant check that survives only in
+# bytecode (pyc:level1_checks check_no_whitespace_formatting, lines
+# 124-148 — disassembled; the shipping level1_checker.py replaced it
+# with the full-width-space scan, SURVEY.md §2.3 F9 note).  Semantics
+# mirrored exactly: first worksheet only (predates sheet targeting),
+# string cells whose trimmed form fullmatches the currency shape are
+# EXEMPT, and a cell is flagged when it has leading/trailing space, an
+# embedded newline or tab, or an inter-word ideographic space.  The
+# failure message interpolates problem[:3] as a Python list (repr),
+# bit-for-bit with the bytecode's f-string.
+_LEGACY_CURRENCY_RE = re.compile(r"[¥￥]?\d+(,?\d+)*(円|万円)?")
+_LEGACY_INTERWORD_RE = re.compile(r"\w　\w")
+
+
+def check_legacy_whitespace_variants(
+    doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
+) -> CheckResult:
+    if doc.workbook is None:
+        return False, "エラー: 有効な workbook が渡されていません"
+    problem: List[str] = []
+    sheet = doc.sheets[0]
+    for row_idx, row in enumerate(sheet.rows, start=1):
+        for col_idx, cell in enumerate(row, start=1):
+            if not isinstance(cell, str):
+                continue
+            trimmed = cell.strip()
+            if _LEGACY_CURRENCY_RE.fullmatch(trimmed):
+                continue
+            if (
+                cell != trimmed
+                or "\n" in cell
+                or "\t" in cell
+                or _LEGACY_INTERWORD_RE.search(cell)
+            ):
+                cell_pos = f"{C.col_letter(col_idx)}{row_idx}"
+                problem.append(f"{cell_pos}: {cell!r}")
+    if problem:
+        return (
+            False,
+            f"余分な空白/改行/体裁スペースが検出されました（例: {problem[:3]}）",
+        )
+    return True, "スペースや改行による整形はありません"
+
+
 # ------------------------------------------------------------ rule catalog
 
 # (rule_id, description, check callable) — rules/level1.json order; the
@@ -749,6 +793,7 @@ RULES: List[Tuple[str, str, Any]] = [
     ("X-04", "codebook sheet present", check_codebook_exists),
     ("X-05", "question master sheet present", check_question_master_exists),
     ("X-06", "survey metadata present", check_metadata_presence),
+    ("X-07", "no legacy whitespace variants", check_legacy_whitespace_variants),
 ]
 
 

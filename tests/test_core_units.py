@@ -335,3 +335,66 @@ def test_question_master_and_metadata_checks():
         True,
         f"内容からメタデータが見つかりました（例: {chunk}）",
     )
+
+
+def test_legacy_whitespace_variants_x07():
+    """X-07 — pyc:level1_checks check_no_whitespace_formatting
+    (bytecode-only historical variant, lines 124-148): currency-shaped
+    cells are fullmatch-EXEMPT, leading/trailing space, embedded
+    newline/tab and inter-word ideographic space flag, message quotes
+    problem[:3] as a Python list repr, first worksheet only."""
+    from machine_readability_checker_spark.core.extract import extract_document
+    from machine_readability_checker_spark.core.xlsx import write_xlsx
+
+    def run(fmt, content):
+        res = extract_document("d", fmt, content)["results"]
+        return {r["rule_id"]: (r["passed"], r["message"]) for r in res}
+
+    # csv has no workbook -> bytecode's error path
+    csv = run("csv", b"a,b\n1,2\n")
+    assert csv["X-07"] == (False, "エラー: 有効な workbook が渡されていません")
+
+    # clean workbook incl. currency-formatted cells (exempt even with
+    # the ¥/円 decorations) -> pass message
+    clean = run(
+        "xlsx",
+        write_xlsx(
+            [
+                {
+                    "name": "Data",
+                    "rows": [
+                        ["id", "price"],
+                        ["1", "￥1,000円"],
+                        ["2", "¥25万円"],
+                        ["3", "12,345"],
+                    ],
+                }
+            ]
+        ),
+    )
+    assert clean["X-07"] == (True, "スペースや改行による整形はありません")
+
+    # flagged: trailing space / newline / tab / inter-word　space;
+    # message carries the first 3 in scan order as a list repr
+    bad_rows = [
+        ["名前 ", "a\nb"],
+        ["x\ty", "日本　語"],
+    ]
+    bad = run("xlsx", write_xlsx([{"name": "Data", "rows": bad_rows}]))
+    expect_problems = ["A1: '名前 '", "B1: 'a\\nb'", "A2: 'x\\ty'"]
+    assert bad["X-07"] == (
+        False,
+        f"余分な空白/改行/体裁スペースが検出されました（例: {expect_problems}）",
+    )
+
+    # second-sheet problems are invisible (worksheets[0] only)
+    second = run(
+        "xlsx",
+        write_xlsx(
+            [
+                {"name": "Data", "rows": [["ok", "fine"]]},
+                {"name": "Other", "rows": [["bad "]]},
+            ]
+        ),
+    )
+    assert second["X-07"][0] is True

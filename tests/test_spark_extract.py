@@ -76,9 +76,9 @@ def test_side_tables(spark, corpus):
     extracted = extract(salted_repartition(df_raw, 8)).cache()
     try:
         res = results_table(extracted)
-        # every grid doc yields the full 21-rule catalog
+        # every grid doc yields the full 22-rule catalog
         n_grid = sum(1 for f in corpus["fmt"] if f in ("csv", "xlsx", "xls"))
-        assert res.count() == n_grid * 21
+        assert res.count() == n_grid * 22
 
         met = metrics_table(extracted)
         assert met.filter("parse_errors > 0").count() == 0
