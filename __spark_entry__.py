@@ -615,6 +615,36 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_repetition_flags_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition verdicts at the PRODUCTION thresholds (0.6 / 0.18 —
+    no override): the fixture corpus alone never exceeds top-bigram 0.167,
+    so 20 deterministic loopy documents (the `repeat('spam ham ')` family,
+    reconstructed identically by the DuckDB oracle) are unioned in to
+    drive both verdicts of `looping_bigram` at the default config."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    loopy = spark.range(20).select(
+        F.concat(
+            F.lit("loop-"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("doc_id"),
+        F.concat(
+            F.repeat(F.lit("spam ham "), (F.col("id") + 10).cast("int")),
+            F.lit("unique tail "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    r = TS.with_repetition_stats(docs.unionByName(loopy))
+    return r.select(
+        "doc_id",
+        F.round("repetition.top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.col("repetition_flag.too_many_dup_tokens").alias(
+            "too_many_dup_tokens"
+        ),
+        F.col("repetition_flag.looping_bigram").alias("looping_bigram"),
+    ).orderBy("doc_id")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination overlap pairs: the md5-mod-8 document
     slice plays the benchmark/eval set, the rest the training corpus;
@@ -844,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_query": q_minhash_index_query,
         "ivf_index_query": q_ivf_index_query,
         "repetition_stats": q_repetition_stats,
+        "repetition_flags_default": q_repetition_flags_default,
         "contamination": q_contamination,
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
@@ -954,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_index_query"] = _minhash_index_oracle_sql()
     out["ivf_index_query"] = _IVF_INDEX_SQL
     out["repetition_stats"] = _REPETITION_SQL
+    out["repetition_flags_default"] = _REPETITION_DEFAULT_SQL
     out["contamination"] = _contamination_oracle_sql()
     out["split_manifest"] = _SPLIT_MANIFEST_SQL
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
@@ -1138,6 +1170,48 @@ _REPETITION_SQL = f"""
            round(tbf, 6) AS top_bigram_frac,
            dtf > 0.6 AS too_many_dup_tokens,
            tbf > 0.1 AS looping_bigram
+    FROM stats ORDER BY doc_id
+"""
+
+
+# Twin of q_repetition_flags_default: same doc union (the loopy family
+# rebuilt in SQL), PRODUCTION thresholds 0.6 / 0.18.
+_REPETITION_DEFAULT_SQL = f"""
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT 'loop-' || lpad(CAST(i AS VARCHAR), 2, '0'),
+             repeat('spam ham ', CAST(i + 10 AS INT))
+               || 'unique tail ' || CAST(i AS VARCHAR)
+      FROM range(20) t(i)
+    ), t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM docs
+    ), bg AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             ELSE [] END AS bgs
+      FROM t
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+        GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    ), stats AS (
+      SELECT bg.doc_id,
+        CASE WHEN len(toks) > 0
+             THEN (len(toks) - len(list_distinct(toks))) / len(toks)
+             ELSE 0.0 END AS dtf,
+        CASE WHEN len(bgs) > 0
+             THEN COALESCE(top.top_cnt, 0) / len(bgs)
+             ELSE 0.0 END AS tbf
+      FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+    )
+    SELECT doc_id,
+           round(tbf, 6) AS top_bigram_frac,
+           dtf > 0.6 AS too_many_dup_tokens,
+           tbf > 0.18 AS looping_bigram
     FROM stats ORDER BY doc_id
 """
 

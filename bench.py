@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "minhash_index_query",
     "ivf_index_query",
     "repetition_stats",
+    "repetition_flags_default",
     "contamination",
     "split_manifest",
     "chunk_documents",

@@ -1110,3 +1110,20 @@ def test_near_dup_clusters_star_agrees_with_propagation(docs):
         for r in near_dup_clusters_star(pairs).collect()
     }
     assert a == b and a  # non-empty and identical
+
+
+def test_repetition_default_threshold_fires_both_verdicts(spark):
+    """VERDICT-r2 gap: looping_bigram at the PRODUCTION 0.18 threshold
+    must produce both verdicts end-to-end (the fixture corpus alone
+    maxes at 0.167 — the synthesized loopy family pushes past it)."""
+    import __spark_entry__ as E
+
+    out = E.q_repetition_flags_default(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    verdicts = {r["looping_bigram"] for r in out}
+    assert verdicts == {True, False}
+    loopy = [r for r in out if r["doc_id"].startswith("loop-")]
+    assert len(loopy) == 20
+    assert all(r["looping_bigram"] for r in loopy)
+    assert all(r["top_bigram_frac"] > 0.18 for r in loopy)
