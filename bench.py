@@ -100,6 +100,46 @@ def main() -> None:
     timings["extract"] = t_extract
     raw.unpersist()
 
+    # whale-skew pair (VERDICT r2 #5): the same extraction over a corpus
+    # with planted whale documents, size-range partitioning (whales
+    # co-located — the crawl-dump worst case) vs the engine's salted
+    # repartition.  The wall-time gap IS the straggler; per-partition
+    # max/median task times are in BENCH/BASELINE.md (tools/skew_bench.py).
+    import pandas as _pd
+
+    import numpy as _np
+
+    from machine_readability_checker_spark.model import RAW_SCHEMA as _RAW
+    from machine_readability_checker_spark.sources import fixtures as _FX
+
+    _whales = _pd.DataFrame(
+        [
+            {**_FX.fam_whale(_np.random.RandomState(_FX.SEED + i), i),
+             "sheet_idx": 0}
+            for i in range(8)
+        ]
+    )
+    _whales["doc_id"] = "planted_" + _whales["doc_id"]
+    skew_raw = spark.createDataFrame(
+        _pd.concat(
+            [_FX.gen_corpus(1200, whale_every=None), _whales],
+            ignore_index=True,
+        ),
+        schema=_RAW,
+    ).persist()
+    skew_raw.count()
+    for name, part in (
+        (
+            "extract_whales_unsalted",
+            skew_raw.repartitionByRange(cpus, F.col("n_bytes")),
+        ),
+        ("extract_whales_salted", salted_repartition(skew_raw, cpus)),
+    ):
+        t0 = time.time()
+        _materialize(extract(part))
+        timings[name] = round(time.time() - t0, 3)
+    skew_raw.unpersist()
+
     # The driver-contract queries() for minhash/simhash run the md5-based
     # PORTABLE hash so their DuckDB oracles can reproduce signatures
     # bit-for-bit; the bench times the PRODUCTION variants (xxhash64
