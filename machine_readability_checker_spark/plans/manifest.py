@@ -92,6 +92,8 @@ def run_resumable(
     salt: int = DEFAULT_SALT,
     doc_id_col: str = "doc_id",
     on_wave_done: Optional[Callable[[List[int]], None]] = None,
+    split_expr_col=None,
+    split_universe: Optional[List[int]] = None,
 ) -> dict:
     """Process ``df_raw`` through ``transform`` resumably.
 
@@ -102,7 +104,16 @@ def run_resumable(
     import time as _time
 
     verbose = bool(int(os.environ.get("MRC_TIMING", "0")))
-    if "split" in df_raw.columns:
+    if split_expr_col is not None:
+        # partition-spec override (sources/iceberg_table.split_expr):
+        # the caller supplies both the bucket expression and the split-id
+        # universe it maps into — the evolved-spec ingest path, where
+        # split ids live in a per-spec namespace disjoint from range(n)
+        if split_universe is None:
+            raise ValueError("split_expr_col requires split_universe")
+        df = df_raw.withColumn("split", split_expr_col)
+        universe = [int(s) for s in split_universe]
+    elif "split" in df_raw.columns:
         # input is pre-bucketed (Iceberg bucket(N, doc_id) layout, written
         # partitioned by split): the wave filter below becomes partition
         # pruning — each wave reads only its own split directories instead
@@ -139,10 +150,12 @@ def run_resumable(
                 "drop the column or re-bucket with matching --splits"
             )
         df = df_raw
+        universe = list(range(n_splits))
     else:
         df = df_raw.withColumn("split", split_id(doc_id_col, n_splits, salt))
+        universe = list(range(n_splits))
     done = set(store.committed_splits())
-    todo = [s for s in range(n_splits) if s not in done]
+    todo = [s for s in universe if s not in done]
 
     docs_processed = 0
     wave_secs: List[float] = []
@@ -202,8 +215,8 @@ def run_resumable(
     if len(wave_secs) > 1 and sum(wave_secs[1:]) > 0:
         steady = round(sum(wave_docs[1:]) / sum(wave_secs[1:]), 1)
     return {
-        "splits_total": n_splits,
-        "splits_skipped": len(done),
+        "splits_total": len(universe),
+        "splits_skipped": len(done & set(universe)),
         "splits_processed": len(todo),
         "docs_processed": docs_processed,
         "wave_secs": wave_secs,

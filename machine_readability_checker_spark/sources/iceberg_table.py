@@ -20,6 +20,28 @@ a real catalog the same pipeline targets:
     PARTITIONED BY (bucket(64, doc_id))
 
 and resume rides snapshot diffs instead of the manifest anti-join.
+
+Schema evolution (the metadata-only Iceberg behaviors, shim analogs):
+
+- **Add column** — real DDL: ``ALTER TABLE t ADD COLUMN quality DOUBLE``.
+  Iceberg records a new schema id; old data files are untouched and old
+  columns read as NULL.  Shim: commit a snapshot with the new
+  ``schema_json``; ``read()`` merges parquet schemas so pre-evolution
+  files surface the new column as NULL, and a time-travel
+  ``read(version=v)`` projects to the columns recorded in THAT
+  snapshot's schema — ``VERSION AS OF`` semantics (the old snapshot
+  does not see the new column).
+- **Partition-spec change** — real DDL: ``ALTER TABLE t REPLACE
+  PARTITION FIELD bucket(4, doc_id) WITH bucket(8, doc_id)``.  Iceberg
+  stamps each data file with its spec id; old files keep the old
+  layout.  Shim: the snapshot records ``partition_spec`` ({spec_id,
+  num_buckets, column}) and ``split_expr(spec)`` namespaces split ids
+  as ``spec_id*SPEC_STRIDE + bucket`` so files written under different
+  specs never collide in the append-once split space (the stride plays
+  the role of Iceberg's per-file spec id; a real catalog needs none).
+
+Unset ``schema_json`` / ``partition_spec`` carry forward from the
+previous snapshot, like Iceberg metadata lineage.
 """
 
 from __future__ import annotations
@@ -31,6 +53,39 @@ import time
 from typing import Any, Dict, List, Optional
 
 from ..plans.manifest import ManifestStore
+
+# split-id stride between partition specs: split = spec_id*STRIDE + bucket
+SPEC_STRIDE = 1000
+
+
+def split_expr(spec: Dict[str, Any], salt: int = 42):
+    """Split-assignment column for a partition spec: the shim analog of
+    Iceberg's ``bucket(N, col)`` transform, namespaced by spec id so an
+    evolved spec's files occupy a disjoint split range."""
+    from pyspark.sql import functions as F
+
+    n = int(spec["num_buckets"])
+    if n >= SPEC_STRIDE:
+        raise ValueError(f"num_buckets must be < {SPEC_STRIDE}")
+    return F.lit(int(spec.get("spec_id", 0)) * SPEC_STRIDE) + F.pmod(
+        F.xxhash64(F.col(spec.get("column", "doc_id")), F.lit(salt)), F.lit(n)
+    )
+
+
+def _schema_columns(schema_json: Optional[str]) -> Optional[List[str]]:
+    """Top-level column names from a recorded schema: accepts both the
+    loose ``{"col": "type"}`` form and Spark's ``schema.json()`` form."""
+    if not schema_json:
+        return None
+    try:
+        parsed = json.loads(schema_json)
+    except (ValueError, TypeError):
+        return None
+    if isinstance(parsed, dict) and isinstance(parsed.get("fields"), list):
+        return [f["name"] for f in parsed["fields"]]
+    if isinstance(parsed, dict):
+        return list(parsed.keys())
+    return None
 
 
 class IcebergLayoutTable:
@@ -51,16 +106,29 @@ class IcebergLayoutTable:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
-    def commit_snapshot(self, schema_json: Optional[str] = None) -> Dict[str, Any]:
+    def commit_snapshot(
+        self,
+        schema_json: Optional[str] = None,
+        partition_spec: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
         """Roll the committed split manifests up into a new table
-        snapshot; the `current` pointer flips via atomic rename."""
+        snapshot; the `current` pointer flips via atomic rename.  Unset
+        schema/spec carry forward from the previous snapshot (metadata
+        lineage); passing a new value IS the evolution commit."""
         splits = self.store.committed_splits()
         manifests = [self.store.read_manifest(s) for s in splits]
-        version = (self._versions()[-1] + 1) if self._versions() else 1
+        versions = self._versions()
+        prev = self.snapshot(versions[-1]) if versions else {}
+        version = (versions[-1] + 1) if versions else 1
         snap = {
             "version": version,
             "committed_at": time.time(),
-            "schema": schema_json,
+            "schema": schema_json
+            if schema_json is not None
+            else prev.get("schema"),
+            "partition_spec": partition_spec
+            if partition_spec is not None
+            else prev.get("partition_spec"),
             "splits": splits,
             "total_docs": sum(m.get("docs", 0) for m in manifests),
             "manifest_files": [f"_manifests/split-{s}.json" for s in splits],
@@ -105,14 +173,26 @@ class IcebergLayoutTable:
         only the splits that snapshot had committed are visible, via a
         partition-pruned filter on the ``split`` directory column (splits
         are append-once, so split membership fully determines snapshot
-        contents — the shim analog of Iceberg ``VERSION AS OF``)."""
-        df = spark.read.parquet(self.store.data_dir)
+        contents — the shim analog of Iceberg ``VERSION AS OF``), AND the
+        row shape is the schema recorded in that snapshot: columns added
+        by a later evolution are projected away, exactly as Iceberg reads
+        an old snapshot with its own schema id.  mergeSchema makes
+        pre-evolution files surface later-added columns as NULL on
+        current reads."""
+        df = spark.read.option("mergeSchema", "true").parquet(
+            self.store.data_dir
+        )
         if version is None:
             return df
         from pyspark.sql import functions as F
 
         snap = self.snapshot(version)
-        return df.filter(F.col("split").isin([int(s) for s in snap["splits"]]))
+        df = df.filter(F.col("split").isin([int(s) for s in snap["splits"]]))
+        cols = _schema_columns(snap.get("schema"))
+        if cols:
+            keep = [c for c in df.columns if c in set(cols) or c == "split"]
+            df = df.select(*keep)
+        return df
 
     def read_incremental(self, spark, from_version: int, to_version: int):
         """Changelog read: rows appended between two snapshots = the
@@ -123,5 +203,7 @@ class IcebergLayoutTable:
         before = set(self.snapshot(from_version)["splits"])
         after = set(self.snapshot(to_version)["splits"])
         new_splits = sorted(int(s) for s in after - before)
-        df = spark.read.parquet(self.store.data_dir)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            self.store.data_dir
+        )
         return df.filter(F.col("split").isin(new_splits))
