@@ -204,10 +204,20 @@ def main() -> None:
     qs["contamination"] = _prod_contamination
     qs["minhash_index_query"] = _prod_minhash_index
     qs["ivf_index_query"] = _prod_ivf_index
+    # best-of-k per lane (default 2): the r2 round showed sub-second
+    # lanes swinging ±50% on single timed passes under hypervisor steal,
+    # which made round-over-round deltas unreadable.  Pass 1 additionally
+    # absorbs each lane's codegen/broadcast warmup, so best-of-2 ≈ the
+    # lane's steady-state cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
