@@ -615,6 +615,31 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-substring spans: maximal token ranges
+    covered by any 8-token window occurring ≥2 times anywhere in the
+    corpus (cross-doc or self-repeat).  Portable mode keys buckets on the
+    raw window string so the DuckDB oracle rebuilds windows, counts and
+    the gaps-and-islands merge identically."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return D.duplicate_ngram_spans(
+        docs, window=8, min_count=2, portable=True
+    ).orderBy("doc_id", "start_tok")
+
+
+def q_strip_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal pass: per-doc text with duplicated 8-token
+    ranges dropped, plus token loss accounting."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return D.strip_duplicate_ngrams(
+        docs, window=8, min_count=2, portable=True
+    ).orderBy("doc_id")
+
+
 def q_repetition_flags_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition verdicts at the PRODUCTION thresholds (0.6 / 0.18 —
     no override): the fixture corpus alone never exceeds top-bigram 0.167,
@@ -875,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_query": q_ivf_index_query,
         "repetition_stats": q_repetition_stats,
         "repetition_flags_default": q_repetition_flags_default,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "strip_dup_ngrams": q_strip_dup_ngrams,
         "contamination": q_contamination,
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
@@ -986,6 +1013,8 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_index_query"] = _IVF_INDEX_SQL
     out["repetition_stats"] = _REPETITION_SQL
     out["repetition_flags_default"] = _REPETITION_DEFAULT_SQL
+    out["dup_ngram_spans"] = _DUP_NGRAM_SPANS_SQL
+    out["strip_dup_ngrams"] = _STRIP_DUP_NGRAMS_SQL
     out["contamination"] = _contamination_oracle_sql()
     out["split_manifest"] = _SPLIT_MANIFEST_SQL
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
@@ -1172,6 +1201,84 @@ _REPETITION_SQL = f"""
            tbf > 0.1 AS looping_bigram
     FROM stats ORDER BY doc_id
 """
+
+
+# Twins of the ExactSubstr lanes (window W=8, min_count 2): windows via
+# 1-based list_slice, duplicate keys by plain GROUP BY on the window
+# string, maximal spans via the gaps-and-islands window pair, and the
+# strip lane re-filters tokens with indexed list lambdas against the
+# aligned (starts, ends) lists — no structs in lists, dodging the Arrow
+# element-field-name trap from NOTES_r2.
+_DUP_NGRAM_CTE = f"""
+    WITH t AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_TOKS} AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+      FROM t, LATERAL unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+      WHERE len(toks) >= 8
+    ), dup AS (
+      SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)
+    ), isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN max(pos + 8) OVER prev IS NULL
+               OR pos > max(pos + 8) OVER prev - 1
+             THEN 1 ELSE 0 END AS newisl
+      FROM hits
+      WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), grp AS (
+      SELECT doc_id, pos,
+        SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS INT) AS start_tok,
+             CAST(MAX(pos) + 8 AS INT) AS end_tok
+      FROM grp GROUP BY doc_id, island
+    )
+"""
+
+_DUP_NGRAM_SPANS_SQL = (
+    _DUP_NGRAM_CTE
+    + " SELECT doc_id, start_tok, end_tok FROM spans"
+      " ORDER BY doc_id, start_tok"
+)
+
+_STRIP_DUP_NGRAMS_SQL = (
+    _DUP_NGRAM_CTE
+    + """
+    , per_doc AS (
+      SELECT doc_id,
+             list(start_tok ORDER BY start_tok) AS starts,
+             list(end_tok ORDER BY start_tok) AS ends
+      FROM spans GROUP BY doc_id
+    ), joined AS (
+      SELECT t.doc_id, t.toks,
+             COALESCE(p.starts, []) AS starts,
+             COALESCE(p.ends, []) AS ends
+      FROM t LEFT JOIN per_doc p USING (doc_id)
+    ), kept AS (
+      SELECT doc_id, toks,
+        list_filter(
+          toks,
+          (x, i) -> len(list_filter(
+            starts, (s, j) -> (i - 1) >= s AND (i - 1) < ends[j]
+          )) = 0
+        ) AS keep
+      FROM joined
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws is ''
+           COALESCE(array_to_string(keep, ' '), '') AS text,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(toks) - len(keep) AS INT) AS n_dup_tokens
+    FROM kept ORDER BY doc_id
+"""
+)
 
 
 # Twin of q_repetition_flags_default: same doc union (the loopy family

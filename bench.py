@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "ivf_index_query",
     "repetition_stats",
     "repetition_flags_default",
+    "dup_ngram_spans",
+    "strip_dup_ngrams",
     "contamination",
     "split_manifest",
     "chunk_documents",
@@ -198,10 +200,22 @@ def main() -> None:
             docs.filter(~is_b), docs.filter(is_b), shingle_k=3, min_common=5
         )
 
+    def _prod_dup_ngram(spark, sf_dir):
+        return D.duplicate_ngram_spans(
+            _bench_docs(spark, sf_dir), window=8, min_count=2
+        )
+
+    def _prod_strip_dup(spark, sf_dir):
+        return D.strip_duplicate_ngrams(
+            _bench_docs(spark, sf_dir), window=8, min_count=2
+        )
+
     qs = E.queries()
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
     qs["contamination"] = _prod_contamination
+    qs["dup_ngram_spans"] = _prod_dup_ngram
+    qs["strip_dup_ngrams"] = _prod_strip_dup
     qs["minhash_index_query"] = _prod_minhash_index
     qs["ivf_index_query"] = _prod_ivf_index
     # best-of-k per lane (default 2): the r2 round showed sub-second

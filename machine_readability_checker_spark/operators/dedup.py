@@ -1111,3 +1111,144 @@ def near_dup_clusters_star(
     return members.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
+
+
+# ------------------------------------- exact-substring (n-gram span) dedup
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_count: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Duplicate-substring spans, the distributed analog of ExactSubstr
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): any ``window``-token sequence occurring
+    ``min_count``+ times ANYWHERE in the corpus (cross-document or
+    self-repeat) marks its token range as duplicated; overlapping
+    ranges merge into maximal spans per document.
+
+    → (id_col, start_tok, end_tok): half-open token intervals.
+
+    100 TB shape — the reason this formulation scales where a suffix
+    array does not: the only corpus-wide shuffle is a *count* aggregate
+    on the window key (map-side partial combine collapses hot windows,
+    so a boilerplate sentence repeated a billion times costs one row
+    per map partition, never a pair explosion), followed by one
+    shuffle join of windows against the >=min_count keys and a per-doc
+    gaps-and-islands window (partitioned by doc id, no skew beyond doc
+    length, which the chunking operator bounds upstream).  Default
+    keys are xxhash64(window-text) to shrink the shuffle; portable=True
+    keeps the raw window string so a DuckDB oracle reproduces the lane
+    bit-for-bit."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_nw", F.size("_toks") - F.lit(window - 1)
+    )
+    wins = (
+        base.filter(F.col("_nw") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_nw") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("_toks", i + 1, window)
+                    ),
+                )
+            ).alias("pos", "win"),
+        )
+        .withColumn(
+            "key",
+            F.col("win") if portable else F.xxhash64("win"),
+        )
+        .drop("win")
+    )
+    dup_keys = (
+        wins.groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("key")
+    )
+    dup_wins = wins.join(dup_keys, "key").select(id_col, "pos")
+    # gaps-and-islands: a window opens a new span when it starts past
+    # every previous window's end
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_wins.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end - 1), 1)
+        .otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + window).alias("end_tok"),
+        )
+        .select(
+            id_col,
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.col("end_tok").cast("int").alias("end_tok"),
+        )
+    )
+
+
+def strip_duplicate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_count: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """ExactSubstr removal pass: drop every token covered by a duplicate
+    span and report per-doc loss.  → (id_col, text_col [cleaned],
+    n_tokens, n_dup_tokens).  One extra broadcast-free join of the span
+    list back to the docs (spans per doc are few after merging); token
+    filtering is a JVM higher-order function, no Python."""
+    spans = (
+        duplicate_ngram_spans(
+            df, text_col, id_col, window, min_count, portable
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+        )
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    no_spans = F.array().cast("array<struct<start_tok:int,end_tok:int>>")
+    out = (
+        df.select(id_col, toks.alias("_toks"))
+        .join(spans, id_col, "left")
+        .withColumn("_sp", F.coalesce(F.col("_spans"), no_spans))
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.transform(
+                    F.col("_toks"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                ),
+                lambda s: ~F.exists(
+                    "_sp",
+                    lambda sp: (s["i"] >= sp["start_tok"])
+                    & (s["i"] < sp["end_tok"]),
+                ),
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.concat_ws(" ", F.transform("_kept", lambda s: s["t"])).alias(
+            text_col
+        ),
+        F.size("_toks").cast("int").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("int").alias("n_dup_tokens"),
+    )

@@ -1127,3 +1127,46 @@ def test_repetition_default_threshold_fires_both_verdicts(spark):
     assert len(loopy) == 20
     assert all(r["looping_bigram"] for r in loopy)
     assert all(r["top_bigram_frac"] > 0.18 for r in loopy)
+
+
+def test_duplicate_ngram_spans_hand_computed(spark):
+    """ExactSubstr-analog span semantics, hand-computed: a shared
+    10-gram marks both documents' ranges, overlapping windows merge to
+    one maximal span, a self-repeating doc is fully covered, short and
+    unique docs yield nothing."""
+    rows = [
+        ("a", "one two three four five six seven eight nine ten alpha beta"),
+        ("b", "zzz one two three four five six seven eight nine ten yyy"),
+        ("c", "totally unrelated words with no repeats at all here ok"),
+        ("d", "rep rep rep rep rep rep rep rep rep rep rep rep"),
+        ("e", "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = [
+        tuple(r)
+        for r in dedup.duplicate_ngram_spans(df, window=10, portable=True)
+        .orderBy("doc_id", "start_tok")
+        .collect()
+    ]
+    assert spans == [("a", 0, 10), ("b", 1, 11), ("d", 0, 12)]
+
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_dup_tokens"])
+        for r in dedup.strip_duplicate_ngrams(
+            df, window=10, portable=True
+        ).collect()
+    }
+    assert out["a"] == ("alpha beta", 12, 10)
+    assert out["b"] == ("zzz yyy", 12, 10)
+    assert out["c"][2] == 0 and out["c"][0] == rows[2][1]
+    assert out["d"] == ("", 12, 12)
+    assert out["e"] == ("short doc", 2, 0)
+
+    # production hash path: identical spans (xxhash64 vs raw-string keys)
+    prod = [
+        tuple(r)
+        for r in dedup.duplicate_ngram_spans(df, window=10, portable=False)
+        .orderBy("doc_id", "start_tok")
+        .collect()
+    ]
+    assert prod == spans

@@ -206,3 +206,19 @@ def test_asof_join_stays_parallel(spark):
     plan = _plan(asof_join_last(left, right, value_cols=["value"]))
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_dup_ngram_spans_plan_shape(spark):
+    """ExactSubstr spans must stay a count-aggregate + one equi-join +
+    per-doc windows: no cartesian/nested-loop anywhere (the pair-free
+    property is what makes it viable at corpus scale — a hot window
+    collapses in the map-side combine instead of exploding into pairs),
+    and the window-key aggregate must show a partial (map-side) phase."""
+    docs = E._t(spark, SF, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    plan = _plan(dedup.duplicate_ngram_spans(docs, window=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial_count before the exchange = map-side combine on window keys
+    assert "partial_count" in plan
