@@ -615,6 +615,34 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub lane: corpus unioned with 15 deterministic PII-bearing
+    documents (emails, phones, IPv4 — rebuilt identically in the DuckDB
+    oracle), redacted to typed placeholders with per-doc counts.  Pure
+    regexp codegen; counts taken on the original text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pii = spark.range(15).select(
+        F.concat(
+            F.lit("pii-"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("doc_id"),
+        F.concat(
+            F.lit("ping 10.0.0."),
+            F.col("id").cast("string"),
+            F.lit(" mail user"),
+            F.col("id").cast("string"),
+            F.lit("@ex-host.com call 555-123-"),
+            (F.col("id") + 4000).cast("string"),
+            F.lit(" done"),
+        ).alias("text"),
+    )
+    out = TS.redact_pii(docs.unionByName(pii))
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "text_redacted"
+    ).orderBy("doc_id")
+
+
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-substring spans: maximal token ranges
     covered by any 8-token window occurring ≥2 times anywhere in the
@@ -902,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags_default": q_repetition_flags_default,
         "dup_ngram_spans": q_dup_ngram_spans,
         "strip_dup_ngrams": q_strip_dup_ngrams,
+        "pii_redaction": q_pii_redaction,
         "contamination": q_contamination,
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
@@ -1015,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
     out["repetition_flags_default"] = _REPETITION_DEFAULT_SQL
     out["dup_ngram_spans"] = _DUP_NGRAM_SPANS_SQL
     out["strip_dup_ngrams"] = _STRIP_DUP_NGRAMS_SQL
+    out["pii_redaction"] = _PII_REDACTION_SQL
     out["contamination"] = _contamination_oracle_sql()
     out["split_manifest"] = _SPLIT_MANIFEST_SQL
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
@@ -1201,6 +1231,42 @@ _REPETITION_SQL = f"""
            tbf > 0.1 AS looping_bigram
     FROM stats ORDER BY doc_id
 """
+
+
+def _pii_redaction_sql() -> str:
+    """Twin of q_pii_redaction: same union, same patterns (Java regex ∩
+    RE2 dialect), DuckDB's regexp_replace needs the explicit 'g' flag."""
+    from machine_readability_checker_spark.operators.textstats import (
+        PII_EMAIL_PATTERN,
+        PII_IPV4_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    e, p, ip = PII_EMAIL_PATTERN, PII_PHONE_PATTERN, PII_IPV4_PATTERN
+    return f"""
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT 'pii-' || lpad(CAST(i AS VARCHAR), 2, '0'),
+             'ping 10.0.0.' || i || ' mail user' || i
+               || '@ex-host.com call 555-123-' || CAST(i + 4000 AS VARCHAR)
+               || ' done'
+      FROM range(15) t(i)
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{e}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '{ip}')) AS INT) AS n_ips,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+          '{p}', '<PHONE>', 'g'),
+        '{ip}', '<IP>', 'g') AS text_redacted
+    FROM docs ORDER BY doc_id
+    """
+
+
+_PII_REDACTION_SQL = _pii_redaction_sql()
 
 
 # Twins of the ExactSubstr lanes (window W=8, min_count 2): windows via

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "repetition_flags_default",
     "dup_ngram_spans",
     "strip_dup_ngrams",
+    "pii_redaction",
     "contamination",
     "split_manifest",
     "chunk_documents",

@@ -1170,3 +1170,25 @@ def test_duplicate_ngram_spans_hand_computed(spark):
         .collect()
     ]
     assert prod == spans
+
+
+def test_pii_redaction_hand_computed(spark):
+    """Email/phone/IPv4 redaction: typed placeholders, counts on the
+    original text, non-PII text untouched, boundary cases (no partial
+    phone match without separators, dotted quads only for IP)."""
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.co.uk or 555-123-4567 now"),
+        ("b", "server 192.168.1.254 and 10.0.0.1 no phones 5551234567"),
+        ("c", "plain text with nothing sensitive at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    a = out["a"]
+    assert (a["n_emails"], a["n_phones"], a["n_ips"]) == (1, 1, 0)
+    assert a["text_redacted"] == "mail me at <EMAIL> or <PHONE> now"
+    b = out["b"]
+    assert (b["n_emails"], b["n_phones"], b["n_ips"]) == (0, 0, 2)
+    assert b["text_redacted"] == "server <IP> and <IP> no phones 5551234567"
+    c = out["c"]
+    assert (c["n_emails"], c["n_phones"], c["n_ips"]) == (0, 0, 0)
+    assert c["text_redacted"] == c["text"]
