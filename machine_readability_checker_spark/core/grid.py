@@ -24,7 +24,7 @@ import pandas as pd
 
 from .xlsx import XlsxWorkbook, read_xlsx
 
-ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf"}
+ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf", "docx"}
 GRID_FORMATS = {"csv", "xlsx", "xls"}
 
 
@@ -131,6 +131,10 @@ def parse_document(fmt: str, content: bytes) -> ParsedDoc:
         doc.parse_error = err
         doc.layout_spans = spans  # type: ignore[attr-defined]
         return doc
+    if fmt == "docx":
+        from .docx import parse_docx
+
+        return parse_docx(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content)

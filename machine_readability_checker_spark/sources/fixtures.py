@@ -318,6 +318,28 @@ def fam_html(rng, i) -> Dict[str, Any]:
     return _doc(f"html{i:05d}", "html", html.encode("utf-8"))
 
 
+def fam_docx(rng, i) -> Dict[str, Any]:
+    """WordprocessingML document: title/heading styles, long main prose,
+    a short boilerplate note, an embedded image and a 2x3 table —
+    exercises the docx layout lane end-to-end."""
+    from ..core.docx import write_docx
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(40))
+    blocks = [
+        ("Title", f"Document {i}"),
+        ("Heading1", f"Section {i % 5}"),
+        ("", para),
+        ("", "note"),
+    ]
+    tables = [[["col_a", "col_b", "col_c"],
+               [str(int(rng.randint(0, 99))) for _ in range(3)]]]
+    return _doc(
+        f"docx{i:05d}",
+        "docx",
+        write_docx(blocks, images=[f"media/image{i % 3}.png"], tables=tables),
+    )
+
+
 def fam_merged_xls(rng, i) -> Dict[str, Any]:
     """Legacy .xls with merged cells in the body (BIFF8 lane, P7)."""
     from ..core.xls import write_xls
@@ -419,6 +441,7 @@ FAMILIES = [
     ("multisheet_codebook", fam_multisheet_codebook),
     ("code_mix", fam_code_mix),
     ("pdf_docs", fam_pdf),
+    ("docx_docs", fam_docx),
     ("merged_cells_xls", fam_merged_xls),
     ("hidden_dims_xls", fam_hidden_xls),
 ]

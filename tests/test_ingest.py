@@ -15,15 +15,16 @@ from machine_readability_checker_spark.sources.ingest import (
 def test_extension_gate(spark):
     corpus = gen_corpus(20)
     raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    # docx became a supported lane in r3 — exe is the unsupported probe
     bad = spark.createDataFrame(
-        [("baddoc1", "docx", bytearray(b"x"), 1, 0, 0, 0, 0, 0)],
+        [("baddoc1", "exe", bytearray(b"x"), 1, 0, 0, 0, 0, 0)],
         schema=RAW_SCHEMA
     )
     supported, rejected = extension_gate(raw.unionByName(bad))
     assert supported.count() == 20
     rej = rejected.collect()
     assert len(rej) == 1
-    assert rej[0]["quarantine_reason"] == "unsupported format: docx"
+    assert rej[0]["quarantine_reason"] == "unsupported format: exe"
 
 
 def test_enumerate_sheets(spark):

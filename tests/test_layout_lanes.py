@@ -165,3 +165,95 @@ def test_codebook_check_branches():
     doc2 = ParsedDoc(fmt="csv")
     doc2.sheets = [SheetGrid("CSV", [["補足"], ["1 = 男性"]])]
     assert check_codebook_exists(doc2, None, None)[0]
+
+
+def test_docx_spans_styles_tables_media():
+    """DOCX layout lane: Title/Heading styles map to title/heading,
+    long paragraphs to main, short ones to boilerplate, tables to
+    tab-joined line spans in reading order, embedded images to media
+    spans carrying the relationship target."""
+    from machine_readability_checker_spark.core.docx import (
+        extract_docx_spans,
+        write_docx,
+    )
+
+    long_para = (
+        "this paragraph easily clears the twenty-five character floor"
+    )
+    blob = write_docx(
+        [
+            ("Title", "Annual Summary"),
+            ("Heading2", "Methods"),
+            ("", long_para),
+            ("", "tiny"),
+        ],
+        images=["media/image9.png"],
+        tables=[[["a", "b"], ["1", "2"]]],
+    )
+    spans, err = extract_docx_spans(blob)
+    assert err is None
+    assert spans == [
+        ("title", "Annual Summary", ""),
+        ("heading", "Methods", ""),
+        ("main", long_para, ""),
+        ("boilerplate", "tiny", ""),
+        ("media", "", "media/image9.png"),
+        ("line", "a\tb", ""),
+        ("line", "1\t2", ""),
+    ]
+
+
+def test_docx_quarantine_and_dispatch():
+    """Malformed docx bytes quarantine (parse_errors=1, zero spans);
+    good bytes flow through extract_document with ordered offsets."""
+    from machine_readability_checker_spark.core.extract import (
+        extract_document,
+    )
+    from machine_readability_checker_spark.core.docx import write_docx
+
+    bad = extract_document("d1", "docx", b"PK\x03\x04 not a real zip")
+    assert bad["metrics"]["parse_errors"] == 1 and bad["spans"] == []
+
+    # a zip that is valid but lacks word/document.xml also quarantines
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+    bad2 = extract_document("d2", "docx", buf.getvalue())
+    assert bad2["metrics"]["parse_errors"] == 1
+
+    good = extract_document(
+        "d3", "docx", write_docx([("Title", "T"), ("", "x" * 30)])
+    )
+    assert good["metrics"]["parse_errors"] == 0
+    assert [s["kind"] for s in good["spans"]] == ["title", "main"]
+    assert [s["offset"] for s in good["spans"]] == [0, 1]
+
+
+def test_docx_distributed_matches_oracle(spark):
+    """Distributed kernel output for docx docs equals the single-node
+    oracle (the shared-core contract) across a small fixture batch."""
+    from machine_readability_checker_spark.core.extract import (
+        extract_document,
+    )
+    from machine_readability_checker_spark.model import RAW_SCHEMA
+    from machine_readability_checker_spark.operators.extract import extract
+    from machine_readability_checker_spark.sources.fixtures import gen_corpus
+
+    corpus = gen_corpus(64)
+    docx_rows = corpus[corpus["fmt"] == "docx"]
+    assert len(docx_rows) >= 2  # family present in the cycle
+    df = spark.createDataFrame(docx_rows, schema=RAW_SCHEMA)
+    got = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract(df).select("doc_id", "spans").collect()
+    }
+    for row in docx_rows.itertuples(index=False):
+        exp = extract_document(row.doc_id, "docx", bytes(row.content))
+        exp_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in exp["spans"]
+        ]
+        assert got[row.doc_id] == exp_spans

@@ -458,11 +458,11 @@ def test_extension_gate_null_fmt_quarantined(spark):
     from machine_readability_checker_spark.sources.ingest import extension_gate
 
     df = spark.createDataFrame(
-        [("a", "csv"), ("b", None), ("c", "docx")],
+        [("a", "csv"), ("b", None), ("c", "exe"), ("d", "docx")],
         "doc_id string, fmt string",
     )
     ok, rej = extension_gate(df)
-    assert {r["doc_id"] for r in ok.collect()} == {"a"}
+    assert {r["doc_id"] for r in ok.collect()} == {"a", "d"}
     assert {r["doc_id"] for r in rej.collect()} == {"b", "c"}
 
 
