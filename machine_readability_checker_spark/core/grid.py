@@ -24,7 +24,7 @@ import pandas as pd
 
 from .xlsx import XlsxWorkbook, read_xlsx
 
-ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf", "docx"}
+ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf", "docx", "pptx"}
 GRID_FORMATS = {"csv", "xlsx", "xls"}
 
 
@@ -135,6 +135,10 @@ def parse_document(fmt: str, content: bytes) -> ParsedDoc:
         from .docx import parse_docx
 
         return parse_docx(content)
+    if fmt == "pptx":
+        from .pptx import parse_pptx
+
+        return parse_pptx(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content)

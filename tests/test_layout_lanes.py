@@ -257,3 +257,73 @@ def test_docx_distributed_matches_oracle(spark):
             for s in exp["spans"]
         ]
         assert got[row.doc_id] == exp_spans
+
+
+def test_pptx_spans_placeholders_tables_media():
+    """PPTX layout lane: title/ctrTitle placeholders map to title,
+    subTitle to heading, long body paragraphs to main, short ones to
+    boilerplate, a:tbl rows to tab-joined line spans, pictures to media
+    spans carrying the slide-rel target — slides in presentation order."""
+    from machine_readability_checker_spark.core.pptx import (
+        extract_pptx_spans,
+        write_pptx,
+    )
+
+    long_body = (
+        "this bullet easily clears the twenty-five character floor too"
+    )
+    blob = write_pptx(
+        [
+            {
+                "title": "Quarterly Review",
+                "subtitle": "FY26 Q2",
+                "bodies": [long_body, "tiny"],
+                "images": ["../media/image3.png"],
+                "tables": [[["a", "b"], ["1", "2"]]],
+            },
+            {"title": "Backup"},
+        ]
+    )
+    spans, err = extract_pptx_spans(blob)
+    assert err is None
+    assert spans == [
+        ("title", "Quarterly Review", ""),
+        ("heading", "FY26 Q2", ""),
+        ("main", long_body, ""),
+        ("boilerplate", "tiny", ""),
+        ("media", "", "../media/image3.png"),
+        ("line", "a\tb", ""),
+        ("line", "1\t2", ""),
+        ("title", "Backup", ""),
+    ]
+
+
+def test_pptx_quarantine_and_dispatch():
+    """Malformed pptx bytes quarantine; good bytes flow through
+    extract_document with ordered offsets and a media span."""
+    import io
+    import zipfile
+
+    from machine_readability_checker_spark.core.extract import (
+        extract_document,
+    )
+    from machine_readability_checker_spark.core.pptx import write_pptx
+
+    bad = extract_document("p1", "pptx", b"PK\x03\x04 not a real zip")
+    assert bad["metrics"]["parse_errors"] == 1 and bad["spans"] == []
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+    bad2 = extract_document("p2", "pptx", buf.getvalue())
+    assert bad2["metrics"]["parse_errors"] == 1
+
+    good = extract_document(
+        "p3",
+        "pptx",
+        write_pptx([{"title": "T", "bodies": ["y" * 30], "images": ["i.png"]}]),
+    )
+    assert good["metrics"]["parse_errors"] == 0
+    kinds = [s["kind"] for s in good["spans"]]
+    assert kinds == ["title", "main", "media"]
+    assert [s["offset"] for s in good["spans"]] == [0, 1, 2]
