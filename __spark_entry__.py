@@ -743,6 +743,29 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style): at most 8 docs per
+    source, chosen by deterministic md5 order; under-cap domains bypass
+    the window shuffle via a broadcast anti join (skew-aware plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SP.cap_per_key(docs, key_col="source", cap=8)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture rebalancing at α=0.5: per-language keep rate
+    min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
+    survives whole, the dominant one is flattened toward it."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SP.temperature_mix(docs, group_col="lang", alpha=0.5)
+    return (
+        kept.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (embedding / context-window
     prep): 32-token chunks, 8-token overlap."""
@@ -888,6 +911,74 @@ def q_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: 4 subspaces x 16 dims, 4 seed
+    codewords per subspace (the 4 lowest-id vectors sliced —
+    ``pq_train(iters=0)`` so the DuckDB oracle can rebuild the codebooks
+    in SQL; production runs Lloyd), every vector encoded to 4 code
+    bytes, query vec_id=0 scored by summed LUT lookups (no decode, no
+    shuffle).  Returns the 10 nearest by approximate squared L2 with the
+    per-subspace codes, proving encode + ADC end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = S.pq_train(emb, m=4, k=4, iters=0)
+    enc = S.pq_encode(emb, cbs)
+    top = S.pq_topk(enc, _first_embedding(emb), cbs, k=10)
+    return (
+        top.join(enc, "vec_id")
+        .select(
+            "vec_id",
+            *[F.col("codes")[i].cast("int").alias(f"code{i}") for i in range(4)],
+            F.round("adc", 6).alias("adc"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-candidate mining over the interleaved span shape: a
+    deterministic interleaved corpus is synthesized from ``documents``
+    (every token at offset % 7 == 3 becomes a media span with ref
+    ``img_<doc>_<off>``), assembled into the canonical
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>) table, and
+    ``media_context_pairs`` emits each media span with the concatenated
+    text of up to 3 spans on each side — the (media_ref, caption
+    candidate) pairs a multimodal pipeline joins to its media store."""
+    from machine_readability_checker_spark.operators.multimodal import (
+        media_context_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TS.tokens(F.col("text"))).alias("off", "tok")
+    )
+    is_media = F.col("off") % 7 == 3
+    span = F.struct(
+        F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+        F.when(is_media, F.lit("")).otherwise(F.col("tok")).alias("text"),
+        F.when(
+            is_media, F.concat(F.lit("img_"), F.col("doc_id"), F.lit("_"), F.col("off"))
+        )
+        .otherwise(F.lit(""))
+        .alias("media_ref"),
+        F.col("off").cast("int").alias("offset"),
+    )
+    # collect_list order is nondeterministic — array_sort by offset
+    # restores the canonical span order
+    nested = toks.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(span), lambda a, b: a["offset"] - b["offset"]
+        ).alias("spans")
+    )
+    return media_context_pairs(nested, window=3).orderBy("doc_id", "offset")
+
+
+def _first_embedding(emb: DataFrame) -> list[float]:
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_span_stats": q_extract_span_stats,
@@ -934,10 +1025,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
+        "domain_cap": q_domain_cap,
+        "temperature_mix": q_temperature_mix,
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
         "quantized_topk": q_quantized_topk,
+        "pq_adc_topk": q_pq_adc_topk,
+        "media_context_pairs": q_media_context_pairs,
         "events_asof": q_events_asof,
     }
 
@@ -1048,10 +1143,14 @@ def oracle_sql() -> dict[str, str]:
     out["contamination"] = _contamination_oracle_sql()
     out["split_manifest"] = _SPLIT_MANIFEST_SQL
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
+    out["domain_cap"] = _DOMAIN_CAP_SQL
+    out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["chunk_documents"] = _CHUNK_SQL
     out["pack_shards"] = _PACK_SHARDS_SQL
     out["table_profile"] = _TABLE_PROFILE_SQL
     out["quantized_topk"] = _QUANTIZED_TOPK_SQL
+    out["pq_adc_topk"] = _PQ_ADC_SQL
+    out["media_context_pairs"] = _MEDIA_CONTEXT_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     return out
 
@@ -1442,6 +1541,36 @@ _SPLIT_MANIFEST_SQL = f"""
     FROM b GROUP BY split, lang ORDER BY split, stratum
 """
 
+_DOMAIN_CAP_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY {_HASH_BUCKET}, CAST(doc_id AS VARCHAR)) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 8 ORDER BY source, doc_id
+"""
+
+
+# keep rate per language = min(1, (n_min/n)^(1-α)) at α = 0.5, applied
+# through the same md5 integer-threshold arithmetic the split lanes use
+_TEMPERATURE_MIX_SQL = f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MIN(n) AS n_min FROM c
+    ), t AS (
+      SELECT lang, CAST(round(
+        least(1.0, power(n_min * 1.0 / n, 0.5)) * 10000) AS BIGINT) AS thresh
+      FROM c CROSS JOIN m
+    )
+    SELECT d.lang, COUNT(*) AS n_docs
+    FROM documents d JOIN t ON d.lang = t.lang
+    WHERE {_HASH_BUCKET} < t.thresh
+    GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 _STRATIFIED_SAMPLE_SQL = f"""
     SELECT lang, COUNT(*) AS n_docs
     FROM documents
@@ -1546,6 +1675,87 @@ _QUANTIZED_TOPK_SQL = """
     FROM q CROSS JOIN qq
     ORDER BY list_cosine_similarity(q.qv, qq.qev) DESC, q.vec_id
     LIMIT 10
+"""
+
+
+# Interleaved caption mining: rebuild the deterministic synthetic span
+# table (token at off % 7 == 3 → media span) and the ±3-span text
+# contexts with windowed string_agg frames.
+_MEDIA_CONTEXT_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), p AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks))) AS off FROM t
+    ), s AS (
+      SELECT doc_id, CAST(off AS INTEGER) AS off,
+             CASE WHEN off % 7 = 3 THEN 'media' ELSE 'text' END AS kind,
+             CASE WHEN off % 7 = 3 THEN '' ELSE toks[off + 1] END AS txt,
+             CASE WHEN off % 7 = 3 THEN 'img_' || doc_id || '_' || off
+                  ELSE '' END AS media_ref
+      FROM p
+    ), c AS (
+      SELECT doc_id, off, kind, txt, media_ref,
+             string_agg(CASE WHEN kind = 'text' THEN txt END, ' ') OVER (
+               PARTITION BY doc_id ORDER BY off
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context_before,
+             string_agg(CASE WHEN kind = 'text' THEN txt END, ' ') OVER (
+               PARTITION BY doc_id ORDER BY off
+               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS context_after
+      FROM s
+    )
+    SELECT doc_id, media_ref, off AS offset, txt AS alt_text,
+           coalesce(context_before, '') AS context_before,
+           coalesce(context_after, '') AS context_after
+    FROM c WHERE kind = 'media' ORDER BY doc_id, off
+"""
+
+
+# PQ with iters=0 and m=4/k=4: codebooks = the 16-dim slices of the 4
+# lowest-id vectors, codes = per-subspace argmin L2 (ties to lowest code),
+# ADC = sum over subspaces of squared query→codeword distance.
+_PQ_ADC_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), subs AS (
+      SELECT vec_id, s.sub, list_slice(ev, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+      FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) s(sub)
+    ), cb AS (
+      SELECT sub,
+             row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             sv AS cw
+      FROM subs
+      WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)
+    ), assign AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY subs.vec_id, subs.sub
+                 ORDER BY list_distance(subs.sv, cb.cw), cb.code
+               ) AS rn
+        FROM subs JOIN cb ON subs.sub = cb.sub
+      ) WHERE rn = 1
+    ), qsub AS (
+      SELECT sub, sv AS qv FROM subs WHERE vec_id = 0
+    ), adc AS (
+      SELECT a.vec_id, SUM(power(list_distance(q.qv, c.cw), 2)) AS dist
+      FROM assign a
+      JOIN cb c ON a.sub = c.sub AND a.code = c.code
+      JOIN qsub q ON a.sub = q.sub
+      GROUP BY a.vec_id
+    ), codes AS (
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+             CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+             CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+             CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3
+      FROM assign GROUP BY vec_id
+    ), top AS (
+      SELECT vec_id, dist FROM adc ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, c.code0, c.code1, c.code2, c.code3,
+           round(t.dist, 6) AS adc
+    FROM top t JOIN codes c USING (vec_id)
+    ORDER BY t.vec_id
 """
 
 

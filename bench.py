@@ -56,10 +56,14 @@ BENCH_QUERIES = [
     "pii_redaction",
     "contamination",
     "split_manifest",
+    "domain_cap",
+    "temperature_mix",
     "chunk_documents",
     "pack_shards",
     "table_profile",
     "quantized_topk",
+    "pq_adc_topk",
+    "media_context_pairs",
     "events_asof",
 ]
 
@@ -211,7 +215,16 @@ def main() -> None:
             _bench_docs(spark, sf_dir), window=8, min_count=2
         )
 
+    def _prod_pq(spark, sf_dir):
+        # production PQ: real Lloyd fit (vs the seed-codebook oracle
+        # lane), 4 subspaces x 16 codewords, encode + ADC top-k
+        emb = E._t(spark, sf_dir, "embeddings")
+        cbs = SIM.pq_train(emb, m=4, k=16, iters=2)
+        enc = SIM.pq_encode(emb, cbs)
+        return SIM.pq_topk(enc, E._first_embedding(emb), cbs, k=10)
+
     qs = E.queries()
+    qs["pq_adc_topk"] = _prod_pq
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
     qs["contamination"] = _prod_contamination

@@ -295,3 +295,53 @@ def sample_frames(media_df: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
+def media_context_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """LAION-style image–text candidate mining over interleaved documents
+    (``(doc_id, spans: array<struct<kind,text,media_ref,offset>>)``): for
+    every media span, the concatenated text of up to ``window`` spans on
+    each side plus the span's own text (alt text when the extractor
+    captured one) — the (media_ref, caption-candidate) pairs a multimodal
+    training pipeline joins against the media store.
+
+    Pure JVM: posexplode + two windowed collect_list frames over
+    (doc, offset); the only exchange is the per-document hash partition
+    the window needs, and per-document state is bounded by the doc's own
+    span count.  At 100 TB this runs as one pass over the spans table
+    with no Python and no driver traffic."""
+    from pyspark.sql import Window
+
+    s = docs.select(F.col(id_col), F.posexplode(spans_col).alias("_i", "s")).select(
+        id_col,
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    w = Window.partitionBy(id_col).orderBy("offset")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    before = F.concat_ws(
+        " ", F.collect_list(txt).over(w.rowsBetween(-window, -1))
+    )
+    after = F.concat_ws(
+        " ", F.collect_list(txt).over(w.rowsBetween(1, window))
+    )
+    return (
+        s.withColumn("context_before", before)
+        .withColumn("context_after", after)
+        .filter(F.col("kind") == "media")
+        .select(
+            id_col,
+            "media_ref",
+            "offset",
+            F.col("text").alias("alt_text"),
+            "context_before",
+            "context_after",
+        )
+    )

@@ -159,3 +159,90 @@ def split_manifest(
             F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
         )
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style): keep at most ``cap``
+    documents per key, chosen deterministically by md5 hash order (so the
+    kept set is a pseudo-random, reproducible sample and lowering the cap
+    yields a nested subset — same property as ``stratified_sample``).
+
+    Skew-aware plan: the set of OVER-cap keys is at most
+    total_rows / cap (bounded by construction), so it is computed first
+    and broadcast; rows in under-cap keys pass through with a broadcast
+    anti join and NEVER enter the window shuffle — on a web corpus where
+    most domains are small, most of the data avoids the sort entirely.
+    Only over-cap rows shuffle, partitioned by key with AQE free to
+    split stragglers.  Set ``broadcast_hot=False`` to fall back to the
+    plain single-window plan when the over-cap key set itself is huge
+    (tiny cap over an enormous key space)."""
+    from pyspark.sql import Window
+
+    rank_key = hash_bucket(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(
+        rank_key, F.col(id_col).cast("string")
+    )
+    if not broadcast_hot:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    hot = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(key_col)
+    )
+    cold_rows = df.join(F.broadcast(hot), key_col, "left_anti")
+    hot_rows = (
+        df.join(F.broadcast(hot), key_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return cold_rows.unionByName(hot_rows)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    standard: sample group g with probability ∝ n_g^α).  Without
+    upsampling, the largest feasible such mix keeps
+    c_g = min(n_g, n_min^(1-α) · n_g^α) documents, i.e. per-row keep
+    rate min(1, (n_min / n_g)^(1-α)): the rarest group survives whole,
+    dominant groups are flattened toward it.  α=1 keeps everything;
+    α=0 caps every group at the rarest group's size (uniform mix).
+
+    Deterministic: a row survives iff its md5 hash bucket clears the
+    group's integer threshold — reproducible across runs/engines, and
+    nested in α (raising α only adds documents).  Plan: one tiny
+    per-group count aggregate broadcast back onto a narrow scan — the
+    corpus itself never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(F.col("_n_min") / F.col("_n"), F.lit(1.0 - float(alpha))),
+    )
+    thresh = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        F.round(rate * buckets).cast("long").alias("_thresh"),
+    )
+    b = hash_bucket(F.col(id_col).cast("string"), buckets)
+    return (
+        df.join(F.broadcast(thresh), group_col)
+        .filter(b < F.col("_thresh"))
+        .drop("_thresh")
+    )

@@ -452,3 +452,146 @@ def quantized_cosine_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+#
+# Classic IVF-PQ compression for embedding corpora (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search"): split each D-dim vector into
+# M subvectors, k-means each subspace independently, store only the M code
+# bytes per vector (e.g. 64 float32 dims = 256 B -> 4 B at m=4, a 64x cut),
+# and answer queries by ADC — asymmetric distance computation — summing
+# per-subspace lookup-table entries.  At 100 TB the encoded corpus is what
+# fits in cluster memory; the LUTs are M x K doubles shipped as literal
+# arrays, so scoring is pure JVM expression work (element_at + adds), no
+# Python on executors and no corpus shuffle (TakeOrderedAndProject).
+
+
+def _slices(vec: Column, m: int, d_sub: int) -> List[Column]:
+    return [F.slice(vec, i * d_sub + 1, d_sub) for i in range(m)]
+
+
+def _nearest_by_sub(
+    sub: Column, sv: Column, codebooks: List[List[List[float]]]
+) -> Column:
+    """Nearest-codeword index where the codebook depends on the subspace
+    id: a CASE over subspaces, each branch the same array_min-of-structs
+    argmin used for IVF (ties to the lowest code).  Entirely JVM-side."""
+    expr = F.lit(None).cast("int")
+    for i in range(len(codebooks) - 1, -1, -1):
+        expr = F.when(sub == i, _nearest_centroid(sv, codebooks[i])).otherwise(expr)
+    return expr
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[List[float]]]:
+    """Fit PQ codebooks: one k-means per subspace, all M subspaces trained
+    in the SAME Spark job per Lloyd iteration (posexplode the M slices,
+    assign by (sub, code), one groupBy recomputes every mean) — M times
+    fewer jobs than fitting subspaces serially.  Deterministic init: the
+    M-sliced subvectors of the k lowest-id vectors (``iters=0`` keeps
+    exactly those seeds, which a SQL oracle can rebuild).  Driver
+    round-trip per iteration is m x k x d_sub floats — corpus-size
+    independent.  Returns codebooks[m][k][d_sub]."""
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seeds = v.orderBy(id_col).limit(k).collect()
+    codebooks = [
+        [[float(x) for x in r["_v"][i * d_sub : (i + 1) * d_sub]] for r in seeds]
+        for i in range(m)
+    ]
+    if iters <= 0:
+        return codebooks
+    sub = v.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_slices(F.col("_v"), m, d_sub))).alias("sub", "_sv"),
+    )
+    for _ in range(iters):
+        assigned = sub.withColumn(
+            "code", _nearest_by_sub(F.col("sub"), F.col("_sv"), codebooks)
+        )
+        sums = (
+            assigned.select("sub", "code", F.posexplode("_sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new = [[list(c) for c in cb] for cb in codebooks]  # empty cells keep seeds
+        by_cell: dict = {}
+        for r in sums:
+            by_cell.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mu"]
+        for (s, c), dims in by_cell.items():
+            new[s][c] = [dims[p] for p in sorted(dims)]
+        if new == codebooks:
+            break
+        codebooks = new
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: List[List[List[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as M code bytes: codes[i] = argmin_j
+    L2(subvec_i, codebooks[i][j]).  Narrow map, zero shuffle; this is the
+    index-build scan.  Compose with ``write_ivf_index`` partitioning to
+    get full IVF-PQ (cell-pruned read + compressed residency).  Returns
+    (id, codes array<tinyint>)."""
+    m, d_sub = len(codebooks), len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            _nearest_centroid(s, codebooks[i]).cast("tinyint")
+            for i, s in enumerate(_slices(v, m, d_sub))
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vec: List[float],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a ``pq_encode`` table: the driver precomputes
+    LUT[i][j] = ||q_sub_i - codebooks[i][j]||^2 (m x k doubles, shipped
+    as literal arrays) and each row's approximate squared L2 distance is
+    the sum of M element_at lookups — no decode, no shuffle,
+    TakeOrderedAndProject.  Ascending distance, ties to the lowest id."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = np.asarray(query_vec, dtype=float)
+    luts = [
+        [
+            float(np.sum((q[i * d_sub : (i + 1) * d_sub] - np.asarray(cw)) ** 2))
+            for cw in codebooks[i]
+        ]
+        for i in range(m)
+    ]
+    adc = None
+    for i in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in luts[i]]),
+            F.col("codes")[i].cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes_df.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.asc("adc"), id_col)
+        .limit(k)
+    )

@@ -1192,3 +1192,221 @@ def test_pii_redaction_hand_computed(spark):
     c = out["c"]
     assert (c["n_emails"], c["n_phones"], c["n_ips"]) == (0, 0, 0)
     assert c["text_redacted"] == c["text"]
+
+
+# --- Product quantization (similarity.pq_*) ------------------------------
+
+
+def test_pq_train_shapes_and_determinism(vectors):
+    cbs = similarity.pq_train(vectors, m=4, k=4, iters=2)
+    assert len(cbs) == 4 and all(len(cb) == 4 for cb in cbs)
+    assert all(len(cw) == 4 for cb in cbs for cw in cb)
+    assert cbs == similarity.pq_train(vectors, m=4, k=4, iters=2)
+    enc = similarity.pq_encode(vectors, cbs).collect()
+    assert len(enc) == vectors.count()
+    for r in enc:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
+def test_pq_seed_vectors_reconstruct_exactly(vectors):
+    """With iters=0 the codebooks ARE the k lowest-id vectors sliced, so
+    each seed vector encodes to itself and its ADC distance from a seed
+    query equals the exact squared L2 distance between the two seeds."""
+    cbs = similarity.pq_train(vectors, m=4, k=4, iters=0)
+    enc = similarity.pq_encode(vectors, cbs)
+    rows = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    q = rows[1]
+    top = {
+        r["vec_id"]: r["adc"]
+        for r in similarity.pq_topk(enc, q, cbs, k=vectors.count()).collect()
+    }
+    assert top[1] == pytest.approx(0.0, abs=1e-9)
+    for seed in (0, 2, 3):
+        exact = float(np.sum((np.asarray(q) - np.asarray(rows[seed])) ** 2))
+        assert top[seed] == pytest.approx(exact, rel=1e-9)
+
+
+def test_pq_adc_matches_numpy_for_all_rows(vectors):
+    """The Spark ADC expression (literal LUTs + element_at sums) must
+    reproduce the numpy-computed ADC for every row — validates the
+    expression plumbing independent of recall quality."""
+    cbs = similarity.pq_train(vectors, m=4, k=8, iters=3)
+    enc = similarity.pq_encode(vectors, cbs)
+    rows = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    q = np.asarray(rows[100], dtype=float)
+    luts = [
+        [float(np.sum((q[i * 4 : (i + 1) * 4] - np.asarray(cw)) ** 2)) for cw in cbs[i]]
+        for i in range(4)
+    ]
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in similarity.pq_topk(enc, list(q), cbs, k=vectors.count()).collect()
+    }
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert len(got) == len(codes)
+    for vid, cs in codes.items():
+        want = sum(luts[i][cs[i]] for i in range(4))
+        assert got[vid] == pytest.approx(want, rel=1e-12)
+
+
+def test_pq_lloyd_reduces_distortion(vectors):
+    """Lloyd iterations never increase total quantization distortion
+    (sum over vectors of squared L2 to their reconstruction)."""
+    data = {r["vec_id"]: np.asarray(r["embedding"]) for r in vectors.collect()}
+
+    def distortion(cbs):
+        enc = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(vectors, cbs).collect()
+        }
+        total = 0.0
+        for vid, cs in enc.items():
+            recon = np.concatenate([np.asarray(cbs[i][cs[i]]) for i in range(4)])
+            total += float(np.sum((data[vid] - recon) ** 2))
+        return total
+
+    d0 = distortion(similarity.pq_train(vectors, m=4, k=4, iters=0))
+    d3 = distortion(similarity.pq_train(vectors, m=4, k=4, iters=3))
+    assert d3 <= d0 + 1e-9
+
+
+def test_pq_topk_plan_is_take_ordered(vectors):
+    cbs = similarity.pq_train(vectors, m=4, k=4, iters=0)
+    enc = similarity.pq_encode(vectors, cbs)
+    plan = similarity.pq_topk(enc, [0.0] * 16, cbs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_media_context_pairs_hand_computed(spark):
+    """Interleaved caption mining: media spans skipped inside contexts,
+    alt text carried through, document and array boundaries clipped."""
+    from machine_readability_checker_spark.operators.multimodal import (
+        media_context_pairs,
+    )
+
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        (
+            "a",
+            [
+                sp("text", "alpha", "", 0),
+                sp("text", "beta", "", 1),
+                sp("media", "logo", "imgA", 2),
+                sp("text", "gamma", "", 3),
+                sp("media", "", "imgB", 4),
+                sp("text", "delta", "", 5),
+            ],
+        ),
+        ("b", [sp("media", "", "imgC", 0), sp("text", "solo", "", 1)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {
+        r["media_ref"]: r
+        for r in media_context_pairs(df, window=2).collect()
+    }
+    a = out["imgA"]
+    assert (a["context_before"], a["context_after"]) == ("alpha beta", "gamma")
+    assert a["alt_text"] == "logo"
+    b = out["imgB"]
+    # the media span at offset 2 inside the frame is skipped, not joined
+    assert (b["context_before"], b["context_after"]) == ("gamma", "delta")
+    c = out["imgC"]
+    assert (c["context_before"], c["context_after"]) == ("", "solo")
+    assert len(out) == 3
+
+
+def test_cap_per_key_semantics_and_skew_plan(spark):
+    """Per-domain cap: every key ends at ≤ cap rows, under-cap keys are
+    untouched, the kept set is deterministic and NESTED in the cap, and
+    both plan variants (broadcast-hot and plain window) agree."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, F.lit("whale.com"))
+        .when(F.col("id") < 350, F.lit("mid.org"))
+        .otherwise(F.concat(F.lit("tiny"), F.col("id") % 25))
+        .alias("source"),
+    )
+    kept = sampling.cap_per_key(docs, key_col="source", cap=40).collect()
+    by_key: dict = {}
+    for r in kept:
+        by_key.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_key["whale.com"]) == 40
+    assert len(by_key["mid.org"]) == 40
+    for k, v in by_key.items():
+        if k.startswith("tiny"):
+            assert len(v) == 2  # 50 ids over 25 keys, all under cap
+
+    plain = sampling.cap_per_key(
+        docs, key_col="source", cap=40, broadcast_hot=False
+    ).collect()
+    assert {(r["doc_id"], r["source"]) for r in kept} == {
+        (r["doc_id"], r["source"]) for r in plain
+    }
+
+    smaller = sampling.cap_per_key(docs, key_col="source", cap=10).collect()
+    small_ids = {r["doc_id"] for r in smaller}
+    assert small_ids <= {r["doc_id"] for r in kept}  # nested in cap
+
+    # skew-aware plan: under-cap rows avoid the window sort entirely —
+    # the cold branch is a broadcast anti join with no window exchange
+    plan = (
+        sampling.cap_per_key(docs, key_col="source", cap=40)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_temperature_mix_directions(spark):
+    """Temperature mixing: α=1 keeps everything, α=0 caps every group
+    near the rarest group's size, intermediate α is monotone (higher α
+    keeps strictly more), rarest group always survives whole."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, F.lit("en"))
+        .when(F.col("id") < 950, F.lit("de"))
+        .otherwise(F.lit("rarelang"))
+        .alias("lang"),
+    )
+
+    def counts(alpha):
+        rows = (
+            sampling.temperature_mix(docs, group_col="lang", alpha=alpha)
+            .groupBy("lang")
+            .count()
+            .collect()
+        )
+        return {r["lang"]: r["count"] for r in rows}
+
+    c1 = counts(1.0)
+    assert c1 == {"en": 800, "de": 150, "rarelang": 50}
+    c0 = counts(0.0)
+    assert c0["rarelang"] == 50
+    # md5 buckets are uniform-ish, not exact: n_min-sized target ±20%
+    assert 35 <= c0["en"] <= 65 and 35 <= c0["de"] <= 65
+    c_half = counts(0.5)
+    for lang in c1:
+        assert c0.get(lang, 0) <= c_half.get(lang, 0) <= c1[lang]
+    ids_half = {
+        r["doc_id"]
+        for r in sampling.temperature_mix(
+            docs, group_col="lang", alpha=0.5
+        ).collect()
+    }
+    ids_zero = {
+        r["doc_id"]
+        for r in sampling.temperature_mix(
+            docs, group_col="lang", alpha=0.0
+        ).collect()
+    }
+    assert ids_zero <= ids_half  # nested in α
