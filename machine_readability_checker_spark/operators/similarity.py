@@ -595,3 +595,60 @@ def pq_topk(
         .orderBy(F.asc("adc"), id_col)
         .limit(k)
     )
+
+
+def _codebook_df(spark, codebooks: List[List[List[float]]]) -> DataFrame:
+    rows = [
+        (s, c, [float(x) for x in cw])
+        for s, cb in enumerate(codebooks)
+        for c, cw in enumerate(cb)
+    ]
+    return spark.createDataFrame(rows, "sub int, code int, cw array<double>")
+
+
+def pq_encode_join(
+    df: DataFrame,
+    codebooks: List[List[List[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-k encode path, result-identical to ``pq_encode``: the
+    literal argmin CASE compiles one struct per (subspace, codeword) and
+    stops being viable past k ≈ 32 (whole-stage codegen method-size
+    limits; classic PQ uses k = 256).  Here the m×k codebook ships as a
+    BROADCAST table instead: explode the M slices, join each (row,
+    subspace) against its subspace's codewords, and take one
+    min(struct(dist, code)) PER SUBSPACE inside a single groupBy(id) —
+    min ignores the other subspaces' NULLs and ties go to the lowest
+    code, the same rule as the literal path.  Shuffle: ONE exchange
+    (the id aggregate, with map-side partial aggregation; the broadcast
+    join adds none); m×k×d_sub codebook floats per executor."""
+    m, d_sub = len(codebooks), len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    sub = df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*_slices(v, m, d_sub))).alias("sub", "_sv"),
+    )
+    j = sub.join(F.broadcast(_codebook_df(df.sparkSession, codebooks)), "sub")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("sub") == i,
+                F.struct(
+                    _sq_dist(F.col("_sv"), F.col("cw")).alias("d"),
+                    F.col("code").alias("c"),
+                ),
+            )
+        )["c"]
+        .cast("tinyint")
+        .alias(f"_c{i}")
+        for i in range(m)
+    ]
+    return (
+        j.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_c{i}") for i in range(m)]).alias("codes"),
+        )
+    )

@@ -1410,3 +1410,27 @@ def test_temperature_mix_directions(spark):
         ).collect()
     }
     assert ids_zero <= ids_half  # nested in α
+
+
+def test_pq_encode_join_equals_literal_path(vectors):
+    """The broadcast-join encode (large-k path) must be code-for-code
+    identical to the literal-CASE encode, including argmin ties (both
+    resolve to the lowest code), and its plan must carry exactly one
+    exchange (the id aggregate) plus a broadcast join."""
+    for k in (4, 8):
+        cbs = similarity.pq_train(vectors, m=4, k=k, iters=2)
+        lit = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(vectors, cbs).collect()
+        }
+        jn = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode_join(vectors, cbs).collect()
+        }
+        assert jn == lit
+    plan = (
+        similarity.pq_encode_join(vectors, cbs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
