@@ -934,6 +934,29 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: 4 seed coarse centroids (lowest-id vectors),
+    PQ codebooks seeded from the RESIDUALS of the 4 lowest-id vectors
+    (``train_ivfpq(cell_iters=0, pq_iters=0)`` so the DuckDB oracle can
+    rebuild both quantizers in SQL; production runs Lloyd on both),
+    cell-partitioned code lists, n_probe=2 partition-pruned ADC query
+    with per-cell residual LUTs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cbs = S.train_ivfpq(
+        emb, n_cells=4, m=4, k=4, cell_iters=0, pq_iters=0
+    )
+    path = _idx_path("ivfpq", sf_dir)
+    S.write_ivfpq_index(emb, path, cents, cbs)
+    top = S.query_ivfpq_index(
+        spark, path, _first_embedding(emb), cents, cbs, k=10, n_probe=2
+    )
+    return top.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round("adc", 6).alias("adc"),
+    ).orderBy("vec_id")
+
+
 def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-candidate mining over the interleaved span shape: a
     deterministic interleaved corpus is synthesized from ``documents``
@@ -1032,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "quantized_topk": q_quantized_topk,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_index_query": q_ivfpq_index_query,
         "media_context_pairs": q_media_context_pairs,
         "events_asof": q_events_asof,
     }
@@ -1150,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
     out["table_profile"] = _TABLE_PROFILE_SQL
     out["quantized_topk"] = _QUANTIZED_TOPK_SQL
     out["pq_adc_topk"] = _PQ_ADC_SQL
+    out["ivfpq_index_query"] = _IVFPQ_SQL
     out["media_context_pairs"] = _MEDIA_CONTEXT_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     return out
@@ -1707,6 +1732,77 @@ _MEDIA_CONTEXT_SQL = f"""
            coalesce(context_before, '') AS context_before,
            coalesce(context_after, '') AS context_after
     FROM c WHERE kind = 'media' ORDER BY doc_id, off
+"""
+
+
+# IVF-PQ with both quantizers in seed mode: coarse cells = the 4
+# lowest-id vectors; PQ codebooks = the 16-dim slices of the RESIDUALS
+# of those same vectors; ADC per probed cell uses that cell's residual
+# query.  Elementwise residuals via list_transform over index ranges
+# (DuckDB has no zip_with).
+_IVFPQ_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    ), c AS (
+      SELECT ev AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= 4
+    ), assign AS (
+      SELECT vec_id, ev, cell, cv FROM (
+        SELECT v.vec_id, v.ev, c.cell, c.cv,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.ev, c.cv), c.cell
+               ) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ), resid AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65), i -> ev[i] - cv[i]) AS rv
+      FROM assign
+    ), subs AS (
+      SELECT vec_id, cell, s.sub,
+             list_slice(rv, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+      FROM resid CROSS JOIN (VALUES (0), (1), (2), (3)) s(sub)
+    ), cb AS (
+      SELECT sub,
+             row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             sv AS cw
+      FROM subs
+      WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)
+    ), codes AS (
+      SELECT vec_id, cell, sub, code FROM (
+        SELECT subs.vec_id, subs.cell, subs.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY subs.vec_id, subs.sub
+                 ORDER BY list_distance(subs.sv, cb.cw), cb.code
+               ) AS rn
+        FROM subs JOIN cb ON subs.sub = cb.sub
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT ev AS qv FROM v WHERE vec_id = 0
+    ), probe AS (
+      SELECT cell, cv FROM c CROSS JOIN q
+      ORDER BY list_distance(cv, qv), cell LIMIT 2
+    ), qsub AS (
+      SELECT p.cell, s.sub,
+             list_slice(
+               list_transform(range(1, 65), i -> q.qv[i] - p.cv[i]),
+               s.sub * 16 + 1, s.sub * 16 + 16) AS qs
+      FROM probe p CROSS JOIN q
+      CROSS JOIN (VALUES (0), (1), (2), (3)) s(sub)
+    ), adc AS (
+      SELECT co.vec_id, co.cell,
+             SUM(power(list_distance(qs.qs, cb.cw), 2)) AS dist
+      FROM codes co
+      JOIN cb ON co.sub = cb.sub AND co.code = cb.code
+      JOIN qsub qs ON qs.cell = co.cell AND qs.sub = co.sub
+      GROUP BY co.vec_id, co.cell
+    ), top AS (
+      SELECT vec_id, cell, dist FROM adc ORDER BY dist, vec_id LIMIT 10
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(dist, 6) AS adc
+    FROM top ORDER BY vec_id
 """
 
 

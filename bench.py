@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "table_profile",
     "quantized_topk",
     "pq_adc_topk",
+    "ivfpq_index_query",
     "media_context_pairs",
     "events_asof",
 ]
@@ -215,6 +216,22 @@ def main() -> None:
             _bench_docs(spark, sf_dir), window=8, min_count=2
         )
 
+    def _prod_ivfpq(spark, sf_dir):
+        # production IVF-PQ: Lloyd on both quantizers (8 cells, 4x8
+        # residual codebooks), cell-partitioned code lists, pruned
+        # 2-probe ADC query
+        import tempfile
+
+        emb = E._t(spark, sf_dir, "embeddings")
+        cents, cbs = SIM.train_ivfpq(
+            emb, n_cells=8, m=4, k=8, cell_iters=2, pq_iters=2
+        )
+        path = os.path.join(tempfile.gettempdir(), "mrc_bench_ivfpq_idx")
+        SIM.write_ivfpq_index(emb, path, cents, cbs)
+        return SIM.query_ivfpq_index(
+            spark, path, E._first_embedding(emb), cents, cbs, k=10, n_probe=2
+        )
+
     def _prod_pq(spark, sf_dir):
         # production PQ: real Lloyd fit (vs the seed-codebook oracle
         # lane), 4 subspaces x 16 codewords, encode + ADC top-k
@@ -225,6 +242,7 @@ def main() -> None:
 
     qs = E.queries()
     qs["pq_adc_topk"] = _prod_pq
+    qs["ivfpq_index_query"] = _prod_ivfpq
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
     qs["contamination"] = _prod_contamination

@@ -1434,3 +1434,96 @@ def test_pq_encode_join_equals_literal_path(vectors):
     )
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pq_train_join_assignment_equals_literal(vectors):
+    """pq_train with the broadcast-join Lloyd assignment must produce
+    the identical codebooks as the literal-CASE assignment (same argmin
+    tie rule), and k=64 (m*k=256, beyond the literal ceiling) must
+    train and encode without error."""
+    lit = similarity.pq_train(vectors, m=4, k=4, iters=3, assign="literal")
+    jn = similarity.pq_train(vectors, m=4, k=4, iters=3, assign="join")
+    # the join path's exchange changes float-summation order inside avg,
+    # so centroids agree to ~1 ulp, not bit-for-bit
+    for cb_l, cb_j in zip(lit, jn):
+        for cw_l, cw_j in zip(cb_l, cb_j):
+            assert cw_j == pytest.approx(cw_l, rel=1e-12, abs=1e-12)
+    enc_l = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(vectors, lit).collect()
+    }
+    enc_j = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(vectors, jn).collect()
+    }
+    assert enc_l == enc_j
+
+    # m*k = 104 > 64: auto must take the join path (fixture has 52
+    # vectors, so 26 seeds per subspace is the largest honest k here)
+    big = similarity.pq_train(vectors, m=4, k=26, iters=1, assign="auto")
+    assert len(big) == 4 and all(len(cb) == 26 for cb in big)
+    enc = similarity.pq_encode_join(vectors, big).collect()
+    assert all(0 <= c < 26 for r in enc for c in r["codes"])
+
+
+def test_ivfpq_index_roundtrip(spark, vectors, tmp_path):
+    """IVF-PQ: residual-trained codebooks, cell-partitioned code lists,
+    partition-pruned ADC queries.  The query's own vector and its planted
+    near-dup rank first (their residuals quantize to the same codes), the
+    Spark ADC matches the numpy LUT computation for every probed row, and
+    multi-probe widens coverage to the whole corpus."""
+    cents, cbs = similarity.train_ivfpq(
+        vectors, n_cells=4, m=4, k=8, cell_iters=2, pq_iters=2
+    )
+    assert len(cents) == 4 and len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+
+    path = str(tmp_path / "ivfpq_index")
+    similarity.write_ivfpq_index(vectors, path, cents, cbs)
+
+    q = vectors.filter("vec_id = 100").collect()[0]["embedding"]
+    top = similarity.query_ivfpq_index(
+        spark, path, q, cents, cbs, k=5, n_probe=1
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[1]
+    part_filters = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters  # pruned, not a full scan
+
+    rows = top.collect()
+    ids = [r["vec_id"] for r in rows]
+    assert set(ids[:2]) == {100, 101}  # identical codes -> adc tie -> id order
+
+    # Spark ADC == numpy ADC for every row of the probed cells
+    import numpy as _np
+
+    qa = _np.asarray(q, dtype=float)
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: float(_np.sum((qa - _np.asarray(cents[i])) ** 2)),
+    )
+    probe_cells = order[:1]
+    idx = {
+        (r["vec_id"]): (r["cell"], list(r["codes"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    full = similarity.query_ivfpq_index(
+        spark, path, q, cents, cbs, k=10_000, n_probe=1
+    ).collect()
+    assert len(full) == sum(1 for c, _ in idx.values() if c in probe_cells)
+    for r in full:
+        cell, codes = idx[r["vec_id"]]
+        qr = qa - _np.asarray(cents[cell])
+        want = sum(
+            float(
+                _np.sum(
+                    (qr[i * 4 : (i + 1) * 4] - _np.asarray(cbs[i][codes[i]])) ** 2
+                )
+            )
+            for i in range(4)
+        )
+        assert r["adc"] == pytest.approx(want, rel=1e-9)
+
+    everything = similarity.query_ivfpq_index(
+        spark, path, q, cents, cbs, k=10_000, n_probe=4
+    )
+    assert everything.count() == vectors.count()
