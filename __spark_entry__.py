@@ -766,6 +766,25 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: md5-ranked order within
+    md5-assigned shards (8 here) — the fixed pseudo-random consumption
+    order, one parallel window exchange, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SP.training_order(docs, n_shards=8)
+        .select("doc_id", "shard", "position")
+        .orderBy("shard", "position")
+    )
+
+
+def q_ngram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-20 with document frequency —
+    boilerplate discovery / vocabulary audit aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.ngram_counts(docs, n=2, top_k=20)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (embedding / context-window
     prep): 32-token chunks, 8-token overlap."""
@@ -1050,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "temperature_mix": q_temperature_mix,
+        "training_order": q_training_order,
+        "ngram_top_counts": q_ngram_top_counts,
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
@@ -1169,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
     out["domain_cap"] = _DOMAIN_CAP_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
+    out["training_order"] = _TRAINING_ORDER_SQL
+    out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["chunk_documents"] = _CHUNK_SQL
     out["pack_shards"] = _PACK_SHARDS_SQL
     out["table_profile"] = _TABLE_PROFILE_SQL
@@ -1593,6 +1616,35 @@ _TEMPERATURE_MIX_SQL = f"""
     FROM documents d JOIN t ON d.lang = t.lang
     WHERE {_HASH_BUCKET} < t.thresh
     GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+_TRAINING_ORDER_SQL = f"""
+    SELECT doc_id,
+           CAST(({_HASH_BUCKET}) % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ({_HASH_BUCKET}) % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+           ) AS INTEGER) AS position
+    FROM documents
+    ORDER BY shard, position
+"""
+
+
+_NGRAM_TOP_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(toks[i + 1 : i + 2], ' ') AS ngram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 1, 0))) AS i
+            FROM t)
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
 """
 
 

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "split_manifest",
     "domain_cap",
     "temperature_mix",
+    "training_order",
+    "ngram_top_counts",
     "chunk_documents",
     "pack_shards",
     "table_profile",

@@ -246,3 +246,34 @@ def temperature_mix(
         .filter(b < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic global training shuffle + sharding: every document
+    gets a shard (md5 bucket mod ``n_shards``) and a position within its
+    shard (rank by the full md5 hex, ties by id) — the fixed pseudo-random
+    order data loaders consume, reproducible across runs/engines and
+    independent of input partitioning.  One window exchange, parallel
+    across shards (never a global single-partition sort); at 100 TB each
+    shard sorts independently and `position` is contiguous per shard,
+    which is what a per-worker data loader actually needs."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    shard = (hash_bucket(F.col(id_col).cast("string"), buckets) % n_shards).cast(
+        "int"
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h"), F.col(id_col).cast("string")
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w))
+        .drop("_h")
+    )

@@ -481,3 +481,39 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(f"{text_col}_redacted", redacted)
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram frequency statistics (LM/data-quality staple:
+    boilerplate discovery, contamination screens, vocabulary audits).
+    Explode every document's n-grams, count, return the ``top_k`` most
+    frequent with document frequency alongside.
+
+    Scale shape: the explode is narrow; the count is a hash aggregate
+    with map-side partial aggregation, so the exchange carries one row
+    per DISTINCT n-gram per task — not one per occurrence — and the
+    final top-k is TakeOrderedAndProject, never a global sort."""
+    toks = tokens(F.col(text_col))
+    # sequence(0, stop) DESCENDS when stop < 0 (docs shorter than n
+    # grams) — guard with an explicit empty array, not greatest()
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        df.select(F.col("doc_id"), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(top_k)
+    )

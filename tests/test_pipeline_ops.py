@@ -1527,3 +1527,55 @@ def test_ivfpq_index_roundtrip(spark, vectors, tmp_path):
         spark, path, q, cents, cbs, k=10_000, n_probe=4
     )
     assert everything.count() == vectors.count()
+
+
+def test_training_order_deterministic_and_partition_invariant(spark):
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    a = {
+        r["doc_id"]: (r["shard"], r["position"])
+        for r in sampling.training_order(docs, n_shards=8).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["position"])
+        for r in sampling.training_order(
+            docs.repartition(16), n_shards=8
+        ).collect()
+    }
+    assert a == b  # input partitioning never changes the order
+    # positions are contiguous 1..len per shard
+    by_shard: dict = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # the order is a real shuffle, not id order
+    shard0 = [d for d, (s, _) in a.items() if s == 0]
+    in_pos = sorted(shard0, key=lambda d: a[d][1])
+    assert in_pos != sorted(in_pos)
+
+
+def test_ngram_counts_hand_computed(spark):
+    from machine_readability_checker_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "to be or not to be"),
+            ("b", "to be is to do"),
+            ("c", "single"),
+            ("d", ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["ngram"]: (r["n_occurrences"], r["n_docs"])
+        for r in textstats.ngram_counts(docs, n=2, top_k=100).collect()
+    }
+    assert out["to be"] == (3, 2)
+    assert out["be or"] == (1, 1)
+    assert "single" not in out  # 1-token and empty docs yield no bigram
+    assert sum(c for c, _ in out.values()) == 5 + 4  # total bigrams
