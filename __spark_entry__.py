@@ -785,6 +785,18 @@ def q_ngram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ngram_counts(docs, n=2, top_k=20)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration over the corpus: distinct-word
+    frequency table, adjacent character pairs weighted by word
+    frequency, top 20 (count desc, pair asc) — the SQL-expressible
+    slice of ``bpe.bpe_train``; full training (`operators/bpe.py`) is
+    iterative and pytest-verified against a sequential reference."""
+    from machine_readability_checker_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_pair_counts(docs, top_k=20)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (embedding / context-window
     prep): 32-token chunks, 8-token overlap."""
@@ -1071,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
@@ -1192,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
+    out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL
     out["pack_shards"] = _PACK_SHARDS_SQL
     out["table_profile"] = _TABLE_PROFILE_SQL
@@ -1616,6 +1630,22 @@ _TEMPERATURE_MIX_SQL = f"""
     FROM documents d JOIN t ON d.lang = t.lang
     WHERE {_HASH_BUCKET} < t.thresh
     GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+_BPE_PAIRS_SQL = f"""
+    WITH w AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ), p AS (
+      SELECT substr(word, CAST(i AS INTEGER), 1) || ' ' ||
+             substr(word, CAST(i AS INTEGER) + 1, 1) AS pair,
+             freq
+      FROM (SELECT word, freq, unnest(range(1, len(word))) AS i FROM w)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS count
+    FROM p GROUP BY pair ORDER BY count DESC, pair LIMIT 20
 """
 
 

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "training_order",
     "ngram_top_counts",
+    "bpe_pair_counts",
     "chunk_documents",
     "pack_shards",
     "table_profile",
@@ -218,6 +219,16 @@ def main() -> None:
             _bench_docs(spark, sf_dir), window=8, min_count=2
         )
 
+    def _prod_bpe(spark, sf_dir):
+        # production shape: train 10 merges (10 agg jobs over the
+        # distinct-word table) then encode the whole corpus with the
+        # Arrow-batched kernel
+        from machine_readability_checker_spark.operators import bpe as B
+
+        docs = _bench_docs(spark, sf_dir)
+        merges = B.bpe_train(docs, n_merges=10)
+        return B.bpe_encode(docs, merges)
+
     def _prod_ivfpq(spark, sf_dir):
         # production IVF-PQ: Lloyd on both quantizers (8 cells, 4x8
         # residual codebooks), cell-partitioned code lists, pruned
@@ -245,6 +256,7 @@ def main() -> None:
     qs = E.queries()
     qs["pq_adc_topk"] = _prod_pq
     qs["ivfpq_index_query"] = _prod_ivfpq
+    qs["bpe_pair_counts"] = _prod_bpe
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
     qs["contamination"] = _prod_contamination

@@ -1579,3 +1579,85 @@ def test_ngram_counts_hand_computed(spark):
     assert out["be or"] == (1, 1)
     assert "single" not in out  # 1-token and empty docs yield no bigram
     assert sum(c for c, _ in out.values()) == 5 + 4  # total bigrams
+
+
+# --- Distributed BPE training (operators.bpe) ----------------------------
+
+
+def _seq_bpe(word_freq, n_merges):
+    """Sequential reference trainer with the same tie rule (count desc,
+    'a b' string asc) — the single-node oracle for bpe_train."""
+    from machine_readability_checker_spark.operators.bpe import apply_merges
+
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freq.items():
+            s = apply_merges(w, merges)
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        best = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from machine_readability_checker_spark.operators import bpe
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, f in sorted(wf.items()) for _ in range(f))
+    docs = spark.createDataFrame(
+        [("a", text), ("b", "")], ["doc_id", "text"]
+    )
+    got = bpe.bpe_train(docs, n_merges=12)
+    want = _seq_bpe(wf, 12)
+    assert got == want
+    # the classic corpus learns 'es' then 'est' early
+    assert ("e", "s") in got and ("es", "t") in got
+    assert got.index(("e", "s")) < got.index(("es", "t"))
+
+
+def test_bpe_encode_reconstructs_and_matches_reference(spark):
+    from machine_readability_checker_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "newest widest lowest low low"),
+            ("b", "the newest of the new"),
+            ("c", ""),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = bpe.bpe_train(docs, n_merges=8)
+    out = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    for doc_id, text in [
+        ("a", "newest widest lowest low low"),
+        ("b", "the newest of the new"),
+        ("c", ""),
+    ]:
+        expect = [
+            s for w in text.split() for s in bpe.apply_merges(w, merges)
+        ]
+        assert list(out[doc_id]["subwords"]) == expect
+        assert out[doc_id]["n_subwords"] == len(expect)
+        assert "".join(out[doc_id]["subwords"]) == text.replace(" ", "")
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from machine_readability_checker_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [("a", "ab ab abc"), ("b", "x")], ["doc_id", "text"]
+    )
+    got = {
+        r["pair"]: r["count"] for r in bpe.bpe_pair_counts(docs, 10).collect()
+    }
+    # words: ab(2) abc(1) x(1) -> 'a b' from both (freq 2+1), 'b c' once
+    assert got == {"a b": 3, "b c": 1}
