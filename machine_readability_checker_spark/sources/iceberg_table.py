@@ -207,3 +207,133 @@ class IcebergLayoutTable:
             self.store.data_dir
         )
         return df.filter(F.col("split").isin(new_splits))
+
+
+# ----------------------------------------------------- table maintenance
+
+
+def _parquet_files(split_dir: str) -> List[str]:
+    return sorted(
+        os.path.join(split_dir, f)
+        for f in os.listdir(split_dir)
+        if f.endswith(".parquet")
+    )
+
+
+class TableMaintenance:
+    """The two maintenance jobs a 10^12-document table actually needs,
+    as shim analogs of Iceberg's stored procedures:
+
+    - ``compact`` ↔ ``rewrite_data_files``: streaming ingest leaves a
+      long tail of small files per partition; each over-fragmented
+      split directory is rewritten to ``target_files`` parquet files
+      and swapped in.  Iceberg swaps via a REPLACE snapshot and keeps
+      the old files until expiry; the shim (no file-level manifests)
+      verifies row counts and swaps the directory eagerly — ROW-level
+      time travel is preserved (splits are append-once, snapshot
+      membership is split-based), file-level history is not.
+    - ``expire_snapshots`` ↔ the procedure of the same name: drop old
+      snapshot metadata, keeping the last N and the current pointer's
+      target.  Metadata-only in the shim — every data file stays
+      referenced by its split forever; with Iceberg's file-level
+      manifests this is also where compacted-away files get
+      garbage-collected.
+    """
+
+    def __init__(self, table: IcebergLayoutTable):
+        self.table = table
+
+    def compact(
+        self,
+        spark,
+        max_files_per_split: int = 1,
+        splits: Optional[List[int]] = None,
+    ) -> Dict[str, Any]:
+        """Rewrite every committed split directory holding more than
+        ``max_files_per_split`` parquet files down to that many.  Each
+        split is verified (row count before == after) before its
+        directory swap; a crash between the two renames leaves a
+        ``split=K.old`` directory that ``recover_compaction`` restores.
+        Returns {split: {files_before, files_after, rows}} stats."""
+        store = self.table.store
+        stats: Dict[str, Any] = {}
+        for split in splits or store.committed_splits():
+            split_dir = os.path.join(store.data_dir, f"split={split}")
+            if not os.path.isdir(split_dir):
+                continue
+            files = _parquet_files(split_dir)
+            if len(files) <= max_files_per_split:
+                continue
+            df = spark.read.parquet(split_dir)
+            n_before = df.count()
+            tmp = split_dir + ".compact.tmp"
+            (
+                df.coalesce(max_files_per_split)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            n_after = spark.read.parquet(tmp).count()
+            if n_after != n_before:
+                raise RuntimeError(
+                    f"compaction row-count mismatch for split {split}: "
+                    f"{n_before} -> {n_after}"
+                )
+            old = split_dir + ".old"
+            os.rename(split_dir, old)
+            os.rename(tmp, split_dir)
+            import shutil
+
+            shutil.rmtree(old)
+            stats[split] = {
+                "files_before": len(files),
+                "files_after": len(_parquet_files(split_dir)),
+                "rows": n_before,
+            }
+        return stats
+
+    def recover_compaction(self) -> List[int]:
+        """Crash recovery: restore any split whose swap half-finished
+        (``split=K.old`` exists).  If the new dir also exists the swap
+        completed and the leftover is dropped; otherwise the old dir is
+        renamed back.  Idempotent."""
+        import shutil
+
+        store = self.table.store
+        restored = []
+        if not os.path.isdir(store.data_dir):
+            return restored
+        for name in os.listdir(store.data_dir):
+            if not name.endswith(".old"):
+                continue
+            old = os.path.join(store.data_dir, name)
+            live = os.path.join(store.data_dir, name[: -len(".old")])
+            if os.path.isdir(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+                restored.append(int(name[len("split=") : -len(".old")]))
+        # an orphaned .compact.tmp (crash before the first rename) is
+        # simply stale output: remove it
+        for name in os.listdir(store.data_dir):
+            if name.endswith(".compact.tmp"):
+                shutil.rmtree(os.path.join(store.data_dir, name))
+        return restored
+
+    def expire_snapshots(self, keep_last: int = 3) -> List[int]:
+        """Delete snapshot metadata older than the newest ``keep_last``
+        versions (always keeping the current pointer's target).  Returns
+        the expired version numbers; time-travel reads to them now
+        raise, exactly like Iceberg after expiry."""
+        t = self.table
+        versions = t._versions()
+        keep = set(versions[-max(1, keep_last):])
+        cur = t.current_snapshot()
+        if cur:
+            keep.add(int(cur["version"]))
+        expired = []
+        for v in versions:
+            if v in keep:
+                continue
+            os.unlink(os.path.join(t.snapshot_dir, f"v{v}.json"))
+            expired.append(v)
+        return expired

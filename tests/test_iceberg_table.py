@@ -177,3 +177,75 @@ def test_schema_and_partition_spec_evolution(spark, tmp_path):
     assert v3["schema"] == schema_v2
     assert v3["partition_spec"] == spec2
     assert table.snapshot(v1)["partition_spec"] == spec1
+
+
+def test_compaction_and_snapshot_expiry(spark, tmp_path):
+    """Maintenance procedures: compaction shrinks a fragmented split to
+    one file with byte-identical rows (time travel intact), half-done
+    swaps recover idempotently, snapshot expiry drops old metadata but
+    never the current pointer's target."""
+    import os
+    import shutil
+
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        TableMaintenance,
+    )
+
+    corpus = gen_corpus(24)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA).repartition(8)
+    table = IcebergLayoutTable(str(tmp_path / "t"))
+
+    def transform(df: DataFrame) -> DataFrame:
+        # high shuffle-partition fan-in → many small files per split dir
+        return extract(df).withColumn("split", split_id("doc_id", 2))
+
+    run_resumable(raw, table.store, transform, n_splits=2, wave_size=2)
+    v1 = table.commit_snapshot(schema_json='{"doc_id":"string"}')["version"]
+
+    data_dir = table.store.data_dir
+    split0 = os.path.join(data_dir, "split=0")
+    n_files_before = len(
+        [f for f in os.listdir(split0) if f.endswith(".parquet")]
+    )
+    assert n_files_before > 1  # fragmented by construction
+
+    before_rows = sorted(
+        (r["doc_id"], len(r["spans"]))
+        for r in table.read(spark).select("doc_id", "spans").collect()
+    )
+
+    maint = TableMaintenance(table)
+    stats = maint.compact(spark, max_files_per_split=1)
+    assert set(stats) == {0, 1}
+    assert all(s["files_after"] == 1 for s in stats.values())
+
+    after_rows = sorted(
+        (r["doc_id"], len(r["spans"]))
+        for r in table.read(spark).select("doc_id", "spans").collect()
+    )
+    assert after_rows == before_rows
+    # split-based time travel unaffected by the file rewrite
+    assert table.read(spark, version=v1).count() == 24
+
+    # crash recovery: simulate a swap that stopped after the first
+    # rename (live dir missing, .old present) → restore
+    os.rename(split0, split0 + ".old")
+    restored = maint.recover_compaction()
+    assert restored == [0] and os.path.isdir(split0)
+    # completed swap with a leftover .old → dropped, not restored
+    shutil.copytree(split0, split0 + ".old")
+    assert maint.recover_compaction() == []
+    assert not os.path.isdir(split0 + ".old")
+    assert table.read(spark).count() == 24
+
+    # snapshot expiry
+    v2 = table.commit_snapshot()["version"]
+    v3 = table.commit_snapshot()["version"]
+    expired = TableMaintenance(table).expire_snapshots(keep_last=2)
+    assert expired == [v1]
+    assert table.current_snapshot()["version"] == v3
+    assert table.read(spark, version=v2).count() == 24
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        table.snapshot(v1)
