@@ -345,3 +345,64 @@ def media_context_pairs(
             "context_after",
         )
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def extract_audio_features(media_df: DataFrame) -> DataFrame:
+    """Real audio decode lane: WAV/RIFF PCM blobs → per-clip features
+    (layout, duration, RMS loudness, absolute peak — silence/clipping
+    screens for audio corpus curation).  Arrow-batched ``mapInPandas``
+    with quarantine rows, same discipline as the image kernels."""
+    from ..core.wav import decode_wav, samples_float
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for row in batch.itertuples(index=False):
+                content = bytes(row.content)
+                out["doc_id"].append(row.doc_id)
+                out["media_ref"].append(row.media_ref)
+                out["n_bytes"].append(len(content))
+                try:
+                    a = decode_wav(content)
+                    x = samples_float(a)
+                    out["sample_rate"].append(a.sample_rate)
+                    out["channels"].append(a.channels)
+                    out["bits_per_sample"].append(a.bits_per_sample)
+                    out["n_frames"].append(a.n_frames)
+                    out["duration_sec"].append(a.n_frames / a.sample_rate)
+                    out["rms"].append(
+                        float(np.sqrt(np.mean(np.square(x)))) if x.size else 0.0
+                    )
+                    out["peak"].append(
+                        float(np.max(np.abs(x))) if x.size else 0.0
+                    )
+                    out["decode_error"].append(None)
+                except Exception as e:
+                    for k in (
+                        "sample_rate", "channels", "bits_per_sample",
+                        "n_frames", "duration_sec", "rms", "peak",
+                    ):
+                        out[k].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)

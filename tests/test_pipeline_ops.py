@@ -1661,3 +1661,95 @@ def test_bpe_pair_counts_hand_computed(spark):
     }
     # words: ab(2) abc(1) x(1) -> 'a b' from both (freq 2+1), 'b c' once
     assert got == {"a b": 3, "b c": 1}
+
+
+# --- WAV codec + audio features ------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_chunk_walking():
+    """RIFF parser: encode→decode round-trips every supported depth,
+    sign-extension is exact (24-bit), extra chunks and odd-size padding
+    are walked correctly, malformed bytes raise."""
+    import struct
+
+    import numpy as np
+
+    from machine_readability_checker_spark.core import wav
+
+    sr = 8000
+    t = np.arange(64) / sr
+    mono16 = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2").tobytes()
+    for bits, frames, ch in [
+        (16, mono16, 1),
+        (8, bytes(range(128, 192)), 1),
+        (32, (np.arange(-32, 32, dtype="<i4") << 20).tobytes(), 1),
+        (24, b"".join(struct.pack("<i", v << 8)[:3] for v in range(-20, 20)), 1),
+    ]:
+        blob = wav.encode_wav(sr, ch, bits, frames)
+        a = wav.decode_wav(blob)
+        assert (a.sample_rate, a.channels, a.bits_per_sample) == (sr, ch, bits)
+        assert a.frames == frames
+        x = wav.samples_float(a)
+        assert x.shape == (a.n_frames, ch)
+        assert float(np.max(np.abs(x))) <= 1.0
+    # 24-bit sign extension exact: -1 << 8 encoded in 3 bytes → -1/2^23
+    a24 = wav.decode_wav(
+        wav.encode_wav(sr, 1, 24, struct.pack("<i", -256)[:3])
+    )
+    assert wav.samples_float(a24)[0, 0] == -256 / float(1 << 23)
+
+    # a LIST chunk with odd size before data must be skipped with padding
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = (
+        b"WAVE"
+        + odd
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    a = wav.decode_wav(blob)
+    assert a.n_frames == 2
+
+    for bad in [b"", b"RIFFxxxx", b"RIFF\x04\x00\x00\x00WAVE"]:
+        with pytest.raises(ValueError):
+            wav.decode_wav(bad)
+    # float PCM (format 3) rejected, not misparsed
+    fmt3 = struct.pack("<HHIIHH", 3, 1, sr, sr * 4, 4, 32)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        wav.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_kernel(spark):
+    """Real WAV decode through the Arrow kernel: hand-computable RMS and
+    peak for a square wave, silence at zero, corrupt bytes quarantined."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.wav import encode_wav
+    from machine_readability_checker_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    square = np.tile([16384, -16384], 100).astype("<i2").tobytes()
+    silence = bytes(400)
+    rows = [
+        ("d1", "a/sq.wav", "audio", bytearray(encode_wav(8000, 1, 16, square))),
+        ("d2", "a/sil.wav", "audio", bytearray(encode_wav(16000, 2, 16, silence))),
+        ("d3", "a/bad.wav", "audio", bytearray(b"ID3\x03not-wav-at-all")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_ref"]: r for r in extract_audio_features(df).collect()}
+    sq = out["a/sq.wav"]
+    assert (sq["sample_rate"], sq["channels"], sq["n_frames"]) == (8000, 1, 200)
+    assert sq["duration_sec"] == pytest.approx(0.025)
+    assert sq["rms"] == pytest.approx(0.5, rel=1e-6)
+    assert sq["peak"] == pytest.approx(0.5, rel=1e-6)
+    sil = out["a/sil.wav"]
+    assert (sil["rms"], sil["peak"]) == (0.0, 0.0)
+    assert sil["n_frames"] == 100  # 400 bytes / (2ch * 2B)
+    assert out["a/bad.wav"]["decode_error"] is not None
+    assert out["a/bad.wav"]["sample_rate"] is None
