@@ -81,7 +81,9 @@ def extract_document(
     format_flags: Optional[int] = None
     layout: Optional[str] = None
 
-    if doc.parse_error is None and doc.fmt in ("html", "pdf", "docx", "pptx"):
+    if doc.parse_error is None and doc.fmt in (
+        "html", "pdf", "docx", "pptx", "rtf",
+    ):
         layout_triples = getattr(doc, "html_spans", None) or getattr(
             doc, "layout_spans", []
         )

@@ -24,7 +24,7 @@ import pandas as pd
 
 from .xlsx import XlsxWorkbook, read_xlsx
 
-ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf", "docx", "pptx"}
+ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf"}
 GRID_FORMATS = {"csv", "xlsx", "xls"}
 
 
@@ -139,6 +139,10 @@ def parse_document(fmt: str, content: bytes) -> ParsedDoc:
         from .pptx import parse_pptx
 
         return parse_pptx(content)
+    if fmt == "rtf":
+        from .rtf import parse_rtf
+
+        return parse_rtf(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content)

@@ -327,3 +327,60 @@ def test_pptx_quarantine_and_dispatch():
     kinds = [s["kind"] for s in good["spans"]]
     assert kinds == ["title", "main", "media"]
     assert [s["offset"] for s in good["spans"]] == [0, 1, 2]
+
+
+def test_rtf_spans_tokenizer():
+    """RTF lane: paragraphs length-classified, fonttbl/colortbl skipped,
+    hex + unicode escapes decoded (\\uc fallback honored), \\pict
+    surfaces as a media span, escaped braces/backslashes literal."""
+    from machine_readability_checker_spark.core.rtf import (
+        extract_rtf_spans,
+        write_rtf,
+    )
+
+    long_para = (
+        "this paragraph easily clears the twenty-five character floor"
+    )
+    blob = write_rtf(
+        [long_para, "tiny", "curly {brace} and back\\slash", "naïve café"],
+        with_picts=1,
+        unicode_demo=True,
+    )
+    spans, err = extract_rtf_spans(blob)
+    assert err is None
+    assert spans == [
+        ("main", long_para, ""),
+        ("boilerplate", "tiny", ""),
+        ("main", "curly {brace} and back\\slash", ""),
+        ("boilerplate", "naïve café", ""),
+        ("media", "", "pict1"),
+    ]
+
+    # hand-built: \'e9 hex escape, \tab, \emdash, ignorable {\*\...}
+    raw = (
+        b"{\\rtf1\\ansi caf\\'e9\\tab x \\emdash y"
+        b"{\\*\\generator Fancy 1.0;}\\par }"
+    )
+    spans2, err2 = extract_rtf_spans(raw)
+    assert err2 is None
+    # per spec the single space after \emdash is a delimiter, not text
+    assert spans2 == [("boilerplate", "café x —y", "")]
+
+
+def test_rtf_quarantine_and_dispatch():
+    from machine_readability_checker_spark.core.extract import (
+        extract_document,
+    )
+    from machine_readability_checker_spark.core.rtf import write_rtf
+
+    bad = extract_document("r1", "rtf", b"this is not rtf at all")
+    assert bad["metrics"]["parse_errors"] == 1 and bad["spans"] == []
+    unbalanced = extract_document("r2", "rtf", b"{\\rtf1 {\\b open")
+    assert unbalanced["metrics"]["parse_errors"] == 1
+
+    good = extract_document(
+        "r3", "rtf", write_rtf(["x" * 30, "y"], with_picts=1)
+    )
+    assert good["metrics"]["parse_errors"] == 0
+    assert [s["kind"] for s in good["spans"]] == ["main", "boilerplate", "media"]
+    assert [s["offset"] for s in good["spans"]] == [0, 1, 2]
