@@ -69,6 +69,11 @@ def decode_image(content: bytes) -> DecodedImage:
     if content.startswith(PNG_SIG):
         w, h, ch, px = decode_png(content)
         return DecodedImage("png", w, h, ch, px)
+    if content.startswith(b"\xff\xd8\xff"):
+        from ..core.jpeg import decode_jpeg
+
+        w, h, ch, px = decode_jpeg(content)
+        return DecodedImage("jpeg", w, h, ch, px)
     if content.startswith(FAKE_MAGIC):
         w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
         return DecodedImage(
@@ -82,6 +87,12 @@ def encode_image(img: DecodedImage) -> bytes:
     the input format)."""
     if img.container == "png":
         return encode_png(img.width, img.height, img.channels, img.pixels)
+    if img.container == "jpeg":
+        from ..core.jpeg import encode_jpeg
+
+        if img.channels not in (1, 3):
+            raise ValueError("jpeg container is gray or RGB")
+        return encode_jpeg(img.width, img.height, img.channels, img.pixels)
     if img.container == "fake":
         if img.channels != 1:
             raise ValueError("fake container is single-channel")
