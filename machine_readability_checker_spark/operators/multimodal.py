@@ -1,18 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-Two image containers decode for real:
+Every modality now has a REAL decode path, all dependency-free:
 
-- **PNG** (``core/png.py``: pure-stdlib chunk parse + zlib inflate +
-  all five scanline filters; 8-bit gray/RGB/RGBA/gray-alpha/palette) —
-  actual image bytes, golden-pixel tested.
-- The deterministic **fake** container the older fixtures use:
-  ``b"FAKEIMG" + width:uint16 + height:uint16 + payload`` (1 channel).
+- **PNG** (``core/png.py``: chunk parse + zlib inflate + all five
+  scanline filters; 8-bit gray/RGB/RGBA/gray-alpha/palette),
+  golden-pixel tested.
+- **JPEG** (``core/jpeg.py``: baseline T.81 — Huffman entropy decode,
+  IDCT, chroma upsampling), cross-validated both directions against
+  the JVM's ``javax.imageio``.
+- **WAV** audio (``core/wav.py``: RIFF PCM, 8/16/24/32-bit).
+- **AVI/MJPEG** video (``core/avi.py``: RIFF walk → JPEG frames).
+- The deterministic **fake** image/video containers the older fixtures
+  use remain accepted.
 
 Anything else decodes to an error row (quarantine semantics, mirroring
-the extraction kernel's parse_error lane).  Video remains the fake
-length-prefixed frame container (no ffmpeg in this build); each frame
-may itself be a PNG.
+the extraction kernel's parse_error lane).
 """
 
 from __future__ import annotations
@@ -169,6 +172,17 @@ def encode_fake_video(frames: list[bytes]) -> bytes:
     return b"".join(out)
 
 
+def decode_video_frames(content: bytes) -> list:
+    """Per-frame bytes from a video blob: real AVI/MJPEG (RIFF walk →
+    JPEG frames, each decodable by ``decode_image``) or the legacy fake
+    length-prefixed container."""
+    if content.startswith(b"RIFF") and content[8:12] == b"AVI ":
+        from ..core.avi import decode_avi
+
+        return decode_avi(content).frames
+    return _decode_fake_frames(content)
+
+
 def _decode_fake_frames(content: bytes) -> list:
     """Decode ALL frames up front, validating every length prefix — a
     truncated container must yield one quarantine row, never a mix of
@@ -288,7 +302,7 @@ def sample_frames(media_df: DataFrame, every_k: int = 2) -> DataFrame:
             }
             for row in batch.itertuples(index=False):
                 try:
-                    frames = _decode_fake_frames(bytes(row.content))
+                    frames = decode_video_frames(bytes(row.content))
                     for i, frame in enumerate(frames):
                         if i % every_k:
                             continue
@@ -417,3 +431,57 @@ def extract_audio_features(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def extract_video_features(media_df: DataFrame) -> DataFrame:
+    """Real video decode lane: AVI/MJPEG blobs → stream geometry, frame
+    rate, duration.  The header claims are VERIFIED against the first
+    frame (decoded through the JPEG codec) so a lying avih cannot pass
+    as healthy.  Arrow-batched, quarantine rows on failure."""
+    from ..core.avi import decode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in VIDEO_FEATURES_SCHEMA.fields}
+            for row in batch.itertuples(index=False):
+                content = bytes(row.content)
+                out["doc_id"].append(row.doc_id)
+                out["media_ref"].append(row.media_ref)
+                out["n_bytes"].append(len(content))
+                try:
+                    v = decode_avi(content)
+                    if v.frames:
+                        img = decode_image(v.frames[0])
+                        if (img.width, img.height) != (v.width, v.height):
+                            raise ValueError(
+                                "avih geometry disagrees with frame 0"
+                            )
+                    out["width"].append(v.width)
+                    out["height"].append(v.height)
+                    out["fps"].append(v.fps)
+                    out["n_frames"].append(len(v.frames))
+                    out["duration_sec"].append(v.duration_sec)
+                    out["decode_error"].append(None)
+                except Exception as e:
+                    for k in ("width", "height", "fps", "n_frames",
+                              "duration_sec"):
+                        out[k].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema=VIDEO_FEATURES_SCHEMA)

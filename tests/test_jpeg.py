@@ -140,3 +140,78 @@ def test_jpeg_flows_through_media_kernel(spark):
     assert (a["width"], a["height"], a["channels"]) == (16, 16, 3)
     assert a["decode_error"] is None
     assert out["img/bad.jpg"]["decode_error"] is not None
+
+
+# --- AVI / MJPEG video ---------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sampling(spark):
+    """Real video: encode 6 JPEG frames into an AVI, decode the
+    container, sample every 2nd frame through the Spark kernel, and
+    decode a sampled frame back to pixels via the JPEG codec."""
+    from machine_readability_checker_spark.core.avi import (
+        decode_avi,
+        encode_avi,
+    )
+    from machine_readability_checker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_video_features,
+        sample_frames,
+    )
+
+    frames = []
+    for i in range(6):
+        img = np.full((16, 16, 3), 40 * i, dtype=np.uint8)
+        frames.append(encode_jpeg(16, 16, 3, img.tobytes(), quality=90))
+    blob = encode_avi(16, 16, 10.0, frames)
+
+    v = decode_avi(blob)
+    assert (v.width, v.height, len(v.frames)) == (16, 16, 6)
+    assert v.fps == pytest.approx(10.0)
+    assert v.duration_sec == pytest.approx(0.6)
+    assert v.frames == frames  # byte-exact through the container
+
+    rows = [
+        ("d1", "vid/a.avi", "video", bytearray(blob)),
+        ("d2", "vid/bad.avi", "video", bytearray(b"RIFF\x10\x00\x00\x00AVI junk!!")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feat = {r["media_ref"]: r for r in extract_video_features(df).collect()}
+    a = feat["vid/a.avi"]
+    assert (a["width"], a["height"], a["n_frames"]) == (16, 16, 6)
+    assert a["fps"] == pytest.approx(10.0)
+    assert feat["vid/bad.avi"]["decode_error"] is not None
+
+    sampled = sample_frames(df.filter("doc_id = 'd1'"), every_k=2)
+    got = sorted(
+        (r["frame_idx"], bytes(r["content"])) for r in sampled.collect()
+    )
+    assert [i for i, _ in got] == [0, 2, 4]
+    # a sampled frame is a real JPEG: decode to pixels
+    img0 = decode_image(got[1][1])
+    assert (img0.width, img0.height, img0.channels) == (16, 16, 3)
+    px = np.frombuffer(img0.pixels, np.uint8)
+    assert abs(int(px.mean()) - 80) <= 2  # frame 2 was solid 80
+
+
+def test_avi_header_frame_mismatch_quarantines():
+    """A lying avih (declared frames != movi chunks) must raise, and the
+    video-features kernel must reject geometry that disagrees with the
+    actual first frame."""
+    import struct as _s
+
+    from machine_readability_checker_spark.core.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    frames = [encode_jpeg(8, 8, 3, img.tobytes())]
+    blob = bytearray(encode_avi(8, 8, 5.0, frames))
+    # declared_frames lives 16 bytes into avih; avih body starts after
+    # RIFF(12) + LIST hdr(8) + 'hdrl'(4) + 'avih'+size(8) = offset 32
+    assert blob[24:28] == b"avih"
+    _s.pack_into("<I", blob, 32 + 16, 7)
+    with pytest.raises(ValueError, match="declares 7"):
+        decode_avi(bytes(blob))
