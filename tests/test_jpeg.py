@@ -215,3 +215,69 @@ def test_avi_header_frame_mismatch_quarantines():
     _s.pack_into("<I", blob, 32 + 16, 7)
     with pytest.raises(ValueError, match="declares 7"):
         decode_avi(bytes(blob))
+
+
+def test_interleaved_to_media_pipeline_end_to_end(spark):
+    """The full multimodal path: HTML extraction produces interleaved
+    media spans → media_from_spans joins the canonical spans table to a
+    media store holding REAL containers (JPEG image, WAV audio, MJPEG
+    AVI video) → each modality's feature kernel decodes actual bytes."""
+    from machine_readability_checker_spark.core.avi import encode_avi
+    from machine_readability_checker_spark.core.extract import (
+        extract_document,
+    )
+    from machine_readability_checker_spark.core.wav import encode_wav
+    from machine_readability_checker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_media_features,
+        extract_video_features,
+        media_from_spans,
+    )
+
+    html = (
+        b"<html><body><p>"
+        + b"an opening paragraph long enough to classify as main content"
+        + b'</p><img src="img/photo.jpg"><p>words</p>'
+        + b'<img src="media/clip.wav"><img src="media/clip.avi">'
+        + b"</body></html>"
+    )
+    doc = extract_document("d1", "html", html)
+    assert doc["metrics"]["parse_errors"] == 0
+    refs = [s["media_ref"] for s in doc["spans"] if s["kind"] == "media"]
+    assert refs == ["img/photo.jpg", "media/clip.wav", "media/clip.avi"]
+
+    spans_df = spark.createDataFrame(
+        [("d1", doc["spans"])],
+        schema="doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+    rgb = _test_image(16, 16)
+    jpg = encode_jpeg(16, 16, 3, rgb.tobytes())
+    wavb = encode_wav(8000, 1, 16, np.zeros(80, dtype="<i2").tobytes())
+    avib = encode_avi(16, 16, 5.0, [jpg, jpg])
+    store = spark.createDataFrame(
+        [
+            ("d1", "img/photo.jpg", "image", bytearray(jpg)),
+            ("d1", "media/clip.wav", "audio", bytearray(wavb)),
+            ("d1", "media/clip.avi", "video", bytearray(avib)),
+            ("d2", "img/photo.jpg", "image", bytearray(jpg)),  # other doc
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    joined = media_from_spans(spans_df, store)
+    assert joined.count() == 3  # d2's blob not pulled in
+
+    img_rows = extract_media_features(
+        joined.filter("media_type = 'image'")
+    ).collect()
+    assert len(img_rows) == 1 and img_rows[0]["width"] == 16
+    aud_rows = extract_audio_features(
+        joined.filter("media_type = 'audio'")
+    ).collect()
+    assert len(aud_rows) == 1 and aud_rows[0]["duration_sec"] == pytest.approx(0.01)
+    vid_rows = extract_video_features(
+        joined.filter("media_type = 'video'")
+    ).collect()
+    assert len(vid_rows) == 1 and vid_rows[0]["n_frames"] == 2
