@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "quantized_topk",
     "pq_adc_topk",
     "ivfpq_index_query",
+    "media_decode",
     "media_context_pairs",
     "events_asof",
 ]
@@ -219,6 +220,47 @@ def main() -> None:
             _bench_docs(spark, sf_dir), window=8, min_count=2
         )
 
+    def _bench_media(spark, sf_dir):
+        # real-codec decode throughput: 2000 JPEGs + 500 WAV clips +
+        # 200 MJPEG AVIs through the Arrow feature kernels (bench-only
+        # lane; correctness lives in tests/test_jpeg.py incl. the
+        # javax.imageio cross-validation)
+        import numpy as _np
+
+        from machine_readability_checker_spark.core.avi import encode_avi
+        from machine_readability_checker_spark.core.jpeg import encode_jpeg
+        from machine_readability_checker_spark.core.wav import encode_wav
+        from machine_readability_checker_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_features,
+            extract_media_features,
+            extract_video_features,
+        )
+
+        yy, xx = _np.mgrid[0:32, 0:32]
+        rgb = _np.clip(
+            _np.stack([90 + c * 30 + 25 * _np.sin(xx / 6) for c in range(3)], -1),
+            0, 255,
+        ).astype(_np.uint8)
+        jpg = encode_jpeg(32, 32, 3, rgb.tobytes(), quality=85)
+        wavb = encode_wav(
+            16000, 1, 16,
+            (_np.sin(_np.arange(16000) / 20) * 20000).astype("<i2").tobytes(),
+        )
+        avib = encode_avi(32, 32, 10.0, [jpg] * 5)
+        rows = (
+            [(f"img{i}", "m.jpg", "image", bytearray(jpg)) for i in range(2000)]
+            + [(f"aud{i}", "m.wav", "audio", bytearray(wavb)) for i in range(500)]
+            + [(f"vid{i}", "m.avi", "video", bytearray(avib)) for i in range(200)]
+        )
+        df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(32)
+        imgs = extract_media_features(df.filter("media_type = 'image'"))
+        auds = extract_audio_features(df.filter("media_type = 'audio'"))
+        vids = extract_video_features(df.filter("media_type = 'video'"))
+        return imgs.select("doc_id").union(auds.select("doc_id")).union(
+            vids.select("doc_id")
+        )
+
     def _prod_bpe(spark, sf_dir):
         # production shape: train 10 merges (10 agg jobs over the
         # distinct-word table) then encode the whole corpus with the
@@ -236,8 +278,13 @@ def main() -> None:
         import tempfile
 
         emb = E._t(spark, sf_dir, "embeddings")
+        # assign='join': at toy scale the literal argmin CASE recompiles
+        # its codegen every Lloyd iteration (~2.7x slower measured);
+        # the broadcast-join assignment is the honest production choice
+        # whenever iterations x compile cost matters
         cents, cbs = SIM.train_ivfpq(
-            emb, n_cells=8, m=4, k=8, cell_iters=2, pq_iters=2
+            emb, n_cells=8, m=4, k=8, cell_iters=2, pq_iters=2,
+            assign="join",
         )
         path = os.path.join(tempfile.gettempdir(), "mrc_bench_ivfpq_idx")
         SIM.write_ivfpq_index(emb, path, cents, cbs)
@@ -249,7 +296,7 @@ def main() -> None:
         # production PQ: real Lloyd fit (vs the seed-codebook oracle
         # lane), 4 subspaces x 16 codewords, encode + ADC top-k
         emb = E._t(spark, sf_dir, "embeddings")
-        cbs = SIM.pq_train(emb, m=4, k=16, iters=2)
+        cbs = SIM.pq_train(emb, m=4, k=16, iters=2, assign="join")
         enc = SIM.pq_encode(emb, cbs)
         return SIM.pq_topk(enc, E._first_embedding(emb), cbs, k=10)
 
@@ -257,6 +304,7 @@ def main() -> None:
     qs["pq_adc_topk"] = _prod_pq
     qs["ivfpq_index_query"] = _prod_ivfpq
     qs["bpe_pair_counts"] = _prod_bpe
+    qs["media_decode"] = _bench_media
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
     qs["contamination"] = _prod_contamination

@@ -713,6 +713,7 @@ def train_ivfpq(
     pq_iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ):
     """Train the FAISS-standard IVF-PQ pair: coarse k-means for the cell
     quantizer, then PQ codebooks fitted on the RESIDUALS (vector −
@@ -724,7 +725,8 @@ def train_ivfpq(
     )
     r = _with_residuals(df, centroids, vec_col, id_col)
     codebooks = pq_train(
-        r, m=m, k=k, iters=pq_iters, vec_col="_rv", id_col=id_col
+        r, m=m, k=k, iters=pq_iters, vec_col="_rv", id_col=id_col,
+        assign=assign,
     )
     return centroids, codebooks
 
