@@ -277,3 +277,87 @@ def training_order(
         .withColumn("position", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-export sink: the corpus written as WebDataset-style tar
+    shards — ``shard-00000.tar`` holding one ``<doc_id>.txt`` member per
+    document, documents in their deterministic ``training_order``
+    position (data loaders stream tars sequentially, so on-disk order
+    IS consumption order).
+
+    Distributed shape: one task per shard (repartition on the shard
+    column, sortWithinPartitions by position — no global sort), each
+    task streaming its rows straight into one tar via an Arrow-batched
+    ``mapInPandas`` (tarfile is pure stdlib); the returned manifest
+    (shard, n_docs, n_bytes, path) is the only driver-visible data.
+    Deterministic: fixed mtimes/uids, md5-derived membership/order."""
+    import os
+
+    import pandas as pd
+
+    ordered = training_order(df, n_shards=n_shards, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    schema = "shard int, n_docs long, n_bytes long, path string"
+
+    def kernel(batches):
+        import io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        # task-attempt-suffixed temp + atomic rename on close: a retried
+        # or speculatively-executed task never interleaves with another
+        # attempt's partial file, and since the bytes are deterministic
+        # the last rename winning is harmless
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        state = {}  # shard -> [tarfile, fileobj, count, final_path, tmp]
+
+        def tar_for(shard: int):
+            if shard not in state:
+                p = os.path.join(path, f"shard-{shard:05d}.tar")
+                tmp = f"{p}.attempt-{attempt}"
+                f = open(tmp, "wb")
+                state[shard] = [tarfile.open(fileobj=f, mode="w"), f, 0, p, tmp]
+            return state[shard]
+
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                entry = tar_for(int(row.shard))
+                data = (getattr(row, text_col) or "").encode("utf-8")
+                info = tarfile.TarInfo(name=f"{getattr(row, id_col)}.txt")
+                info.size = len(data)
+                info.mtime = 0  # deterministic bytes
+                entry[0].addfile(info, io.BytesIO(data))
+                entry[2] += 1
+        rows = []
+        for shard, (tf, f, count, p, tmp) in sorted(state.items()):
+            tf.close()
+            f.close()
+            os.replace(tmp, p)
+            rows.append(
+                {
+                    "shard": shard,
+                    "n_docs": count,
+                    "n_bytes": os.path.getsize(p),
+                    "path": p,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_docs", "n_bytes", "path"]
+        )
+
+    manifest = (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .select(id_col, text_col, "shard", "position")
+        .mapInPandas(kernel, schema=schema)
+    )
+    return manifest

@@ -1753,3 +1753,66 @@ def test_audio_features_kernel(spark):
     assert sil["n_frames"] == 100  # 400 bytes / (2ch * 2B)
     assert out["a/bad.wav"]["decode_error"] is not None
     assert out["a/bad.wav"]["sample_rate"] is None
+
+
+def test_webdataset_shards_roundtrip(spark, tmp_path):
+    """Tar-shard export: every document lands in exactly one shard as a
+    <doc_id>.txt member, member order within a shard follows
+    training_order position, bytes are deterministic across writes, and
+    the manifest totals match."""
+    import tarfile
+
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("text of document "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "wds")
+    manifest = {
+        r["shard"]: r
+        for r in sampling.write_webdataset_shards(
+            docs, out, n_shards=4
+        ).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(m["n_docs"] for m in manifest.values()) == 300
+
+    order = {
+        (r["shard"], r["position"]): (r["doc_id"])
+        for r in sampling.training_order(docs, n_shards=4).collect()
+    }
+    seen = set()
+    for shard, m in manifest.items():
+        with tarfile.open(m["path"]) as tf:
+            names = tf.getnames()
+            # member order == training order within the shard
+            expect = [
+                f"{order[(shard, p)]}.txt" for p in range(1, len(names) + 1)
+            ]
+            assert names == expect
+            first = names[0]
+            body = tf.extractfile(first).read().decode()
+            assert body == f"text of document {first[:-4]}"
+            seen.update(names)
+    assert len(seen) == 300
+
+    # deterministic bytes: a second write produces identical tars
+    import hashlib
+    import os
+
+    h1 = {
+        s: hashlib.md5(open(m["path"], "rb").read()).hexdigest()
+        for s, m in manifest.items()
+    }
+    out2 = str(tmp_path / "wds2")
+    m2 = {
+        r["shard"]: r
+        for r in sampling.write_webdataset_shards(
+            docs, out2, n_shards=4
+        ).collect()
+    }
+    for s in h1:
+        h2 = hashlib.md5(open(m2[s]["path"], "rb").read()).hexdigest()
+        assert h2 == h1[s]
+    assert not [f for f in os.listdir(out) if ".attempt-" in f]
