@@ -813,3 +813,98 @@ def query_ivfpq_index(
         .orderBy(F.asc("adc"), id_col)
         .limit(k)
     )
+
+
+def query_ivfpq_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ADC over the IVF-PQ index — the shape a retrieval job runs
+    (a TABLE of queries, not one vector).  Literal per-query LUTs can't
+    ship for a whole batch, so the LUT itself becomes data:
+
+    1. driver ranks cells per query (|queries| × n_cells distances —
+       queries are the small side by definition) and builds the
+       per-query LUT table (query_id, cell, sub, code, d) =
+       ||(q − centroid_cell)_sub − codeword||² — |Q|·n_probe·m·k rows,
+       BROADCAST;
+    2. index rows from the probed cell partitions only (PartitionFilters)
+       posexplode their M codes — a narrow ×m map, no shuffle;
+    3. broadcast-join on (cell, sub, code) and ONE hash aggregate sums
+       the M terms per (query, id) — the single exchange;
+    4. per-query top-k by window rank.
+
+    Corpus-side cost: probed partitions × (m+1) narrow work + one
+    aggregate; identical answers to ``query_ivfpq_index`` per query."""
+    qrows = queries.select(query_id_col, vec_col).collect()
+    m, d_sub = len(codebooks), len(codebooks[0][0])
+    lut_rows = []
+    probe_cells = set()
+    for row in qrows:
+        q = np.asarray([float(x) for x in row[vec_col]])
+        order = sorted(
+            range(len(centroids)),
+            key=lambda i: float(np.sum((q - np.asarray(centroids[i])) ** 2)),
+        )
+        for cell in order[: max(1, n_probe)]:
+            probe_cells.add(cell)
+            qr = q - np.asarray(centroids[cell])
+            for i in range(m):
+                sub_q = qr[i * d_sub : (i + 1) * d_sub]
+                for code, cw in enumerate(codebooks[i]):
+                    lut_rows.append(
+                        (
+                            row[query_id_col],
+                            cell,
+                            i,
+                            code,
+                            float(np.sum((sub_q - np.asarray(cw)) ** 2)),
+                        )
+                    )
+    # id type derived from the queries frame (string/bigint ids both
+    # survive the union/join path — the ADVICE r2 empty-batch lesson)
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    lut_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type, False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("sub", T.IntegerType(), False),
+            T.StructField("code", T.IntegerType(), False),
+            T.StructField("d", T.DoubleType(), False),
+        ]
+    )
+    lut = spark.createDataFrame(lut_rows, lut_schema)
+
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(sorted(probe_cells)))
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .withColumn("code", F.col("code").cast("int"))
+    )
+    scored = (
+        idx.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy(query_id_col, id_col, "cell")
+        .agg(F.sum("d").alias("adc"), F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") == m)  # only fully-probed (query, id) pairs
+        .drop("_m")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cell", "adc", "rank")
+    )

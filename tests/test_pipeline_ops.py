@@ -1816,3 +1816,47 @@ def test_webdataset_shards_roundtrip(spark, tmp_path):
         h2 = hashlib.md5(open(m2[s]["path"], "rb").read()).hexdigest()
         assert h2 == h1[s]
     assert not [f for f in os.listdir(out) if ".attempt-" in f]
+
+
+def test_ivfpq_batch_query_matches_single(spark, vectors, tmp_path):
+    """Batch ADC (LUT-as-broadcast-data) must return exactly the single
+    query path's (id, adc) sets per query, and its scan must still be
+    partition-pruned to the union of probed cells."""
+    cents, cbs = similarity.train_ivfpq(
+        vectors, n_cells=4, m=4, k=8, cell_iters=2, pq_iters=2
+    )
+    path = str(tmp_path / "ivfpq_b")
+    similarity.write_ivfpq_index(vectors, path, cents, cbs)
+
+    qids = [100, 5, 17]
+    queries = vectors.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.query_ivfpq_batch(
+        spark, path, queries, cents, cbs, k=5, n_probe=2
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], {})[r["vec_id"]] = r["adc"]
+    assert set(got) == set(qids)
+    for qid in qids:
+        qvec = [
+            float(x)
+            for x in vectors.filter(F.col("vec_id") == qid).collect()[0][
+                "embedding"
+            ]
+        ]
+        single = {
+            r["vec_id"]: r["adc"]
+            for r in similarity.query_ivfpq_index(
+                spark, path, qvec, cents, cbs, k=5, n_probe=2
+            ).collect()
+        }
+        assert set(got[qid]) == set(single)
+        for vid, adc in single.items():
+            assert got[qid][vid] == pytest.approx(adc, rel=1e-9)
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[1]
+    part_filters = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters
