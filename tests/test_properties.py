@@ -98,3 +98,89 @@ def test_generator_determinism():
     assert all(bytes(x) == bytes(y) for x, y in zip(a["content"], b["content"]))
     c = gen_corpus(25, seed=43)
     assert any(bytes(x) != bytes(y) for x, y in zip(a["content"], c["content"]))
+
+
+# --- codec properties (real multimodal decode paths) ---------------------
+
+
+@given(
+    st.integers(1, 3).map(lambda c: 1 if c < 3 else 3),
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_error_bounded(channels, w, h, seed):
+    """Any image (any non-8-multiple size, any channel mode) must
+    round-trip through encode_jpeg/decode_jpeg with matching geometry;
+    on smooth content the error stays within the q90 quantization
+    envelope, and no input may raise."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    base = rng.randint(30, 220, size=(1, 1, channels))
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = base + 15 * np.sin(xx[..., None] / 5) + 10 * np.cos(yy[..., None] / 7)
+    img = np.clip(smooth, 0, 255).astype(np.uint8)
+    W, H, C, px = decode_jpeg(
+        encode_jpeg(w, h, channels, img.tobytes(), quality=90)
+    )
+    assert (W, H, C) == (w, h, channels)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, channels)
+    assert float(np.mean(np.abs(out.astype(int) - img.astype(int)))) < 4.0
+
+
+@given(
+    st.sampled_from([8, 16, 24, 32]),
+    st.integers(1, 3),
+    st.integers(0, 200),
+    st.integers(0),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_lossless(bits, channels, n_frames, seed):
+    """PCM WAV is lossless: encode→decode returns the exact frame bytes
+    for every depth/channel/frame-count combination, and samples_float
+    stays within [-1, 1]."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.wav import (
+        decode_wav,
+        encode_wav,
+        samples_float,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    n_bytes = n_frames * channels * (bits // 8)
+    frames = rng.bytes(n_bytes)
+    a = decode_wav(encode_wav(8000, channels, bits, frames))
+    assert a.frames == frames
+    assert a.n_frames == n_frames and a.channels == channels
+    x = samples_float(a)
+    assert x.shape == (n_frames, channels)
+    if x.size:
+        assert float(np.max(np.abs(x))) <= 1.0
+
+
+@given(st.integers(0, 6), st.integers(1, 4), st.integers(0))
+@settings(max_examples=25, deadline=None)
+def test_avi_container_preserves_frames(n_frames, every_k, seed):
+    """The AVI container is byte-transparent for its frames, whatever
+    their content, and fps/duration metadata round-trips."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    frames = [rng.bytes(int(rng.randint(0, 400))) for _ in range(n_frames)]
+    v = decode_avi(encode_avi(64, 48, 12.5, frames))
+    assert v.frames == frames
+    assert (v.width, v.height) == (64, 48)
+    assert abs(v.fps - 12.5) < 1e-6
