@@ -340,6 +340,42 @@ def fam_docx(rng, i) -> Dict[str, Any]:
     )
 
 
+def fam_pptx(rng, i) -> Dict[str, Any]:
+    """PresentationML deck: title/subtitle placeholders, a long body
+    bullet, a short one, a picture and a table across two slides —
+    exercises the pptx layout lane end-to-end."""
+    from ..core.pptx import write_pptx
+
+    body = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    slides = [
+        {
+            "title": f"Deck {i}",
+            "subtitle": f"Part {i % 4}",
+            "bodies": [body, "fin"],
+            "images": [f"../media/image{i % 3}.png"],
+        },
+        {"title": "Appendix", "tables": [[["k", "v"], ["a", "1"]]]},
+    ]
+    return _doc(f"pptx{i:05d}", "pptx", write_pptx(slides))
+
+
+def fam_rtf(rng, i) -> Dict[str, Any]:
+    """RTF document: long/short paragraphs, an escaped-brace string, a
+    unicode word and an embedded picture — exercises the rtf lane."""
+    from ..core.rtf import write_rtf
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(35))
+    return _doc(
+        f"rtf{i:05d}",
+        "rtf",
+        write_rtf(
+            [para, "brief", "naïve {notes}"],
+            with_picts=1,
+            unicode_demo=True,
+        ),
+    )
+
+
 def fam_merged_xls(rng, i) -> Dict[str, Any]:
     """Legacy .xls with merged cells in the body (BIFF8 lane, P7)."""
     from ..core.xls import write_xls
@@ -444,6 +480,8 @@ FAMILIES = [
     ("docx_docs", fam_docx),
     ("merged_cells_xls", fam_merged_xls),
     ("hidden_dims_xls", fam_hidden_xls),
+    ("pptx_docs", fam_pptx),
+    ("rtf_docs", fam_rtf),
 ]
 
 
