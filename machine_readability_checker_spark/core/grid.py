@@ -112,11 +112,38 @@ def parse_xls(content: bytes) -> ParsedDoc:
     return doc
 
 
+# gzip transparent-ingest guard: crawl corpora ship members gzipped
+# (doc.html.gz with fmt "html"); a decompression bomb must quarantine,
+# never OOM an executor.  Tests shrink the cap to exercise the guard.
+GZIP_MAGIC = b"\x1f\x8b"
+MAX_GUNZIP_BYTES = 256 << 20
+
+
 def parse_document(fmt: str, content: bytes) -> ParsedDoc:
     fmt = fmt.lower().lstrip(".")
     if fmt not in ALLOWED_FORMATS:
         # extension gate — unsupported formats quarantine, never throw
         return ParsedDoc(fmt=fmt, parse_error=f"unsupported format: {fmt}")
+    if content[:2] == GZIP_MAGIC:
+        # transparent member decompression before format dispatch
+        # (gzip magic cannot collide: none of the supported formats
+        # starts 1f 8b)
+        import zlib
+
+        d = zlib.decompressobj(wbits=31)
+        try:
+            content = d.decompress(content, MAX_GUNZIP_BYTES)
+            if d.unconsumed_tail:
+                return ParsedDoc(
+                    fmt=fmt,
+                    parse_error=(
+                        "gzip member exceeds decompression cap "
+                        f"({MAX_GUNZIP_BYTES} bytes) — bomb guard"
+                    ),
+                )
+            content += d.flush()
+        except zlib.error as e:
+            return ParsedDoc(fmt=fmt, parse_error=f"gzip decompress failed: {e}")
     if fmt == "csv":
         return parse_csv(content)
     if fmt == "xlsx":

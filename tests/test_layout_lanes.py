@@ -384,3 +384,44 @@ def test_rtf_quarantine_and_dispatch():
     assert good["metrics"]["parse_errors"] == 0
     assert [s["kind"] for s in good["spans"]] == ["main", "boilerplate", "media"]
     assert [s["offset"] for s in good["spans"]] == [0, 1, 2]
+
+
+def test_gzip_transparent_ingest_and_bomb_guard(monkeypatch):
+    """Gzipped members parse identically to plain bytes for any format,
+    corrupt gzip quarantines, and a decompression bomb hits the size cap
+    instead of inflating (guard shrunk for the test)."""
+    import gzip
+
+    from machine_readability_checker_spark.core import grid
+    from machine_readability_checker_spark.core.extract import (
+        extract_document,
+    )
+    from machine_readability_checker_spark.core.rtf import write_rtf
+
+    html = (
+        b"<html><body><p>a paragraph easily long enough to be main "
+        b"content here</p></body></html>"
+    )
+    plain = extract_document("g1", "html", html)
+    gz = extract_document("g2", "html", gzip.compress(html, mtime=0))
+    assert plain["metrics"]["parse_errors"] == 0
+    assert [
+        (s["kind"], s["text"]) for s in gz["spans"]
+    ] == [(s["kind"], s["text"]) for s in plain["spans"]]
+
+    rtf = write_rtf(["x" * 30])
+    assert (
+        extract_document("g3", "rtf", gzip.compress(rtf))["metrics"][
+            "parse_errors"
+        ]
+        == 0
+    )
+
+    bad = extract_document("g4", "html", b"\x1f\x8b\x08corrupt-stream")
+    assert bad["metrics"]["parse_errors"] == 1
+
+    monkeypatch.setattr(grid, "MAX_GUNZIP_BYTES", 1024)
+    bomb = gzip.compress(b"A" * 100_000)
+    assert len(bomb) < 1024  # highly compressible: the bomb shape
+    doc = grid.parse_document("csv", bomb)
+    assert doc.parse_error and "bomb guard" in doc.parse_error
