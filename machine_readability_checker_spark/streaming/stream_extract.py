@@ -193,3 +193,30 @@ def stream_dedup_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_media_features(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous multimodal ingest: a file-source stream of media blobs
+    (MEDIA_SCHEMA parquet) through the REAL-codec feature kernel
+    (PNG/JPEG decode inside Arrow batches) into a parquet append sink —
+    the streaming twin of ``multimodal.extract_media_features``, with
+    the same quarantine-row contract.  ``mapInPandas`` is stateless, so
+    exactly-once rides the file-source + checkpoint offsets alone; a
+    re-run of a committed trigger re-emits nothing."""
+    from ..operators.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    media = spark.readStream.schema(MEDIA_SCHEMA).parquet(input_dir)
+    return (
+        extract_media_features(media)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -146,3 +146,47 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {"a", "c", "e"}
+
+
+def test_stream_media_features_matches_batch(spark, tmp_path):
+    """Streaming multimodal twin: the file-source stream through the
+    real-codec kernel produces exactly the batch operator's rows
+    (including the quarantine row), and a second availableNow run over
+    the same checkpoint emits nothing new (exactly-once)."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.jpeg import encode_jpeg
+    from machine_readability_checker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_media_features,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rgb = np.full((8, 8, 3), 120, dtype=np.uint8)
+    rows = [
+        ("m1", "a.jpg", "image", bytearray(encode_jpeg(8, 8, 3, rgb.tobytes()))),
+        ("m2", "bad.bin", "image", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_media_features(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["media_ref"]: r for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert set(got) == set(want) == {"a.jpg", "bad.bin"}
+    assert got["a.jpg"]["width"] == want["a.jpg"]["width"] == 8
+    assert got["bad.bin"]["decode_error"] is not None
+
+    n1 = spark.read.parquet(out_dir).count()
+    q2 = stream_media_features(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1  # nothing re-emitted
