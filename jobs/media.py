@@ -1,0 +1,168 @@
+"""spark-submit entry point: the multimodal pipeline over extracted spans.
+
+Chains the extraction output into the media lane:
+
+    read spans table (jobs/extract.py output, or --gen to self-generate
+    an interleaved corpus + synthetic media store with REAL containers)
+      → media spans joined to the media store on (doc_id, media_ref)
+      → per-modality feature kernels with real codecs (PNG/JPEG images,
+        WAV audio, AVI/MJPEG video) — quarantine rows for undecodable
+        blobs, never task failures
+      → optional image resize (--resize W H) re-encoded in-container
+      → write features (+ resized media) parquet, print one JSON stats
+        line (per-modality counts, quarantine count, decode throughput)
+
+Usage:
+    spark-submit --master local[32] --py-files dist/engine.zip \\
+        jobs/media.py --spans /tmp/mrc_out/data --store /data/media \\
+        --out /tmp/mrc_media
+    spark-submit ... jobs/media.py --gen 500 --out /tmp/mrc_media
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from machine_readability_checker_spark.operators.multimodal import (  # noqa: E402
+    MEDIA_SCHEMA,
+    extract_audio_features,
+    extract_media_features,
+    extract_video_features,
+    media_from_spans,
+    resize_images,
+)
+from machine_readability_checker_spark.session import get_spark  # noqa: E402
+
+
+def _gen_interleaved(spark, n_docs: int):
+    """Deterministic interleaved corpus + media store with REAL
+    containers: every doc carries one JPEG, every 3rd a WAV, every 5th
+    an MJPEG AVI, referenced from its spans."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.avi import encode_avi
+    from machine_readability_checker_spark.core.jpeg import encode_jpeg
+    from machine_readability_checker_spark.core.wav import encode_wav
+
+    spans_rows = []
+    media_rows = []
+    for i in range(n_docs):
+        rng = np.random.RandomState(1000 + i)
+        doc = f"doc{i:06d}"
+        spans = [
+            {"kind": "main", "text": f"lead paragraph of {doc}", "media_ref": "", "offset": 0},
+        ]
+        img = np.clip(
+            rng.randint(40, 200) + 20 * np.sin(np.mgrid[0:16, 0:16][1] / 4),
+            0, 255,
+        ).astype(np.uint8)
+        rgb = np.stack([img] * 3, -1)
+        jpg = encode_jpeg(16, 16, 3, rgb.tobytes(), quality=85)
+        spans.append({"kind": "media", "text": "", "media_ref": "m.jpg", "offset": 1})
+        media_rows.append((doc, "m.jpg", "image", bytearray(jpg)))
+        if i % 3 == 0:
+            pcm = (np.sin(np.arange(800) / (3 + i % 7)) * 18000).astype("<i2")
+            spans.append({"kind": "media", "text": "", "media_ref": "m.wav", "offset": 2})
+            media_rows.append(
+                (doc, "m.wav", "audio", bytearray(encode_wav(8000, 1, 16, pcm.tobytes())))
+            )
+        if i % 5 == 0:
+            spans.append({"kind": "media", "text": "", "media_ref": "m.avi", "offset": 3})
+            media_rows.append(
+                (doc, "m.avi", "video", bytearray(encode_avi(16, 16, 8.0, [jpg, jpg, jpg])))
+            )
+        spans_rows.append((doc, spans))
+    spans_df = spark.createDataFrame(
+        spans_rows,
+        schema="doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    store = spark.createDataFrame(media_rows, schema=MEDIA_SCHEMA)
+    return spans_df, store
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spans", help="parquet path of extracted spans")
+    ap.add_argument("--store", help="parquet path of the media store")
+    ap.add_argument("--gen", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--resize", nargs=2, type=int, metavar=("W", "H"))
+    ap.add_argument(
+        "--cores", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "mrc-media",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(8, args.cores),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    if args.gen:
+        spans_df, store = _gen_interleaved(spark, args.gen)
+    else:
+        if not (args.spans and args.store):
+            ap.error("--spans and --store required without --gen")
+        spans_df = spark.read.parquet(args.spans).select("doc_id", "spans")
+        store = spark.read.parquet(args.store)
+
+    joined = media_from_spans(spans_df, store).persist()
+
+    features = {
+        "image": extract_media_features(joined.filter("media_type = 'image'")),
+        "audio": extract_audio_features(joined.filter("media_type = 'audio'")),
+        "video": extract_video_features(joined.filter("media_type = 'video'")),
+    }
+    stats = {}
+    total = 0
+    quarantined = 0
+    for mod, df in features.items():
+        df.write.mode("overwrite").parquet(os.path.join(args.out, mod))
+        back = spark.read.parquet(os.path.join(args.out, mod))
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+            ).alias("bad"),
+        ).collect()[0]
+        stats[mod] = {"n": agg["n"], "quarantined": agg["bad"] or 0}
+        total += agg["n"]
+        quarantined += agg["bad"] or 0
+
+    if args.resize:
+        w, h = args.resize
+        resize_images(
+            joined.filter("media_type = 'image'"), target_w=w, target_h=h
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "resized"))
+
+    joined.unpersist()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "media_blobs": total,
+                "quarantined": quarantined,
+                "per_modality": stats,
+                "wall_sec": round(wall, 3),
+                "blobs_per_sec": round(total / wall, 1) if wall else None,
+                "cores": args.cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
