@@ -365,7 +365,20 @@ def write_xlsx(
     )
 
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as _zf:
+
+        class _FixedClockZip:
+            """Bare writestr stamps entries with wall-clock time at
+            2-second DOS granularity — two same-seed corpora generated
+            across a boundary then differ byte-for-byte (the
+            test_generator_determinism flake).  Pin every entry."""
+
+            def writestr(self, name: str, data) -> None:
+                zi = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+                zi.compress_type = zipfile.ZIP_DEFLATED
+                _zf.writestr(zi, data)
+
+        z = _FixedClockZip()
         n = len(sheets)
         overrides = "".join(
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
