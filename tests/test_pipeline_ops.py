@@ -1966,3 +1966,64 @@ def test_ann_family_recall_floors(spark, tmp_path):
     assert recalls["ivf"] >= 0.80
     assert recalls["ivfpq"] >= 0.60
     assert recalls["lsh"] >= 0.50
+
+
+def test_quality_model_separates_prose_from_junk(spark):
+    """The hashed-n-gram logistic quality model must separate held-out
+    prose from held-out junk (AUC floor + hard margin on means), and
+    quality_filter must keep prose while dropping junk at 0.5."""
+    import itertools
+
+    from machine_readability_checker_spark.operators import quality_model as QM
+
+    words = (
+        "the quick analysis shows that spark pipelines scale when the "
+        "data is partitioned well and the query plans stay narrow "
+        "results indicate careful measurement matters for every claim"
+    ).split()
+    rng = np.random.RandomState(3)
+
+    def prose(i):
+        k = rng.randint(20, 40)
+        return " ".join(words[int(rng.randint(0, len(words)))] for _ in range(k))
+
+    # junk vocabulary SHARED between train and test (like real spam):
+    # tokens the model never trains on would score at the prior
+    symbol_toks = [
+        "".join(chr(33 + int(rng.randint(0, 14))) for _ in range(6))
+        for _ in range(20)
+    ]
+
+    def junk(i):
+        style = i % 3
+        if style == 0:
+            return " ".join(["buy now click here"] * 10)
+        if style == 1:
+            tok = symbol_toks[int(rng.randint(0, len(symbol_toks)))]
+            return " ".join([tok] * 25)
+        return " ".join(str(int(rng.randint(0, 9))) for _ in range(40))
+
+    rows = [(prose(i), 1.0) for i in range(60)] + [
+        (junk(i), 0.0) for i in range(60)
+    ]
+    train = spark.createDataFrame(rows[:45] + rows[60:105], ["text", "label"])
+    test = spark.createDataFrame(rows[45:60] + rows[105:], ["text", "label"])
+
+    # 10 L-BFGS iterations separate this fixture fully; the default 30
+    # only adds wall time (each iteration is a Spark job)
+    model = QM.train_quality_model(train, max_iter=10)
+    scored = QM.score_quality(model, test).collect()
+    pos = sorted(r["quality_prob"] for r in scored if r["label"] == 1.0)
+    neg = sorted(r["quality_prob"] for r in scored if r["label"] == 0.0)
+    # exact AUC over the held-out set
+    auc = sum(
+        (1.0 if p > n else 0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    assert auc >= 0.95
+    assert sum(pos) / len(pos) > 0.8 and sum(neg) / len(neg) < 0.2
+
+    kept = QM.quality_filter(model, test, threshold=0.5).collect()
+    kept_labels = [r["label"] for r in kept]
+    assert kept_labels.count(1.0) == len(pos)  # no prose lost
+    assert kept_labels.count(0.0) <= 1  # ≥93% junk rejected at 0.5
