@@ -22,6 +22,9 @@ class DecodedVideo(NamedTuple):
     height: int
     us_per_frame: int
     frames: List[bytes]  # MJPEG: each entry is a complete JPEG stream
+    # avih dwTotalFrames as written (0 = absent/unreliable); the frames
+    # list is the ground truth — real writers often get this wrong
+    declared_frames: int = 0
 
     @property
     def fps(self) -> float:
@@ -76,8 +79,15 @@ def decode_avi(content: bytes) -> DecodedVideo:
     _walk(content, 12, end, frames, meta)
     if "width" not in meta:
         raise ValueError("missing avih header")
-    declared = meta.get("declared_frames")
-    if declared is not None and declared != len(frames):
+    # Real-world AVIs (OpenDML two-pass writers, streamed captures)
+    # routinely carry a zero or stale avih dwTotalFrames; the movi chunk
+    # walk is the ground truth.  Only a declared count that is nonzero
+    # AND wildly off (>2x or <half the counted frames) marks corruption
+    # worth quarantining; small drift is surfaced as metadata instead.
+    declared = meta.get("declared_frames") or 0
+    if declared and frames and not (
+        len(frames) / 2 <= declared <= len(frames) * 2
+    ):
         raise ValueError(
             f"avih declares {declared} frames, movi holds {len(frames)}"
         )
@@ -86,6 +96,7 @@ def decode_avi(content: bytes) -> DecodedVideo:
         height=meta["height"],
         us_per_frame=meta["us_per_frame"],
         frames=frames,
+        declared_frames=declared,
     )
 
 

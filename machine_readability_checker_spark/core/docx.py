@@ -64,12 +64,23 @@ def _para_style(p) -> Optional[str]:
 
 
 def _para_text(p) -> str:
+    # Runs concatenate with NO separator: Word routinely splits a single
+    # word across w:r runs (rsid tracking, mid-word formatting), so a
+    # space-join would invent mid-word spaces.  Matches python-docx
+    # Paragraph.text semantics.  Whitespace is normalized afterwards.
     parts: List[str] = []
     for t in p.iter(f"{W_NS}t"):
         parts.append(t.text or "")
-    for _ in p.iter(f"{W_NS}tab"):
-        pass  # tabs inside runs render as the joined space below
-    return " ".join(" ".join(parts).split())
+    return " ".join("".join(parts).split())
+
+
+def _cell_text(tc) -> str:
+    # A w:tc may hold multiple paragraphs; paragraph boundaries separate
+    # words (python-docx joins them with "\n" — normalized to a space
+    # here so the tab-joined row stays single-line).
+    return " ".join(
+        filter(None, (_para_text(p) for p in tc.iter(f"{W_NS}p")))
+    )
 
 
 def _para_media(p, rels: Dict[str, str]) -> List[str]:
@@ -117,11 +128,9 @@ def extract_docx_spans(
         elif tag == f"{W_NS}tbl":
             for tr in el.iter(f"{W_NS}tr"):
                 cells = [
-                    _para_text(tc) if tc is not None else ""
+                    _cell_text(tc) if tc is not None else ""
                     for tc in tr.iter(f"{W_NS}tc")
                 ]
-                # a w:tc may hold multiple paragraphs; _para_text over the
-                # tc element collects all its w:t runs in order
                 spans.append(("line", "\t".join(cells), ""))
     return spans, None
 
@@ -164,9 +173,15 @@ def write_docx(
         st = (
             f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
         )
-        paras.append(
-            f"<w:p>{st}<w:r><w:t>{esc(text)}</w:t></w:r></w:p>"
+        # text may be a list of run strings: Word splits single words
+        # across runs (rsid/formatting), and the extractor must join
+        # them with NO separator — multi-run fixtures exercise that
+        runs = [text] if isinstance(text, str) else list(text)
+        runs_xml = "".join(
+            f'<w:r><w:t xml:space="preserve">{esc(r)}</w:t></w:r>'
+            for r in runs
         )
+        paras.append(f"<w:p>{st}{runs_xml}</w:p>")
     rels = []
     for i, name in enumerate(images, start=1):
         rid = f"rIdImg{i}"

@@ -101,10 +101,21 @@ def _ph_type(sp) -> Optional[str]:
 
 
 def _para_text(p) -> str:
+    # Runs concatenate with NO separator: PowerPoint splits words across
+    # a:r runs on formatting boundaries, so a space-join would invent
+    # mid-word spaces (same fix as docx._para_text).
     parts: List[str] = []
     for t in p.iter(f"{A_NS}t"):
         parts.append(t.text or "")
-    return " ".join(" ".join(parts).split())
+    return " ".join("".join(parts).split())
+
+
+def _cell_text(tc) -> str:
+    # An a:tc may hold multiple a:p paragraphs; paragraph boundaries
+    # separate words.
+    return " ".join(
+        filter(None, (_para_text(p) for p in tc.iter(f"{A_NS}p")))
+    )
 
 
 def _shape_spans(el, rels: Dict[str, str]) -> List[Tuple[str, str, str]]:
@@ -135,7 +146,7 @@ def _shape_spans(el, rels: Dict[str, str]) -> List[Tuple[str, str, str]]:
     elif tag == f"{P_NS}graphicFrame":
         for tbl in el.iter(f"{A_NS}tbl"):
             for tr in tbl.iter(f"{A_NS}tr"):
-                cells = [_para_text(tc) for tc in tr.iter(f"{A_NS}tc")]
+                cells = [_cell_text(tc) for tc in tr.iter(f"{A_NS}tc")]
                 spans.append(("line", "\t".join(cells), ""))
     elif tag in (f"{P_NS}grpSp",):
         for child in el:
@@ -199,11 +210,15 @@ def write_pptx(
             s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         )
 
-    def sp(ph: str, text: str) -> str:
+    def sp(ph: str, text) -> str:
         ph_el = f'<p:ph type="{ph}"/>' if ph else "<p:ph/>"
+        # text may be a list of run strings (words split across runs by
+        # formatting — the extractor joins them with NO separator)
+        runs = [text] if isinstance(text, str) else list(text)
+        runs_xml = "".join(f"<a:r><a:t>{esc(r)}</a:t></a:r>" for r in runs)
         return (
             f"<p:sp><p:nvSpPr><p:nvPr>{ph_el}</p:nvPr></p:nvSpPr>"
-            f"<p:txBody><a:p><a:r><a:t>{esc(text)}</a:t></a:r></a:p>"
+            f"<p:txBody><a:p>{runs_xml}</a:p>"
             "</p:txBody></p:sp>"
         )
 

@@ -75,6 +75,29 @@ def _read_control(data: str, i: int) -> Tuple[str, Optional[int], int]:
     return name, arg, j
 
 
+def _skip_fallback(data: str, i: int, count: int) -> int:
+    """Skip ``count`` fallback character ENTITIES after ``\\uN``.
+
+    The RTF spec counts a ``\\'hh`` hex escape (4 chars) — Word's usual
+    CJK fallback — as ONE skippable character, and likewise an escaped
+    ``\\\\``/``\\{``/``\\}`` control symbol; skipping stops at a group
+    boundary.  A raw-char skip here leaks the tail of the hex escape
+    into the output (e.g. ``\\uc1\\u26085\\'93`` would emit ``日'93``).
+    """
+    n = len(data)
+    for _ in range(count):
+        if i >= n or data[i] in "{}":
+            break
+        if data[i] == "\\":
+            if i + 1 < n and data[i + 1] == "'":
+                i += 4  # \'hh — one fallback entity
+            else:
+                i += 2  # escaped control symbol — one fallback entity
+        else:
+            i += 1
+    return i
+
+
 def extract_rtf_spans(
     content: bytes,
 ) -> Tuple[List[Tuple[str, str, str]], Optional[str]]:
@@ -135,8 +158,8 @@ def extract_rtf_spans(
             elif name == "u" and arg is not None:
                 if not skipping:
                     para.append(chr(arg if arg >= 0 else arg + 65536))
-                # skip the fallback character(s) per \ucN
-                i += uc_skip
+                # skip the fallback ENTITIES per \ucN (\'hh counts as one)
+                i = _skip_fallback(data, i, uc_skip)
             elif name == "uc" and arg is not None:
                 uc_skip = arg
             elif name == "pict":

@@ -297,7 +297,17 @@ def write_webdataset_shards(
     task streaming its rows straight into one tar via an Arrow-batched
     ``mapInPandas`` (tarfile is pure stdlib); the returned manifest
     (shard, n_docs, n_bytes, path) is the only driver-visible data.
-    Deterministic: fixed mtimes/uids, md5-derived membership/order."""
+    Deterministic: fixed mtimes/uids, md5-derived membership/order.
+
+    FILESYSTEM REQUIREMENT: ``path`` must be a filesystem visible to the
+    driver AND every executor under the same name — local disk only
+    works on single-node (local[*]) runs; on a multi-node cluster it
+    must be a shared mount (NFS, FUSE-mounted object store, etc.),
+    otherwise shards land on executor-local disks where the manifest's
+    paths are unreachable from the driver.  Each executor task verifies
+    the mount by creating its shard under ``path`` directly (open(2)
+    fails fast on a missing mount); for object stores without a FUSE
+    mount, write shards locally and upload in the same task instead."""
     import os
 
     import pandas as pd
@@ -318,6 +328,9 @@ def write_webdataset_shards(
         # the last rename winning is harmless
         ctx = TaskContext.get()
         attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        # executor-side makedirs: on a shared mount the driver-side call
+        # above may have raced or the executor may see the mount fresh
+        os.makedirs(path, exist_ok=True)
         state = {}  # shard -> [tarfile, fileobj, count, final_path, tmp]
 
         def tar_for(shard: int):

@@ -217,6 +217,31 @@ def test_avi_header_frame_mismatch_quarantines():
         decode_avi(bytes(blob))
 
 
+def test_avi_tolerates_unreliable_declared_frames():
+    """Real-world writers (OpenDML, streamed captures) leave avih
+    dwTotalFrames zero or slightly stale; the movi walk is ground truth,
+    so those must decode — only a wildly-off nonzero count quarantines."""
+    import struct as _s
+
+    from machine_readability_checker_spark.core.avi import (
+        decode_avi,
+        encode_avi,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    frames = [encode_jpeg(8, 8, 3, img.tobytes()) for _ in range(4)]
+    blob = bytearray(encode_avi(8, 8, 5.0, frames))
+    assert blob[24:28] == b"avih"
+    # zero declared count (streamed writer): decodes, metadata says 0
+    _s.pack_into("<I", blob, 32 + 16, 0)
+    v = decode_avi(bytes(blob))
+    assert len(v.frames) == 4 and v.declared_frames == 0
+    # small drift (stale index, 3 vs 4): decodes, drift kept as metadata
+    _s.pack_into("<I", blob, 32 + 16, 3)
+    v = decode_avi(bytes(blob))
+    assert len(v.frames) == 4 and v.declared_frames == 3
+
+
 def test_interleaved_to_media_pipeline_end_to_end(spark):
     """The full multimodal path: HTML extraction produces interleaved
     media spans → media_from_spans joins the canonical spans table to a

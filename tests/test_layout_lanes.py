@@ -203,6 +203,44 @@ def test_docx_spans_styles_tables_media():
     ]
 
 
+def test_docx_pptx_multirun_no_spurious_spaces():
+    """Word/PowerPoint split single words across runs (rsid tracking,
+    mid-word formatting); run texts must concatenate with NO separator
+    (python-docx semantics) — a space-join invents mid-word spaces."""
+    from machine_readability_checker_spark.core.docx import (
+        extract_docx_spans,
+        write_docx,
+    )
+    from machine_readability_checker_spark.core.pptx import (
+        extract_pptx_spans,
+        write_pptx,
+    )
+
+    body = ["machine reada", "bility is judged per span sequence"]
+    blob = write_docx([("Title", ["Ti", "tle"]), ("", body)])
+    spans, err = extract_docx_spans(blob)
+    assert err is None
+    assert spans == [
+        ("title", "Title", ""),
+        ("main", "machine readability is judged per span sequence", ""),
+    ]
+
+    # runs whose boundary falls ON whitespace must not collapse words
+    blob2 = write_docx([("", ["alpha ", "beta and a long enough tail"])])
+    spans2, _ = extract_docx_spans(blob2)
+    assert spans2 == [("main", "alpha beta and a long enough tail", "")]
+
+    pblob = write_pptx(
+        [{"title": ["Sp", "lit title"], "bodies": [body]}]
+    )
+    pspans, perr = extract_pptx_spans(pblob)
+    assert perr is None
+    assert pspans == [
+        ("title", "Split title", ""),
+        ("main", "machine readability is judged per span sequence", ""),
+    ]
+
+
 def test_docx_quarantine_and_dispatch():
     """Malformed docx bytes quarantine (parse_errors=1, zero spans);
     good bytes flow through extract_document with ordered offsets."""
@@ -365,6 +403,33 @@ def test_rtf_spans_tokenizer():
     assert err2 is None
     # per spec the single space after \emdash is a delimiter, not text
     assert spans2 == [("boilerplate", "café x —y", "")]
+
+
+def test_rtf_uc_fallback_counts_hex_escape_as_one_entity():
+    """Word writes ``\\uc1\\uN\\'hh`` for CJK: the \\'hh hex escape (4
+    raw chars) is ONE skippable fallback entity, not one raw char — a
+    raw-char skip leaks the escape tail ("'93") into the text."""
+    from machine_readability_checker_spark.core.rtf import (
+        extract_rtf_spans,
+    )
+
+    # \uc1: one fallback entity per \uN, here a cp932-ish \'hh each
+    raw = b"{\\rtf1\\ansi\\uc1 \\u26085\\'93\\u26412\\'96\\par }"
+    spans, err = extract_rtf_spans(raw)
+    assert err is None
+    assert spans == [("boilerplate", "日本", "")]
+
+    # \uc2: two fallback entities (double-byte cp932 fallback \'93\'fa)
+    raw2 = b"{\\rtf1\\ansi\\uc2 \\u26085\\'93\\'fa ok\\par }"
+    spans2, err2 = extract_rtf_spans(raw2)
+    assert err2 is None
+    assert spans2 == [("boilerplate", "日 ok", "")]
+
+    # mixed fallback: escaped-brace entity + one plain char under \uc2
+    raw3 = b"{\\rtf1\\ansi\\uc2 \\u26085\\{x tail\\par }"
+    spans3, err3 = extract_rtf_spans(raw3)
+    assert err3 is None
+    assert spans3 == [("boilerplate", "日 tail", "")]
 
 
 def test_rtf_quarantine_and_dispatch():
