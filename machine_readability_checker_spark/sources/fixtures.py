@@ -425,6 +425,36 @@ def fam_pdf(rng, i) -> Dict[str, Any]:
     return _doc(f"pdf{i:05d}", "pdf", write_pdf(items))
 
 
+def fam_pdf_flate(rng, i) -> Dict[str, Any]:
+    """Real-world-layout PDF: the SAME page content as ``fam_pdf`` but
+    Flate-compressed (every production PDF compresses content streams),
+    cycling through hex-string text, PNG-predictor rows, and indirect
+    /Length references so the corpus exercises each decode path."""
+    from ..core.pdf import write_pdf
+
+    items = [
+        {"text": f"Compressed Report {i}", "x": 72, "y": 720, "size": 20},
+        {"text": "Opening paragraph of the compressed page.", "x": 72, "y": 690, "size": 11},
+    ]
+    y = 650
+    items.append({"text": "name", "x": 72, "y": y, "size": 11})
+    items.append({"text": "value", "x": 220, "y": y, "size": 11})
+    for r in range(3):
+        y -= 16
+        items.append({"text": WORDS[rng.randint(0, len(WORDS))], "x": 72, "y": y, "size": 11})
+        items.append({"text": str(int(rng.randint(0, 999))), "x": 220, "y": y, "size": 11})
+    items.append({"image": True})
+    variant = i % 4
+    blob = write_pdf(
+        items,
+        compress=True,
+        predictor_columns=24 if variant == 1 else None,
+        hex_strings=variant == 2,
+        indirect_length=variant == 3,
+    )
+    return _doc(f"pdfz{i:05d}", "pdf", blob)
+
+
 def fam_multisheet_codebook(rng, i) -> Dict[str, Any]:
     """Two-sheet workbook: data sheet + a コード表 codebook sheet —
     exercises sheet enumeration (S4) and the codebook classifier (X-04)."""
@@ -477,6 +507,7 @@ FAMILIES = [
     ("multisheet_codebook", fam_multisheet_codebook),
     ("code_mix", fam_code_mix),
     ("pdf_docs", fam_pdf),
+    ("pdf_flate_docs", fam_pdf_flate),
     ("docx_docs", fam_docx),
     ("merged_cells_xls", fam_merged_xls),
     ("hidden_dims_xls", fam_hidden_xls),

@@ -56,13 +56,100 @@ def test_pdf_escapes_roundtrip():
     assert spans[0][1] == "a(b)c\\d"
 
 
-def test_pdf_compressed_stream_quarantines():
+def test_pdf_corrupt_flate_quarantines():
+    """A /FlateDecode stream whose bytes aren't valid zlib must
+    quarantine with a parse error, never crash the task."""
     fake = (
         b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 4 >>\n"
         b"stream\nBTxx\nendstream\nendobj\n"
     )
     spans, err = extract_pdf_spans(fake)
-    assert spans == [] and "Flate" in err
+    assert spans == [] and "flate inflate failed" in err
+
+
+def test_pdf_flate_variants_span_identical():
+    """Flate-compressed content streams (the real-world layout) must
+    extract span-identically to their uncompressed twin, across hex
+    strings, PNG row predictors, and indirect /Length references."""
+    items = [
+        {"text": "Flate Title", "x": 72, "y": 720, "size": 20},
+        {"text": "Prose body line under the title.", "x": 72, "y": 690, "size": 11},
+        {"text": "k1", "x": 72, "y": 650, "size": 11},
+        {"text": "v1", "x": 200, "y": 650, "size": 11},
+        {"text": "k2", "x": 72, "y": 634, "size": 11},
+        {"text": "v2", "x": 200, "y": 634, "size": 11},
+        {"image": True},
+    ]
+    base, err = extract_pdf_spans(write_pdf(items))
+    assert err is None and base
+    for kw in (
+        dict(compress=True),
+        dict(compress=True, predictor_columns=16),
+        dict(hex_strings=True),
+        dict(compress=True, hex_strings=True),
+        dict(compress=True, indirect_length=True),
+        dict(
+            compress=True,
+            predictor_columns=8,
+            hex_strings=True,
+            indirect_length=True,
+        ),
+    ):
+        spans, err = extract_pdf_spans(write_pdf(items, **kw))
+        assert err is None, (kw, err)
+        assert spans == base, kw
+
+
+def test_pdf_encrypted_and_cid_quarantine():
+    """Deliberate quarantines: /Encrypt documents and CID/Type0 fonts
+    (2-byte glyph indices need the CMap — decoding would emit garbage),
+    including a Type0 declaration hidden inside a Flate ObjStm."""
+    import zlib as _z
+
+    items = [{"text": "Visible body line of text.", "x": 72, "y": 700, "size": 11}]
+    good = write_pdf(items, compress=True)
+
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    spans, err = extract_pdf_spans(enc)
+    assert spans == [] and "encrypted" in err
+
+    t0 = good.replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    spans, err = extract_pdf_spans(t0)
+    assert spans == [] and "Type0" in err
+
+    inner = b"7 0 << /Type /Font /Subtype /Type0 /BaseFont /MS-Gothic >>"
+    comp = _z.compress(inner)
+    objstm = (
+        b"8 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % len(comp)
+    ) + comp + b"\nendstream\nendobj\n"
+    hidden = good.replace(b"xref\n", objstm + b"xref\n", 1)
+    spans, err = extract_pdf_spans(hidden)
+    assert spans == [] and "Type0" in err
+
+    # an unsupported filter on a NON-text stream (image data) is skipped,
+    # not fatal — the page still extracts
+    dct = (
+        b"9 0 obj\n<< /Filter /DCTDecode /Length 3 >>\n"
+        b"stream\n\x01\x02\x03\nendstream\nendobj\n"
+    )
+    spans, err = extract_pdf_spans(good.replace(b"xref\n", dct + b"xref\n", 1))
+    assert err is None and spans == [
+        ("line", "Visible body line of text.", "")
+    ]
+
+
+def test_pdf_length_lies_falls_back_to_scan():
+    """A wrong direct /Length (truncating writers exist) must not break
+    extraction: the parser falls back to an endstream scan."""
+    items = [{"text": "Fallback scan body line here.", "x": 72, "y": 700, "size": 11}]
+    blob = write_pdf(items)
+    base, _ = extract_pdf_spans(blob)
+    import re as _re
+
+    lied = _re.sub(rb"/Length (\d+)", b"/Length 7", blob, count=1)
+    spans, err = extract_pdf_spans(lied)
+    assert err is None and spans == base
 
 
 pdf_item = st.fixed_dictionaries(
