@@ -1920,17 +1920,48 @@ def test_ann_family_recall_floors(spark, tmp_path):
         for q in qids
     }
 
-    # IVF-PQ (residual codes, n_probe=2)
+    # PQ + exact refine: ADC shortlist of 60 re-ranked with exact L2 on
+    # the raw vectors — the FAISS IndexRefineFlat recipe
+    pq_ref_ids = {
+        q: {
+            r["vec_id"]
+            for r in similarity.pq_topk_refined(
+                enc, corpus, rows[q][1], cbs, k=10, shortlist=60
+            ).collect()
+        }
+        for q in qids
+    }
+
+    # IVF-PQ (residual codes, n_probe=2); index stores raw vectors so
+    # the refined query can re-rank without a second scan
     c2, cb2 = similarity.train_ivfpq(
         corpus, n_cells=8, m=4, k=16, cell_iters=3, pq_iters=3
     )
     ivfpq_path = str(tmp_path / "ivfpq")
-    similarity.write_ivfpq_index(corpus, ivfpq_path, c2, cb2)
+    similarity.write_ivfpq_index(
+        corpus, ivfpq_path, c2, cb2, store_vectors=True
+    )
     ivfpq_ids = {
         q: {
             r["vec_id"]
             for r in similarity.query_ivfpq_index(
                 spark, ivfpq_path, rows[q][1], c2, cb2, k=10, n_probe=2
+            ).collect()
+        }
+        for q in qids
+    }
+    ivfpq_ref_ids = {
+        q: {
+            r["vec_id"]
+            for r in similarity.query_ivfpq_index_refined(
+                spark,
+                ivfpq_path,
+                rows[q][1],
+                c2,
+                cb2,
+                k=10,
+                n_probe=2,
+                shortlist=60,
             ).collect()
         }
         for q in qids
@@ -1952,20 +1983,30 @@ def test_ann_family_recall_floors(spark, tmp_path):
     # family (ADC approximates L2)
     recalls = {
         "pq": recall(pq_ids, l2_truth),
+        "pq_refined": recall(pq_ref_ids, l2_truth),
         "ivf": recall(ivf_ids, cosine_truth),
         "ivfpq": recall(ivfpq_ids, l2_truth),
+        "ivfpq_refined": recall(ivfpq_ref_ids, l2_truth),
         "lsh": recall(lsh_ids, cosine_truth),
     }
-    # measured on this fixture: pq 0.52, ivf 1.0, ivfpq 0.66, lsh 0.84.
-    # raw-vector PQ trails residual IVF-PQ even with twice the
-    # subspaces — the classic empirical reason FAISS quantizes
-    # residuals; floors sit under the deterministic measurements as
-    # regression gates.
+    # measured on this fixture: pq 0.52, ivf 1.0, ivfpq 0.66, lsh 0.84;
+    # with the exact refine stage (shortlist=60): pq_refined and
+    # ivfpq_refined both 1.00.  Raw-vector PQ trails residual IVF-PQ
+    # even with twice the subspaces — the classic empirical reason
+    # FAISS quantizes residuals — and re-ranking the ADC shortlist with
+    # exact distances recovers production-quality answers (the
+    # IndexRefineFlat recipe).  Floors sit under the deterministic
+    # measurements as regression gates.
     print("ANN recall@10:", recalls)
     assert recalls["pq"] >= 0.45
+    assert recalls["pq_refined"] >= 0.85
     assert recalls["ivf"] >= 0.80
     assert recalls["ivfpq"] >= 0.60
+    assert recalls["ivfpq_refined"] >= 0.90
     assert recalls["lsh"] >= 0.50
+    # the refine stage must never hurt its own family
+    assert recalls["pq_refined"] >= recalls["pq"]
+    assert recalls["ivfpq_refined"] >= recalls["ivfpq"]
 
 
 def test_quality_model_separates_prose_from_junk(spark):

@@ -222,3 +222,27 @@ def test_dup_ngram_spans_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # partial_count before the exchange = map-side combine on window keys
     assert "partial_count" in plan
+
+
+def test_ivfpq_refined_query_pruned_zero_exchange(spark, tmp_path):
+    """The refined IVF-PQ query must keep the ADC plan shape: ONE
+    partition-pruned scan (PartitionFilters on cell), zero exchanges —
+    the refine stage re-ranks the shortlist rows in place, never
+    re-scanning or joining the corpus."""
+    rows = [
+        (i, [float((i * 7 + j) % 13) for j in range(16)]) for i in range(64)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, cbs = similarity.train_ivfpq(
+        corpus, n_cells=4, m=4, k=4, cell_iters=0, pq_iters=0
+    )
+    path = str(tmp_path / "ivfpq_ref")
+    similarity.write_ivfpq_index(corpus, path, cents, cbs, store_vectors=True)
+    q = similarity.query_ivfpq_index_refined(
+        spark, path, rows[0][1], cents, cbs, k=5, n_probe=2, shortlist=20
+    )
+    plan = _plan(q)
+    assert plan.count("Exchange") == 0
+    assert plan.count("FileScan") == 1
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters
