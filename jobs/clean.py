@@ -6,7 +6,8 @@ Chains the extraction output into the training-data prep lane:
       → main-content text per document (cell spans joined; headers and
         annotations are boilerplate)
       → cleaning funnel (exact dedup → normalized dedup → min tokens →
-        [Gopher repetition flags, --drop-repetitive] → [language known,
+        [Gopher repetition flags, --drop-repetitive] → [model-based
+        quality score, --quality-model] → [language known,
         --require-known-lang])
       → benchmark decontamination (--benchmark eval-set parquet;
         n-gram-overlap hits dropped)
@@ -65,6 +66,27 @@ def main() -> None:
         "(dup-token / looping-bigram flags)",
     )
     ap.add_argument(
+        "--quality-model", action="store_true",
+        help="add the CCNet-style model-based quality stage to the "
+        "funnel: a hashed-n-gram logistic classifier trained on the "
+        "seeded prose-vs-junk fixtures, persisted under <out>/"
+        "quality_model; documents scoring below the threshold are "
+        "dropped (scoring is a broadcast weight vector, narrow map)",
+    )
+    ap.add_argument(
+        "--quality-threshold", type=float, default=None,
+        help="absolute quality_prob cutoff; when omitted the cutoff is "
+        "calibrated per-corpus as the --quality-tail quantile of the "
+        "score distribution (CCNet drops the perplexity TAIL bucket, "
+        "not an absolute score — an absolute 0.5 would zero out any "
+        "corpus whose domain differs from the training prose)",
+    )
+    ap.add_argument(
+        "--quality-tail", type=float, default=0.2,
+        help="fraction of lowest-scoring documents the calibrated "
+        "threshold drops (ignored when --quality-threshold is given)",
+    )
+    ap.add_argument(
         "--benchmark",
         help="parquet path of an eval set (doc_id, text); documents "
         "sharing >= --min-common 3-gram shingles with any benchmark "
@@ -98,6 +120,28 @@ def main() -> None:
         .agg(F.concat_ws(" ", F.collect_list("s.text")).alias("text"))
     ).persist()
 
+    qmodel = None
+    qthreshold = args.quality_threshold
+    if args.quality_model:
+        from machine_readability_checker_spark.operators import (
+            quality_model as QM,
+        )
+
+        qmodel = QM.train_quality_model(QM.seeded_training_frame(spark))
+        # persist the fitted weights next to the output so a re-run (or
+        # a downstream scorer) loads the exact model this corpus saw
+        qmodel.write().overwrite().save(
+            os.path.join(args.out, "quality_model")
+        )
+        if qthreshold is None:
+            # CCNet-style calibration: one extra narrow scan +
+            # approxQuantile aggregate over the corpus scores; drops
+            # the lowest --quality-tail fraction regardless of where
+            # the corpus domain sits relative to the training prose
+            qthreshold = QM.score_quality(qmodel, texts).approxQuantile(
+                "quality_prob", [args.quality_tail], 0.001
+            )[0]
+
     # ONE labeling pass produces both the reported funnel counts and the
     # materialized survivors — stats can never describe a corpus that was
     # not actually built, and the dedup window shuffles run exactly once
@@ -106,11 +150,14 @@ def main() -> None:
         texts,
         require_known_lang=args.require_known_lang,
         drop_repetitive=args.drop_repetitive,
+        quality_model=qmodel,
+        quality_threshold=qthreshold if qthreshold is not None else 0.5,
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,
         require_known_lang=args.require_known_lang,
         drop_repetitive=args.drop_repetitive,
+        model_quality=qmodel is not None,
     )
     funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
     funnel_rows = {
@@ -153,6 +200,9 @@ def main() -> None:
                 "near_dup_removed": n_in - n_out,
                 "contaminated_removed": n_contaminated,
                 "funnel": funnel_rows,
+                "quality_threshold": (
+                    round(qthreshold, 6) if qmodel is not None else None
+                ),
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_in / wall, 1) if wall > 0 else None,
                 "cores": args.cores,

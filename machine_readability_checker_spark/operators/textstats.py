@@ -273,13 +273,17 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def stage_names(
-    require_known_lang: bool = True, drop_repetitive: bool = False
+    require_known_lang: bool = True,
+    drop_repetitive: bool = False,
+    model_quality: bool = False,
 ) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
     names = ["raw", "exact_dedup", "normalized_dedup", "min_tokens"]
     if drop_repetitive:
         names.append("repetition_ok")
+    if model_quality:
+        names.append("model_quality")
     if require_known_lang:
         names.append("lang_known")
     return names
@@ -291,6 +295,8 @@ def label_drop_stage(
     id_col: str = "doc_id",
     require_known_lang: bool = True,
     drop_repetitive: bool = False,
+    quality_model=None,
+    quality_threshold: float = 0.5,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -307,7 +313,12 @@ def label_drop_stage(
       3. min_tokens       : ≥ 5 whitespace tokens
       4. repetition_ok    : Gopher repetition flags clear (opt-in via
                             ``drop_repetitive`` — shifts later stages)
-      5. lang_known       : stopword-vote language ID ≠ 'und'
+      5. model_quality    : hashed-n-gram logistic quality score ≥
+                            ``quality_threshold`` (opt-in: pass a
+                            fitted ``quality_model`` PipelineModel —
+                            the CCNet-style classifier stage; scoring
+                            is a broadcast weight vector, narrow map)
+      6. lang_known       : stopword-vote language ID ≠ 'und'
 
     The stage-2 keeper is the min-id *stage-1 survivor* of each
     fingerprint group; ordering the fingerprint window by
@@ -323,6 +334,11 @@ def label_drop_stage(
         # only the flag struct rides along into the labeling pass
         df = with_repetition_stats(df, text_col).drop("repetition")
         extra_cols = ["repetition_flag"]
+    if quality_model is not None:
+        from .quality_model import score_quality
+
+        df = score_quality(quality_model, df, text_col)
+        extra_cols = extra_cols + ["quality_prob"]
 
     c = F.col(text_col)
     w1 = Window.partitionBy("_h").orderBy(id_col)
@@ -350,6 +366,12 @@ def label_drop_stage(
             "repetition_flag.looping_bigram"
         )
         drop = drop.when(F.coalesce(rep_bad, F.lit(False)), F.lit(stage))
+        stage += 1
+    if quality_model is not None:
+        keep_q = F.coalesce(
+            F.col("quality_prob") >= quality_threshold, F.lit(False)
+        )
+        drop = drop.when(~keep_q, F.lit(stage))
         stage += 1
     if require_known_lang:
         keep_lang = F.coalesce(lang_id(c) != "und", F.lit(False))
@@ -380,11 +402,12 @@ def funnel_from_labels(
     lab: DataFrame,
     require_known_lang: bool = True,
     drop_repetitive: bool = False,
+    model_quality: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
-    names = stage_names(require_known_lang, drop_repetitive)
+    names = stage_names(require_known_lang, drop_repetitive, model_quality)
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0
     aggs = [F.count("*").alias("n_0")] + [

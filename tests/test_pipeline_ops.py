@@ -2068,3 +2068,72 @@ def test_quality_model_separates_prose_from_junk(spark):
     kept_labels = [r["label"] for r in kept]
     assert kept_labels.count(1.0) == len(pos)  # no prose lost
     assert kept_labels.count(0.0) <= 1  # ≥93% junk rejected at 0.5
+
+
+def test_model_quality_funnel_stage(spark):
+    """The CCNet-style model stage wired into the cleaning funnel
+    (jobs/clean.py --quality-model): label_drop_stage with a fitted
+    model must (a) add the model_quality stage row at the right index,
+    (b) drop EXACTLY the stage-4 survivors that score_quality scores
+    below threshold (pytest equality pin — the stage is not
+    SQL-oracle-expressible), and (c) leave the non-model stages'
+    labels untouched vs the model-free run."""
+    from machine_readability_checker_spark.operators import quality_model as QM
+    from machine_readability_checker_spark.operators import textstats as TS
+
+    model = QM.train_quality_model(
+        QM.seeded_training_frame(spark, n_per_class=120), max_iter=10
+    )
+    prose = [
+        (
+            f"p{i}",
+            "the analysis shows that careful measurement matters for "
+            f"every claim and the results indicate scale {i}",
+        )
+        for i in range(8)
+    ]
+    # distinct texts: identical junk would be eaten by exact-dedup
+    # (stage 1) before the model stage ever sees it
+    junk = [
+        (f"j{i}", " ".join([f"$$$ buy now click here {i}"] * 8))
+        for i in range(4)
+    ]
+    dupe = [("dup1", prose[0][1]), ("tiny", "too short")]
+    docs = spark.createDataFrame(prose + junk + dupe, ["doc_id", "text"])
+
+    lab = TS.label_drop_stage(
+        docs, require_known_lang=True, quality_model=model
+    )
+    funnel = TS.funnel_from_labels(
+        lab, require_known_lang=True, model_quality=True
+    ).collect()
+    stages = {r["stage"]: (r["stage_idx"], r["n_docs"]) for r in funnel}
+    assert "model_quality" in stages
+    assert stages["model_quality"][0] == 4  # after min_tokens, before lang
+    assert stages["lang_known"][0] == 5
+
+    # equality pin: the model stage's drops == stage-1..3 survivors
+    # whose standalone score is below threshold
+    lab_rows = lab.collect()
+    model_dropped = {r["doc_id"] for r in lab_rows if r["_drop"] == 4}
+    pre_survivors = docs.join(
+        spark.createDataFrame(
+            [(r["doc_id"],) for r in lab_rows if r["_drop"] is None or r["_drop"] >= 4],
+            ["doc_id"],
+        ),
+        "doc_id",
+    )
+    scored = QM.score_quality(model, pre_survivors).collect()
+    expect_dropped = {r["doc_id"] for r in scored if r["quality_prob"] < 0.5}
+    assert model_dropped == expect_dropped
+    assert {f"j{i}" for i in range(4)} <= model_dropped  # junk caught
+    assert not any(d.startswith("p") for d in model_dropped)  # prose kept
+
+    # non-model stages unchanged vs the model-free labeling
+    base = {
+        r["doc_id"]: r["_drop"]
+        for r in TS.label_drop_stage(docs, require_known_lang=True).collect()
+    }
+    for r in lab_rows:
+        if r["_drop"] in (1, 2, 3):
+            assert base[r["doc_id"]] == r["_drop"]
