@@ -594,24 +594,63 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_BATTERY_FRACS = (
+    ["dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+     "dup_para_char_frac"]
+    + [f"top_{n}gram_char_frac" for n in TS.TOP_NGRAM_CHAR_THRESHOLDS]
+    + [f"dup_{n}gram_char_frac" for n in TS.DUP_NGRAM_CHAR_THRESHOLDS]
+)
+_BATTERY_FLAGS = (
+    ["dup_lines", "dup_paras", "dup_line_chars", "dup_para_chars"]
+    + [f"top_{n}gram_chars" for n in TS.TOP_NGRAM_CHAR_THRESHOLDS]
+    + [f"dup_{n}gram_chars" for n in TS.DUP_NGRAM_CHAR_THRESHOLDS]
+)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals + filter verdicts per document —
-    duplicate-token fraction, duplicate-bigram fraction, most-frequent-
-    bigram fraction (all computed as per-row codegen expressions; the
-    DuckDB oracle recomputes them with unnest + group-by)."""
-    docs = _t(spark, sf_dir, "documents")
+    """Full Gopher §A1 repetition battery per document: the classic
+    duplicate-token / duplicate-bigram / most-frequent-bigram fractions
+    plus duplicate line/paragraph fractions (count and character),
+    top-{2,3,4}-gram covered-character fractions, and duplicate
+    5..10-gram span-union character fractions — with one verdict per
+    signal at the published thresholds.  All per-row codegen
+    expressions; the DuckDB oracle recomputes everything with list
+    comprehensions.  The fixture corpus is single-line, so 12
+    deterministic battery documents (duplicated lines, blank-line
+    paragraphs, a twice-repeated 10-token phrase — reconstructed
+    identically in SQL) are unioned in to drive every new signal."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    bat = spark.range(12).select(
+        F.concat(
+            F.lit("bat-"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("doc_id"),
+        F.concat(
+            F.repeat(F.lit("p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 "), 2),
+            F.lit("tail"),
+            F.col("id").cast("string"),
+            F.lit("\nLN dup\nLN dup\nLN "),
+            F.col("id").cast("string"),
+            F.lit("\n\nPP dup\n\nPP dup"),
+        ).alias("text"),
+    )
     # 0.1 (vs the 0.18 operator default) so the fixture corpus exercises
     # both verdicts of the looping-bigram flag
-    r = TS.with_repetition_stats(docs, max_top_bigram_frac=0.1)
+    r = TS.with_repetition_stats(
+        docs.unionByName(bat), max_top_bigram_frac=0.1, battery=True
+    )
     return r.select(
         "doc_id",
         F.round("repetition.dup_token_frac", 6).alias("dup_token_frac"),
         F.round("repetition.dup_bigram_frac", 6).alias("dup_bigram_frac"),
         F.round("repetition.top_bigram_frac", 6).alias("top_bigram_frac"),
+        *[F.round(f"repetition.{c}", 6).alias(c) for c in _BATTERY_FRACS],
         F.col("repetition_flag.too_many_dup_tokens").alias(
             "too_many_dup_tokens"
         ),
         F.col("repetition_flag.looping_bigram").alias("looping_bigram"),
+        *[F.col(f"repetition_flag.{c}").alias(c) for c in _BATTERY_FLAGS],
     ).orderBy("doc_id")
 
 
@@ -1388,40 +1427,154 @@ def _minhash_index_oracle_sql(
     """
 
 
+# ---- full Gopher battery oracle, assembled per n-gram order ----------
+# list-comprehension recomputation of every battery signal; O(m²) per
+# document is fine at oracle scale (sf0.01, ≤100 tokens/doc)
+
+def _sql_ngrams(n: int) -> str:
+    return (
+        f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(toks)-{n}+2, 1))]"
+    )
+
+
+def _sql_dup_nonfirst_chars(arr: str) -> str:
+    """Σ len over non-first occurrences (the dup line/para numerator)."""
+    return (
+        f"COALESCE(list_sum([CAST(len({arr}[i]) AS BIGINT) "
+        f"for i in range(1, len({arr})+1) "
+        f"if list_position({arr}[1:i-1], {arr}[i]) > 0]), 0)"
+    )
+
+
+def _sql_frac(num: str, den: str) -> str:
+    return f"CASE WHEN {den} > 0 THEN CAST({num} AS BIGINT) / {den} ELSE 0.0 END"
+
+
+_BAT_TOP = {
+    n: (
+        f"COALESCE(list_max([CAST(len([y for y in g{n} if y = g{n}[i]]) "
+        f"AS BIGINT) * (len(g{n}[i]) - {n - 1}) "
+        f"for i in range(1, len(g{n})+1)]), 0)"
+    )
+    for n in TS.TOP_NGRAM_CHAR_THRESHOLDS
+}
+_BAT_COV = {
+    n: (
+        f"COALESCE(list_sum([CAST(len(toks[j]) AS BIGINT) "
+        f"for j in range(1, len(toks)+1) "
+        f"if len([r for r in r{n} if r <= j and j <= r + {n - 1}]) > 0]), 0)"
+    )
+    for n in TS.DUP_NGRAM_CHAR_THRESHOLDS
+}
+_BAT_GRAM_COLS = ",\n      ".join(
+    f"{_sql_ngrams(n)} AS g{n}"
+    for n in list(TS.TOP_NGRAM_CHAR_THRESHOLDS)[1:]
+    + list(TS.DUP_NGRAM_CHAR_THRESHOLDS)
+)
+_BAT_REP_COLS = ",\n      ".join(
+    f"[i for i in range(1, len(g{n})+1) "
+    f"if list_position(g{n}[1:i-1], g{n}[i]) > 0] AS r{n}"
+    for n in TS.DUP_NGRAM_CHAR_THRESHOLDS
+)
+_BAT_STAT_COLS = ",\n      ".join(
+    [
+        _sql_frac("len(lines) - len(list_distinct(lines))", "len(lines)")
+        + " AS dup_line_frac",
+        _sql_frac("len(paras) - len(list_distinct(paras))", "len(paras)")
+        + " AS dup_para_frac",
+        _sql_frac(_sql_dup_nonfirst_chars("lines"), "lchars")
+        + " AS dup_line_char_frac",
+        _sql_frac(_sql_dup_nonfirst_chars("paras"), "pchars")
+        + " AS dup_para_char_frac",
+    ]
+    + [
+        _sql_frac(_BAT_TOP[n], "tchars") + f" AS top_{n}gram_char_frac"
+        for n in TS.TOP_NGRAM_CHAR_THRESHOLDS
+    ]
+    + [
+        _sql_frac(_BAT_COV[n], "tchars") + f" AS dup_{n}gram_char_frac"
+        for n in TS.DUP_NGRAM_CHAR_THRESHOLDS
+    ]
+)
+_BAT_OUT_FRACS = ",\n           ".join(
+    f"round({c}, 6) AS {c}" for c in _BATTERY_FRACS
+)
+_BAT_OUT_FLAGS = ",\n           ".join(
+    [
+        f"dup_line_frac > {TS.MAX_DUP_LINE_FRAC} AS dup_lines",
+        f"dup_para_frac > {TS.MAX_DUP_PARA_FRAC} AS dup_paras",
+        f"dup_line_char_frac > {TS.MAX_DUP_LINE_CHAR_FRAC} AS dup_line_chars",
+        f"dup_para_char_frac > {TS.MAX_DUP_PARA_CHAR_FRAC} AS dup_para_chars",
+    ]
+    + [
+        f"top_{n}gram_char_frac > {t} AS top_{n}gram_chars"
+        for n, t in TS.TOP_NGRAM_CHAR_THRESHOLDS.items()
+    ]
+    + [
+        f"dup_{n}gram_char_frac > {t} AS dup_{n}gram_chars"
+        for n, t in TS.DUP_NGRAM_CHAR_THRESHOLDS.items()
+    ]
+)
+
 _REPETITION_SQL = f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS} AS toks FROM documents
-    ), bg AS (
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+      UNION ALL
+      SELECT 'bat-' || lpad(CAST(i AS VARCHAR), 2, '0'),
+             repeat('p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 ', 2)
+               || 'tail' || CAST(i AS VARCHAR)
+               || chr(10) || 'LN dup' || chr(10) || 'LN dup'
+               || chr(10) || 'LN ' || CAST(i AS VARCHAR)
+               || chr(10) || chr(10) || 'PP dup'
+               || chr(10) || chr(10) || 'PP dup'
+      FROM range(12) t(i)
+    ), t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM docs
+    ), g AS (
       SELECT doc_id, toks,
-             CASE WHEN len(toks) >= 2
-             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
-             ELSE [] END AS bgs
+      CASE WHEN len(toks) >= 2
+      THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+      ELSE [] END AS g2,
+      COALESCE(list_sum(list_transform(toks, x -> CAST(len(x) AS BIGINT))), 0) AS tchars,
+      [x for x in string_split(text, chr(10)) if x != ''] AS lines,
+      [x for x in regexp_split_to_array(text, '\\n\\s*\\n') if x != ''] AS paras,
+      {_BAT_GRAM_COLS}
       FROM t
+    ), rp AS (
+      SELECT *,
+      COALESCE(list_sum(list_transform(lines, x -> CAST(len(x) AS BIGINT))), 0) AS lchars,
+      COALESCE(list_sum(list_transform(paras, x -> CAST(len(x) AS BIGINT))), 0) AS pchars,
+      {_BAT_REP_COLS}
+      FROM g
     ), top AS (
       SELECT doc_id, MAX(c) AS top_cnt FROM (
         SELECT doc_id, b, COUNT(*) AS c
-        FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+        FROM (SELECT doc_id, unnest(g2) AS b FROM g)
         GROUP BY doc_id, b
       ) GROUP BY doc_id
     ), stats AS (
-      SELECT bg.doc_id,
+      SELECT rp.doc_id,
         CASE WHEN len(toks) > 0
              THEN (len(toks) - len(list_distinct(toks))) / len(toks)
              ELSE 0.0 END AS dtf,
-        CASE WHEN len(bgs) > 0
-             THEN (len(bgs) - len(list_distinct(bgs))) / len(bgs)
+        CASE WHEN len(g2) > 0
+             THEN (len(g2) - len(list_distinct(g2))) / len(g2)
              ELSE 0.0 END AS dbf,
-        CASE WHEN len(bgs) > 0
-             THEN COALESCE(top.top_cnt, 0) / len(bgs)
-             ELSE 0.0 END AS tbf
-      FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+        CASE WHEN len(g2) > 0
+             THEN COALESCE(top.top_cnt, 0) / len(g2)
+             ELSE 0.0 END AS tbf,
+      {_BAT_STAT_COLS}
+      FROM rp LEFT JOIN top ON rp.doc_id = top.doc_id
     )
     SELECT doc_id,
            round(dtf, 6) AS dup_token_frac,
            round(dbf, 6) AS dup_bigram_frac,
            round(tbf, 6) AS top_bigram_frac,
+           {_BAT_OUT_FRACS},
            dtf > 0.6 AS too_many_dup_tokens,
-           tbf > 0.1 AS looping_bigram
+           tbf > 0.1 AS looping_bigram,
+           {_BAT_OUT_FLAGS}
     FROM stats ORDER BY doc_id
 """
 

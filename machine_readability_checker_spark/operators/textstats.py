@@ -152,10 +152,134 @@ def _max_equal_run_sorted(s: Column) -> Column:
     return F.when(n > 0, F.array_max(runs)).otherwise(F.lit(0))
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    """Adjacent token n-grams as space-joined strings (empty for < n
+    tokens).  ``toks`` MUST be a materialized plain column (HOF trap)."""
+    nt = F.size(toks)
+    return F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(0), nt - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_bounds(s: Column):
+    """(starts, ends) arrays of the equal-adjacent runs of a *sorted*
+    materialized array — shared machinery of the run-based kernels."""
+    n = F.size(s)
+    boundaries = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(s, i) != F.element_at(s, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), boundaries)
+    m = F.size(starts)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(m - 1, F.lit(0))), F.array(n + 1)
+    )
+    return starts, ends
+
+
+def _max_run_chars_sorted(s: Column, n: int) -> Column:
+    """Max characters covered by a single n-gram value of a *sorted*
+    space-joined n-gram array: count(value) × token-chars(value), where
+    token-chars = length − (n−1) internal spaces.  Tie-robust variant of
+    Gopher's "most frequently-occurring n-gram" char fraction (ties on
+    count are broken toward more covered chars — deterministic on both
+    engines, unlike Counter insertion order)."""
+    starts, ends = _run_bounds(s)
+    runs = F.zip_with(
+        ends,
+        starts,
+        lambda e, st: (e - st).cast("long")
+        * (F.length(F.element_at(s, st)) - F.lit(n - 1)),
+    )
+    return F.when(F.size(s) > 0, F.array_max(runs)).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def _dup_value_chars_sorted(s: Column) -> Column:
+    """Characters inside NON-FIRST occurrences of duplicated values of a
+    *sorted* materialized string array: Σ over values (count−1) × length.
+    The Gopher duplicate line / paragraph character numerator."""
+    starts, ends = _run_bounds(s)
+    per_run = F.zip_with(
+        ends,
+        starts,
+        lambda e, st: (e - st - 1).cast("long")
+        * F.length(F.element_at(s, st)),
+    )
+    return F.when(
+        F.size(s) > 0,
+        F.aggregate(per_run, F.lit(0).cast("long"), lambda a, x: a + x),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _repeat_positions(sa: Column) -> Column:
+    """Ascending 1-based positions (in the original n-gram array) whose
+    n-gram value already occurred at an earlier position.  ``sa`` is the
+    materialized array_sort of struct<g,p> pairs — sorting makes repeat
+    detection O(m log m) instead of the O(m²) list_position scan, which
+    matters once documents are thousands of tokens."""
+    m = F.size(sa)
+    reps = F.when(
+        m >= 2,
+        F.filter(
+            F.sequence(F.lit(2), m),
+            lambda k: F.element_at(sa, k)["g"] == F.element_at(sa, k - 1)["g"],
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_sort(F.transform(reps, lambda k: F.element_at(sa, k)["p"]))
+
+
+def _covered_chars(positions: Column, tlen: Column, n: int) -> Column:
+    """Token characters covered by the UNION of the spans
+    [p, p+n−1] over the ascending repeat ``positions`` — one O(|R|)
+    fold with a (chars, last-covered) accumulator, so overlapping
+    repeats never double-count (the Gopher dup-n-gram numerator).
+    ``tlen`` is the materialized per-token length array."""
+    nt = F.size(tlen)
+    init = F.struct(
+        F.lit(0).cast("long").alias("chars"), F.lit(0).alias("last")
+    )
+
+    def step(acc, r):
+        start = F.greatest(r, acc["last"] + 1)
+        end = F.least(r + F.lit(n - 1), nt)
+        seg = F.when(
+            end >= start,
+            F.aggregate(
+                F.slice(tlen, start, end - start + 1),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            (acc["chars"] + seg).alias("chars"),
+            F.greatest(acc["last"], end).alias("last"),
+        )
+
+    return F.aggregate(positions, init, step)["chars"]
+
+
 # Gopher §A1-style default thresholds: drop documents dominated by
 # repeated tokens or one looping bigram
 MAX_DUP_TOKEN_FRAC = 0.6
 MAX_TOP_BIGRAM_FRAC = 0.18
+
+# The full Gopher repetition battery (Rae et al. 2021, table A1):
+# fraction-of-characters thresholds per signal
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_PARA_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_CHAR_FRAC = 0.20
+TOP_NGRAM_CHAR_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_CHAR_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
 def with_repetition_stats(
@@ -163,6 +287,7 @@ def with_repetition_stats(
     text_col: str = "text",
     max_dup_token_frac: float = MAX_DUP_TOKEN_FRAC,
     max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
+    battery: bool = False,
 ) -> DataFrame:
     """Attach Gopher-style repetition signals and filter verdicts:
 
@@ -172,39 +297,172 @@ def with_repetition_stats(
       bigram ÷ total bigrams
     - ``repetition_flag.too_many_dup_tokens`` / ``.looping_bigram``
 
+    ``battery=True`` adds the FULL Gopher §A1 repetition battery
+    (fractions of characters, denominators = total token characters):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: non-distinct lines (split
+      on \\n) / paragraphs (split on blank lines) over their totals
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters inside
+      non-first occurrences of duplicated lines / paragraphs
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the single
+      most-covering n-gram (count × token-chars; tie-robust variant of
+      Gopher's most-frequent — ties break toward more covered chars)
+    - ``dup_{5..10}gram_char_frac``: characters in the UNION of the
+      spans of non-first occurrences of duplicated n-grams (overlaps
+      counted once)
+    - one flag per signal at the published thresholds (0.30/0.30/
+      0.20/0.20 lines/paras, 0.20/0.18/0.16 top-grams, 0.15→0.10
+      dup-grams)
+
     Each ratio is 0.0 when its denominator is empty (incl. NULL text).
     The classic training-data filter drops documents whose text loops
     (template spam, boilerplate echoes, keyword stuffing).
 
     Staged as materialized intermediate columns so the token array is
-    built once, the bigram array once, and the sorted copy once per row
-    — one nested expression naively re-derives the whole chain per
+    built once, each n-gram array once, and each sorted copy once per
+    row — one nested expression naively re-derives the whole chain per
     element access and per consumer, which measured ~20× slower at
-    sf0.1.  Everything stays a narrow per-row map at corpus scale."""
+    sf0.1.  Repeat detection sorts (gram, pos) pairs (O(m log m)) and
+    the span-union is one O(|repeats|) fold, so the battery survives
+    documents thousands of tokens long.  Everything stays a narrow
+    per-row map at corpus scale."""
     base = list(df.columns)
     toks, bg, bgsort = F.col("_toks"), F.col("_bg"), F.col("_bgsort")
     nt, nb = F.size(toks), F.size(bg)
     frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
     dtf = frac(nt - F.size(F.array_distinct(toks)), nt)
     tbf = frac(_max_equal_run_sorted(bgsort), nb)
-    return (
+    out = (
         df.withColumn("_toks", tokens(F.col(text_col)))
         .withColumn("_bg", _bigrams(toks))
         .withColumn("_bgsort", F.array_sort(bg))
-        .select(
-            *base,
-            F.struct(
-                dtf.alias("dup_token_frac"),
-                frac(nb - F.size(F.array_distinct(bg)), nb).alias(
-                    "dup_bigram_frac"
+    )
+    stats = [
+        dtf.alias("dup_token_frac"),
+        frac(nb - F.size(F.array_distinct(bg)), nb).alias("dup_bigram_frac"),
+        tbf.alias("top_bigram_frac"),
+    ]
+    flags = [
+        (dtf > max_dup_token_frac).alias("too_many_dup_tokens"),
+        (tbf > max_top_bigram_frac).alias("looping_bigram"),
+    ]
+    if battery:
+        c = F.col(text_col)
+        out = (
+            out.withColumn("_tlen", F.transform(toks, F.length))
+            .withColumn(
+                "_tchars",
+                F.aggregate(
+                    F.col("_tlen"), F.lit(0).cast("long"), lambda a, x: a + x
                 ),
-                tbf.alias("top_bigram_frac"),
-            ).alias("repetition"),
-            F.struct(
-                (dtf > max_dup_token_frac).alias("too_many_dup_tokens"),
-                (tbf > max_top_bigram_frac).alias("looping_bigram"),
-            ).alias("repetition_flag"),
+            )
+            .withColumn(
+                "_lsort",
+                F.array_sort(F.filter(F.split(c, "\n"), lambda x: x != "")),
+            )
+            .withColumn(
+                "_psort",
+                F.array_sort(
+                    F.filter(F.split(c, "\n\\s*\n"), lambda x: x != "")
+                ),
+            )
         )
+        tchars = F.col("_tchars")
+        for n in TOP_NGRAM_CHAR_THRESHOLDS:
+            if n == 2:
+                continue  # reuse the bigram array built above
+            out = out.withColumn(f"_g{n}s", F.array_sort(_ngrams(toks, n)))
+        def _pairer(gcol):
+            # closure, not a default-arg lambda: F.transform dispatches
+            # on lambda arity, so a 2-parameter lambda would be called
+            # with (element, index)
+            return lambda i: F.struct(
+                F.element_at(gcol, i).alias("g"), i.alias("p")
+            )
+
+        for n in DUP_NGRAM_CHAR_THRESHOLDS:
+            out = out.withColumn(f"_g{n}", _ngrams(toks, n))
+            g = F.col(f"_g{n}")
+            out = out.withColumn(
+                f"_sa{n}",
+                F.when(
+                    F.size(g) >= 1,
+                    F.array_sort(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(g)), _pairer(g)
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<struct<g:string,p:int>>")),
+            )
+        lsort, psort = F.col("_lsort"), F.col("_psort")
+        lchars = F.aggregate(
+            F.transform(lsort, F.length), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        pchars = F.aggregate(
+            F.transform(psort, F.length), F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        stats += [
+            frac(
+                F.size(lsort) - F.size(F.array_distinct(lsort)), F.size(lsort)
+            ).alias("dup_line_frac"),
+            frac(
+                F.size(psort) - F.size(F.array_distinct(psort)), F.size(psort)
+            ).alias("dup_para_frac"),
+            frac(_dup_value_chars_sorted(lsort), lchars).alias(
+                "dup_line_char_frac"
+            ),
+            frac(_dup_value_chars_sorted(psort), pchars).alias(
+                "dup_para_char_frac"
+            ),
+        ]
+        for n in TOP_NGRAM_CHAR_THRESHOLDS:
+            s = bgsort if n == 2 else F.col(f"_g{n}s")
+            stats.append(
+                frac(_max_run_chars_sorted(s, n), tchars).alias(
+                    f"top_{n}gram_char_frac"
+                )
+            )
+        for n in DUP_NGRAM_CHAR_THRESHOLDS:
+            stats.append(
+                frac(
+                    _covered_chars(
+                        _repeat_positions(F.col(f"_sa{n}")), F.col("_tlen"), n
+                    ),
+                    tchars,
+                ).alias(f"dup_{n}gram_char_frac")
+            )
+    if not battery:
+        return out.select(
+            *base,
+            F.struct(*stats).alias("repetition"),
+            F.struct(*flags).alias("repetition_flag"),
+        )
+    # materialize the stats struct first so every flag reads the
+    # computed column instead of re-embedding its stat expression
+    out = out.withColumn("repetition", F.struct(*stats))
+    r = lambda f: F.col(f"repetition.{f}")  # noqa: E731
+    flags += [
+        (r("dup_line_frac") > MAX_DUP_LINE_FRAC).alias("dup_lines"),
+        (r("dup_para_frac") > MAX_DUP_PARA_FRAC).alias("dup_paras"),
+        (r("dup_line_char_frac") > MAX_DUP_LINE_CHAR_FRAC).alias(
+            "dup_line_chars"
+        ),
+        (r("dup_para_char_frac") > MAX_DUP_PARA_CHAR_FRAC).alias(
+            "dup_para_chars"
+        ),
+    ]
+    flags += [
+        (r(f"top_{n}gram_char_frac") > t).alias(f"top_{n}gram_chars")
+        for n, t in TOP_NGRAM_CHAR_THRESHOLDS.items()
+    ]
+    flags += [
+        (r(f"dup_{n}gram_char_frac") > t).alias(f"dup_{n}gram_chars")
+        for n, t in DUP_NGRAM_CHAR_THRESHOLDS.items()
+    ]
+    return out.select(
+        *base, "repetition", F.struct(*flags).alias("repetition_flag")
     )
 
 

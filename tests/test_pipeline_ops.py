@@ -629,6 +629,80 @@ def test_repetition_stats_hand_computed(spark):
     assert rows["c"]["s"]["dup_token_frac"] == 0.0
 
 
+def _ref_battery(text):
+    """Pure-Python reference of the full Gopher battery (union-of-spans
+    dup n-grams, max-covering top n-grams) for the cross-check below."""
+    import re
+    from collections import Counter
+
+    toks = [t for t in text.split(" ") if t]
+    tchars = sum(len(t) for t in toks)
+    out = {}
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        best = max(
+            (c * (len(g) - (n - 1)) for g, c in Counter(grams).items()),
+            default=0,
+        )
+        out[f"top_{n}gram_char_frac"] = best / tchars if tchars else 0.0
+    for n in range(5, 11):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        seen, covered = set(), set()
+        for i, g in enumerate(grams, start=1):
+            if g in seen:
+                covered.update(range(i, min(i + n - 1, len(toks)) + 1))
+            else:
+                seen.add(g)
+        num = sum(len(toks[j - 1]) for j in covered)
+        out[f"dup_{n}gram_char_frac"] = num / tchars if tchars else 0.0
+    lines = [x for x in text.split("\n") if x]
+    paras = [x for x in re.split(r"\n\s*\n", text) if x]
+    for name, vals in (("line", lines), ("para", paras)):
+        total, dist = len(vals), len(set(vals))
+        out[f"dup_{name}_frac"] = (total - dist) / total if total else 0.0
+        num = sum((c - 1) * len(v) for v, c in Counter(vals).items())
+        den = sum(len(v) for v in vals)
+        out[f"dup_{name}_char_frac"] = num / den if den else 0.0
+    return out
+
+
+def test_repetition_battery_matches_reference(spark):
+    """The full Gopher §A1 battery (battery=True) against an
+    independent pure-Python implementation, covering loops, duplicated
+    lines/paragraphs, overlap-heavy repeats, and degenerate docs."""
+    docs = [
+        ("d1", "a b c a b c a b c d e f"),
+        ("d2", "one two three four five six seven eight nine ten"),
+        ("d3", "x y x y x y x y x y x y"),  # overlapping repeats
+        ("d4", "line1\nline1\nline2\n\npara two\n\npara two"),
+        ("d5", ""),
+        ("d6", "al be ga de al be ga de ep ze et th io ka"),
+        ("d7", " ".join(f"w{i}" for i in range(30))
+               + " " + " ".join(f"w{i}" for i in range(30))),
+        ("d8", "solo"),
+        # realistic-length clean doc: Gopher's char-fraction thresholds
+        # assume docs long enough that one bigram can't cover 20% of
+        # the characters by construction (a 10-token doc always would)
+        ("d9", " ".join(f"tok{i:03d}" for i in range(80))),
+    ]
+    r = textstats.with_repetition_stats(
+        spark.createDataFrame(docs, ["doc_id", "text"]), battery=True
+    )
+    rows = {x["doc_id"]: x.asDict(recursive=True) for x in r.collect()}
+    for did, text in docs:
+        expect = _ref_battery(text)
+        got = rows[did]["repetition"]
+        for k, v in expect.items():
+            assert abs(got[k] - v) < 1e-9, (did, k, got[k], v)
+    # the published thresholds fire on the loopers, not the clean docs
+    f3, f7, f9 = (rows[d]["repetition_flag"] for d in ("d3", "d7", "d9"))
+    assert f3["dup_10gram_chars"] and f7["dup_10gram_chars"]
+    assert f3["top_4gram_chars"]
+    assert not any(v for v in f9.values())
+    f4 = rows["d4"]["repetition_flag"]
+    assert f4["dup_lines"] and f4["dup_paras"]
+
+
 def test_contamination_and_decontaminate(spark):
     """A corpus document quoting a benchmark question is flagged (and
     dropped by decontaminate); paraphrases below the shingle-overlap

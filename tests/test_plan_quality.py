@@ -150,6 +150,10 @@ def test_repetition_stats_is_narrow(spark):
     df = textstats.with_repetition_stats(docs)
     plan = _plan(df)
     assert plan.count("Exchange") == 0
+    # the full Gopher battery stays a narrow per-row map too — every
+    # n-gram family is sorted per row, never exploded to a shuffle
+    full = textstats.with_repetition_stats(docs, battery=True)
+    assert _plan(full).count("Exchange") == 0
 
 
 def test_contamination_broadcasts_benchmark(spark):
