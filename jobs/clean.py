@@ -8,7 +8,8 @@ Chains the extraction output into the training-data prep lane:
       → cleaning funnel (exact dedup → normalized dedup → min tokens →
         [Gopher repetition flags, --drop-repetitive] → [model-based
         quality score, --quality-model] → [language known,
-        --require-known-lang])
+        --require-known-lang; --lang-model swaps the stopword
+        heuristic for the 16-language char-n-gram classifier])
       → benchmark decontamination (--benchmark eval-set parquet;
         n-gram-overlap hits dropped)
       → near-duplicate clustering (3-gram Jaccard pairs → connected
@@ -87,6 +88,16 @@ def main() -> None:
         "threshold drops (ignored when --quality-threshold is given)",
     )
     ap.add_argument(
+        "--lang-model", action="store_true",
+        help="dispatch the lang_known stage from the 5-language "
+        "stopword heuristic to the 16-language char-n-gram multinomial "
+        "classifier (trained on the seeded per-language corpus, "
+        "persisted under <out>/lang_model); documents whose model "
+        "confidence is below --lang-prob-threshold are dropped — "
+        "requires --require-known-lang",
+    )
+    ap.add_argument("--lang-prob-threshold", type=float, default=0.5)
+    ap.add_argument(
         "--benchmark",
         help="parquet path of an eval set (doc_id, text); documents "
         "sharing >= --min-common 3-gram shingles with any benchmark "
@@ -142,6 +153,17 @@ def main() -> None:
                 "quality_prob", [args.quality_tail], 0.001
             )[0]
 
+    lmodel = None
+    if args.lang_model:
+        if not args.require_known_lang:
+            ap.error("--lang-model requires --require-known-lang")
+        from machine_readability_checker_spark.operators import (
+            lang_model as LMOD,
+        )
+
+        lmodel = LMOD.train_lang_model(LMOD.seeded_lang_corpus(spark))
+        lmodel.write().overwrite().save(os.path.join(args.out, "lang_model"))
+
     # ONE labeling pass produces both the reported funnel counts and the
     # materialized survivors — stats can never describe a corpus that was
     # not actually built, and the dedup window shuffles run exactly once
@@ -152,6 +174,8 @@ def main() -> None:
         drop_repetitive=args.drop_repetitive,
         quality_model=qmodel,
         quality_threshold=qthreshold if qthreshold is not None else 0.5,
+        lang_model=lmodel,
+        lang_prob_threshold=args.lang_prob_threshold,
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,

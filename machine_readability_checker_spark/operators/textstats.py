@@ -555,6 +555,8 @@ def label_drop_stage(
     drop_repetitive: bool = False,
     quality_model=None,
     quality_threshold: float = 0.5,
+    lang_model=None,
+    lang_prob_threshold: float = 0.5,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -576,7 +578,12 @@ def label_drop_stage(
                             fitted ``quality_model`` PipelineModel —
                             the CCNet-style classifier stage; scoring
                             is a broadcast weight vector, narrow map)
-      6. lang_known       : stopword-vote language ID ≠ 'und'
+      6. lang_known       : stopword-vote language ID ≠ 'und' — OR,
+                            when a fitted ``lang_model`` (char-n-gram
+                            multinomial, ``operators.lang_model``) is
+                            passed, model confidence ≥
+                            ``lang_prob_threshold`` (the heuristic →
+                            model dispatch; still one narrow map)
 
     The stage-2 keeper is the min-id *stage-1 survivor* of each
     fingerprint group; ordering the fingerprint window by
@@ -597,6 +604,11 @@ def label_drop_stage(
 
         df = score_quality(quality_model, df, text_col)
         extra_cols = extra_cols + ["quality_prob"]
+    if require_known_lang and lang_model is not None:
+        from .lang_model import predict_lang
+
+        df = predict_lang(lang_model, df, text_col)
+        extra_cols = extra_cols + ["lang_pred", "lang_prob"]
 
     c = F.col(text_col)
     w1 = Window.partitionBy("_h").orderBy(id_col)
@@ -632,7 +644,12 @@ def label_drop_stage(
         drop = drop.when(~keep_q, F.lit(stage))
         stage += 1
     if require_known_lang:
-        keep_lang = F.coalesce(lang_id(c) != "und", F.lit(False))
+        if lang_model is not None:
+            keep_lang = F.coalesce(
+                F.col("lang_prob") >= lang_prob_threshold, F.lit(False)
+            )
+        else:
+            keep_lang = F.coalesce(lang_id(c) != "und", F.lit(False))
         drop = drop.when(~keep_lang, F.lit(stage))
     return lab.withColumn("_drop", drop).drop(
         "_h", "_rn1", "_fp", "_rn2", *extra_cols

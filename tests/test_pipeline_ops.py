@@ -2144,6 +2144,53 @@ def test_quality_model_separates_prose_from_junk(spark):
     assert kept_labels.count(0.0) <= 1  # ≥93% junk rejected at 0.5
 
 
+def test_lang_model_holdout_accuracy(spark, tmp_path):
+    """Char-n-gram multinomial language-ID (the fastText-style scale
+    path past the 5-language stopword heuristic): ≥0.95 holdout
+    accuracy across all 16 languages, degenerate inputs survive, and
+    the persisted model round-trips to identical predictions."""
+    from machine_readability_checker_spark.operators import lang_model as LM
+
+    corpus = LM.seeded_lang_corpus(spark, n_per_lang=100).cache()
+    train = corpus.filter("crc32(doc_id) % 5 != 0")
+    hold = corpus.filter("crc32(doc_id) % 5 = 0")
+    model = LM.train_lang_model(train)
+    pred = LM.predict_lang(model, hold).cache()
+    acc = pred.selectExpr(
+        "avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END) AS acc"
+    ).collect()[0]["acc"]
+    assert acc >= 0.95, f"holdout accuracy {acc}"
+    # every language is represented in the holdout and predicted
+    assert pred.select("lang").distinct().count() == len(LM.LANG_WORDS)
+    assert set(
+        r["lang_pred"] for r in pred.select("lang_pred").distinct().collect()
+    ) <= set(LM.LANG_WORDS)
+    # confidence is a probability and is high on in-domain text
+    stats = pred.selectExpr(
+        "min(lang_prob) AS lo", "max(lang_prob) AS hi", "avg(lang_prob) AS mean"
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0 and stats["mean"] > 0.8
+    # degenerate inputs: empty / one-char / whitespace docs score without
+    # crashing (the char-gram SQL guards the sequence() bounds)
+    weird = spark.createDataFrame(
+        [("w1", ""), ("w2", "a"), ("w3", "   "), ("w4", "んで 的 the")],
+        ["doc_id", "text"],
+    )
+    assert LM.predict_lang(model, weird).count() == 4
+    # persistence round-trip (the SQLTransformer featurizer must travel
+    # with the weights): identical predictions after save/load
+    path = str(tmp_path / "lang_model")
+    model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    reloaded = PipelineModel.load(path)
+    a = {r["doc_id"]: r["lang_pred"]
+         for r in LM.predict_lang(model, hold).collect()}
+    b = {r["doc_id"]: r["lang_pred"]
+         for r in LM.predict_lang(reloaded, hold).collect()}
+    assert a == b
+
+
 def test_model_quality_funnel_stage(spark):
     """The CCNet-style model stage wired into the cleaning funnel
     (jobs/clean.py --quality-model): label_drop_stage with a fitted
