@@ -22,6 +22,7 @@ from machine_readability_checker_spark.operators import (  # noqa: E402
     sampling as SP,
     similarity as S,
     textstats as TS,
+    weburl as WU,
 )
 from machine_readability_checker_spark.operators.extract import (  # noqa: E402
     extract,
@@ -794,6 +795,48 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_BLOCKLIST = ["src00.com", "src12.co.uk"]
+
+
+def _synth_url() -> F.Column:
+    """Deterministic per-document URL (documents carry no URL column in
+    the test corpus; the oracle builds the identical string in SQL).
+    Shape exercises two-level public suffixes, subdomains, and paths:
+    ``https://sub{id%5}.{source}{id%7}{.co.uk|.com|.org.au}/docs/{id}?ref=r{id%2}``.
+    """
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org.au"))
+    )
+    return F.concat(
+        F.lit("https://sub"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        suffix,
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 2).cast("string"),
+    )
+
+
+def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL curation: parse registered domains (public-
+    suffix aware), drop blocklisted domains via a broadcast LEFT ANTI
+    join (the corpus is never shuffled for the filter), then one
+    hash-aggregate scan of per-domain stats.  Plan: narrow map →
+    BroadcastHashJoin(LeftAnti) → partial+final HashAggregate."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    block = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKLIST], "registered_domain string"
+    )
+    kept = WU.apply_blocklist(docs, block)
+    return WU.domain_stats(kept).orderBy("registered_domain", "tld")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1149,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
+        "url_quality": q_url_quality,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1272,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
     out["split_manifest"] = _SPLIT_MANIFEST_SQL
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
     out["domain_cap"] = _DOMAIN_CAP_SQL
+    out["url_quality"] = _URL_QUALITY_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -1787,6 +1832,49 @@ _SPLIT_MANIFEST_SQL = f"""
            CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
     FROM b GROUP BY split, lang ORDER BY split, stratum
 """
+
+# mirrors q_url_quality: same synthesized URL, same host regexp, same
+# two-level public-suffix table, same blocklist, same aggregate
+_URL_QUALITY_SQL = """
+    WITH u AS (
+      SELECT doc_id, text, lang,
+        'https://sub' || CAST(doc_id % 5 AS VARCHAR) || '.' || source ||
+        CAST(doc_id % 7 AS VARCHAR) ||
+        CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+             ELSE '.org.au' END ||
+        '/docs/' || CAST(doc_id AS VARCHAR) ||
+        '?ref=r' || CAST(doc_id % 2 AS VARCHAR) AS url
+      FROM documents
+    ), p AS (
+      SELECT doc_id, text, lang,
+        lower(regexp_extract(
+          url, '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+      FROM u
+    ), r AS (
+      SELECT *, string_split(host, '.') AS labels FROM p
+    ), d AS (
+      SELECT doc_id, text, lang, host,
+        labels[-1] AS tld,
+        CASE WHEN len(labels) <= 1 THEN host
+             WHEN (labels[-2] || '.' || labels[-1]) IN
+                  ('co.uk','org.uk','gov.uk','ac.uk','co.jp','ne.jp',
+                   'or.jp','com.au','net.au','org.au','com.br','co.in',
+                   'co.kr','com.cn','com.mx') AND len(labels) >= 3
+               THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+             ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+      FROM r
+    )
+    SELECT registered_domain, tld,
+      COUNT(*) AS n_docs,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      COUNT(DISTINCT lang) AS n_langs,
+      COUNT(DISTINCT host) AS n_hosts
+    FROM d
+    WHERE registered_domain NOT IN ('src00.com', 'src12.co.uk')
+    GROUP BY registered_domain, tld
+    ORDER BY registered_domain, tld
+"""
+
 
 _DOMAIN_CAP_SQL = f"""
     WITH r AS (

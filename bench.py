@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "contamination",
     "split_manifest",
     "domain_cap",
+    "url_quality",
     "temperature_mix",
     "training_order",
     "ngram_top_counts",
