@@ -47,8 +47,6 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "ann_lsh_topk",
-    "minhash_index_query",
-    "ivf_index_query",
     "repetition_stats",
     "repetition_flags_default",
     "dup_ngram_spans",
@@ -66,8 +64,6 @@ BENCH_QUERIES = [
     "pack_shards",
     "table_profile",
     "quantized_topk",
-    "pq_adc_topk",
-    "ivfpq_index_query",
     "media_decode",
     "media_context_pairs",
     "events_asof",
@@ -170,11 +166,15 @@ def main() -> None:
     def _prod_simhash(spark, sf_dir):
         return D.simhash_pairs(_bench_docs(spark, sf_dir), max_hamming=4)
 
-    # Index lanes: the bench times the PRODUCTION variants end-to-end
-    # (index build/write + partition-pruned query) — xxhash64 band keys
-    # and a real 2-iteration Lloyd fit, vs the portable-hash /
+    # Index lanes: the bench times the PRODUCTION variants — xxhash64
+    # band keys and a real 2-iteration Lloyd fit, vs the portable-hash /
     # seed-centroid forms the DuckDB-oracled queries() lanes use.
-    def _prod_minhash_index(spark, sf_dir):
+    # Build (train + index write, a one-off amortized cost) and query
+    # (the per-request latency a user feels) are timed SEPARATELY: r3's
+    # combined numbers read as "8 s queries" when ~90% was Lloyd +
+    # codegen warmup.  BENCH_QUERIES carries the *_query lanes; the
+    # *_build timings are added by the split-lane loop below.
+    def _mh_index_build(spark, sf_dir):
         import tempfile
 
         docs = _bench_docs(spark, sf_dir)
@@ -186,12 +186,17 @@ def main() -> None:
         D.write_minhash_index(
             docs.filter(~is_q), path, shingle_k=3, n_buckets=8
         )
+        return {"path": path}
+
+    def _mh_index_query(spark, sf_dir, art):
+        docs = _bench_docs(spark, sf_dir)
+        is_q = E._is_query_doc(F.col("doc_id"))
         return D.query_minhash_index(
-            spark, path, docs.filter(is_q), shingle_k=3, threshold=0.2,
-            n_buckets=8,
+            spark, art["path"], docs.filter(is_q), shingle_k=3,
+            threshold=0.2, n_buckets=8,
         )
 
-    def _prod_ivf_index(spark, sf_dir):
+    def _ivf_index_build(spark, sf_dir):
         import tempfile
 
         emb = E._t(spark, sf_dir, "embeddings")
@@ -202,7 +207,12 @@ def main() -> None:
             float(x)
             for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         ]
-        return SIM.query_ivf_index(spark, path, qvec, cents, k=10, n_probe=2)
+        return {"path": path, "cents": cents, "qvec": qvec}
+
+    def _ivf_index_query(spark, sf_dir, art):
+        return SIM.query_ivf_index(
+            spark, art["path"], art["qvec"], art["cents"], k=10, n_probe=2
+        )
 
     def _prod_contamination(spark, sf_dir):
         docs = _bench_docs(spark, sf_dir)
@@ -272,10 +282,10 @@ def main() -> None:
         merges = B.bpe_train(docs, n_merges=10)
         return B.bpe_encode(docs, merges)
 
-    def _prod_ivfpq(spark, sf_dir):
+    def _ivfpq_index_build(spark, sf_dir):
         # production IVF-PQ: Lloyd on both quantizers (8 cells, 4x8
-        # residual codebooks), cell-partitioned code lists, pruned
-        # 2-probe ADC query
+        # residual codebooks), cell-partitioned code lists; vectors
+        # stored alongside codes so the refined query can re-rank
         import tempfile
 
         emb = E._t(spark, sf_dir, "embeddings")
@@ -288,22 +298,58 @@ def main() -> None:
             assign="join",
         )
         path = os.path.join(tempfile.gettempdir(), "mrc_bench_ivfpq_idx")
-        SIM.write_ivfpq_index(emb, path, cents, cbs)
+        SIM.write_ivfpq_index(emb, path, cents, cbs, store_vectors=True)
+        return {
+            "path": path, "cents": cents, "cbs": cbs,
+            "qvec": E._first_embedding(emb),
+        }
+
+    def _ivfpq_index_query(spark, sf_dir, art):
         return SIM.query_ivfpq_index(
-            spark, path, E._first_embedding(emb), cents, cbs, k=10, n_probe=2
+            spark, art["path"], art["qvec"], art["cents"], art["cbs"],
+            k=10, n_probe=2,
         )
 
-    def _prod_pq(spark, sf_dir):
+    def _ivfpq_refined_query(spark, sf_dir, art):
+        # same index, FAISS-style exact re-rank of the C=100 ADC
+        # shortlist — the recall>=0.9 production answer path
+        return SIM.query_ivfpq_index_refined(
+            spark, art["path"], art["qvec"], art["cents"], art["cbs"],
+            k=10, n_probe=2, shortlist=100,
+        )
+
+    def _pq_build(spark, sf_dir):
         # production PQ: real Lloyd fit (vs the seed-codebook oracle
-        # lane), 4 subspaces x 16 codewords, encode + ADC top-k
+        # lane), 4 subspaces x 16 codewords; the encoded code table is
+        # materialized to parquet — that IS the index artifact
+        import tempfile
+
         emb = E._t(spark, sf_dir, "embeddings")
         cbs = SIM.pq_train(emb, m=4, k=16, iters=2, assign="join")
-        enc = SIM.pq_encode(emb, cbs)
-        return SIM.pq_topk(enc, E._first_embedding(emb), cbs, k=10)
+        enc_path = os.path.join(tempfile.gettempdir(), "mrc_bench_pq_enc")
+        SIM.pq_encode(emb, cbs).write.mode("overwrite").parquet(enc_path)
+        return {"enc_path": enc_path, "cbs": cbs,
+                "qvec": E._first_embedding(emb)}
+
+    def _pq_query(spark, sf_dir, art):
+        enc = spark.read.parquet(art["enc_path"])
+        return SIM.pq_topk(enc, art["qvec"], art["cbs"], k=10)
+
+    # (build_fn, [(lane_name, query_fn), ...]) — build timed once per
+    # rep as <family>_build, each query lane timed against the built
+    # artifacts
+    split_lanes = [
+        ("minhash_index", _mh_index_build,
+         [("minhash_index_query", _mh_index_query)]),
+        ("ivf_index", _ivf_index_build,
+         [("ivf_index_query", _ivf_index_query)]),
+        ("pq", _pq_build, [("pq_adc_topk", _pq_query)]),
+        ("ivfpq_index", _ivfpq_index_build,
+         [("ivfpq_index_query", _ivfpq_index_query),
+          ("ivfpq_refined_query", _ivfpq_refined_query)]),
+    ]
 
     qs = E.queries()
-    qs["pq_adc_topk"] = _prod_pq
-    qs["ivfpq_index_query"] = _prod_ivfpq
     qs["bpe_pair_counts"] = _prod_bpe
     qs["media_decode"] = _bench_media
     qs["minhash_near_dups"] = _prod_minhash
@@ -311,8 +357,6 @@ def main() -> None:
     qs["contamination"] = _prod_contamination
     qs["dup_ngram_spans"] = _prod_dup_ngram
     qs["strip_dup_ngrams"] = _prod_strip_dup
-    qs["minhash_index_query"] = _prod_minhash_index
-    qs["ivf_index_query"] = _prod_ivf_index
     # best-of-k per lane (default 2): the r2 round showed sub-second
     # lanes swinging ±50% on single timed passes under hypervisor steal,
     # which made round-over-round deltas unreadable.  Pass 1 additionally
@@ -327,6 +371,27 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+
+    # index families: <family>_build (train + index write, amortized
+    # one-off) timed separately from each query lane (per-request
+    # latency over the built artifacts)
+    for family, build_fn, query_lanes in split_lanes:
+        best = None
+        art = None
+        for _ in range(reps):
+            t0 = time.time()
+            art = build_fn(spark, sf_dir)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[f"{family}_build"] = round(best, 3)
+        for lane, query_fn in query_lanes:
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                _materialize(query_fn(spark, sf_dir, art))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[lane] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
