@@ -837,6 +837,77 @@ def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WU.domain_stats(kept).orderBy("registered_domain", "tld")
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full web-crawl ingest round trip per document: wrap the text as
+    an HTML page, serialize it as a WARC/1.0 response record, gzip it
+    Common-Crawl style (per-record member), then decode the archive,
+    parse the HTTP envelope, sniff the charset, and run the HTML
+    main-content extractor — asserting the body survives bit-faithfully
+    (whitespace-normalized).  One Arrow-batched kernel, zero shuffles;
+    the oracle pins every derived field (url/charset/title) and
+    ``body_ok = TRUE`` for all rows, so ANY drift in the codec, HTTP
+    parser, charset sniff, or block classifier breaks the hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    with_url = docs.withColumn("url", _synth_url())
+    schema = (
+        "doc_id long, url string, charset string, title string, "
+        "body_ok boolean"
+    )
+
+    def kernel(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.html import (
+            extract_html_spans,
+        )
+        from machine_readability_checker_spark.core.warc import (
+            decode_warc,
+            encode_http_response,
+            encode_warc_gz,
+            encode_warc_record,
+        )
+
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                esc = (
+                    (r.text or "")
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+                body = (
+                    f"<html><head><title>doc {r.doc_id}</title></head>"
+                    f"<body><p>{esc}</p></body></html>"
+                ).encode("utf-8")
+                rec = encode_warc_record(
+                    "response",
+                    r.url,
+                    f"<urn:uuid:doc-{r.doc_id}>",
+                    "2026-01-01T00:00:00Z",
+                    encode_http_response(body),
+                )
+                out = next(iter(decode_warc(encode_warc_gz([rec]))))
+                spans, _enc = extract_html_spans(out.body, out.charset)
+                title = " ".join(t for k, t, _m in spans if k == "title")
+                joined = " ".join(
+                    t for k, t, _m in spans if k in ("main", "boilerplate")
+                )
+                want = ws.sub(" ", r.text or "").strip()
+                rows.append(
+                    (r.doc_id, out.uri, out.charset, title, joined == want)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "charset", "title", "body_ok"],
+            )
+
+    return with_url.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1193,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "url_quality": q_url_quality,
+        "warc_extract": q_warc_extract,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1317,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
     out["stratified_sample"] = _STRATIFIED_SAMPLE_SQL
     out["domain_cap"] = _DOMAIN_CAP_SQL
     out["url_quality"] = _URL_QUALITY_SQL
+    out["warc_extract"] = _WARC_EXTRACT_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -1873,6 +1946,25 @@ _URL_QUALITY_SQL = """
     WHERE registered_domain NOT IN ('src00.com', 'src12.co.uk')
     GROUP BY registered_domain, tld
     ORDER BY registered_domain, tld
+"""
+
+
+# mirrors q_warc_extract: the WARC/HTTP/charset/HTML round trip must
+# reproduce these exact derived fields for every document — the Spark
+# side computes them THROUGH the codec chain, the oracle from first
+# principles
+_WARC_EXTRACT_SQL = """
+    SELECT doc_id,
+      'https://sub' || CAST(doc_id % 5 AS VARCHAR) || '.' || source ||
+      CAST(doc_id % 7 AS VARCHAR) ||
+      CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+           ELSE '.org.au' END ||
+      '/docs/' || CAST(doc_id AS VARCHAR) ||
+      '?ref=r' || CAST(doc_id % 2 AS VARCHAR) AS url,
+      'utf-8' AS charset,
+      'doc ' || CAST(doc_id AS VARCHAR) AS title,
+      TRUE AS body_ok
+    FROM documents ORDER BY doc_id
 """
 
 

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "split_manifest",
     "domain_cap",
     "url_quality",
+    "warc_extract",
     "temperature_mix",
     "training_order",
     "ngram_top_counts",

@@ -45,6 +45,11 @@ from machine_readability_checker_spark.sources.fixtures import gen_corpus  # noq
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path of docs_raw")
+    ap.add_argument(
+        "--warc",
+        help="path/glob of *.warc(.gz) files to ingest instead of parquet "
+        "(HTTP-200 response records become docs_raw; file = task granule)",
+    )
     ap.add_argument("--gen", type=int, default=0, help="generate N fixture docs")
     ap.add_argument("--out", required=True)
     ap.add_argument("--splits", type=int, default=16)
@@ -67,10 +72,17 @@ def main() -> None:
 
     if args.input:
         raw = spark.read.parquet(args.input)
+    elif args.warc:
+        from machine_readability_checker_spark.sources.warc import (
+            read_warc,
+            warc_to_docs_raw,
+        )
+
+        raw = warc_to_docs_raw(read_warc(spark, args.warc))
     elif args.gen:
         raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
     else:
-        ap.error("need --input or --gen")
+        ap.error("need --input, --warc or --gen")
         return
 
     store = ManifestStore(args.out)

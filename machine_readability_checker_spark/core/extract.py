@@ -58,6 +58,7 @@ def extract_document(
     data_start_row: int = 0,
     data_end_row: int = 0,
     sheet_idx: int = 0,
+    charset_hint: str = "",
 ) -> Dict[str, Any]:
     """Extract one document.  Never raises — parse failures produce zero
     spans and a metrics record with ``parse_errors=1`` (quarantine row).
@@ -71,7 +72,7 @@ def extract_document(
     import time as _time
 
     _t0 = _time.perf_counter()
-    doc = parse_document(fmt, content)
+    doc = parse_document(fmt, content, charset_hint)
     spans: List[Span] = []
     results: List[Dict[str, Any]] = []
     block_count: Optional[int] = None
@@ -185,10 +186,14 @@ def extract_batch(batch) -> List[Dict[str, Any]]:
     out: List[Dict[str, Any]] = []
     has_hints = "header_start_row" in batch.columns
     has_sheet = "sheet_idx" in batch.columns
+    has_charset = "charset" in batch.columns
     for row in batch.itertuples(index=False):
         hints = {}
+        if has_charset:
+            cs = getattr(row, "charset")
+            hints["charset_hint"] = str(cs) if cs else ""
         if has_hints:
-            hints = {
+            hints |= {
                 "header_start_row": _hint(getattr(row, "header_start_row")),
                 "header_end_row": _hint(getattr(row, "header_end_row")),
                 "data_start_row": _hint(getattr(row, "data_start_row")),

@@ -119,7 +119,9 @@ GZIP_MAGIC = b"\x1f\x8b"
 MAX_GUNZIP_BYTES = 256 << 20
 
 
-def parse_document(fmt: str, content: bytes) -> ParsedDoc:
+def parse_document(
+    fmt: str, content: bytes, charset_hint: str = ""
+) -> ParsedDoc:
     fmt = fmt.lower().lstrip(".")
     if fmt not in ALLOWED_FORMATS:
         # extension gate — unsupported formats quarantine, never throw
@@ -172,4 +174,4 @@ def parse_document(fmt: str, content: bytes) -> ParsedDoc:
         return parse_rtf(content)
     from .html import parse_html  # local import to keep grid lane light
 
-    return parse_html(content)
+    return parse_html(content, charset_hint)

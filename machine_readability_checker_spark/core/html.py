@@ -199,27 +199,83 @@ def classify_blocks(blocks: List[HtmlBlock]) -> List[Tuple[str, str, str]]:
     return out
 
 
-def extract_html_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], str]:
-    """HTML bytes → (ordered (kind,text,media_ref) triples, encoding)."""
+# canonicalize the charset labels real pages/headers actually carry
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "us-ascii": "utf-8",  # ASCII is a UTF-8 subset
+    "ascii": "utf-8",
+    "latin-1": "cp1252",  # web convention: latin-1 means cp1252
+    "latin1": "cp1252",
+    "iso-8859-1": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "utf-16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
+
+
+def sniff_charset(content: bytes, hint: str = "") -> str:
+    """Pick the decode charset the way a browser does, in priority
+    order: BOM > transport hint (HTTP Content-Type, e.g. from a WARC
+    record) > ``<meta charset>`` in the first 1024 bytes > strict
+    UTF-8 probe > cp1252 (the web's de-facto byte-salad fallback —
+    every byte maps, so decode never throws)."""
+    if content[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if content[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if content[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    for label in (hint, ""):
+        canon = _CHARSET_ALIASES.get(label.strip().lower())
+        if canon:
+            return canon
+    m = _META_CHARSET_RE.search(content[:1024])
+    if m:
+        canon = _CHARSET_ALIASES.get(m.group(1).decode("ascii").lower())
+        if canon:
+            return canon
     try:
-        text = content.decode("utf-8")
-        enc = "utf-8"
+        content.decode("utf-8")
+        return "utf-8"
     except UnicodeDecodeError:
-        text = content.decode("shift_jis", errors="replace")
-        enc = "shift_jis"
+        return "cp1252"
+
+
+def extract_html_spans(
+    content: bytes, charset_hint: str = ""
+) -> Tuple[List[Tuple[str, str, str]], str]:
+    """HTML bytes → (ordered (kind,text,media_ref) triples, encoding).
+
+    ``charset_hint`` is a transport-level charset label (HTTP
+    Content-Type from a WARC response record); it outranks in-document
+    ``<meta>`` tags but never a BOM."""
+    enc = sniff_charset(content, charset_hint)
+    text = content.decode(enc, errors="replace")
     parser = _Extractor()
     parser.feed(text)
     parser.close()
     return classify_blocks(parser.blocks), enc
 
 
-def parse_html(content: bytes):
+def parse_html(content: bytes, charset_hint: str = ""):
     """ParsedDoc facade for the format dispatcher (grid lane stays None)."""
     from .grid import ParsedDoc
 
     doc = ParsedDoc(fmt="html")
     try:
-        spans, enc = extract_html_spans(content)
+        spans, enc = extract_html_spans(content, charset_hint)
         doc.encoding = enc
         doc.raw_text = None
         doc.html_spans = spans  # type: ignore[attr-defined]

@@ -1,0 +1,258 @@
+"""WARC / WET codec (ISO 28500, the web-crawl archive format).
+
+Common Crawl — the input a real 100 TB extraction run reads — ships as
+``*.warc.gz`` files: a CONCATENATION of per-record gzip members, each
+member holding exactly one WARC record.  That layout is what makes the
+format Spark-friendly at all: a reader can stream members one at a
+time with bounded memory, and the per-file unit of work parallelizes
+across executors (a gzip stream is not splittable mid-member, so the
+file — ~1 GB in Common Crawl — is the task granule).
+
+This module is the dependency-free codec: encode (for fixtures and the
+deterministic driver lane) and decode (for ingest).  The Spark wiring
+lives in ``sources/warc.py``.
+
+Record grammar (WARC/1.0)::
+
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...
+    \r\n
+    <Content-Length payload bytes>
+    \r\n\r\n
+
+For ``WARC-Type: response`` records the payload is a full HTTP
+response (status line, headers, blank line, body); the document bytes
+are the HTTP body and the charset hint comes from the HTTP
+``Content-Type`` header.  ``conversion`` records (WET files) carry
+already-extracted UTF-8 text as the payload directly.
+
+No counterpart exists in the reference repo (single-process, local
+files only); format knowledge is from the public ISO 28500 spec and
+the Common Crawl documentation.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+# per-record decompression cap: a 1 GB warc.gz member expanding past
+# this is a zip bomb, not a web page (Common Crawl caps response
+# payloads at 1 MiB; we allow 64 MiB headroom for outliers)
+MAX_RECORD_BYTES = 64 * 1024 * 1024
+
+
+@dataclass
+class WarcRecord:
+    """One decoded record.  ``body`` is the document payload: the HTTP
+    body for response records, the raw payload otherwise."""
+
+    warc_type: str
+    uri: str
+    record_id: str
+    date: str
+    headers: dict = field(default_factory=dict)
+    http_status: Optional[int] = None
+    http_content_type: str = ""
+    charset: str = ""
+    body: bytes = b""
+    error: str = ""
+
+
+# ---------------------------------------------------------------- encode
+
+
+def encode_warc_record(
+    warc_type: str,
+    uri: str,
+    record_id: str,
+    date: str,
+    payload: bytes,
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """Serialize one WARC/1.0 record (uncompressed)."""
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode("ascii"),
+        b"WARC-Record-ID: " + record_id.encode("ascii"),
+        b"WARC-Date: " + date.encode("ascii"),
+    ]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode("ascii"))
+    head.append(b"Content-Type: " + content_type.encode("ascii"))
+    head.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
+    return CRLF.join(head) + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def encode_http_response(
+    body: bytes, content_type: str = "text/html; charset=utf-8",
+    status: int = 200,
+) -> bytes:
+    """Build the HTTP response payload a ``response`` record carries."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "OK"
+    )
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+
+
+def encode_warc_gz(records: List[bytes]) -> bytes:
+    """Concatenate records as per-record gzip members — the Common
+    Crawl ``.warc.gz`` layout.  mtime is pinned to 0 so same input →
+    same bytes (fixture and oracle determinism)."""
+    out = io.BytesIO()
+    for rec in records:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out.write(buf.getvalue())
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------- decode
+
+_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)\"?", re.I)
+
+
+def _parse_headers(block: bytes) -> Tuple[dict, str]:
+    """Parse an RFC-822-style header block; returns ({lower: value},
+    first_line)."""
+    lines = block.split(CRLF)
+    first = lines[0].decode("latin-1", "replace")
+    hdrs: dict = {}
+    for ln in lines[1:]:
+        if b":" in ln:
+            k, v = ln.split(b":", 1)
+            hdrs[k.decode("latin-1", "replace").strip().lower()] = (
+                v.decode("latin-1", "replace").strip()
+            )
+    return hdrs, first
+
+
+def _parse_record(raw: bytes) -> WarcRecord:
+    sep = raw.find(CRLF + CRLF)
+    if sep < 0 or not raw.startswith(b"WARC/"):
+        return WarcRecord(
+            warc_type="", uri="", record_id="", date="",
+            error="malformed record: no WARC header block",
+        )
+    hdrs, _ = _parse_headers(raw[:sep])
+    try:
+        length = int(hdrs.get("content-length", ""))
+    except ValueError:
+        return WarcRecord(
+            warc_type=hdrs.get("warc-type", ""), uri="", record_id="",
+            date="", error="malformed record: bad Content-Length",
+        )
+    payload = raw[sep + 4 : sep + 4 + length]
+    rec = WarcRecord(
+        warc_type=hdrs.get("warc-type", ""),
+        uri=hdrs.get("warc-target-uri", ""),
+        record_id=hdrs.get("warc-record-id", ""),
+        date=hdrs.get("warc-date", ""),
+        headers=hdrs,
+    )
+    if len(payload) < length:
+        rec.error = (
+            f"truncated record: payload {len(payload)} < "
+            f"declared {length}"
+        )
+        rec.body = payload
+        return rec
+    if rec.warc_type == "response" and payload[:5] in (b"HTTP/",):
+        hsep = payload.find(CRLF + CRLF)
+        if hsep < 0:
+            rec.error = "malformed HTTP response: no header terminator"
+            rec.body = payload
+            return rec
+        http_hdrs, status_line = _parse_headers(payload[:hsep])
+        parts = status_line.split(None, 2)
+        try:
+            rec.http_status = int(parts[1])
+        except (IndexError, ValueError):
+            rec.http_status = None
+        rec.http_content_type = http_hdrs.get("content-type", "")
+        m = _CHARSET_RE.search(rec.http_content_type)
+        rec.charset = m.group(1).lower() if m else ""
+        rec.body = payload[hsep + 4 :]
+    else:
+        rec.body = payload
+        m = _CHARSET_RE.search(hdrs.get("content-type", ""))
+        rec.charset = m.group(1).lower() if m else ""
+    return rec
+
+
+def decode_warc(data: bytes) -> Iterator[WarcRecord]:
+    """Stream records from ``.warc`` or ``.warc.gz`` bytes.
+
+    Gzip input is walked MEMBER BY MEMBER via ``zlib.decompressobj``
+    (+``unused_data``) so memory stays bounded by one record, never the
+    file: that is the property that lets an executor hold a 1 GB
+    Common Crawl file as a single task.  A corrupt member yields one
+    error record and decoding stops at it (everything before is kept —
+    fail-soft, quarantine-friendly)."""
+    if data[:2] == _GZIP_MAGIC:
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                raw = d.decompress(data[pos:], MAX_RECORD_BYTES)
+                if d.unconsumed_tail:
+                    yield WarcRecord(
+                        warc_type="", uri="", record_id="", date="",
+                        error=(
+                            "record exceeds decompression cap "
+                            f"({MAX_RECORD_BYTES} bytes) — bomb guard"
+                        ),
+                    )
+                    return
+                raw += d.flush()
+            except zlib.error as e:
+                yield WarcRecord(
+                    warc_type="", uri="", record_id="", date="",
+                    error=f"gzip member decode failed: {e}",
+                )
+                return
+            if not d.eof:
+                yield WarcRecord(
+                    warc_type="", uri="", record_id="", date="",
+                    error="truncated gzip member at end of file",
+                )
+                return
+            yield _parse_record(raw)
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:  # defensive: no forward progress
+                return
+            pos += consumed
+    else:
+        # uncompressed .warc: records are self-delimiting via
+        # Content-Length + the CRLF CRLF trailer
+        pos = 0
+        while pos < len(data):
+            nxt = data.find(b"WARC/", pos)
+            if nxt < 0:
+                return
+            sep = data.find(CRLF + CRLF, nxt)
+            if sep < 0:
+                yield WarcRecord(
+                    warc_type="", uri="", record_id="", date="",
+                    error="truncated record: unterminated header block",
+                )
+                return
+            hdrs, _ = _parse_headers(data[nxt:sep])
+            try:
+                length = int(hdrs.get("content-length", ""))
+            except ValueError:
+                length = 0
+            end = sep + 4 + length + 4
+            yield _parse_record(data[nxt : min(end, len(data))])
+            pos = end

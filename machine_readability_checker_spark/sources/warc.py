@@ -1,0 +1,158 @@
+"""WARC / WET Spark source — web-crawl archives → docs_raw.
+
+The 100 TB story: Common Crawl ships ~90k ``*.warc.gz`` files of ~1 GB
+per monthly crawl.  A gzip stream is not splittable mid-member, so the
+FILE is the unit of parallelism — exactly what Spark's ``binaryFile``
+source provides (one row per file, file-level task scheduling, and
+partition pruning over the path glob).  Per-task memory is bounded by
+one file plus one record: the member-by-member decoder in
+``core/warc.py`` never materializes the decompressed archive.
+
+Flow::
+
+    spark.read.format("binaryFile").load("crawl/segments/*/warc/*")
+      → mapInPandas(record splitter)           # Arrow-batched, no per-row Python API
+      → WARC_SCHEMA rows (one per record, quarantine rows carry error)
+      → warc_to_docs_raw() → the extraction job's RAW_SCHEMA
+
+WET files (``conversion`` records: pre-extracted UTF-8 text) skip the
+extraction kernel entirely — ``read_wet`` lands them as a documents-
+shaped frame.
+
+No counterpart in the reference repo (it reads local spreadsheet files,
+``src/processor/loader.py``); format knowledge is public ISO 28500 +
+Common Crawl docs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..core.warc import decode_warc
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("src_file", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+# MIME → extraction-lane format (anything else quarantines at the
+# extension gate, which is the desired fail-soft)
+_MIME_FMT = {
+    "text/html": "html",
+    "application/xhtml+xml": "html",
+    "application/pdf": "pdf",
+    "text/csv": "csv",
+    "application/rtf": "rtf",
+    "application/msword": "docx",  # served-as; gate catches real .doc
+    "application/vnd.openxmlformats-officedocument"
+    ".wordprocessingml.document": "docx",
+    "application/vnd.openxmlformats-officedocument"
+    ".presentationml.presentation": "pptx",
+    "application/vnd.openxmlformats-officedocument"
+    ".spreadsheetml.sheet": "xlsx",
+    "application/vnd.ms-excel": "xls",
+}
+
+
+def _records_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            seq = 0
+            for rec in decode_warc(bytes(blob)):
+                rid = rec.record_id or f"{path}#{seq}"
+                rows.append(
+                    (
+                        rid.removeprefix("<urn:uuid:").rstrip(">"),
+                        rec.uri or None,
+                        rec.warc_type or None,
+                        rec.http_status,
+                        rec.http_content_type or None,
+                        rec.charset or None,
+                        bytearray(rec.body) if rec.body else None,
+                        len(rec.body),
+                        path,
+                        rec.error or None,
+                    )
+                )
+                seq += 1
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in WARC_SCHEMA.fields]
+        )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """All records of every WARC file under ``path`` (glob ok), one row
+    per record; malformed records become quarantine rows (``error``
+    set) instead of failing the task."""
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _records_kernel, schema=WARC_SCHEMA
+    )
+
+
+def warc_to_docs_raw(records: DataFrame) -> DataFrame:
+    """HTTP 200 ``response`` records → the extraction job's RAW_SCHEMA
+    shape.  The MIME type picks the format lane; unknown MIME types
+    keep their subtype as ``fmt`` so the extension gate quarantines
+    them with a faithful message.  Pure column work — no shuffle."""
+    mime = F.lower(
+        F.trim(F.element_at(F.split(F.col("content_type"), ";"), 1))
+    )
+    fmt_map = F.create_map(
+        *[F.lit(x) for kv in _MIME_FMT.items() for x in kv]
+    )
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("error").isNull()
+            & F.col("content").isNotNull()
+        )
+        .select(
+            F.col("doc_id"),
+            F.coalesce(
+                fmt_map[mime],
+                F.element_at(F.split(mime, "/"), -1),
+                F.lit("<no content-type>"),
+            ).alias("fmt"),
+            F.col("content"),
+            F.col("n_bytes"),
+            F.lit(None).cast("int").alias("header_start_row"),
+            F.lit(None).cast("int").alias("header_end_row"),
+            F.lit(None).cast("int").alias("data_start_row"),
+            F.lit(None).cast("int").alias("data_end_row"),
+            F.lit(None).cast("int").alias("sheet_idx"),
+            F.col("url"),
+            F.col("charset"),
+        )
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET ``conversion`` records (pre-extracted UTF-8 text) as a
+    documents-shaped frame: (doc_id, url, text, n_chars)."""
+    recs = read_warc(spark, path)
+    return recs.filter(
+        (F.col("warc_type") == "conversion") & F.col("error").isNull()
+    ).select(
+        "doc_id",
+        "url",
+        F.decode(F.col("content"), "utf-8").alias("text"),
+        F.length(F.decode(F.col("content"), "utf-8")).alias("n_chars"),
+    )
