@@ -23,6 +23,7 @@ from machine_readability_checker_spark.operators import (  # noqa: E402
     similarity as S,
     textstats as TS,
     weburl as WU,
+    webtables as WT,
 )
 from machine_readability_checker_spark.operators.extract import (  # noqa: E402
     extract,
@@ -908,6 +909,65 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_url.mapInPandas(kernel, schema=schema).orderBy("doc_id")
 
 
+def _variant_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic synthetic crawled HTML pages: per-doc
+    prose wrapped around a FIXED per-variant (doc_id % 3) ``<table>``
+    payload, so every table rule outcome is constructively known."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            variant_page,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        variant_page(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema="doc_id string, content binary")
+
+
+def q_html_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table machine-readability audit: lift each outermost
+    ``<table>`` out of a crawled page into a grid (colspan/rowspan →
+    empty filler), run the reference's full 22-rule battery on it via
+    the shared CSV ingest path, and aggregate pass/fail per page
+    variant.  Two narrow ``mapInPandas`` kernels + one hash aggregate —
+    no other exchange."""
+    res = WT.table_rule_results(_variant_pages(spark, sf_dir))
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
+def q_html_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table corpus survey: per captured table its grid dimensions
+    and whether it is data-shaped (≥2×2) or a filtered layout/nav
+    table — pins the colspan/rowspan occupancy math constructively
+    (the 6×3 variant-2 grid only exists if spans expand correctly)."""
+    stats = WT.table_stats(_variant_pages(spark, sf_dir))
+    return (
+        stats.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "table_idx", "n_rows", "n_cols", "kept")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("variant", "table_idx")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1265,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "url_quality": q_url_quality,
         "warc_extract": q_warc_extract,
+        "html_table_rules": q_html_table_rules,
+        "html_table_stats": q_html_table_stats,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1390,6 +1452,8 @@ def oracle_sql() -> dict[str, str]:
     out["domain_cap"] = _DOMAIN_CAP_SQL
     out["url_quality"] = _URL_QUALITY_SQL
     out["warc_extract"] = _WARC_EXTRACT_SQL
+    out["html_table_rules"] = _html_table_rules_oracle_sql()
+    out["html_table_stats"] = _html_table_stats_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -1966,6 +2030,75 @@ _WARC_EXTRACT_SQL = """
       TRUE AS body_ok
     FROM documents ORDER BY doc_id
 """
+
+
+# mirrors q_html_table_rules: the per-variant table payloads are fixed
+# (operators/webtables.py VARIANT_TABLES), so the battery outcome per
+# (variant, rule) is a constant — the Spark side computes it THROUGH
+# html-parse → grid capture → CSV round-trip → 22-rule battery, the
+# oracle states it as literals joined against per-variant page counts.
+# The same literals are pinned by tests/test_html_tables.py against the
+# single-node core, so drift in either side breaks one of the gates.
+_WT_RULE_IDS = [f"L1-{i:02d}" for i in range(1, 16)] + [
+    f"X-{i:02d}" for i in range(1, 8)
+]
+_WT_FAILS = {
+    0: {"X-04", "X-05", "X-06", "X-07"},
+    1: {"L1-06", "L1-09", "X-03", "X-04", "X-05", "X-06", "X-07"},
+    2: {
+        "L1-05", "L1-07", "L1-08", "L1-14", "X-01", "X-03",
+        "X-04", "X-05", "X-06", "X-07",
+    },
+}
+# per-variant captured tables: (table_idx, n_rows, n_cols, kept)
+_WT_DIMS = {
+    0: [(0, 4, 3, True)],
+    1: [(0, 4, 4, True)],
+    2: [(0, 1, 2, False), (1, 6, 3, True)],
+}
+
+
+def _html_table_rules_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        f"({v}, '{r}', {'FALSE' if r in _WT_FAILS[v] else 'TRUE'})"
+        for v in (0, 1, 2)
+        for r in _WT_RULE_IDS
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, rule_id, passed) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant, e.rule_id, e.passed,
+           c.n AS n_tables
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, rule_id, passed
+    """
+
+
+def _html_table_stats_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        f"({v}, {ti}, {nr}, {nc}, {'TRUE' if kept else 'FALSE'})"
+        for v in (0, 1, 2)
+        for ti, nr, nc, kept in _WT_DIMS[v]
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, table_idx, n_rows, n_cols, kept) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.table_idx AS INT) AS table_idx,
+           CAST(e.n_rows AS INT) AS n_rows,
+           CAST(e.n_cols AS INT) AS n_cols,
+           e.kept, c.n AS n_pages
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, table_idx
+    """
 
 
 _DOMAIN_CAP_SQL = f"""

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "url_quality",
     "warc_extract",
+    "html_table_rules",
     "temperature_mix",
     "training_order",
     "ngram_top_counts",

@@ -41,6 +41,17 @@ MAX_LINK_DENSITY = 0.33
 
 _WS_RE = re.compile(r"\s+")
 
+# HTML-spec whitespace is ASCII-only (space, tab, LF, FF, CR): browsers
+# collapse those but render U+3000 (full-width space) literally — so cell
+# text must preserve it for the L1-06 whitespace-formatting check.
+_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+# sentinel standing in for an explicit <br> inside a table cell; becomes a
+# real newline after ASCII-whitespace collapse (feeds the L1-14 check).
+_BR_SENTINEL = "\x00"
+_BR_RE = re.compile(r" ?\x00 ?")
+
+TABLE_CELL_TAGS = {"td", "th"}
+
 
 @dataclass
 class HtmlBlock:
@@ -69,6 +80,85 @@ class _Extractor(HTMLParser):
         self._heading_parts: List[str] = []
         self._in_title = False
         self._title_parts: List[str] = []
+        # -- table-grid capture (outermost <table> subtrees only) -----
+        self.tables: List[List[List[str]]] = []
+        self._tbl_depth = 0
+        self._tbl_rows: List[List[str]] = []
+        self._tbl_row: Optional[List[str]] = None
+        self._tbl_cell: Optional[List[str]] = None
+        self._tbl_cell_span: Tuple[int, int] = (1, 1)
+        # col index → rows still occupied by an earlier rowspan
+        self._tbl_pending: dict = {}
+
+    # -- table-grid lifecycle ----------------------------------------
+    @staticmethod
+    def _span_attr(attrs: dict, name: str) -> int:
+        try:
+            v = int(str(attrs.get(name, "1")).strip() or "1")
+        except ValueError:
+            return 1
+        return max(1, min(v, 1000))  # clamp hostile span values
+
+    def _tbl_close_cell(self) -> None:
+        if self._tbl_cell is None or self._tbl_row is None:
+            return
+        text = _ASCII_WS_RE.sub(" ", "".join(self._tbl_cell)).strip(" ")
+        text = _BR_RE.sub("\n", text)
+        cspan, rspan = self._tbl_cell_span
+        col = len(self._tbl_row)
+        self._tbl_row.append(text)
+        for _ in range(cspan - 1):
+            self._tbl_row.append("")
+        if rspan > 1:
+            # invariant: pending[c] counts occupied rows *including* the
+            # one being built, so the uniform end-of-row decrement leaves
+            # rspan-1 for the rows below this cell.
+            for c in range(col, col + cspan):
+                self._tbl_pending[c] = max(
+                    self._tbl_pending.get(c, 0), rspan
+                )
+        self._tbl_cell = None
+
+    def _tbl_close_row(self) -> None:
+        self._tbl_close_cell()
+        if self._tbl_row is None:
+            return
+        while self._tbl_pending.get(len(self._tbl_row), 0) > 0:
+            self._tbl_row.append("")
+        self._tbl_rows.append(self._tbl_row)
+        self._tbl_pending = {
+            c: n - 1 for c, n in self._tbl_pending.items() if n > 1
+        }
+        self._tbl_row = None
+
+    def _tbl_open_row(self) -> None:
+        self._tbl_close_row()
+        self._tbl_row = []
+
+    def _tbl_open_cell(self, attrs: dict) -> None:
+        if self._tbl_row is None:  # <td> with no enclosing <tr>
+            self._tbl_open_row()
+        self._tbl_close_cell()
+        # skip columns occupied by an earlier row's rowspan
+        while self._tbl_pending.get(len(self._tbl_row), 0) > 0:
+            self._tbl_row.append("")
+        self._tbl_cell = []
+        self._tbl_cell_span = (
+            self._span_attr(attrs, "colspan"),
+            self._span_attr(attrs, "rowspan"),
+        )
+
+    def _tbl_finalize(self) -> None:
+        self._tbl_close_row()
+        rows = self._tbl_rows
+        self._tbl_rows = []
+        self._tbl_pending = {}
+        if not rows:
+            return
+        width = max(len(r) for r in rows)
+        for r in rows:
+            r.extend([""] * (width - len(r)))
+        self.tables.append(rows)
 
     # -- block lifecycle ---------------------------------------------
     def _flush(self) -> None:
@@ -118,6 +208,20 @@ class _Extractor(HTMLParser):
             self._flush()
             self._boiler_depth += 1
             return
+        if tag == "table":
+            self._flush()
+            self._tbl_depth += 1
+            return
+        if self._tbl_depth == 1 and tag == "tr":
+            self._flush()
+            self._tbl_open_row()
+            return
+        if self._tbl_depth == 1 and tag in TABLE_CELL_TAGS:
+            self._flush()
+            self._tbl_open_cell(dict(attrs))
+            return
+        if tag == "br" and self._tbl_cell is not None:
+            self._tbl_cell.append(_BR_SENTINEL)
         if tag in BLOCK_TAGS or tag == "br":
             self._flush()
 
@@ -150,6 +254,20 @@ class _Extractor(HTMLParser):
             self._flush()
             self._boiler_depth = max(0, self._boiler_depth - 1)
             return
+        if tag == "table":
+            if self._tbl_depth == 1:
+                self._tbl_finalize()
+            self._tbl_depth = max(0, self._tbl_depth - 1)
+            self._flush()
+            return
+        if self._tbl_depth == 1 and tag == "tr":
+            self._tbl_close_row()
+            self._flush()
+            return
+        if self._tbl_depth == 1 and tag in TABLE_CELL_TAGS:
+            self._tbl_close_cell()
+            self._flush()
+            return
         if tag in BLOCK_TAGS:
             self._flush()
 
@@ -159,6 +277,9 @@ class _Extractor(HTMLParser):
         if self._in_title:
             self._title_parts.append(data)
             return
+        if self._tbl_cell is not None:
+            # grid capture runs alongside (not instead of) the block lane
+            self._tbl_cell.append(data)
         if self._heading is not None:
             self._heading_parts.append(data)
             return
@@ -168,6 +289,9 @@ class _Extractor(HTMLParser):
 
     def close(self):
         super().close()
+        if self._tbl_depth > 0:  # unterminated <table> in malformed HTML
+            self._tbl_finalize()
+            self._tbl_depth = 0
         self._flush()
         title = _WS_RE.sub(" ", "".join(self._title_parts)).strip()
         if title:
@@ -267,6 +391,42 @@ def extract_html_spans(
     parser.feed(text)
     parser.close()
     return classify_blocks(parser.blocks), enc
+
+
+def extract_html_tables(
+    content: bytes, charset_hint: str = ""
+) -> Tuple[List[List[List[str]]], str]:
+    """HTML bytes → (list of dense rectangular table grids, encoding).
+
+    Only outermost ``<table>`` subtrees become grids (nested-table text
+    flows into the enclosing cell, as a screen reader would linearize
+    it).  ``colspan``/``rowspan`` expand into empty filler cells —
+    exactly how the grid lane "unmerges" spreadsheet merged ranges —
+    and ragged rows are padded to the table's max width, so every grid
+    is rectangular and can flow straight into the zone splitter."""
+    enc = sniff_charset(content, charset_hint)
+    text = content.decode(enc, errors="replace")
+    parser = _Extractor()
+    parser.feed(text)
+    parser.close()
+    return parser.tables, enc
+
+
+def table_grid_to_csv(grid: List[List[str]]) -> bytes:
+    """Serialize a captured table grid as UTF-8 CSV (minimal quoting).
+
+    This is the bridge from web tables to the reference's rule battery:
+    the serialized grid re-enters ``parse_csv`` and gets the *same*
+    pandas type inference the CSV lane gets, so a given grid produces
+    identical rule results whether it arrived as a ``.csv`` upload or a
+    ``<table>`` in a crawled page."""
+    import csv as _csv
+    import io as _io
+
+    buf = _io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    w.writerows(grid)
+    return buf.getvalue().encode("utf-8")
 
 
 def parse_html(content: bytes, charset_hint: str = ""):

@@ -1,0 +1,196 @@
+"""Web-table extraction: the reference's rule battery over ``<table>``
+elements inside crawled HTML pages.
+
+The reference audits machine readability of *uploaded tabular files*
+(csv/xlsx/xls — ``loader.py:15``, ``app.py:156-167``).  A web-scale
+corpus meets the same tables embedded in HTML: this operator lifts each
+outermost ``<table>`` subtree out of a page into a dense grid
+(``core/html.py::extract_html_tables`` — colspan/rowspan expand to empty
+filler exactly like unmerged spreadsheet ranges), serializes the grid
+through the CSV ingest path (same pandas type inference as a ``.csv``
+upload), and runs the full 22-rule battery on it.  A grid therefore
+produces *identical* rule results whether it arrived as a CSV file or a
+``<table>`` in a WARC capture — one battery, two ingest surfaces.
+
+Scale shape (100 TB):
+- ``table_rule_results`` / ``table_stats`` are single ``mapInPandas``
+  kernels — narrow, Arrow-batched, zero shuffle; parallelism is the
+  input partitioning of the page corpus (same contract as
+  ``operators/extract.py``).
+- tiny layout/navigation tables (the web is full of them) are dropped
+  executor-side by ``min_rows``/``min_cols`` *before* any rule work, so
+  the battery only runs on data-shaped grids.
+- hostile span attributes are clamped in the parser (``colspan=1e9``
+  cannot allocate a giant row).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.grid import parse_csv
+from ..core.html import extract_html_tables, table_grid_to_csv
+from ..core.checks import run_checks
+from ..core.zones import extract_zones
+
+TABLE_RULES_SCHEMA = (
+    "doc_id string, table_idx int, n_rows int, n_cols int, "
+    "rule_id string, passed boolean, message string"
+)
+TABLE_STATS_SCHEMA = (
+    "doc_id string, table_idx int, n_rows int, n_cols int, kept boolean"
+)
+
+# navigation/layout-table filter: a data table needs at least a header
+# row plus one data row, and at least two columns
+DEFAULT_MIN_ROWS = 2
+DEFAULT_MIN_COLS = 2
+
+
+def _page_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    charset = str(getattr(row, "charset", "") or "")
+    try:
+        grids, _enc = extract_html_tables(bytes(row.content), charset)
+        return grids, None
+    except Exception as e:  # malformed page must not kill the batch
+        return [], f"html table extract failed: {e}"
+
+
+def _grid_rules(grid: List[List[str]]):
+    """One captured grid → the reference battery's (rule_id, passed,
+    message) rows, via the CSV ingest path (shared type inference)."""
+    doc = parse_csv(table_grid_to_csv(grid))
+    if doc.parse_error is not None or not doc.sheets:
+        return [("PARSE", False, str(doc.parse_error or "empty grid"))]
+    ctx = extract_zones(doc.sheets[0].rows, doc.sheets[0].name)
+    return run_checks(doc, ctx)
+
+
+def table_rule_results(
+    df_pages: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """pages(doc_id, content[, charset]) → one row per (data table, rule).
+
+    ``table_idx`` indexes *kept* (data-shaped) tables in document order.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _page_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_pages.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
+def table_stats(
+    df_pages: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """pages → one row per captured table (kept or filtered) with its
+    grid dimensions — the corpus-survey side of the lane (what share of
+    crawled tables are data-shaped at all)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "table_idx", "n_rows", "n_cols", "kept"]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _page_grids(row)
+                if err is not None:
+                    continue
+                for ti, g in enumerate(grids):
+                    nr, nc = len(g), (len(g[0]) if g else 0)
+                    out.append(
+                        (str(row.doc_id), ti, nr, nc,
+                         nr >= min_rows and nc >= min_cols)
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_pages.mapInPandas(kernel, schema=TABLE_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# deterministic synthetic page corpus (driver lanes + tests)
+# ------------------------------------------------------------------
+
+# three page archetypes keyed by doc_id % 3; the table content is FIXED
+# per variant (page prose varies per document) so every rule outcome is
+# constructively known and the DuckDB oracle can pin it as literals.
+VARIANT_TABLES = {
+    # clean numeric table: well-formed header + consistent typed columns
+    0: (
+        "<table>"
+        "<tr><th>id</th><th>name</th><th>value</th></tr>"
+        "<tr><td>1</td><td>alpha</td><td>10</td></tr>"
+        "<tr><td>2</td><td>beta</td><td>20</td></tr>"
+        "<tr><td>3</td><td>gamma</td><td>30</td></tr>"
+        "</table>"
+    ),
+    # dirty values: '-' missing marker, full-width-space indent,
+    # multi-value cell (、), free text inside a numeric column
+    1: (
+        "<table>"
+        "<tr><th>id</th><th>score</th><th>tags</th><th>memo</th></tr>"
+        "<tr><td>1</td><td>10</td><td>a、b</td><td>済</td></tr>"
+        "<tr><td>2</td><td>-</td><td>c</td><td>　字下げ</td></tr>"
+        "<tr><td>3</td><td>30以上</td><td>d</td><td>済</td></tr>"
+        "</table>"
+    ),
+    # structural mess: 1-row nav table (filtered), annotation row above
+    # the header (colspan), platform-dependent ①, <br> newline in a
+    # cell, rowspan spilling into the next row
+    2: (
+        '<table><tr><td>home</td><td>about</td></tr></table>'
+        "<table>"
+        '<tr><td colspan="3">注: このデータは速報値</td></tr>'
+        "<tr><th>item</th><th>q1</th><th>q2</th></tr>"
+        "<tr><td>①新規</td><td>5</td><td>7</td></tr>"
+        "<tr><td>継続<br>更新</td><td>6</td><td>8</td></tr>"
+        '<tr><td rowspan="2">小計</td><td>11</td><td>15</td></tr>'
+        "<tr><td>9</td><td>9</td></tr>"
+        "</table>"
+    ),
+}
+
+
+def variant_page(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic crawled page: per-document prose (escaped
+    corpus text) around the fixed per-variant table(s)."""
+    esc = (
+        (text or "")
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+    v = int(doc_id) % 3
+    return (
+        f"<html><head><title>page {doc_id}</title></head><body>"
+        f"<p>{esc}</p>{VARIANT_TABLES[v]}"
+        f"<footer><p>generated fixture page</p></footer></body></html>"
+    ).encode("utf-8")

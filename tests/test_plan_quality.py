@@ -250,3 +250,14 @@ def test_ivfpq_refined_query_pruned_zero_exchange(spark, tmp_path):
     assert plan.count("FileScan") == 1
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "cell" in part_filters
+
+
+def test_html_table_rules_single_exchange(spark):
+    """The web-table battery is two chained narrow mapInPandas kernels
+    (page synth, grid battery) + one hash aggregate: the only exchange
+    in the plan must be that aggregate's — any second exchange means a
+    shuffle crept in between the kernels."""
+    df = E.q_html_table_rules(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("MapInPandas") == 2
