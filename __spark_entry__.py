@@ -968,6 +968,65 @@ def q_html_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _variant_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic synthetic PDF documents: per-doc prose
+    lines around the FIXED per-variant (doc_id % 3) positioned table
+    rows (printed-page twins of ``_variant_pages``)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            variant_pdf,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        variant_pdf(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema="doc_id string, content binary")
+
+
+def q_pdf_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Printed-table machine-readability audit: x-alignment table blocks
+    from the PDF layout lane densify into grids (a row missing a run at
+    a column yields "" — the blank/merged-cell analog) and each grid
+    runs the full 22-rule battery via the shared CSV ingest path — the
+    PDF twin of ``html_table_rules``.  Two narrow ``mapInPandas``
+    kernels + one hash aggregate."""
+    res = WT.pdf_table_rule_results(_variant_pdf_docs(spark, sf_dir))
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
+def q_pdf_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-table corpus survey: per detected table block its densified
+    grid dimensions — pins the column-union densification math (the 4×3
+    variant-2 grid with a blank middle cell only exists if the dropped
+    run densifies to "")."""
+    stats = WT.pdf_table_stats(_variant_pdf_docs(spark, sf_dir))
+    return (
+        stats.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "table_idx", "n_rows", "n_cols", "kept")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "table_idx")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1327,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "html_table_rules": q_html_table_rules,
         "html_table_stats": q_html_table_stats,
+        "pdf_table_rules": q_pdf_table_rules,
+        "pdf_table_stats": q_pdf_table_stats,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1454,6 +1515,8 @@ def oracle_sql() -> dict[str, str]:
     out["warc_extract"] = _WARC_EXTRACT_SQL
     out["html_table_rules"] = _html_table_rules_oracle_sql()
     out["html_table_stats"] = _html_table_stats_oracle_sql()
+    out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
+    out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -2096,6 +2159,72 @@ def _html_table_stats_oracle_sql() -> str:
            CAST(e.n_rows AS INT) AS n_rows,
            CAST(e.n_cols AS INT) AS n_cols,
            e.kept, c.n AS n_pages
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, table_idx
+    """
+
+
+# mirrors q_pdf_table_rules / q_pdf_table_stats: the per-variant PDF
+# table payloads are fixed (operators/webtables.py PDF_VARIANT_ROWS), so
+# the battery outcome per (variant, rule) is a constant — the Spark side
+# computes it THROUGH pdf-write → flate inflate → text-run parse → line
+# cluster → x-alignment block → densify → CSV round-trip → battery; the
+# oracle states it as literals (pinned against the single-node core by
+# tests/test_pdf_tables.py).
+_PDF_WT_FAILS = {
+    0: {"X-04", "X-05", "X-06", "X-07"},
+    1: {"L1-07", "L1-09", "X-03", "X-04", "X-05", "X-06", "X-07"},
+    2: {"L1-05", "X-04", "X-05", "X-06", "X-07"},
+}
+# per-variant detected tables: (table_idx, n_rows, n_cols, kept)
+_PDF_WT_DIMS = {
+    0: [(0, 4, 3, True)],
+    1: [(0, 4, 4, True)],
+    2: [(0, 4, 3, True), (1, 2, 2, True)],
+}
+# variant 2 carries TWO tables per doc, both with identical outcomes
+_PDF_WT_TABLES_PER_DOC = {0: 1, 1: 1, 2: 2}
+
+
+def _pdf_table_rules_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        f"({v}, '{r}', {'FALSE' if r in _PDF_WT_FAILS[v] else 'TRUE'}, "
+        f"{_PDF_WT_TABLES_PER_DOC[v]})"
+        for v in (0, 1, 2)
+        for r in _WT_RULE_IDS
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, rule_id, passed, per_doc) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant, e.rule_id, e.passed,
+           c.n * e.per_doc AS n_tables
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, rule_id, passed
+    """
+
+
+def _pdf_table_stats_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        f"({v}, {ti}, {nr}, {nc}, {'TRUE' if kept else 'FALSE'})"
+        for v in (0, 1, 2)
+        for ti, nr, nc, kept in _PDF_WT_DIMS[v]
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, table_idx, n_rows, n_cols, kept) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.table_idx AS INT) AS table_idx,
+           CAST(e.n_rows AS INT) AS n_rows,
+           CAST(e.n_cols AS INT) AS n_cols,
+           e.kept, c.n AS n_docs
     FROM expect e JOIN counts c ON c.variant = e.variant
     ORDER BY variant, table_idx
     """

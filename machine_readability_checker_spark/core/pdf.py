@@ -384,17 +384,13 @@ def _shared_cols(a: List[float], b: List[float]) -> int:
     return len(set(a) & set(b))
 
 
-def analyze_layout(runs: List[TextRun]) -> List[Tuple[str, str, str]]:
-    """lines → ordered (kind, text, media_ref) triples with heading and
-    x-alignment table detection."""
-    lines = cluster_lines(runs)
-    if not lines:
-        return []
-    sizes = sorted(r.size for line in lines for r in line)
-    median_size = sizes[len(sizes) // 2]
-
-    # mark table membership: consecutive multi-run lines sharing columns
-    is_table = [False] * len(lines)
+def table_blocks(lines: List[List[TextRun]]) -> List[Tuple[int, int]]:
+    """Maximal runs of ≥MIN_TABLE_ROWS consecutive multi-run lines whose
+    x-signatures share ≥MIN_SHARED_COLS columns → (start, end) inclusive
+    line-index ranges.  Shared by the span lane (``cell`` marking) and
+    the grid lane (``extract_pdf_tables``), so both always agree on what
+    is a table."""
+    blocks: List[Tuple[int, int]] = []
     i = 0
     while i < len(lines):
         if len(lines[i]) < 2:
@@ -409,9 +405,46 @@ def analyze_layout(runs: List[TextRun]) -> List[Tuple[str, str, str]]:
         ):
             j += 1
         if j - i + 1 >= MIN_TABLE_ROWS:
-            for k in range(i, j + 1):
-                is_table[k] = True
+            blocks.append((i, j))
         i = j + 1
+    return blocks
+
+
+def densify_block(block: List[List[TextRun]]) -> List[List[str]]:
+    """A table block's lines → a dense rows×cols grid.
+
+    Columns are the sorted union of rounded x-positions across the
+    block; each run lands in its column's slot (two runs colliding on a
+    slot join with a space, like overlapping draw order).  A line that
+    lacks a run at some column gets ``""`` there — the printed-page
+    analog of an unmerged spreadsheet range, so blank-cell and
+    merged-cell rules see PDF tables exactly like xlsx ones."""
+    col_xs = sorted({x for line in block for x in _x_signature(line)})
+    col_idx = {x: i for i, x in enumerate(col_xs)}
+    grid: List[List[str]] = []
+    for line in block:
+        row = [""] * len(col_xs)
+        for r, x in zip(line, _x_signature(line)):
+            c = col_idx[x]
+            row[c] = (row[c] + " " + r.text).strip() if row[c] else r.text
+        grid.append(row)
+    return grid
+
+
+def analyze_layout(runs: List[TextRun]) -> List[Tuple[str, str, str]]:
+    """lines → ordered (kind, text, media_ref) triples with heading and
+    x-alignment table detection."""
+    lines = cluster_lines(runs)
+    if not lines:
+        return []
+    sizes = sorted(r.size for line in lines for r in line)
+    median_size = sizes[len(sizes) // 2]
+
+    # mark table membership: consecutive multi-run lines sharing columns
+    is_table = [False] * len(lines)
+    for i, j in table_blocks(lines):
+        for k in range(i, j + 1):
+            is_table[k] = True
 
     out: List[Tuple[str, str, str]] = []
     for idx, line in enumerate(lines):
@@ -427,21 +460,18 @@ def analyze_layout(runs: List[TextRun]) -> List[Tuple[str, str, str]]:
     return out
 
 
-def extract_pdf_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], Optional[str]]:
-    """PDF bytes → (ordered (kind,text,media_ref) triples, parse_error).
-
-    Flate-compressed content streams inflate in place; object streams
-    (/Type /ObjStm) inflate so font/encryption declarations hidden in
-    them still gate the document.  Encrypted PDFs and CID/Type0 fonts
-    quarantine (decoding them without keys/CMaps would emit garbage)."""
+def _collect_text_streams(
+    content: bytes,
+) -> Tuple[List[bytes], List[str], Optional[str]]:
+    """Walk a PDF's stream objects and return (decoded text content
+    streams, media refs, parse_error) — the shared front half of the
+    span and table lanes, so both apply identical quarantine gates."""
     if not content.startswith(b"%PDF"):
-        return [], "not a pdf"
+        return [], [], "not a pdf"
     if _ENCRYPT_RE.search(content):
-        return [], "encrypted pdf (/Encrypt) not supported"
+        return [], [], "encrypted pdf (/Encrypt) not supported"
 
-    spans: List[Tuple[str, str, str]] = []
     media: List[str] = []
-    saw_stream = False
     objstm_bodies: List[bytes] = []
     text_streams: List[bytes] = []
     for obj_num, dict_bytes, raw in _iter_stream_objects(content):
@@ -454,7 +484,7 @@ def extract_pdf_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], Optio
         try:
             data = _decode_stream(dict_bytes, raw)
         except zlib.error as e:
-            return [], f"flate inflate failed: {e}"
+            return [], [], f"flate inflate failed: {e}"
         except ValueError:
             # unsupported filter (DCT image data, JBIG2, ...): not a
             # text content stream — skip, like any non-text stream
@@ -464,14 +494,27 @@ def extract_pdf_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], Optio
             continue
         if b"BT" not in data or b"ET" not in data:
             continue
-        saw_stream = True
         text_streams.append(data)
 
     # composite-font gate: Type0 declarations may hide inside ObjStm
     font_scan = b"".join([content] + objstm_bodies)
     if _TYPE0_RE.search(font_scan) and text_streams:
-        return [], "CID/Type0 composite fonts not supported (CMap needed)"
+        return [], [], "CID/Type0 composite fonts not supported (CMap needed)"
+    return text_streams, media, None
 
+
+def extract_pdf_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], Optional[str]]:
+    """PDF bytes → (ordered (kind,text,media_ref) triples, parse_error).
+
+    Flate-compressed content streams inflate in place; object streams
+    (/Type /ObjStm) inflate so font/encryption declarations hidden in
+    them still gate the document.  Encrypted PDFs and CID/Type0 fonts
+    quarantine (decoding them without keys/CMaps would emit garbage)."""
+    text_streams, media, err = _collect_text_streams(content)
+    if err is not None:
+        return [], err
+
+    spans: List[Tuple[str, str, str]] = []
     for data in text_streams:
         try:
             runs = parse_text_runs(data.decode("latin-1"))
@@ -480,9 +523,38 @@ def extract_pdf_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], Optio
         spans.extend(analyze_layout(runs))
     for ref in media:
         spans.append(("media", "", ref))
-    if not saw_stream and not media:
+    if not text_streams and not media:
         return [], "no text content streams found"
     return spans, None
+
+
+def extract_pdf_tables(
+    content: bytes,
+) -> Tuple[List[List[List[str]]], Optional[str]]:
+    """PDF bytes → (dense table grids in reading order, parse_error).
+
+    Runs the same quarantine gates and x-alignment block detection as
+    ``extract_pdf_spans`` (shared helpers, so span and grid lanes can
+    never disagree about what is a table), then densifies each block
+    against the union of its column x-positions — a line missing a run
+    at some column yields ``""`` (the merged/blank-cell analog), ready
+    for the machine-readability rule battery."""
+    text_streams, _media, err = _collect_text_streams(content)
+    if err is not None:
+        return [], err
+    if not text_streams:
+        return [], "no text content streams found"
+
+    grids: List[List[List[str]]] = []
+    for data in text_streams:
+        try:
+            runs = parse_text_runs(data.decode("latin-1"))
+        except Exception as e:
+            return [], f"content stream parse failed: {e}"
+        lines = cluster_lines(runs)
+        for i, j in table_blocks(lines):
+            grids.append(densify_block(lines[i : j + 1]))
+    return grids, None
 
 
 # --------------------------------------------------------------- writer

@@ -107,6 +107,86 @@ def table_rule_results(
     return df_pages.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+def _pdf_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.pdf import extract_pdf_tables
+
+    try:
+        return extract_pdf_tables(bytes(row.content))
+    except Exception as e:  # malformed pdf must not kill the batch
+        return [], f"pdf table extract failed: {e}"
+
+
+def pdf_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=pdf bytes) → one row per (table, rule).
+
+    The printed-page twin of ``table_rule_results``: x-alignment blocks
+    from the layout lane densify into grids (``core/pdf.py::
+    extract_pdf_tables`` — a line missing a run at a column yields
+    ``""``, the blank/merged-cell analog) and each data-shaped grid runs
+    the full rule battery through the same CSV ingest path.  A table
+    therefore audits identically whether it arrived as a CSV upload, an
+    HTML ``<table>``, or a printed PDF page.  Same 100 TB shape: one
+    narrow Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _pdf_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
+def pdf_table_stats(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs → one row per detected PDF table with its grid dimensions
+    (corpus-survey twin of ``table_stats``)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "table_idx", "n_rows", "n_cols", "kept"]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _pdf_grids(row)
+                if err is not None:
+                    continue
+                for ti, g in enumerate(grids):
+                    nr, nc = len(g), (len(g[0]) if g else 0)
+                    out.append(
+                        (str(row.doc_id), ti, nr, nc,
+                         nr >= min_rows and nc >= min_cols)
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_STATS_SCHEMA)
+
+
 def table_stats(
     df_pages: DataFrame,
     min_rows: int = DEFAULT_MIN_ROWS,
@@ -177,6 +257,68 @@ VARIANT_TABLES = {
         "</table>"
     ),
 }
+
+
+# printed-page twins of the HTML variants, positioned for the layout
+# lane's x-alignment detector (columns at x = 72/200/330/460, rows 20pt
+# apart).  The PDF fixture writer is latin-1, so the dirty variant uses
+# the vocabulary's ASCII members ('-', 'n/a', ';' multi-value, prose in
+# a numeric column); the structural variant drops the run at one column
+# of one row, which densification must surface as a blank cell.
+_X = (72, 200, 330, 460)
+PDF_VARIANT_ROWS = {
+    # clean numeric table (battery twin of HTML variant 0)
+    0: [
+        ("id", "name", "value"),
+        ("1", "alpha", "10"),
+        ("2", "beta", "20"),
+        ("3", "gamma", "30"),
+    ],
+    # dirty values: missing markers, multi-value ';', free text in a
+    # numeric column
+    1: [
+        ("id", "score", "tags", "memo"),
+        ("1", "10", "a;b", "done"),
+        ("2", "-", "c", "n/a"),
+        ("3", "high", "d", "done"),
+    ],
+    # structural: row 2 has NO run at the middle column (None) — the
+    # densified grid must carry "" there; plus a trailing second table
+    2: [
+        ("item", "q1", "q2"),
+        ("first", "5", "7"),
+        ("second", None, "9"),
+        ("total", "21", "16"),
+    ],
+}
+_PDF_SECOND_TABLE = [("k", "v"), ("a", "1")]  # variant 2 only, 2×2
+
+
+def variant_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic PDF document: per-doc prose lines (single
+    runs — never table members) around the FIXED per-variant
+    (doc_id % 3) positioned table rows, so every rule outcome is
+    constructively known, like ``variant_page``."""
+    from ..core.pdf import write_pdf
+
+    v = int(doc_id) % 3
+    items = [{"text": f"report {doc_id}", "x": 72, "y": 760, "size": 18}]
+    ascii_prose = (text or "prose").encode("ascii", "replace").decode()
+    items.append({"text": ascii_prose[:80] or "prose", "x": 72, "y": 736})
+    y = 700
+    for row in PDF_VARIANT_ROWS[v]:
+        for x, cell in zip(_X, row):
+            if cell is not None:
+                items.append({"text": cell, "x": x, "y": y})
+        y -= 20
+    items.append({"text": "see appendix for notes", "x": 72, "y": y - 20})
+    if v == 2:
+        y -= 60
+        for row in _PDF_SECOND_TABLE:
+            for x, cell in zip(_X, row):
+                items.append({"text": cell, "x": x, "y": y})
+            y -= 20
+    return write_pdf(items, compress=True)
 
 
 def variant_page(doc_id: int, text: str) -> bytes:
