@@ -1027,6 +1027,89 @@ def q_pdf_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CJK/Type0 layout lane: fixed per-variant page payloads rendered
+# through a Type0 composite font with an embedded /ToUnicode CMap (the
+# structure every real Japanese-producer PDF has), cycling the
+# text-bearing stream filters by doc_id so Flate / LZW / ASCII85+Flate /
+# ASCIIHex all flow through the lane — the extracted spans are
+# filter-invariant, which is itself the property under test.  The
+# expected (kind, text) sequences are constants (pinned against the
+# single-node core by tests/test_pdf_cid_filters.py).
+_CJK_VARIANT_SPANS = {
+    0: [("heading", "年次報告書"),
+        ("line", "あいうえおかきくけこ"),
+        ("line", "日本語の本文行です。")],
+    1: [("heading", "売上概況レポート"),
+        ("line", "合計　金額は以下の通り。"),
+        ("line", "Mixed ascii と漢字の行")],
+    2: [("heading", "統計資料 📊"),
+        ("line", "カタカナとひらがなの行"),
+        ("line", "end ascii line")],
+}
+
+
+def _cjk_variant_items(v: int) -> list[dict]:
+    spans = _CJK_VARIANT_SPANS[v]
+    items = [{"text": spans[0][1], "x": 72, "y": 760, "size": 20}]
+    y = 720
+    for _, text in spans[1:]:
+        items.append({"text": text, "x": 72, "y": y, "size": 11})
+        y -= 20
+    return items
+
+
+_CJK_FILTER_CYCLE = [
+    {"compress": True},
+    {"content_filters": ["LZWDecode"]},
+    {"content_filters": ["ASCII85Decode", "FlateDecode"]},
+    {"content_filters": ["ASCIIHexDecode"]},
+]
+
+
+def q_pdf_cjk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-font PDF extraction: per doc, write the fixed variant
+    payload as a Type0/ToUnicode PDF (filters cycling by doc_id), run
+    the full layout lane, and aggregate the extracted (kind, text)
+    spans per variant.  One narrow Arrow-batched ``mapInPandas`` + one
+    hash aggregate — same 100 TB shape as the other layout lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.pdf import (
+            extract_pdf_spans,
+            write_pdf,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                blob = write_pdf(
+                    _cjk_variant_items(v), **_CJK_FILTER_CYCLE[did % 4]
+                )
+                spans, err = extract_pdf_spans(blob)
+                if err is not None:  # must not happen; surface as a row
+                    rows.append((str(did), v, "error", err))
+                    continue
+                for kind, text, _media in spans:
+                    rows.append((str(did), v, kind, text))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "variant", "kind", "text"]
+            )
+
+    spans = docs.mapInPandas(
+        kernel, schema="doc_id string, variant long, kind string, text string"
+    )
+    return (
+        spans.groupBy("variant", "kind", "text")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "kind", "text")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1388,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_stats": q_html_table_stats,
         "pdf_table_rules": q_pdf_table_rules,
         "pdf_table_stats": q_pdf_table_stats,
+        "pdf_cjk_extract": q_pdf_cjk_extract,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1517,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
     out["html_table_stats"] = _html_table_stats_oracle_sql()
     out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()
+    out["pdf_cjk_extract"] = _pdf_cjk_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -2227,6 +2312,31 @@ def _pdf_table_stats_oracle_sql() -> str:
            e.kept, c.n AS n_docs
     FROM expect e JOIN counts c ON c.variant = e.variant
     ORDER BY variant, table_idx
+    """
+
+
+def _pdf_cjk_oracle_sql() -> str:
+    """Mirrors ``q_pdf_cjk_extract``: the Spark side computes the rows
+    THROUGH pdf-write → filter decode → ToUnicode CMap → text-run parse
+    → layout analysis; the oracle states them as literals (the fixed
+    ``_CJK_VARIANT_SPANS`` payloads, pinned against the single-node
+    core by tests/test_pdf_cid_filters.py)."""
+    vals = ",\n      ".join(
+        "({}, '{}', '{}')".format(v, kind, text.replace("'", "''"))
+        for v in (0, 1, 2)
+        for kind, text in _CJK_VARIANT_SPANS[v]
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, kind, text) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant, e.kind, e.text,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, kind, text
     """
 
 

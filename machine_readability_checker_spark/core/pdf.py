@@ -17,20 +17,26 @@ writer emits — enough to exercise the north-star layout pipeline honestly:
    rendering); everything else becomes ``line`` prose spans;
 6. image XObjects surface as ``media`` spans (``pdf/objN`` refs).
 
-Real-world PDFs compress essentially every content stream with Flate
-(zlib, RFC 1950) — this lane inflates ``/FlateDecode`` streams (with
-PNG/TIFF predictor un-filtering per ``/DecodeParms``) and object
-streams (``/Type /ObjStm``), resolves indirect ``/Length`` references,
-and decodes both literal ``(...)`` and hex ``<...>`` strings (simple
-single-byte fonts).  What still quarantines, deliberately: encrypted
-documents (``/Encrypt``) and CID/Type0 composite fonts, whose 2-byte
-glyph indices need the font's CMap to map to text — emitting mojibake
-would silently corrupt the training corpus, so those degrade to a
+Real-world PDFs compress essentially every content stream — this lane
+decodes the full text-bearing filter matrix: ``/FlateDecode`` and
+``/LZWDecode`` (both with PNG/TIFF predictor un-filtering per
+``/DecodeParms``), ``/ASCIIHexDecode``, ``/ASCII85Decode``,
+``/RunLengthDecode``, and chains of them; it splits object streams
+(``/Type /ObjStm``) into their member objects, resolves indirect
+``/Length`` references, and decodes both literal ``(...)`` and hex
+``<...>`` strings.  CID/Type0 composite fonts (every CJK/Unicode
+producer) decode through their embedded ``/ToUnicode`` CMap, resolved
+per page (``/Resources`` → ``/Font`` → font object → CMap stream,
+bfchar/bfrange/codespacerange).  What still quarantines, deliberately:
+encrypted documents (``/Encrypt``), Type0 fonts *without* a parseable
+ToUnicode, and CID codes outside the CMap — emitting mojibake would
+silently corrupt the training corpus, so those degrade to a
 parse-error row like every other quarantined lane.
 """
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 from dataclasses import dataclass
@@ -56,6 +62,13 @@ _COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_FONT_RES_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 # cheap numeric objects (for resolving indirect /Length references)
 _NUM_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
 
@@ -122,32 +135,124 @@ def _filters(dict_bytes: bytes) -> List[bytes]:
     return _NAME_RE.findall(m.group(1))
 
 
-def _decode_stream(dict_bytes: bytes, raw: bytes) -> bytes:
-    """Apply the dict's filter chain to raw stream bytes.
+def _apply_predictor(dict_bytes: bytes, data: bytes) -> bytes:
+    """Undo the /DecodeParms row predictor (shared by Flate and LZW —
+    ISO 32000 defines /Predictor identically for both)."""
+    pm = _PREDICTOR_RE.search(dict_bytes)
+    pred = int(pm.group(1)) if pm else 1
+    if pred <= 1:
+        return data
+    cm = _COLUMNS_RE.search(dict_bytes)
+    columns = int(cm.group(1)) if cm else 1
+    km = _COLORS_RE.search(dict_bytes)
+    colors = int(km.group(1)) if km else 1
+    bm = _BPC_RE.search(dict_bytes)
+    bpc = int(bm.group(1)) if bm else 8
+    if pred >= 10:
+        return _png_unpredict(data, columns, colors, bpc)
+    if pred == 2:
+        return _tiff_unpredict(data, columns, colors, bpc)
+    raise ValueError(f"unsupported predictor {pred}")
 
-    Supports the no-filter and FlateDecode cases (with PNG/TIFF
-    predictors) that cover real-world text content and object streams;
-    anything else raises ValueError for the caller to skip/quarantine.
+
+def _rle_decode(data: bytes) -> bytes:
+    """/RunLengthDecode: length byte L → copy L+1 literal bytes (L<128)
+    or repeat the next byte 257−L times (L>128); 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            if i + 2 + length > n:
+                raise ValueError("truncated RunLength literal")
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLength repeat")
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """/LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width codes
+    starting at 9 bits; 256 clears the table, 257 is EOD; the width
+    bump happens ``early`` codes before the table fills (PDF default
+    /EarlyChange 1)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: Optional[bytes] = None
+    width = 9
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW code before table entry exists")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond next table slot")
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _decode_stream(dict_bytes: bytes, raw: bytes) -> bytes:
+    """Apply the dict's filter chain (in array order) to raw stream
+    bytes.
+
+    Supports the text-bearing real-world filters — FlateDecode and
+    LZWDecode (both with PNG/TIFF /DecodeParms predictors),
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and chains of them
+    (e.g. ``[/ASCII85Decode /FlateDecode]``).  Image-only codecs
+    (DCTDecode, JBIG2, CCITT, JPX) raise ValueError for the caller to
+    skip — they never carry text.
     """
     for name in _filters(dict_bytes):
         if name == b"FlateDecode":
-            data = zlib.decompress(raw)
-            pm = _PREDICTOR_RE.search(dict_bytes)
-            pred = int(pm.group(1)) if pm else 1
-            if pred > 1:
-                cm = _COLUMNS_RE.search(dict_bytes)
-                columns = int(cm.group(1)) if cm else 1
-                km = _COLORS_RE.search(dict_bytes)
-                colors = int(km.group(1)) if km else 1
-                bm = _BPC_RE.search(dict_bytes)
-                bpc = int(bm.group(1)) if bm else 8
-                if pred >= 10:
-                    data = _png_unpredict(data, columns, colors, bpc)
-                elif pred == 2:
-                    data = _tiff_unpredict(data, columns, colors, bpc)
-                else:
-                    raise ValueError(f"unsupported predictor {pred}")
-            raw = data
+            raw = _apply_predictor(dict_bytes, zlib.decompress(raw))
+        elif name == b"LZWDecode":
+            em = _EARLY_RE.search(dict_bytes)
+            early = int(em.group(1)) if em else 1
+            raw = _apply_predictor(dict_bytes, _lzw_decode(raw, early))
+        elif name == b"ASCIIHexDecode":
+            body = raw.split(b">", 1)[0]
+            digits = re.sub(rb"\s", b"", body)
+            if len(digits) % 2:
+                digits += b"0"
+            raw = bytes.fromhex(digits.decode("ascii"))
+        elif name == b"ASCII85Decode":
+            body = re.sub(rb"\s", b"", raw)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            raw = base64.a85decode(body)
+        elif name == b"RunLengthDecode":
+            raw = _rle_decode(raw)
         else:
             raise ValueError(f"unsupported stream filter /{name.decode()}")
     return raw
@@ -210,6 +315,248 @@ def _iter_stream_objects(content: bytes):
         pos = (em + 6) if em != -1 else data_start + len(raw)
 
 
+# ---------------------------------------------------- composite fonts
+
+_CSR_SECT_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_SECT_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_SECT_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFRANGE_TOK_RE = re.compile(rb"<[0-9A-Fa-f\s]*>|\[[^\]]*\]")
+
+_MAX_BFRANGE_SPAN = 1 << 16  # sanity bound on materialized range size
+
+
+def _hex_bytes(tok: bytes) -> bytes:
+    digits = re.sub(rb"\s", b"", tok).strip(b"<>")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _utf16be(bs: bytes) -> str:
+    return bs.decode("utf-16-be")
+
+
+class ToUnicodeCMap:
+    """A parsed /ToUnicode CMap: codespace ranges (so multi-byte codes
+    segment correctly) plus a code→text mapping from bfchar/bfrange
+    sections.  ``decode`` raises ValueError on any code outside the
+    mapping — the document quarantines rather than emit mojibake."""
+
+    __slots__ = ("ranges", "mapping")
+
+    def __init__(
+        self,
+        ranges: List[Tuple[bytes, bytes]],
+        mapping: Dict[bytes, str],
+    ) -> None:
+        # shortest codespace ranges first: ISO 32000 matches the
+        # shortest range that covers the next bytes
+        self.ranges = sorted(ranges, key=lambda r: len(r[0]))
+        self.mapping = mapping
+
+    def decode(self, bs: bytes) -> str:
+        out: List[str] = []
+        i, n = 0, len(bs)
+        while i < n:
+            for lo, hi in self.ranges:
+                ln = len(lo)
+                code = bs[i : i + ln]
+                if len(code) == ln and lo <= code <= hi:
+                    try:
+                        out.append(self.mapping[code])
+                    except KeyError:
+                        raise ValueError(
+                            f"Type0 code <{code.hex()}> not in ToUnicode CMap"
+                        ) from None
+                    i += ln
+                    break
+            else:
+                raise ValueError(
+                    f"byte sequence at {i} outside CMap codespace"
+                )
+        return "".join(out)
+
+
+def parse_tounicode(data: bytes) -> ToUnicodeCMap:
+    """Parse a /ToUnicode CMap stream (Adobe CMap syntax subset:
+    codespacerange + bfchar + bfrange, the sections ISO 32000 §9.10.3
+    requires of ToUnicode CMaps).  bfrange destinations may be a start
+    hex string (incremented per code) or an array of hex strings."""
+    ranges: List[Tuple[bytes, bytes]] = []
+    for sect in _CSR_SECT_RE.finditer(data):
+        toks = _HEXSTR_RE.findall(sect.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            lo, hi = _hex_bytes(toks[k]), _hex_bytes(toks[k + 1])
+            if len(lo) == len(hi) and lo <= hi:
+                ranges.append((lo, hi))
+    mapping: Dict[bytes, str] = {}
+    for sect in _BFCHAR_SECT_RE.finditer(data):
+        toks = _HEXSTR_RE.findall(sect.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            mapping[_hex_bytes(toks[k])] = _utf16be(_hex_bytes(toks[k + 1]))
+    for sect in _BFRANGE_SECT_RE.finditer(data):
+        toks = _BFRANGE_TOK_RE.findall(sect.group(1))
+        for k in range(0, len(toks) - 2, 3):
+            lo = _hex_bytes(toks[k])
+            hi = _hex_bytes(toks[k + 1])
+            dst = toks[k + 2]
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big")
+            if hi_i - lo_i >= _MAX_BFRANGE_SPAN:
+                raise ValueError("bfrange span too large")
+            if dst.startswith(b"["):
+                dsts = [_hex_bytes(t) for t in _HEXSTR_RE.findall(dst)]
+                for off, db in enumerate(dsts):
+                    if lo_i + off > hi_i:
+                        break
+                    mapping[
+                        (lo_i + off).to_bytes(len(lo), "big")
+                    ] = _utf16be(db)
+            else:
+                db = _hex_bytes(dst)
+                base = int.from_bytes(db, "big")
+                for off in range(hi_i - lo_i + 1):
+                    mapping[(lo_i + off).to_bytes(len(lo), "big")] = _utf16be(
+                        (base + off).to_bytes(len(db), "big")
+                    )
+    if not ranges:
+        # degenerate but seen in the wild: infer the code length from
+        # the mapped keys (uniform), else default to 2-byte CIDs
+        lens = {len(k) for k in mapping} or {2}
+        for ln in lens:
+            ranges.append((b"\x00" * ln, b"\xff" * ln))
+    return ToUnicodeCMap(ranges, mapping)
+
+
+def _split_objstm(dict_bytes: bytes, data: bytes) -> Dict[int, bytes]:
+    """An inflated /ObjStm body → {obj_num: object bytes}.  The first
+    /First bytes are ``num offset`` integer pairs; objects follow in
+    offset order (streams are not permitted inside ObjStm, so every
+    entry is a plain dict/value)."""
+    nm = _OBJSTM_N_RE.search(dict_bytes)
+    fm = _OBJSTM_FIRST_RE.search(dict_bytes)
+    if not nm or not fm:
+        return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    head = data[:first].split()
+    out: Dict[int, bytes] = {}
+    try:
+        nums = [int(x) for x in head[0::2]][:n]
+        offs = [int(x) for x in head[1::2]][:n]
+    except ValueError:
+        return {}
+    for k, (num, off) in enumerate(zip(nums, offs)):
+        end = first + offs[k + 1] if k + 1 < len(offs) else len(data)
+        out[num] = data[first + off : end]
+    return out
+
+
+def _balanced_dict(buf: bytes, start: int) -> Optional[bytes]:
+    """``buf[start:]`` starts at ``<<`` → the balanced ``<< ... >>``
+    slice (nesting-aware), else None."""
+    if buf[start : start + 2] != b"<<":
+        return None
+    depth = 0
+    i = start
+    n = len(buf)
+    while i < n - 1:
+        pair = buf[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _dict_value(
+    dict_bytes: bytes, key: bytes, objects: Dict[int, bytes]
+) -> Optional[bytes]:
+    """The value of ``/Key`` in a dict: an inline ``<<...>>`` slice, an
+    ``[...]`` slice, or the referenced object's bytes for ``N 0 R``."""
+    m = re.search(rb"/" + key + rb"\b", dict_bytes)
+    if not m:
+        return None
+    i = m.end()
+    n = len(dict_bytes)
+    while i < n and dict_bytes[i : i + 1] in b" \t\r\n":
+        i += 1
+    if dict_bytes[i : i + 2] == b"<<":
+        return _balanced_dict(dict_bytes, i)
+    if dict_bytes[i : i + 1] == b"[":
+        end = dict_bytes.find(b"]", i)
+        return dict_bytes[i : end + 1] if end != -1 else None
+    rm = _REF_RE.match(dict_bytes, i)
+    if rm:
+        return objects.get(int(rm.group(1)))
+    return None
+
+
+def _page_font_maps(
+    objects: Dict[int, bytes],
+    raw_streams: Dict[int, Tuple[bytes, bytes]],
+) -> Tuple[Dict[int, Dict[str, Optional[ToUnicodeCMap]]], Optional[str]]:
+    """Resolve each page's /Resources /Font table.
+
+    Returns ({content_obj_num: {font_name: ToUnicodeCMap | None}},
+    error).  A simple (non-Type0) font maps to None (decode latin-1 as
+    before); a Type0 font maps to its parsed ToUnicode CMap.  A Type0
+    font without a parseable ToUnicode anywhere in the document is a
+    quarantine — its 2-byte glyph indices cannot be mapped to text."""
+    font_cache: Dict[int, Optional[ToUnicodeCMap]] = {}
+
+    def resolve_font(ref: int) -> Optional[ToUnicodeCMap]:
+        if ref in font_cache:
+            return font_cache[ref]
+        fdict = objects.get(ref)
+        if fdict is None and ref in raw_streams:
+            fdict = raw_streams[ref][0]
+        cmap: Optional[ToUnicodeCMap] = None
+        if fdict is not None and _TYPE0_RE.search(fdict):
+            tm = _TOUNICODE_RE.search(fdict)
+            if not tm:
+                raise ValueError(
+                    "CID/Type0 composite font without ToUnicode CMap"
+                )
+            tu_ref = int(tm.group(1))
+            if tu_ref not in raw_streams:
+                raise ValueError("ToUnicode CMap stream missing")
+            tdict, traw = raw_streams[tu_ref]
+            cmap = parse_tounicode(_decode_stream(tdict, traw))
+        font_cache[ref] = cmap
+        return cmap
+
+    maps: Dict[int, Dict[str, Optional[ToUnicodeCMap]]] = {}
+    try:
+        for num, body in list(objects.items()):
+            if not _PAGE_TYPE_RE.search(body):
+                continue
+            cm_ = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+            content_refs = (
+                [int(r) for r in _REF_RE.findall(cm_.group(1))] if cm_ else []
+            )
+            res = _dict_value(body, b"Resources", objects)
+            fonts: Dict[str, Optional[ToUnicodeCMap]] = {}
+            if res is not None:
+                fdict = _dict_value(res, b"Font", objects)
+                if fdict is not None:
+                    for fm in _FONT_RES_RE.finditer(fdict):
+                        fonts[fm.group(1).decode("ascii")] = resolve_font(
+                            int(fm.group(2))
+                        )
+            for ref in content_refs:
+                maps[ref] = fonts
+    except ValueError as e:
+        return {}, str(e)
+    return maps, None
+
+
 @dataclass
 class TextRun:
     x: float
@@ -263,24 +610,45 @@ _STR_IN_ARRAY_RE = re.compile(
 
 def _hex_to_text(tok: str) -> str:
     """``<48 65 6c>`` → ``Hel`` — hex strings decode bytewise for simple
-    (single-byte) fonts; an odd trailing digit is zero-padded per spec.
-    (Composite/CID fonts never reach here: the document quarantines.)"""
+    (single-byte) fonts; an odd trailing digit is zero-padded per spec."""
     digits = re.sub(r"\s", "", tok[1:-1])
     if len(digits) % 2:
         digits += "0"
     return bytes.fromhex(digits).decode("latin-1")
 
 
-def _string_token_text(tok: str) -> str:
+def _string_token_text(
+    tok: str, cmap: Optional[ToUnicodeCMap] = None
+) -> str:
+    """A string token → text.  Simple fonts decode bytewise (latin-1 is
+    byte-transparent); a composite font's string is a CID code sequence
+    mapped through its ToUnicode CMap (hex and literal strings alike —
+    both are byte strings per ISO 32000 §7.3.4)."""
     if tok.startswith("("):
-        return _unescape(tok[1:-1])
+        s = _unescape(tok[1:-1])
+        if cmap is None:
+            return s
+        return cmap.decode(s.encode("latin-1"))
     if tok.startswith("<"):
-        return _hex_to_text(tok)
+        if cmap is None:
+            return _hex_to_text(tok)
+        return cmap.decode(_hex_bytes(tok.encode("ascii")))
     return ""
 
 
-def parse_text_runs(content: str) -> List[TextRun]:
-    """Execute the text-positioning subset of a content stream."""
+def parse_text_runs(
+    content: str,
+    fonts: _StreamFonts = None,
+    strict: bool = False,
+) -> List[TextRun]:
+    """Execute the text-positioning subset of a content stream.
+
+    ``fonts`` maps resource names (``F1``) to None (simple font,
+    latin-1 bytes) or a ToUnicodeCMap (composite font).  ``strict``
+    (set for documents that declare composite fonts) makes an
+    unresolvable ``Tf`` name an error instead of a latin-1 fallback —
+    guessing the encoding there could emit mojibake."""
+    cur_cmap: Optional[ToUnicodeCMap] = None
     runs: List[TextRun] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (Td is relative to it)
@@ -297,6 +665,18 @@ def parse_text_runs(content: str) -> List[TextRun]:
             x = y = lx = ly = 0.0
             stack.clear()
         elif op == "Tf" and len(stack) >= 2:
+            name_tok = stack[-2]
+            if name_tok.startswith("/"):
+                fname = name_tok[1:]
+                if fonts is not None and fname in fonts:
+                    cur_cmap = fonts[fname]
+                elif strict:
+                    raise ValueError(
+                        f"font /{fname} not resolvable in a composite-font "
+                        "document"
+                    )
+                else:
+                    cur_cmap = None
             try:
                 size = float(stack[-1])
             except ValueError:
@@ -330,14 +710,14 @@ def parse_text_runs(content: str) -> List[TextRun]:
                 pass
             stack.clear()
         elif op == "Tj" and stack:
-            text = _string_token_text(stack[-1])
+            text = _string_token_text(stack[-1], cur_cmap)
             if text:
                 runs.append(TextRun(x, y, size, text))
             stack.clear()
         elif op == "'" and stack:
             ly -= leading
             x, y = lx, ly
-            text = _string_token_text(stack[-1])
+            text = _string_token_text(stack[-1], cur_cmap)
             if text:
                 runs.append(TextRun(x, y, size, text))
             stack.clear()
@@ -345,7 +725,7 @@ def parse_text_runs(content: str) -> List[TextRun]:
             arr = stack[-1]
             if arr.startswith("["):
                 parts = [
-                    _string_token_text(s)
+                    _string_token_text(s, cur_cmap)
                     for s in _STR_IN_ARRAY_RE.findall(arr)
                 ]
                 text = "".join(parts)
@@ -460,23 +840,42 @@ def analyze_layout(runs: List[TextRun]) -> List[Tuple[str, str, str]]:
     return out
 
 
+_StreamFonts = Optional[Dict[str, Optional["ToUnicodeCMap"]]]
+
+
 def _collect_text_streams(
     content: bytes,
-) -> Tuple[List[bytes], List[str], Optional[str]]:
-    """Walk a PDF's stream objects and return (decoded text content
-    streams, media refs, parse_error) — the shared front half of the
-    span and table lanes, so both apply identical quarantine gates."""
+) -> Tuple[List[Tuple[bytes, _StreamFonts, bool]], List[str], Optional[str]]:
+    """Walk a PDF's objects and return (decoded text content streams
+    with their page font tables, media refs, parse_error) — the shared
+    front half of the span and table lanes, so both apply identical
+    quarantine gates.
+
+    Composite (Type0/CID) fonts resolve through their embedded
+    /ToUnicode CMap (page /Resources → /Font → font object → CMap
+    stream, with objects hidden inside /ObjStm object streams split out
+    and resolvable).  A Type0 font *without* a parseable ToUnicode
+    anywhere in the document still quarantines — its 2-byte glyph
+    indices cannot be mapped to text, and emitting mojibake would
+    silently corrupt the corpus.  Each returned triple is
+    (stream bytes, font table or None, strict) where strict means the
+    document declares composite fonts, so an unresolvable /Fx reference
+    at parse time is an error instead of a latin-1 fallback."""
     if not content.startswith(b"%PDF"):
         return [], [], "not a pdf"
     if _ENCRYPT_RE.search(content):
         return [], [], "encrypted pdf (/Encrypt) not supported"
 
     media: List[str] = []
-    objstm_bodies: List[bytes] = []
-    text_streams: List[bytes] = []
+    objects: Dict[int, bytes] = {}
+    raw_streams: Dict[int, Tuple[bytes, bytes]] = {}
+    text_nums: List[int] = []
+    decoded: Dict[int, bytes] = {}
     for obj_num, dict_bytes, raw in _iter_stream_objects(content):
         if raw is None:
+            objects.setdefault(obj_num, dict_bytes)
             continue
+        raw_streams[obj_num] = (dict_bytes, raw)
         if _IMAGE_RE.search(dict_bytes):
             media.append(f"pdf/obj{obj_num}")
             continue
@@ -490,34 +889,69 @@ def _collect_text_streams(
             # text content stream — skip, like any non-text stream
             continue
         if is_objstm:
-            objstm_bodies.append(data)
+            for num, body in _split_objstm(dict_bytes, data).items():
+                objects.setdefault(num, body)
             continue
         if b"BT" not in data or b"ET" not in data:
             continue
-        text_streams.append(data)
+        text_nums.append(obj_num)
+        decoded[obj_num] = data
 
-    # composite-font gate: Type0 declarations may hide inside ObjStm
-    font_scan = b"".join([content] + objstm_bodies)
-    if _TYPE0_RE.search(font_scan) and text_streams:
-        return [], [], "CID/Type0 composite fonts not supported (CMap needed)"
-    return text_streams, media, None
+    has_type0 = any(
+        _TYPE0_RE.search(body) for body in objects.values()
+    ) or any(_TYPE0_RE.search(d) for d, _ in raw_streams.values())
+    if not has_type0:
+        return [(decoded[n], None, False) for n in text_nums], media, None
+
+    # composite-font document: every Type0 declaration must carry a
+    # parseable ToUnicode, whether referenced or not (an unreferenced
+    # one means our page/resource walk may have missed a use)
+    maps, err = _page_font_maps(objects, raw_streams)
+    if err is not None:
+        return [], [], err
+    try:
+        for body in list(objects.values()) + [
+            d for d, _ in raw_streams.values()
+        ]:
+            if _TYPE0_RE.search(body) and b"/Font" in body:
+                tm = _TOUNICODE_RE.search(body)
+                if not tm:
+                    raise ValueError(
+                        "CID/Type0 composite font without ToUnicode CMap"
+                    )
+                tu = raw_streams.get(int(tm.group(1)))
+                if tu is None:
+                    raise ValueError("ToUnicode CMap stream missing")
+                parse_tounicode(_decode_stream(tu[0], tu[1]))
+    except (ValueError, zlib.error) as e:
+        return [], [], str(e)
+
+    merged: Dict[str, Optional[ToUnicodeCMap]] = {}
+    for fonts in maps.values():
+        merged.update(fonts)
+    out = [
+        (decoded[n], maps.get(n, merged), True) for n in text_nums
+    ]
+    return out, media, None
 
 
 def extract_pdf_spans(content: bytes) -> Tuple[List[Tuple[str, str, str]], Optional[str]]:
     """PDF bytes → (ordered (kind,text,media_ref) triples, parse_error).
 
-    Flate-compressed content streams inflate in place; object streams
-    (/Type /ObjStm) inflate so font/encryption declarations hidden in
-    them still gate the document.  Encrypted PDFs and CID/Type0 fonts
-    quarantine (decoding them without keys/CMaps would emit garbage)."""
+    Flate/LZW/ASCII-compressed content streams decode in place; object
+    streams (/Type /ObjStm) split so declarations hidden in them still
+    resolve.  CID/Type0 composite fonts decode through their embedded
+    /ToUnicode CMap; encrypted PDFs and Type0 fonts *without* a
+    ToUnicode quarantine (decoding those without keys/CMaps would emit
+    garbage)."""
     text_streams, media, err = _collect_text_streams(content)
     if err is not None:
         return [], err
 
     spans: List[Tuple[str, str, str]] = []
-    for data in text_streams:
+    for data, fonts, strict in text_streams:
         try:
-            runs = parse_text_runs(data.decode("latin-1"))
+            runs = parse_text_runs(data.decode("latin-1"), fonts, strict)
         except Exception as e:
             return [], f"content stream parse failed: {e}"
         spans.extend(analyze_layout(runs))
@@ -546,9 +980,9 @@ def extract_pdf_tables(
         return [], "no text content streams found"
 
     grids: List[List[List[str]]] = []
-    for data in text_streams:
+    for data, fonts, strict in text_streams:
         try:
-            runs = parse_text_runs(data.decode("latin-1"))
+            runs = parse_text_runs(data.decode("latin-1"), fonts, strict)
         except Exception as e:
             return [], f"content stream parse failed: {e}"
         lines = cluster_lines(runs)
@@ -558,6 +992,14 @@ def extract_pdf_tables(
 
 
 # --------------------------------------------------------------- writer
+
+
+def _latin1_ok(s: str) -> bool:
+    try:
+        s.encode("latin-1")
+        return True
+    except UnicodeEncodeError:
+        return False
 
 
 def _png_predict_encode(data: bytes, columns: int, ftype: int = 2) -> bytes:
@@ -580,26 +1022,190 @@ def _png_predict_encode(data: bytes, columns: int, ftype: int = 2) -> bytes:
     return bytes(out)
 
 
+def _rle_encode(data: bytes) -> bytes:
+    """Fixture RunLength encoder: repeat-runs of ≥3 become (257−n, byte),
+    everything else literal chunks — exercises both decode branches."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i] and j - i < 127:
+            j += 1
+        if j - i >= 3:
+            if lit_start < i:
+                _rle_flush_literals(out, data, lit_start, i)
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    if lit_start < n:
+        _rle_flush_literals(out, data, lit_start, n)
+    out.append(128)
+    return bytes(out)
+
+
+def _rle_flush_literals(out: bytearray, data: bytes, lo: int, hi: int) -> None:
+    for k in range(lo, hi, 128):
+        chunk = data[k : min(k + 128, hi)]
+        out.append(len(chunk) - 1)
+        out += chunk
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Fixture LZW encoder — the exact inverse of ``_lzw_decode``
+    (clear code first, MSB-first variable width, early width change)."""
+    out = bytearray()
+    buf = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:  # table full: spec requires a Clear code and a fresh table
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _encode_filters(stream: bytes, names: List[str]) -> bytes:
+    """Apply a fixture filter chain in ENCODE order (the reverse of the
+    /Filter array's decode order)."""
+    for name in reversed(names):
+        if name == "FlateDecode":
+            stream = zlib.compress(stream)
+        elif name == "LZWDecode":
+            stream = _lzw_encode(stream)
+        elif name == "ASCIIHexDecode":
+            stream = stream.hex().encode("ascii") + b">"
+        elif name == "ASCII85Decode":
+            stream = base64.a85encode(stream) + b"~>"
+        elif name == "RunLengthDecode":
+            stream = _rle_encode(stream)
+        else:
+            raise ValueError(f"fixture encoder: unknown filter {name}")
+    return stream
+
+
+def _build_tounicode(chars: List[str]) -> bytes:
+    """A sorted char list (code = index+1) → ToUnicode CMap bytes, with
+    consecutive-codepoint runs as bfrange entries and the rest as
+    bfchar — so fixtures exercise both mapping section kinds."""
+    bfranges: List[Tuple[int, int, int]] = []
+    bfchars: List[Tuple[int, str]] = []
+    i = 0
+    while i < len(chars):
+        j = i
+        while (
+            j + 1 < len(chars)
+            and ord(chars[j]) < 0xFFFF
+            and ord(chars[j + 1]) == ord(chars[j]) + 1
+        ):
+            j += 1
+        if j > i:
+            bfranges.append((i + 1, j + 1, ord(chars[i])))
+        else:
+            bfchars.append((i + 1, chars[i]))
+        i = j + 1
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /Fixture-UTF16 def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    for k in range(0, len(bfchars), 100):
+        chunk = bfchars[k : k + 100]
+        parts.append(f"{len(chunk)} beginbfchar")
+        for code, ch in chunk:
+            dst = ch.encode("utf-16-be").hex()
+            parts.append(f"<{code:04x}> <{dst}>")
+        parts.append("endbfchar")
+    for k in range(0, len(bfranges), 100):
+        chunk = bfranges[k : k + 100]
+        parts.append(f"{len(chunk)} beginbfrange")
+        for lo, hi, dst in chunk:
+            parts.append(f"<{lo:04x}> <{hi:04x}> <{dst:04x}>")
+        parts.append("endbfrange")
+    parts += [
+        "endcmap",
+        "CMapName currentdict /CMap defineresource pop",
+        "end",
+        "end",
+    ]
+    return "\n".join(parts).encode("ascii")
+
+
 def write_pdf(
     items: List[Dict[str, Any]],
     compress: bool = False,
     predictor_columns: Optional[int] = None,
     hex_strings: bool = False,
     indirect_length: bool = False,
+    content_filters: Optional[List[str]] = None,
 ) -> bytes:
     """Serialize a minimal single-page PDF with absolutely positioned text
     and optional image XObjects.
 
     Each item: {"text": str, "x": n, "y": n, "size": n} or
-    {"image": True}.  Output is ASCII-safe when uncompressed (non-ASCII
-    escaped as octal latin-1; fixture texts stay ASCII).
+    {"image": True}.  Any item whose text does not fit latin-1 renders
+    through a Type0 composite font (/F2, Identity-H layout) with an
+    embedded /ToUnicode CMap — CIDs assigned per distinct character,
+    text emitted as 2-byte-code hex strings, exactly the structure real
+    CJK/Unicode producers write.
 
     ``compress=True`` Flate-compresses the content stream (the
     real-world layout — virtually every production PDF does this);
     ``predictor_columns`` additionally applies a PNG Up row predictor;
-    ``hex_strings=True`` emits text as ``<hex> Tj`` tokens;
+    ``hex_strings=True`` emits latin-1 text as ``<hex> Tj`` tokens;
     ``indirect_length=True`` writes ``/Length N 0 R`` via a separate
-    numeric object, as real writers that stream output do."""
+    numeric object, as real writers that stream output do;
+    ``content_filters`` overrides ``compress`` with an explicit decode
+    chain for the content stream (e.g. ``["ASCII85Decode",
+    "FlateDecode"]``)."""
+    uni_chars = sorted(
+        {
+            ch
+            for it in items
+            if not it.get("image") and not _latin1_ok(str(it["text"]))
+            for ch in str(it["text"])
+        }
+    )
+    codes = {ch: i + 1 for i, ch in enumerate(uni_chars)}
+
     parts: List[str] = []
     images = 0
     for it in items:
@@ -607,18 +1213,32 @@ def write_pdf(
             images += 1
             continue
         raw = str(it["text"])
+        if not _latin1_ok(raw):
+            cid_hex = "".join(f"{codes[ch]:04x}" for ch in raw)
+            parts.append(
+                f"BT /F2 {it.get('size', 12)} Tf {it['x']} {it['y']} Td "
+                f"<{cid_hex}> Tj ET"
+            )
+            continue
         if hex_strings:
-            lit = "<" + raw.encode("latin-1", "replace").hex() + ">"
+            lit = "<" + raw.encode("latin-1").hex() + ">"
         else:
             text = raw.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
             lit = f"({text})"
         parts.append(
             f"BT /F1 {it.get('size', 12)} Tf {it['x']} {it['y']} Td {lit} Tj ET"
         )
-    stream = "\n".join(parts).encode("latin-1", "replace")
+    stream = "\n".join(parts).encode("latin-1")
 
     filter_entry = b""
-    if compress:
+    if content_filters:
+        stream = _encode_filters(stream, content_filters)
+        filter_entry = (
+            b" /Filter [" +
+            b" ".join(b"/" + n.encode("ascii") for n in content_filters) +
+            b"]"
+        )
+    elif compress:
         if predictor_columns:
             stream = zlib.compress(
                 _png_predict_encode(stream, predictor_columns)
@@ -631,14 +1251,17 @@ def write_pdf(
             stream = zlib.compress(stream)
             filter_entry = b" /Filter /FlateDecode"
 
+    font_res = b"/F1 5 0 R"
+    if uni_chars:
+        font_res += b" /F2 6 0 R"
     objs: List[bytes] = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     objs.append(
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        b"/Contents 4 0 R /Resources << /Font << " + font_res + b" >> >> >>"
     )
-    n_fixed = 5  # catalog, pages, page, contents, font
+    n_fixed = 5 + (3 if uni_chars else 0)
     length_ref = n_fixed + images + 1 if indirect_length else None
     length_entry = (
         b"/Length %d 0 R" % length_ref
@@ -650,6 +1273,26 @@ def write_pdf(
         + stream + b"\nendstream"
     )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if uni_chars:
+        objs.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+            b"/ToUnicode 8 0 R >>"
+        )
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        cmap = _build_tounicode(uni_chars)
+        tu_filter = b""
+        if compress or content_filters:
+            cmap = zlib.compress(cmap)
+            tu_filter = b" /Filter /FlateDecode"
+        objs.append(
+            b"<< /Length %d" % len(cmap) + tu_filter + b" >>\nstream\n"
+            + cmap + b"\nendstream"
+        )
     for _ in range(images):
         pixel = b"\x7f"
         objs.append(

@@ -455,6 +455,44 @@ def fam_pdf_flate(rng, i) -> Dict[str, Any]:
     return _doc(f"pdfz{i:05d}", "pdf", blob)
 
 
+CJK_WORDS = [
+    "売上", "利益", "合計", "前年比", "概況", "統計", "報告", "資料",
+    "部門", "地域", "四半期", "実績",
+]
+
+
+def fam_pdf_cjk(rng, i) -> Dict[str, Any]:
+    """CJK PDF: Type0 composite font with an embedded /ToUnicode CMap
+    (2-byte CID hex strings — the structure every real Japanese PDF
+    producer writes), cycling the text-bearing stream filters
+    (Flate, LZW, ASCII85+Flate, ASCIIHex) so the whole decode matrix
+    flows through the end-to-end job."""
+    from ..core.pdf import write_pdf
+
+    items = [
+        {"text": f"年次報告書 {i}", "x": 72, "y": 720, "size": 20},
+        {"text": "日本語の本文行がここに入ります。", "x": 72, "y": 690, "size": 11},
+    ]
+    y = 650
+    for col, x in (("項目", 72), ("数量", 200), ("金額", 320)):
+        items.append({"text": col, "x": x, "y": y, "size": 11})
+    for _ in range(3):
+        y -= 16
+        items.append({"text": CJK_WORDS[rng.randint(0, len(CJK_WORDS))],
+                      "x": 72, "y": y, "size": 11})
+        items.append({"text": str(int(rng.randint(1, 99))), "x": 200, "y": y, "size": 11})
+        items.append({"text": str(int(rng.randint(100, 999))), "x": 320, "y": y, "size": 11})
+    items.append({"text": "結びの一文です。", "x": 72, "y": y - 40, "size": 11})
+    variant = i % 4
+    kw = [
+        dict(compress=True),
+        dict(content_filters=["LZWDecode"]),
+        dict(content_filters=["ASCII85Decode", "FlateDecode"]),
+        dict(content_filters=["ASCIIHexDecode"]),
+    ][variant]
+    return _doc(f"pdfcjk{i:05d}", "pdf", write_pdf(items, **kw))
+
+
 def fam_multisheet_codebook(rng, i) -> Dict[str, Any]:
     """Two-sheet workbook: data sheet + a コード表 codebook sheet —
     exercises sheet enumeration (S4) and the codebook classifier (X-04)."""
@@ -508,6 +546,7 @@ FAMILIES = [
     ("code_mix", fam_code_mix),
     ("pdf_docs", fam_pdf),
     ("pdf_flate_docs", fam_pdf_flate),
+    ("pdf_cjk_docs", fam_pdf_cjk),
     ("docx_docs", fam_docx),
     ("merged_cells_xls", fam_merged_xls),
     ("hidden_dims_xls", fam_hidden_xls),
