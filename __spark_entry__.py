@@ -1066,6 +1066,108 @@ _CJK_FILTER_CYCLE = [
 ]
 
 
+# Multi-column reading-order lane: fixed per-variant page layouts whose
+# correct span ORDER only falls out if the XY-cut column logic works —
+# v0 a spanning title over two columns, v1 three columns, v2 a table
+# between prose lines (must NOT be torn into fake columns).  Expected
+# ordered spans are constants (pinned against the single-node core by
+# tests/test_pdf_columns.py::test_driver_column_variant_pins).
+_COL_V0_LEFT = [f"left column body line {i} words" for i in range(3)]
+_COL_V0_RIGHT = [f"right column body line {i} text" for i in range(3)]
+_COL_V1_COLS = [
+    [f"first column body line {i} here" for i in range(3)],
+    [f"second column body line {i} yes" for i in range(3)],
+    [f"third column body line {i} okk" for i in range(3)],
+]
+_COL_V2_ROWS = [("name", "count"), ("aaa", "1"), ("bbb", "2"), ("ccc", "3")]
+
+_COL_VARIANT_SPANS = {
+    0: [("heading", "A Spanning Title Across Both Columns")]
+    + [("line", t) for t in _COL_V0_LEFT]
+    + [("line", t) for t in _COL_V0_RIGHT],
+    1: [("line", t) for col in _COL_V1_COLS for t in col],
+    2: [("line", "This paragraph introduces the following table.")]
+    + [("cell", "\t".join(r)) for r in _COL_V2_ROWS]
+    + [("line", "And the closing sentence follows the table here.")],
+}
+
+
+def _col_variant_items(v: int) -> list[dict]:
+    def col(texts, x, y0, size=11, dy=16):
+        return [
+            {"text": t, "x": x, "y": y0 - k * dy, "size": size}
+            for k, t in enumerate(texts)
+        ]
+
+    if v == 0:
+        return (
+            [{"text": "A Spanning Title Across Both Columns",
+              "x": 72, "y": 760, "size": 20}]
+            + col(_COL_V0_LEFT, 72, 720)
+            + col(_COL_V0_RIGHT, 330, 720)
+        )
+    if v == 1:
+        return (
+            col(_COL_V1_COLS[0], 60, 700)
+            + col(_COL_V1_COLS[1], 240, 700)
+            + col(_COL_V1_COLS[2], 420, 700)
+        )
+    items = [{"text": "This paragraph introduces the following table.",
+              "x": 72, "y": 740}]
+    y = 700
+    for row in _COL_V2_ROWS:
+        for x, c in zip((72, 260), row):
+            items.append({"text": c, "x": x, "y": y})
+        y -= 20
+    items.append({"text": "And the closing sentence follows the table here.",
+                  "x": 72, "y": y - 20})
+    return items
+
+
+def q_pdf_columns_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column reading order end-to-end: per doc, render the fixed
+    variant layout, extract spans, and keep the span INDEX — the oracle
+    pins the exact column-major order (title → left column → right
+    column; tables never torn).  One narrow ``mapInPandas`` + one hash
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.pdf import (
+            extract_pdf_spans,
+            write_pdf,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                spans, err = extract_pdf_spans(
+                    write_pdf(_col_variant_items(v), compress=True)
+                )
+                if err is not None:
+                    rows.append((str(did), v, -1, "error", err))
+                    continue
+                for idx, (kind, text, _m) in enumerate(spans):
+                    rows.append((str(did), v, idx, kind, text))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "variant", "idx", "kind", "text"]
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, text string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
 def q_pdf_cjk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-font PDF extraction: per doc, write the fixed variant
     payload as a Type0/ToUnicode PDF (filters cycling by doc_id), run
@@ -1472,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_rules": q_pdf_table_rules,
         "pdf_table_stats": q_pdf_table_stats,
         "pdf_cjk_extract": q_pdf_cjk_extract,
+        "pdf_columns_extract": q_pdf_columns_extract,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1602,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
     out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()
     out["pdf_cjk_extract"] = _pdf_cjk_oracle_sql()
+    out["pdf_columns_extract"] = _pdf_columns_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -2337,6 +2441,33 @@ def _pdf_cjk_oracle_sql() -> str:
            c.n AS n_docs
     FROM expect e JOIN counts c ON c.variant = e.variant
     ORDER BY variant, kind, text
+    """
+
+
+def _pdf_columns_oracle_sql() -> str:
+    """Mirrors ``q_pdf_columns_extract``: the Spark side computes span
+    order THROUGH write → decode → line cluster → XY-cut column
+    reorder → layout analysis; the oracle states the expected ordered
+    spans as literals (pinned by tests/test_pdf_columns.py)."""
+    vals = ",\n      ".join(
+        "({}, {}, '{}', '{}')".format(
+            v, idx, kind, text.replace("'", "''").replace("\t", "' || chr(9) || '")
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text) in enumerate(_COL_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
     """
 
 

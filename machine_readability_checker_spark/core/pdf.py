@@ -756,6 +756,178 @@ def cluster_lines(runs: List[TextRun]) -> List[List[TextRun]]:
     return lines
 
 
+MIN_COLUMN_GAP = 18.0
+MIN_COLUMN_LINES = 3
+MIN_COLUMN_WIDTH = 60.0
+MIN_COLUMN_FILL = 0.55
+MAX_COLUMN_DEPTH = 3
+
+
+def _run_width(r: TextRun) -> float:
+    """Estimated advance width: ~0.5 em per latin glyph, ~1 em per CJK
+    glyph (no font metrics ship in a content stream; this is the
+    standard average-width approximation)."""
+    return r.size * sum(1.0 if ord(c) > 0xFF else 0.5 for c in r.text)
+
+
+def _valleys(lines: List[List[TextRun]]) -> List[Tuple[float, float]]:
+    """Maximal vertical whitespace gaps ≥ MIN_COLUMN_GAP strictly inside
+    the text extent, widest first — column-split candidates."""
+    intervals = sorted(
+        (r.x, r.x + _run_width(r)) for line in lines for r in line
+    )
+    if not intervals:
+        return []
+    gaps: List[Tuple[float, float]] = []
+    cover_end = intervals[0][1]
+    for lo, hi in intervals[1:]:
+        if lo > cover_end + MIN_COLUMN_GAP:
+            gaps.append((cover_end, lo))
+        cover_end = max(cover_end, hi)
+    gaps.sort(key=lambda g: g[1] - g[0], reverse=True)
+    return gaps
+
+
+def _split_line(
+    line: List[TextRun], lo: float, hi: float
+) -> Tuple[List[TextRun], List[TextRun], bool]:
+    """Partition a line's runs against a valley → (left runs, right
+    runs, crosses) where crosses means some run overlaps the valley
+    itself (a full-width title/footer — a hard band separator)."""
+    left: List[TextRun] = []
+    right: List[TextRun] = []
+    crosses = False
+    for r in line:
+        a, b = r.x, r.x + _run_width(r)
+        if a < hi and b > lo:
+            crosses = True
+        elif b <= lo:
+            left.append(r)
+        else:
+            right.append(r)
+    return left, right, crosses
+
+
+def _fill_ok(lines_side: List[List[TextRun]], x0: float, x1: float) -> bool:
+    """True when a side reads as genuine column text: the extent is at
+    least a column wide and the median line fills most of it.  Table
+    cells are short relative to their column pitch, so table sides
+    fail this — the discriminator that keeps x-aligned tables from
+    being torn into fake columns (their rows, like aligned column
+    baselines, have runs on both sides of every internal gap)."""
+    extent = x1 - x0
+    if extent < MIN_COLUMN_WIDTH or not lines_side:
+        return False
+    ratios = sorted(
+        sum(_run_width(r) for r in line) / extent for line in lines_side
+    )
+    return ratios[len(ratios) // 2] >= MIN_COLUMN_FILL
+
+
+def order_columns(
+    lines: List[List[TextRun]], _depth: int = 0
+) -> List[List[TextRun]]:
+    """Multi-column reading order (recursive XY-cut over whitespace
+    valleys).
+
+    Globally y-clustered lines interleave columns line-by-line — a
+    two-column page reads as alternating half-lines without this.
+    Lines whose runs overlap a valley (title, footer) are horizontal
+    band separators; each band between them splits independently, so a
+    spanning title above two columns reads title → left column → right
+    column.  A band splits only when both sides carry
+    ≥ MIN_COLUMN_LINES lines AND pass the ``_fill_ok`` column-text
+    test; aligned-baseline lines are torn into their per-column halves
+    and each side recurses, so 3+ column layouts resolve while
+    x-aligned tables (short cells, low fill) stay row-major."""
+    # a single paired baseline carries a line on BOTH sides, so the
+    # cheap exit is per-side, not per-baseline
+    if _depth >= MAX_COLUMN_DEPTH or len(lines) < MIN_COLUMN_LINES:
+        return lines
+    for lo, hi in _valleys(lines):
+        splits = [_split_line(line, lo, hi) for line in lines]
+        out: List[List[TextRun]] = []
+        changed = False
+        i = 0
+        n = len(lines)
+        while i < n:
+            if splits[i][2]:  # crossing line: band separator
+                out.append(lines[i])
+                i += 1
+                continue
+            j = i
+            while j < n and not splits[j][2]:
+                j += 1
+            band = lines[i:j]
+            lefts = [s[0] for s in splits[i:j] if s[0]]
+            rights = [s[1] for s in splits[i:j] if s[1]]
+            min_x = min((r.x for line in band for r in line), default=lo)
+            max_x = max(
+                (r.x + _run_width(r) for line in band for r in line),
+                default=hi,
+            )
+            fill_l = _fill_ok(lefts, min_x, lo)
+            fill_r = _fill_ok(rights, hi, max_x)
+            # both sides read as column text → split; one side does and
+            # the baselines are NOT perfectly row-paired → split (a
+            # genuine table pairs every row); perfectly-paired mixed
+            # content stays row-major — the conservative reading for a
+            # machine-readability checker whose primary object is tables
+            paired = all(s[0] and s[1] for s in splits[i:j])
+            if (
+                len(lefts) >= MIN_COLUMN_LINES
+                and len(rights) >= MIN_COLUMN_LINES
+                and (
+                    (fill_l and fill_r)
+                    or ((fill_l or fill_r) and not paired)
+                )
+            ):
+                out.extend(order_columns(lefts, _depth + 1))
+                out.extend(order_columns(rights, _depth + 1))
+                changed = True
+            else:
+                out.extend(band)
+            i = j
+        if changed:
+            return out
+
+    # No usable valley over the whole set: full-width lines (title,
+    # footer) plug the gap in the global coverage.  Cut horizontally on
+    # them and recurse per band — the other half of a classic XY-cut.
+    all_runs = [r for line in lines for r in line]
+    min_x = min(r.x for r in all_runs)
+    max_x = max(r.x + _run_width(r) for r in all_runs)
+    page_w = max_x - min_x
+    if page_w <= 0:
+        return lines
+    mid = min_x + page_w / 2.0
+    is_wide = [
+        any(r.x < mid < r.x + _run_width(r) for r in line)
+        for line in lines
+    ]
+    if not any(is_wide) or all(is_wide):
+        return lines
+    out2: List[List[TextRun]] = []
+    changed2 = False
+    i = 0
+    n = len(lines)
+    while i < n:
+        if is_wide[i]:
+            out2.append(lines[i])
+            i += 1
+            continue
+        j = i
+        while j < n and not is_wide[j]:
+            j += 1
+        band = lines[i:j]
+        reordered = order_columns(band, _depth + 1)
+        if reordered != band:
+            changed2 = True
+        out2.extend(reordered)
+        i = j
+    return out2 if changed2 else lines
+
+
 def _x_signature(line: List[TextRun]) -> List[float]:
     return [round(r.x / X_ALIGN_TOLERANCE) * X_ALIGN_TOLERANCE for r in line]
 
@@ -813,8 +985,9 @@ def densify_block(block: List[List[TextRun]]) -> List[List[str]]:
 
 def analyze_layout(runs: List[TextRun]) -> List[Tuple[str, str, str]]:
     """lines → ordered (kind, text, media_ref) triples with heading and
-    x-alignment table detection."""
-    lines = cluster_lines(runs)
+    x-alignment table detection; multi-column pages reorder
+    column-major first (``order_columns``)."""
+    lines = order_columns(cluster_lines(runs))
     if not lines:
         return []
     sizes = sorted(r.size for line in lines for r in line)
@@ -985,7 +1158,7 @@ def extract_pdf_tables(
             runs = parse_text_runs(data.decode("latin-1"), fonts, strict)
         except Exception as e:
             return [], f"content stream parse failed: {e}"
-        lines = cluster_lines(runs)
+        lines = order_columns(cluster_lines(runs))
         for i, j in table_blocks(lines):
             grids.append(densify_block(lines[i : j + 1]))
     return grids, None
