@@ -607,6 +607,14 @@ _STR_IN_ARRAY_RE = re.compile(
     r"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", re.DOTALL
 )
 
+# TJ array members: strings AND kerning offsets (thousandths of an em).
+# Producers justify text with negative offsets instead of space glyphs;
+# an offset at or past the threshold renders as a word gap.
+_TJ_TOK_RE = re.compile(
+    r"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?", re.DOTALL
+)
+TJ_WORD_GAP = 180.0  # milli-em; kerning is typically <100, a space ≥250
+
 
 def _hex_to_text(tok: str) -> str:
     """``<48 65 6c>`` → ``Hel`` — hex strings decode bytewise for simple
@@ -724,10 +732,22 @@ def parse_text_runs(
         elif op == "TJ" and stack:
             arr = stack[-1]
             if arr.startswith("["):
-                parts = [
-                    _string_token_text(s, cur_cmap)
-                    for s in _STR_IN_ARRAY_RE.findall(arr)
-                ]
+                parts: List[str] = []
+                for tok in _TJ_TOK_RE.findall(arr):
+                    if tok.startswith("(") or tok.startswith("<"):
+                        parts.append(_string_token_text(tok, cur_cmap))
+                    else:
+                        # Kerning offset (milli-em, SUBTRACTED from the
+                        # advance): a negative value at or past the
+                        # threshold renders as a word gap — emit a space
+                        # unless one already bounds the seam.
+                        try:
+                            adj = float(tok)
+                        except ValueError:
+                            continue
+                        if adj <= -TJ_WORD_GAP and parts and parts[-1] \
+                                and not parts[-1].endswith(" "):
+                            parts.append(" ")
                 text = "".join(parts)
                 if text:
                     runs.append(TextRun(x, y, size, text))
@@ -1167,6 +1187,11 @@ def extract_pdf_tables(
 # --------------------------------------------------------------- writer
 
 
+def _escape_lit(s: str) -> str:
+    """Escape a latin-1 string for a PDF literal ``( )`` token."""
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
 def _latin1_ok(s: str) -> bool:
     try:
         s.encode("latin-1")
@@ -1393,11 +1418,28 @@ def write_pdf(
                 f"<{cid_hex}> Tj ET"
             )
             continue
+        if it.get("tj"):
+            # Justified-producer layout: words as TJ array members with
+            # −250 milli-em gaps instead of space glyphs, plus a small
+            # intra-word kern (−15) that must NOT read as a gap.
+            arr: List[str] = []
+            for wi, word in enumerate(raw.split(" ")):
+                if wi:
+                    arr.append("-250")
+                if len(word) > 3:
+                    head, tail = word[:2], word[2:]
+                    arr.append(f"({_escape_lit(head)}) -15 ({_escape_lit(tail)})")
+                elif word:
+                    arr.append(f"({_escape_lit(word)})")
+            parts.append(
+                f"BT /F1 {it.get('size', 12)} Tf {it['x']} {it['y']} Td "
+                f"[{' '.join(arr)}] TJ ET"
+            )
+            continue
         if hex_strings:
             lit = "<" + raw.encode("latin-1").hex() + ">"
         else:
-            text = raw.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-            lit = f"({text})"
+            lit = f"({_escape_lit(raw)})"
         parts.append(
             f"BT /F1 {it.get('size', 12)} Tf {it['x']} {it['y']} Td {lit} Tj ET"
         )
