@@ -153,6 +153,14 @@ def count_blocks(grid_rows: List[List[Any]], start: int, end: int) -> int:
 
 
 def check_valid_file_format(doc: ParsedDoc, ctx, body) -> CheckResult:
+    if doc.fmt == "ods":
+        # extension to the reference catalog: OpenDocument spreadsheets
+        # carry the full modern side-channel, so the battery audits them
+        # through the xlsx-semantics branches
+        return (
+            True,
+            "OpenDocument表計算（.ods）形式です。xlsx相当のチェックを実施します",
+        )
     if doc.fmt not in {"csv", "xlsx", "xls"}:
         return False, f"サポート外のファイル形式です: .{doc.fmt}"
     if doc.fmt == "xls":
@@ -173,7 +181,7 @@ def check_no_images_or_objects(doc: ParsedDoc, ctx, body) -> CheckResult:
             "xlsファイルでは図形や画像の自動判定ができません。"
             "必要に応じて目視でご確認ください",
         )
-    if doc.fmt == "xlsx":
+    if doc.fmt in ("xlsx", "ods"):
         if doc.workbook is not None and doc.workbook.drawing_parts:
             return False, "図形・テキストボックスが検出されました"
         return True, "図形・テキストボックスは見つかりませんでした"
@@ -183,7 +191,7 @@ def check_no_images_or_objects(doc: ParsedDoc, ctx, body) -> CheckResult:
 def check_one_table_per_sheet(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
 ) -> CheckResult:
-    if doc.fmt != "xlsx":
+    if doc.fmt not in ("xlsx", "ods"):
         # workbook-less path: DataFrame-based multi-table detection
         is_multiple, details = detect_multiple_tables(
             body, data_start_offset=ctx.data_start
@@ -206,7 +214,7 @@ def check_no_hidden_rows_or_columns(
 ) -> CheckResult:
     if doc.fmt == "csv":
         return True, "csvファイルのため非表示行・列の概念はありません"
-    if doc.workbook is None or doc.fmt not in ("xlsx", "xls"):
+    if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods"):
         return True, "サポート外形式のため非表示行・列チェックをスキップします"
 
     if doc.fmt == "xls":
@@ -271,7 +279,7 @@ def check_no_merged_cells(
 ) -> CheckResult:
     if doc.fmt == "csv":
         return True, "csvファイルのため結合セルは存在しません"
-    if doc.workbook is None or doc.fmt not in ("xlsx", "xls"):
+    if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods"):
         return True, "サポート外形式のため結合セルチェックをスキップします"
     if not ctx.column_rows:
         return False, "結合セルチェックに必要な情報が不足しています"
@@ -324,7 +332,7 @@ def check_no_format_based_semantics(
         )
     if doc.fmt == "csv":
         return True, "csvファイルのため書式装飾チェックは対象外です"
-    if doc.fmt != "xlsx" or doc.workbook is None:
+    if doc.fmt not in ("xlsx", "ods") or doc.workbook is None:
         return True, "サポート外形式のため書式装飾チェックをスキップします"
     if not ctx.column_rows:
         return False, "書式チェックに必要な情報が不足しています"
@@ -355,7 +363,7 @@ def check_no_whitespace_formatting(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
 ) -> CheckResult:
     sample_cells: List[str] = []
-    if doc.fmt != "xlsx":
+    if doc.fmt not in ("xlsx", "ods"):
         # body-relative coordinates, first-10-in-scan-order cap, then sort
         arr = body.to_numpy(dtype=object) if not body.empty else []
         for row_idx, row_vals in enumerate(arr):
@@ -415,7 +423,7 @@ def check_no_platform_dependent_characters(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
 ) -> CheckResult:
     issues: List[str] = []
-    if doc.fmt != "xlsx":
+    if doc.fmt not in ("xlsx", "ods"):
         arr = body.to_numpy(dtype=object) if not body.empty else []
         for row_idx, row_vals in enumerate(arr):
             for col_idx, val in enumerate(row_vals):

@@ -24,8 +24,10 @@ import pandas as pd
 
 from .xlsx import XlsxWorkbook, read_xlsx
 
-ALLOWED_FORMATS = {"csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf"}
-GRID_FORMATS = {"csv", "xlsx", "xls"}
+ALLOWED_FORMATS = {
+    "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods", "odt",
+}
+GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
 
 @dataclass
@@ -172,6 +174,14 @@ def parse_document(
         from .rtf import parse_rtf
 
         return parse_rtf(content)
+    if fmt == "ods":
+        from .odf import parse_ods
+
+        return parse_ods(content)
+    if fmt == "odt":
+        from .odf import parse_odt
+
+        return parse_odt(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

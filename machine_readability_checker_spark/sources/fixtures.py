@@ -523,6 +523,51 @@ def fam_code_mix(rng, i) -> Dict[str, Any]:
     return _doc(f"cmix{i:05d}", "csv", _csv_bytes(rows))
 
 
+def fam_ods(rng, i) -> Dict[str, Any]:
+    """OpenDocument spreadsheet with the full side-channel: merged range,
+    hidden row/col and decoration styles — exercises the ods grid lane
+    through the same modern-workbook check branches as xlsx."""
+    from ..core.odf import write_ods
+
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    sheets = [
+        {
+            "name": "Sheet1",
+            "rows": rows,
+            "merged": [(2, 0, 3, 0)],
+            "hidden_rows": [4],
+            "hidden_cols": [3],
+            "styled": [(2, 1, "bold"), (3, 2, "yellow_fill")],
+        }
+    ]
+    return _doc(f"ods{i:05d}", "ods", write_ods(sheets))
+
+
+def fam_odt(rng, i) -> Dict[str, Any]:
+    """OpenDocument text: title/heading, span-split main prose, a short
+    boilerplate note, a table and an embedded image — the odt layout
+    lane end-to-end."""
+    from ..core.odf import write_odt
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(40))
+    # split the prose mid-word across two text:span runs
+    cut = len(para) // 2
+    blocks = [
+        ("Title", f"Document {i}"),
+        ("Heading1", f"Section {i % 5}"),
+        ("", [para[:cut], para[cut:]]),
+        ("", "note"),
+    ]
+    tables = [[["col_a", "col_b", "col_c"],
+               [str(int(rng.randint(0, 99))) for _ in range(3)]]]
+    return _doc(
+        f"odt{i:05d}",
+        "odt",
+        write_odt(blocks, images=[f"Pictures/img{i % 3}.png"], tables=tables),
+    )
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -552,6 +597,8 @@ FAMILIES = [
     ("hidden_dims_xls", fam_hidden_xls),
     ("pptx_docs", fam_pptx),
     ("rtf_docs", fam_rtf),
+    ("ods_docs", fam_ods),
+    ("odt_docs", fam_odt),
 ]
 
 

@@ -77,7 +77,9 @@ def test_side_tables(spark, corpus):
     try:
         res = results_table(extracted)
         # every grid doc yields the full 22-rule catalog
-        n_grid = sum(1 for f in corpus["fmt"] if f in ("csv", "xlsx", "xls"))
+        from machine_readability_checker_spark.core.grid import GRID_FORMATS
+
+        n_grid = sum(1 for f in corpus["fmt"] if f in GRID_FORMATS)
         assert res.count() == n_grid * 22
 
         met = metrics_table(extracted)
