@@ -1212,6 +1212,203 @@ def q_pdf_cjk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _odf_variant_doc(v: int):
+    """Fixed OpenDocument variant payloads (no RNG — the oracle states
+    their extractions as literals, pinned against the single-node core
+    by tests/test_odf.py)."""
+    from machine_readability_checker_spark.core.odf import (
+        write_ods,
+        write_odt,
+    )
+
+    if v == 0:  # side-channel-rich ODS: merge, hidden dims, decoration
+        sheets = [{
+            "name": "Sheet1",
+            "rows": [["col_a", "col_b", "col_c", "col_d"],
+                     ["alpha", 1, 2.5, "x"],
+                     ["beta　x", 3, 7, "y"],
+                     ["gamma", 5, 9, "z①"]],
+            "merged": [(1, 1, 2, 1)],
+            "hidden_rows": [3],
+            "hidden_cols": [3],
+            "styled": [(1, 0, "bold"), (2, 2, "yellow_fill"),
+                       (3, 0, "red_font")],
+        }]
+        return "ods", write_ods(sheets), dict(
+            header_start_row=1, header_end_row=1
+        )
+    if v == 1:  # ODT layout doc with span-split prose, table, image
+        blocks = [
+            ("Title", "ODF Document"),
+            ("Heading1", "Overview"),
+            ("", ["machine reada",
+                  "bility of interleaved corpora is the north star of "
+                  "this engine"]),
+            ("", "note"),
+        ]
+        return "odt", write_odt(
+            blocks,
+            images=["Pictures/logo.png"],
+            tables=[[["col_a", "col_b"], ["1", "2"]]],
+        ), {}
+    # v == 2: annotated ODS with a two-row merged header (zone splitter
+    # + MultiIndex ffill + "(空白)" machinery through the ods container)
+    sheets = [{
+        "name": "Sheet1",
+        "rows": [["調査結果の概要", None, None],
+                 [None, None, None],
+                 ["グループA", "", "グループB"],
+                 ["col_a", "col_b", "col_c"],
+                 ["a", 10, 20],
+                 ["b", 30, 40],
+                 ["注: 単位は千円", None, None]],
+    }]
+    return "ods", write_ods(sheets), dict(
+        header_start_row=3, header_end_row=4,
+        data_start_row=5, data_end_row=6,
+    )
+
+
+# expected (kind, text, media_ref) per variant — pinned by
+# tests/test_odf.py::test_odf_variant_tables_match_core
+_ODF_VARIANT_SPANS = {
+    0: [
+        ("header", "col_a", ""),
+        ("header", "col_b", ""),
+        ("header", "col_c", ""),
+        ("header", "col_d", ""),
+        ("cell", "alpha\t1\t2.5\tx", ""),
+        ("cell", "beta　x\t3\t7\ty", ""),
+        ("cell", "gamma\t5\t9\tz①", ""),
+    ],
+    1: [
+        ("title", "ODF Document", ""),
+        ("heading", "Overview", ""),
+        ("main", "machine readability of interleaved corpora is the "
+                 "north star of this engine", ""),
+        ("boilerplate", "note", ""),
+        ("line", "col_a\tcol_b", ""),
+        ("line", "1\t2", ""),
+        ("media", "", "Pictures/logo.png"),
+    ],
+    2: [
+        ("annotation_upper", "調査結果の概要", ""),
+        ("header", "グループA/col_a", ""),
+        ("header", "グループA/col_b", ""),
+        ("header", "グループB/col_c", ""),
+        ("cell", "a\t10\t20", ""),
+        ("cell", "b\t30\t40", ""),
+        ("annotation_lower", "注: 単位は千円", ""),
+    ],
+}
+
+_ODF_VARIANT_RULES = {
+    0: [("L1-01", True), ("L1-02", True), ("L1-03", True),
+        ("L1-04", True), ("L1-05", True), ("L1-06", False),
+        ("L1-07", True), ("L1-08", False), ("L1-09", True),
+        ("L1-10", True), ("L1-11", False), ("L1-12", False),
+        ("L1-13", False), ("L1-14", True), ("L1-15", True),
+        ("X-01", True), ("X-02", True), ("X-03", True),
+        ("X-04", False), ("X-05", False), ("X-06", False),
+        ("X-07", False)],
+    2: [("L1-01", True), ("L1-02", True), ("L1-03", True),
+        ("L1-04", False), ("L1-05", True), ("L1-06", True),
+        ("L1-07", True), ("L1-08", True), ("L1-09", True),
+        ("L1-10", True), ("L1-11", True), ("L1-12", True),
+        ("L1-13", True), ("L1-14", True), ("L1-15", True),
+        ("X-01", True), ("X-02", True), ("X-03", True),
+        ("X-04", False), ("X-05", False), ("X-06", False),
+        ("X-07", True)],
+}
+
+
+def q_odf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument extraction end-to-end: per doc, write the fixed
+    variant payload as a real ODS/ODT package, run the full grid or
+    layout lane, keep the span index — the oracle pins the exact
+    ordered (kind, text, media_ref) sequence.  One narrow Arrow-batched
+    ``mapInPandas`` + one hash aggregate, the same 100 TB shape as the
+    other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                fmt, blob, kw = _odf_variant_doc(v)
+                out = extract_document(str(did), fmt, blob, **kw)
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def q_odf_rule_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 22-rule battery over OpenDocument spreadsheets: both ODS
+    variants run the full catalog through the modern-workbook branches
+    (merges, hidden dims, decoration flags from the ODS side-channel)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = 0 if did % 2 == 0 else 2
+                fmt, blob, kw = _odf_variant_doc(v)
+                out = extract_document(str(did), fmt, blob, **kw)
+                for res in out["results"]:
+                    rows.append((str(did), v, res["rule_id"],
+                                 bool(res["passed"])))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "variant", "rule_id", "passed"]
+            )
+
+    rules = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, rule_id string, "
+               "passed boolean",
+    )
+    return (
+        rules.groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "rule_id")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1575,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_stats": q_pdf_table_stats,
         "pdf_cjk_extract": q_pdf_cjk_extract,
         "pdf_columns_extract": q_pdf_columns_extract,
+        "odf_extract": q_odf_extract,
+        "odf_rule_results": q_odf_rule_results,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1706,6 +1905,8 @@ def oracle_sql() -> dict[str, str]:
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()
     out["pdf_cjk_extract"] = _pdf_cjk_oracle_sql()
     out["pdf_columns_extract"] = _pdf_columns_oracle_sql()
+    out["odf_extract"] = _odf_extract_oracle_sql()
+    out["odf_rule_results"] = _odf_rules_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -2441,6 +2642,62 @@ def _pdf_cjk_oracle_sql() -> str:
            c.n AS n_docs
     FROM expect e JOIN counts c ON c.variant = e.variant
     ORDER BY variant, kind, text
+    """
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal with tab-safe rendering (DuckDB VALUES)."""
+    return "'" + s.replace("'", "''").replace("\t", "' || chr(9) || '") + "'"
+
+
+def _odf_extract_oracle_sql() -> str:
+    """Mirrors ``q_odf_extract``: the Spark side computes the rows
+    THROUGH ods/odt-write → zip/XML parse → zone split (grid) or layout
+    classification (text) → span assembly; the oracle states the
+    expected ordered spans as literals (pinned against the single-node
+    core by tests/test_odf.py)."""
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_ODF_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def _odf_rules_oracle_sql() -> str:
+    """Mirrors ``q_odf_rule_results``: expected verdict per rule per ODS
+    variant as literals; counts come from the even/odd doc_id split."""
+    vals = ",\n      ".join(
+        "({}, {}, {})".format(v, _sql_str(rule_id), "TRUE" if p else "FALSE")
+        for v in (0, 2)
+        for (rule_id, p) in _ODF_VARIANT_RULES[v]
+    )
+    return f"""
+    WITH counts AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS variant,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, rule_id, passed) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant, e.rule_id,
+           e.passed, c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, rule_id
     """
 
 

@@ -239,6 +239,23 @@ def test_ods_extension_gate_accepts():
     assert "ods" in GRID_FORMATS and "odt" not in GRID_FORMATS
 
 
+def test_odf_variant_tables_match_core():
+    """The driver-lane oracle literals (__spark_entry__) must equal what
+    the single-node core actually extracts — this pin is what makes the
+    constructive DuckDB oracle non-circular."""
+    import __spark_entry__ as entry
+
+    for v in (0, 1, 2):
+        fmt, blob, kw = entry._odf_variant_doc(v)
+        out = extract_document("d", fmt, blob, **kw)
+        assert out["parse_error"] is None
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+        assert got == entry._ODF_VARIANT_SPANS[v], f"variant {v}"
+        if v in entry._ODF_VARIANT_RULES:
+            rules = [(r["rule_id"], r["passed"]) for r in out["results"]]
+            assert rules == entry._ODF_VARIANT_RULES[v], f"variant {v}"
+
+
 @pytest.mark.usefixtures("spark")
 def test_odf_spark_end_to_end(spark):
     """A mixed ods+odt corpus through the distributed extraction kernel:
