@@ -49,6 +49,8 @@ def _gen_interleaved(spark, n_docs: int):
     import numpy as np
 
     from machine_readability_checker_spark.core.avi import encode_avi
+    from machine_readability_checker_spark.core.bmp import encode_bmp
+    from machine_readability_checker_spark.core.gif import encode_gif
     from machine_readability_checker_spark.core.jpeg import encode_jpeg
     from machine_readability_checker_spark.core.wav import encode_wav
 
@@ -68,6 +70,18 @@ def _gen_interleaved(spark, n_docs: int):
         jpg = encode_jpeg(16, 16, 3, rgb.tobytes(), quality=85)
         spans.append({"kind": "media", "text": "", "media_ref": "m.jpg", "offset": 1})
         media_rows.append((doc, "m.jpg", "image", bytearray(jpg)))
+        if i % 4 == 0:
+            spans.append({"kind": "media", "text": "", "media_ref": "m.gif", "offset": 4})
+            media_rows.append(
+                (doc, "m.gif", "image",
+                 bytearray(encode_gif(16, 16, 3, rgb.tobytes())))
+            )
+        if i % 7 == 0:
+            spans.append({"kind": "media", "text": "", "media_ref": "m.bmp", "offset": 5})
+            media_rows.append(
+                (doc, "m.bmp", "image",
+                 bytearray(encode_bmp(16, 16, 3, rgb.tobytes())))
+            )
         if i % 3 == 0:
             pcm = (np.sin(np.arange(800) / (3 + i % 7)) * 18000).astype("<i2")
             spans.append({"kind": "media", "text": "", "media_ref": "m.wav", "offset": 2})

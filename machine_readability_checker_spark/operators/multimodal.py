@@ -77,6 +77,16 @@ def decode_image(content: bytes) -> DecodedImage:
 
         w, h, ch, px = decode_jpeg(content)
         return DecodedImage("jpeg", w, h, ch, px)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from ..core.gif import decode_gif
+
+        w, h, ch, px, _meta = decode_gif(content)
+        return DecodedImage("gif", w, h, ch, px)
+    if content.startswith(b"BM"):
+        from ..core.bmp import decode_bmp
+
+        w, h, ch, px = decode_bmp(content)
+        return DecodedImage("bmp", w, h, ch, px)
     if content.startswith(FAKE_MAGIC):
         w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
         return DecodedImage(
@@ -96,6 +106,14 @@ def encode_image(img: DecodedImage) -> bytes:
         if img.channels not in (1, 3):
             raise ValueError("jpeg container is gray or RGB")
         return encode_jpeg(img.width, img.height, img.channels, img.pixels)
+    if img.container == "gif":
+        from ..core.gif import encode_gif
+
+        return encode_gif(img.width, img.height, img.channels, img.pixels)
+    if img.container == "bmp":
+        from ..core.bmp import encode_bmp
+
+        return encode_bmp(img.width, img.height, img.channels, img.pixels)
     if img.container == "fake":
         if img.channels != 1:
             raise ValueError("fake container is single-channel")
