@@ -1409,6 +1409,29 @@ def q_odf_rule_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal end-to-end on the documents table:
+    train a trigram Stupid Backoff model over the corpus (one explode +
+    one hash aggregate), score every document with the JOIN path — the
+    web-scale shape where the model stays distributed — and return
+    per-doc perplexity.  The DuckDB oracle recomputes the entire
+    train+score pipeline in SQL."""
+    from machine_readability_checker_spark.operators.ngram_lm import (
+        ngram_lm_train,
+        score_stupid_backoff_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = ngram_lm_train(docs, n=3)
+    scored = score_stupid_backoff_join(docs, model, order=3)
+    return scored.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        F.round("log_score_sum", 5).alias("log_score_sum"),
+        F.round("perplexity", 5).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture rebalancing at α=0.5: per-language keep rate
     min(1, (n_min/n_lang)^0.5) via md5 thresholds — rarest language
@@ -1774,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_columns_extract": q_pdf_columns_extract,
         "odf_extract": q_odf_extract,
         "odf_rule_results": q_odf_rule_results,
+        "ngram_lm_ppl": q_ngram_lm_ppl,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1907,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
     out["pdf_columns_extract"] = _pdf_columns_oracle_sql()
     out["odf_extract"] = _odf_extract_oracle_sql()
     out["odf_rule_results"] = _odf_rules_oracle_sql()
+    out["ngram_lm_ppl"] = _NGRAM_LM_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -2643,6 +2668,73 @@ def _pdf_cjk_oracle_sql() -> str:
     FROM expect e JOIN counts c ON c.variant = e.variant
     ORDER BY variant, kind, text
     """
+
+
+# DuckDB twin of operators.ngram_lm: same tokenizer, same padded-gram
+# counting (sentinel contexts included), same Stupid Backoff chain with
+# α=0.4 and the coalesce(count,1)/N unseen-unigram floor.
+_LM_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(text), "
+    "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '), x -> x != '')"
+)
+
+_NGRAM_LM_SQL = f"""
+    WITH padded AS (
+      SELECT doc_id,
+             list_concat(['<s>', '<s>'], {_LM_TOKS}) AS p,
+             CAST(len({_LM_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ), counts AS (
+      SELECT gram, COUNT(*) AS c FROM (
+        SELECT array_to_string(p[e:e], ' ') AS gram
+        FROM (SELECT p, unnest(range(1, len(p) + 1)) AS e FROM padded)
+        UNION ALL
+        SELECT array_to_string(p[e - 1:e], ' ') AS gram
+        FROM (SELECT p, unnest(range(2, len(p) + 1)) AS e FROM padded)
+        UNION ALL
+        SELECT array_to_string(p[e - 2:e], ' ') AS gram
+        FROM (SELECT p, unnest(range(3, len(p) + 1)) AS e FROM padded)
+      ) GROUP BY gram
+    ), ntot AS (
+      SELECT SUM(c) AS n FROM counts
+      WHERE len(string_split(gram, ' ')) = 1 AND gram <> '<s>'
+    ), pos AS (
+      SELECT doc_id,
+             array_to_string(p[e - 2:e], ' ') AS g3,
+             array_to_string(p[e - 2:e - 1], ' ') AS c3,
+             array_to_string(p[e - 1:e], ' ') AS g2,
+             array_to_string(p[e - 1:e - 1], ' ') AS c2,
+             array_to_string(p[e:e], ' ') AS g1
+      FROM (SELECT doc_id, p, unnest(range(3, len(p) + 1)) AS e
+            FROM padded WHERE len(p) >= 3)
+    ), scored AS (
+      SELECT pos.doc_id,
+        CASE
+          WHEN cg3.c IS NOT NULL AND cc3.c IS NOT NULL
+            THEN ln(cg3.c * 1.0 / cc3.c)
+          WHEN cg2.c IS NOT NULL AND cc2.c IS NOT NULL
+            THEN ln(0.4 * cg2.c / cc2.c)
+          ELSE ln(0.4 * 0.4 * COALESCE(cg1.c, 1) / (SELECT n FROM ntot))
+        END AS log_s
+      FROM pos
+      LEFT JOIN counts cg3 ON cg3.gram = pos.g3
+      LEFT JOIN counts cc3 ON cc3.gram = pos.c3
+      LEFT JOIN counts cg2 ON cg2.gram = pos.g2
+      LEFT JOIN counts cc2 ON cc2.gram = pos.c2
+      LEFT JOIN counts cg1 ON cg1.gram = pos.g1
+    ), agg AS (
+      SELECT doc_id, SUM(log_s) AS lss, COUNT(*) AS n_pos
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           d.n_tokens,
+           CASE WHEN d.n_tokens > 0 THEN ROUND(a.lss, 5) END
+             AS log_score_sum,
+           CASE WHEN d.n_tokens > 0
+                THEN ROUND(exp(-a.lss / d.n_tokens), 5) END AS perplexity
+    FROM padded d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
 
 
 def _sql_str(s: str) -> str:

@@ -7,9 +7,10 @@ Chains the extraction output into the training-data prep lane:
         annotations are boilerplate)
       → cleaning funnel (exact dedup → normalized dedup → min tokens →
         [Gopher repetition flags, --drop-repetitive] → [model-based
-        quality score, --quality-model] → [language known,
-        --require-known-lang; --lang-model swaps the stopword
-        heuristic for the 16-language char-n-gram classifier])
+        quality score, --quality-model] → [LM perplexity under a
+        corpus-trained trigram Stupid Backoff model, --ppl-filter] →
+        [language known, --require-known-lang; --lang-model swaps the
+        stopword heuristic for the 16-language char-n-gram classifier])
       → benchmark decontamination (--benchmark eval-set parquet;
         n-gram-overlap hits dropped)
       → near-duplicate clustering (3-gram Jaccard pairs → connected
@@ -88,6 +89,31 @@ def main() -> None:
         "threshold drops (ignored when --quality-threshold is given)",
     )
     ap.add_argument(
+        "--ppl-filter", action="store_true",
+        help="add the CCNet-style LM-perplexity stage to the funnel: a "
+        "trigram Stupid Backoff model is trained ON THIS CORPUS "
+        "(operators.ngram_lm; counts persisted under <out>/ppl_model), "
+        "each document is scored under it, and the highest-perplexity "
+        "--ppl-tail fraction is dropped (scoring is a broadcast count "
+        "dict, narrow map)",
+    )
+    ap.add_argument(
+        "--ppl-threshold", type=float, default=None,
+        help="absolute perplexity cutoff (documents ABOVE it drop); "
+        "when omitted the cutoff is calibrated per-corpus as the "
+        "(1 - --ppl-tail) quantile of the perplexity distribution",
+    )
+    ap.add_argument(
+        "--ppl-tail", type=float, default=0.2,
+        help="fraction of highest-perplexity documents the calibrated "
+        "threshold drops (ignored when --ppl-threshold is given)",
+    )
+    ap.add_argument(
+        "--ppl-min-count", type=int, default=1,
+        help="n-gram count pruning floor for the perplexity model "
+        "(bounds the broadcast dict; unigrams always survive)",
+    )
+    ap.add_argument(
         "--lang-model", action="store_true",
         help="dispatch the lang_known stage from the 5-language "
         "stopword heuristic to the 16-language char-n-gram multinomial "
@@ -153,6 +179,28 @@ def main() -> None:
                 "quality_prob", [args.quality_tail], 0.001
             )[0]
 
+    pmodel = None
+    pthreshold = args.ppl_threshold
+    if args.ppl_filter:
+        from machine_readability_checker_spark.operators import (
+            ngram_lm as NGLM,
+        )
+
+        pmodel = NGLM.ngram_lm_train(
+            texts, n=3, min_count=args.ppl_min_count
+        ).persist()
+        # persist the counts so a re-run / downstream scorer sees the
+        # exact model this corpus was filtered under
+        pmodel.write.mode("overwrite").parquet(
+            os.path.join(args.out, "ppl_model")
+        )
+        if pthreshold is None:
+            # CCNet-style calibration: drop the highest-perplexity tail
+            pthreshold = (
+                NGLM.score_stupid_backoff(texts, pmodel)
+                .approxQuantile("perplexity", [1.0 - args.ppl_tail], 0.001)
+            )[0]
+
     lmodel = None
     if args.lang_model:
         if not args.require_known_lang:
@@ -176,12 +224,15 @@ def main() -> None:
         quality_threshold=qthreshold if qthreshold is not None else 0.5,
         lang_model=lmodel,
         lang_prob_threshold=args.lang_prob_threshold,
+        ppl_model=pmodel,
+        ppl_threshold=pthreshold,
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,
         require_known_lang=args.require_known_lang,
         drop_repetitive=args.drop_repetitive,
         model_quality=qmodel is not None,
+        lm_ppl=pmodel is not None,
     )
     funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
     funnel_rows = {
@@ -226,6 +277,9 @@ def main() -> None:
                 "funnel": funnel_rows,
                 "quality_threshold": (
                     round(qthreshold, 6) if qmodel is not None else None
+                ),
+                "ppl_threshold": (
+                    round(pthreshold, 4) if pmodel is not None else None
                 ),
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_in / wall, 1) if wall > 0 else None,

@@ -1,0 +1,379 @@
+"""Distributed n-gram language model with Stupid Backoff perplexity
+scoring — the CCNet-style corpus-quality signal (CCNet scores every
+crawl document under a KenLM 5-gram LM and keeps the low-perplexity
+head; Stupid Backoff is the count-based score Brants et al. 2007
+designed precisely for distributed MapReduce-style training, which is
+why it fits Spark so naturally: no discount fitting, no renormalization
+pass — just counts).
+
+Score of a word given its context (α = 0.4, the published constant):
+
+    S(w | c_{k})   = count(c_k w) / count(c_k)        if count(c_k w) > 0
+                   = α · S(w | c_{k-1})               otherwise
+    S(w)           = count(w) / N                     (unigram base)
+
+Per-document score = exp(−mean log S) over positions — a perplexity-like
+number (Stupid Backoff scores are not normalized probabilities, so this
+is "perplexity under S", exactly what CCNet-style head/middle/tail
+bucketing needs: it is only ever compared, never integrated).
+
+Scale design (the 100 TB story):
+
+- **Training** is one explode + one hash aggregate over all orders at
+  once — map-side partial aggregation applies, and the model lives as a
+  DataFrame ``(gram, n, count)``: at web scale the model itself is
+  billions of rows and must never be collected.
+- **Scoring** has the same broadcast/join duality as the ANN family:
+  ``score_stupid_backoff`` broadcasts a small model dict into an Arrow
+  kernel (narrow map — the production shape once a model is pruned to a
+  vocabulary, like CCNet ships one fixed KenLM per language), while
+  ``score_stupid_backoff_join`` keeps the model distributed: positions
+  melt into (role, gram) key rows, ONE equi-join against the counts
+  table covers every order and every context, and one aggregate
+  reassembles the backoff chain per position.  The two paths are pinned
+  equal by tests.
+
+Tokenization matches ``textstats.tokens``: lowercase, split on single
+spaces after whitespace normalization — deterministic and SQL-mirrorable
+(the DuckDB oracle re-states it).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+BACKOFF_ALPHA = 0.4  # Brants et al. 2007's published constant
+BOS = "<s>"
+
+
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+# explicit class, not \s: Java regex \s and DuckDB/RE2 \s disagree on
+# \x0B, and the oracle must tokenize bit-identically
+
+
+def _norm_tokens(col: Column) -> Column:
+    """lowercase → collapse all whitespace to single spaces → split.
+    Mirrored exactly by the oracle SQL."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), WS_CLASS, " "), " "),
+        lambda x: x != "",
+    )
+
+
+def _padded(col: Column, n: int) -> Column:
+    """(n-1) BOS sentinels + tokens: every real token has a full-width
+    context, so position count == token count."""
+    pad = F.array(*[F.lit(BOS) for _ in range(n - 1)])
+    return F.concat(pad, _norm_tokens(col))
+
+
+def ngram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train: → counts DataFrame ``(gram: string, n: int, count: long)``
+    for every order 1..n over BOS-padded token streams.
+
+    One explode + one aggregate for ALL orders (the per-order grams are
+    generated inside a single ``transform`` over positions), so the
+    corpus is read once and shuffles once.  ``min_count`` prunes the
+    long tail (standard practice; pruning only ever drops backoff
+    precision, never breaks the chain, because the unigram base is kept
+    unpruned)."""
+    # MATERIALIZE the padded token array into a column before any lambda
+    # references it: Catalyst re-evaluates non-argument expressions
+    # inside higher-order-function bodies PER ELEMENT, so an inline
+    # tokenizer there is O(len²) — a whale document hangs the job.  A
+    # bound column reference is O(1) per element.
+    padded = docs.select(_padded(F.col(text_col), n).alias("_t"))
+    toks = F.col("_t")
+
+    # for each order k, the k-grams ending at every padded position
+    # k..size — this counts sentinel-bearing grams too ("<s> <s>",
+    # "<s> w1", "<s>"), so document-leading positions score at full
+    # order instead of immediately backing off
+    def gram_at(k: int):
+        # NB: a single-arg lambda is required — pyspark dispatches
+        # (value, index) form on arity, so a `k=k` default would bind
+        # k to the array index
+        return lambda end: F.array_join(
+            F.slice(toks, end - F.lit(k) + 1, k), " "
+        )
+
+    per_order = [
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(k), F.size(toks)),  # 1-based ends
+                gram_at(k),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for k in range(1, n + 1)
+    ]
+    grams = F.concat(*per_order)
+    counts = (
+        padded.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("count"))
+        .withColumn(
+            "n", (F.size(F.split(F.col("gram"), " "))).cast("int")
+        )
+    )
+    # keep unigrams always (the base of every backoff chain)
+    return counts.filter(
+        (F.col("count") >= min_count) | (F.col("n") == 1)
+    ).select("gram", "n", "count")
+
+
+def _collect_model(model: DataFrame) -> Tuple[Dict[str, int], int, int]:
+    """model DF → (counts dict, total real-token count N, order).
+    Driver-side; bounded by the pruned model size (the broadcast path's
+    contract — the join path never calls this)."""
+    rows = model.collect()
+    counts = {r["gram"]: r["count"] for r in rows}
+    order = max((r["n"] for r in rows), default=1)
+    n_total = sum(
+        r["count"] for r in rows if r["n"] == 1 and r["gram"] != BOS
+    )
+    return counts, n_total, order
+
+
+def _score_text(
+    text: str, counts: Dict[str, int], n_total: int, order: int
+) -> Tuple[int, float]:
+    """(n_tokens, sum of log Stupid Backoff scores) for one document —
+    the single definition both the batch kernel and the funnel UDF use."""
+    alpha = BACKOFF_ALPHA
+    toks = [t for t in " ".join(text.lower().split()).split(" ") if t != ""]
+    padded = [BOS] * (order - 1) + toks
+    total = 0.0
+    for i in range(order - 1, len(padded)):
+        s = None
+        penalty = 1.0
+        for k in range(order, 0, -1):
+            gram = " ".join(padded[i - k + 1:i + 1])
+            c = counts.get(gram, 0)
+            if k > 1:
+                ctx = " ".join(padded[i - k + 1:i])
+                cc = counts.get(ctx, 0)
+                if c > 0 and cc > 0:
+                    s = penalty * c / cc
+                    break
+                penalty *= alpha
+            else:
+                s = penalty * (c / n_total if n_total else 0.0)
+        # unseen unigram: floor at 1/N (keeps log finite; mirrored by
+        # the join path and the oracle)
+        if not s or s <= 0.0:
+            s = penalty * (1.0 / n_total if n_total else 1.0)
+        total += math.log(s)
+    return len(toks), total
+
+
+def perplexity_udf(model: DataFrame):
+    """→ pandas UDF ``text → perplexity`` for funnel-stage use: the
+    pruned model dict rides the task broadcast, scoring is a narrow
+    map column (no join, no shuffle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    counts, n_total, order = _collect_model(model)
+
+    @pandas_udf("double")
+    def _ppl(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            n_tok, total = _score_text(str(t or ""), counts, n_total, order)
+            out.append(math.exp(-total / n_tok) if n_tok else None)
+        return pd.Series(out, dtype="float64")
+
+    return _ppl
+
+
+def score_stupid_backoff(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Broadcast path: → (id_col, n_tokens, log_score_sum, perplexity).
+
+    The model dict rides Spark's task broadcast into an Arrow-batched
+    kernel; scoring is a narrow map — zero exchanges over the corpus
+    (pinned by the plan tests)."""
+    counts, n_total, order = _collect_model(model)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"_id": [], "n_tokens": [], "log_score_sum": [],
+                   "perplexity": []}
+            # NOTE: itertuples would mangle the leading-underscore "_id"
+            # column into a positional name; iterate columns directly
+            for rid, rtext in zip(batch["_id"], batch[text_col]):
+                n_tok, total = _score_text(
+                    str(rtext or ""), counts, n_total, order
+                )
+                out["_id"].append(rid)
+                out["n_tokens"].append(n_tok)
+                out["log_score_sum"].append(total if n_tok else None)
+                out["perplexity"].append(
+                    math.exp(-total / n_tok) if n_tok else None
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select(F.col(id_col).alias("_id"), text_col)
+        .mapInPandas(
+            kernel,
+            schema=f"_id string, n_tokens int, log_score_sum double, "
+                   "perplexity double",
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def score_stupid_backoff_join(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+) -> DataFrame:
+    """Join path (the web-scale shape): the model stays a DataFrame.
+
+    positions × roles melt into key rows — for order 3 each position
+    carries 5 lookups (g3, ctx3=g2@prev, g2, ctx2=g1@prev, g1) — then
+    ONE equi-join on ``gram`` against the counts table resolves every
+    role at once, and one aggregate per (doc, pos) reassembles the
+    Stupid Backoff chain.  Corpus and model shuffle once each, on the
+    join key; nothing is ever collected."""
+    alpha = BACKOFF_ALPHA
+    # materialize the padded array first (same per-element re-evaluation
+    # trap as in ngram_lm_train — see the comment there)
+    staged = docs.select(
+        F.col(id_col).alias("_id"),
+        _padded(F.col(text_col), order).alias("_t"),
+    )
+    toks = F.col("_t")
+
+    def role_structs(end):
+        items = []
+        for k in range(1, order + 1):
+            items.append(
+                F.struct(
+                    (end - order).cast("int").alias("pos"),
+                    F.lit(f"g{k}").alias("role"),
+                    F.array_join(
+                        F.slice(toks, end - F.lit(k) + 1, k), " "
+                    ).alias("gram"),
+                )
+            )
+            if k > 1:
+                items.append(
+                    F.struct(
+                        (end - order).cast("int").alias("pos"),
+                        F.lit(f"c{k}").alias("role"),
+                        F.array_join(
+                            F.slice(toks, end - F.lit(k) + 1, k - 1), " "
+                        ).alias("gram"),
+                    )
+                )
+        return F.array(*items)
+
+    pos_grams = F.when(
+        F.size(toks) >= order,
+        F.flatten(
+            F.transform(F.sequence(F.lit(order), F.size(toks)), role_structs)
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<pos:int,role:string,gram:string>>"
+        )
+    )
+    base = staged.select(
+        "_id",
+        (F.size(toks) - (order - 1)).cast("int").alias("n_tokens"),
+        pos_grams.alias("pg_arr"),
+    )
+    melted = base.select(
+        "_id", "n_tokens", F.explode("pg_arr").alias("pg")
+    ).select("_id", "n_tokens", "pg.pos", "pg.role", "pg.gram")
+    joined = melted.join(
+        model.select("gram", "count"), on="gram", how="left"
+    )
+    n_total = (
+        model.filter((F.col("n") == 1) & (F.col("gram") != BOS))
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        or 0
+    )
+
+    per_role = (
+        joined.groupBy("_id", "n_tokens", "pos")
+        .pivot("role", [f"{p}{k}" for p in ("g", "c")
+                        for k in range(1, order + 1)])
+        .agg(F.first("count"))
+    )
+    # backoff chain: longest k with count(gk)>0 AND count(ck)>0 wins
+    score = None
+    penalty = 1.0
+    expr = None
+    for k in range(order, 1, -1):
+        cond = (F.col(f"g{k}").isNotNull() & F.col(f"c{k}").isNotNull()
+                & (F.col(f"c{k}") > 0))
+        val = F.lit(penalty) * F.col(f"g{k}") / F.col(f"c{k}")
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        penalty *= alpha
+    uni = (
+        F.coalesce(F.col("g1"), F.lit(1)).cast("double")
+        / F.lit(float(n_total if n_total else 1.0))
+    )
+    expr = expr.otherwise(F.lit(penalty) * uni)
+    del score
+
+    scored = (
+        per_role.select(
+            "_id", F.log(expr).alias("log_s")
+        )
+        .groupBy("_id")
+        .agg(F.sum("log_s").alias("log_score_sum"))
+    )
+    # token-less docs have no positions; surface them with NULL scores
+    # (the broadcast path emits the same shape)
+    return (
+        base.select("_id", "n_tokens")
+        .distinct()
+        .join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.when(F.col("n_tokens") > 0, F.col("log_score_sum")).alias(
+                "log_score_sum"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.exp(-F.col("log_score_sum") / F.col("n_tokens")),
+            ).alias("perplexity"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    head_threshold: float,
+    tail_threshold: float,
+) -> DataFrame:
+    """CCNet-style head/middle/tail labeling at FIXED thresholds (CCNet
+    computes them once per language from a sample, then applies them as
+    constants — which is also what keeps this a narrow map)."""
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("perplexity") <= head_threshold, "head")
+        .when(F.col("perplexity") <= tail_threshold, "middle")
+        .otherwise("tail"),
+    )

@@ -534,6 +534,7 @@ def stage_names(
     require_known_lang: bool = True,
     drop_repetitive: bool = False,
     model_quality: bool = False,
+    lm_ppl: bool = False,
 ) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
@@ -542,6 +543,8 @@ def stage_names(
         names.append("repetition_ok")
     if model_quality:
         names.append("model_quality")
+    if lm_ppl:
+        names.append("lm_perplexity")
     if require_known_lang:
         names.append("lang_known")
     return names
@@ -557,6 +560,8 @@ def label_drop_stage(
     quality_threshold: float = 0.5,
     lang_model=None,
     lang_prob_threshold: float = 0.5,
+    ppl_model=None,
+    ppl_threshold: float = None,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -604,6 +609,14 @@ def label_drop_stage(
 
         df = score_quality(quality_model, df, text_col)
         extra_cols = extra_cols + ["quality_prob"]
+    if ppl_model is not None:
+        # CCNet-style LM stage: broadcast-dict pandas UDF, narrow map
+        # (operators.ngram_lm; the join path exists for models too big
+        # to broadcast, at the cost of one extra shuffle+join)
+        from .ngram_lm import perplexity_udf
+
+        df = df.withColumn("lm_ppl", perplexity_udf(ppl_model)(F.col(text_col)))
+        extra_cols = extra_cols + ["lm_ppl"]
     if require_known_lang and lang_model is not None:
         from .lang_model import predict_lang
 
@@ -643,6 +656,13 @@ def label_drop_stage(
         )
         drop = drop.when(~keep_q, F.lit(stage))
         stage += 1
+    if ppl_model is not None:
+        # keep the head+middle: documents at or below the threshold
+        keep_ppl = F.coalesce(
+            F.col("lm_ppl") <= F.lit(float(ppl_threshold)), F.lit(False)
+        )
+        drop = drop.when(~keep_ppl, F.lit(stage))
+        stage += 1
     if require_known_lang:
         if lang_model is not None:
             keep_lang = F.coalesce(
@@ -678,11 +698,14 @@ def funnel_from_labels(
     require_known_lang: bool = True,
     drop_repetitive: bool = False,
     model_quality: bool = False,
+    lm_ppl: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
-    names = stage_names(require_known_lang, drop_repetitive, model_quality)
+    names = stage_names(
+        require_known_lang, drop_repetitive, model_quality, lm_ppl
+    )
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0
     aggs = [F.count("*").alias("n_0")] + [

@@ -1,0 +1,196 @@
+"""Distributed n-gram LM (Stupid Backoff) tests: hand-computed counts,
+broadcast-vs-join path equality (the load-bearing pin: the web-scale
+join path must produce bit-identical scores to the reference broadcast
+kernel), discrimination sanity, pruning, bucketing, and the
+zero-exchange plan property of the broadcast scorer."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from machine_readability_checker_spark.operators.ngram_lm import (
+    BACKOFF_ALPHA,
+    BOS,
+    ngram_lm_train,
+    perplexity_buckets,
+    score_stupid_backoff,
+    score_stupid_backoff_join,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [("a", "the cat sat on the mat"),
+         ("b", "the cat ate the fish"),
+         ("c", "dogs and cats and birds chase the cat"),
+         ("d", ""),
+         ("e", "The  Cat   sat on the mat again and again"),  # case+ws
+         ("f", "zebra quantum flux")],
+        "doc_id string, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def model(spark, corpus):
+    m = ngram_lm_train(corpus, n=3).cache()
+    m.count()
+    return m
+
+
+def test_train_counts_hand_computed(model):
+    counts = {r["gram"]: r["count"] for r in model.collect()}
+    # "the" in a:2 b:2 c:1 e:2 (lowercased)  -> 7
+    assert counts["the"] == 7
+    assert counts["the cat"] == 4  # a, b, c ("chase the cat"), e
+    # doc-leading bigram contexts carry sentinel counts
+    assert counts["<s> the"] == 3       # a, b, e
+    assert counts["<s> <s> the"] == 3
+    # every padded doc contributes one "<s> <s>" (the empty doc too)
+    assert counts["<s> <s>"] == 6
+    assert counts["<s>"] == 12
+    # n column matches gram length
+    by_n = {r["gram"]: r["n"] for r in model.collect()}
+    assert by_n["the"] == 1 and by_n["the cat"] == 2
+    assert by_n["<s> <s> the"] == 3
+
+
+def test_broadcast_score_hand_computed(spark, model):
+    """One position chain worked out by hand: 'the cat sat' in-corpus."""
+    doc = spark.createDataFrame([("x", "the cat sat")],
+                                "doc_id string, text string")
+    counts = {r["gram"]: r["count"] for r in model.collect()}
+    n_total = sum(
+        r["count"] for r in model.collect()
+        if r["n"] == 1 and r["gram"] != BOS
+    )
+    expected = (
+        math.log(counts["<s> <s> the"] / counts["<s> <s>"])
+        + math.log(counts["<s> the cat"] / counts["<s> the"])
+        + math.log(counts["the cat sat"] / counts["the cat"])
+    )
+    row = score_stupid_backoff(doc, model).collect()[0]
+    assert row["n_tokens"] == 3
+    assert abs(row["log_score_sum"] - expected) < 1e-12
+    assert abs(row["perplexity"] - math.exp(-expected / 3)) < 1e-12
+    del n_total
+
+
+def test_join_path_equals_broadcast_path(spark, corpus, model):
+    """Exact per-doc equality of the two scoring paths — including the
+    empty doc (NULL scores) and the all-unseen doc."""
+    probe = corpus.union(
+        spark.createDataFrame(
+            [("g", "wholly unseen tokens everywhere here")],
+            "doc_id string, text string",
+        )
+    )
+    bc = {r["doc_id"]: r for r in score_stupid_backoff(probe, model).collect()}
+    jn = {r["doc_id"]: r
+          for r in score_stupid_backoff_join(probe, model).collect()}
+    assert sorted(bc) == sorted(jn)
+    for k in bc:
+        b, j = bc[k], jn[k]
+        assert b["n_tokens"] == j["n_tokens"], k
+        if b["perplexity"] is None:
+            assert j["perplexity"] is None and j["log_score_sum"] is None
+        else:
+            assert abs(b["log_score_sum"] - j["log_score_sum"]) < 1e-9, k
+            assert abs(b["perplexity"] - j["perplexity"]) < 1e-9, k
+
+
+def test_backoff_chain_and_unseen_floor(spark, model):
+    """A doc of unseen tokens scores exactly α²·(1/N) per position."""
+    counts = {r["gram"]: r["count"] for r in model.collect()}
+    n_total = sum(
+        r["count"] for r in model.collect()
+        if r["n"] == 1 and r["gram"] != BOS
+    )
+    doc = spark.createDataFrame([("u", "qqq www eee")],
+                                "doc_id string, text string")
+    row = score_stupid_backoff(doc, model).collect()[0]
+    per_pos = math.log(BACKOFF_ALPHA ** 2 / n_total)
+    assert abs(row["log_score_sum"] - 3 * per_pos) < 1e-12
+    del counts
+
+
+def test_in_corpus_beats_noise(spark, corpus, model):
+    scored = {r["doc_id"]: r["perplexity"]
+              for r in score_stupid_backoff(corpus, model).collect()}
+    noise = spark.createDataFrame(
+        [("z", "perihelion gruntbuggly vogon zarquon amalgamated")],
+        "doc_id string, text string",
+    )
+    z = score_stupid_backoff(noise, model).collect()[0]["perplexity"]
+    assert z > scored["a"] * 10
+
+
+def test_min_count_pruning_keeps_unigram_base(spark, corpus):
+    pruned = ngram_lm_train(corpus, n=3, min_count=3)
+    rows = pruned.collect()
+    # every surviving higher-order gram has count >= 3
+    assert all(r["count"] >= 3 for r in rows if r["n"] > 1)
+    # unigram base survives even below min_count (backoff never breaks)
+    unigrams = {r["gram"] for r in rows if r["n"] == 1}
+    assert "zebra" in unigrams
+
+
+def test_perplexity_buckets(spark, corpus, model):
+    scored = score_stupid_backoff(corpus, model)
+    ppls = sorted(
+        r["perplexity"] for r in scored.collect()
+        if r["perplexity"] is not None
+    )
+    head_t, tail_t = ppls[1], ppls[-2]
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(scored, head_t, tail_t).collect()}
+    assert set(out.values()) >= {"head", "middle", "tail"}
+    # the all-unseen doc must be tail
+    assert out["f"] == "tail"
+
+
+def test_ppl_funnel_stage(spark, corpus, model):
+    """The lm_perplexity funnel stage drops exactly the above-threshold
+    docs and reports them at its own stage index."""
+    from machine_readability_checker_spark.operators.textstats import (
+        funnel_from_labels,
+        label_drop_stage,
+        stage_names,
+    )
+
+    scored = {r["doc_id"]: (r["n_tokens"], r["perplexity"])
+              for r in score_stupid_backoff(corpus, model).collect()}
+    # candidates = docs the earlier funnel stages keep (>= 5 tokens)
+    live = {k: p for k, (n, p) in scored.items() if n >= 5}
+    threshold = sorted(live.values())[-2]  # drops exactly the max doc
+
+    lab = label_drop_stage(
+        corpus, require_known_lang=False,
+        ppl_model=model, ppl_threshold=threshold,
+    )
+    names = stage_names(require_known_lang=False, lm_ppl=True)
+    assert names == ["raw", "exact_dedup", "normalized_dedup",
+                     "min_tokens", "lm_perplexity"]
+    funnel = {r["stage"]: r["n_docs"]
+              for r in funnel_from_labels(
+                  lab, require_known_lang=False, lm_ppl=True).collect()}
+    assert funnel["raw"] == 6
+    # the worst doc (max ppl) is dropped at the lm_perplexity stage
+    assert funnel["lm_perplexity"] == funnel["min_tokens"] - 1
+    dropped = {r["doc_id"] for r in lab.collect()
+               if r["_drop"] == len(names) - 1}
+    worst = max(live, key=live.get)
+    assert dropped == {worst}
+
+
+def test_broadcast_scorer_plan_is_narrow(spark, corpus, model):
+    """The broadcast scorer must not shuffle the corpus: zero Exchange
+    nodes in the physical plan (the 100 TB contract — the model rides
+    the task broadcast, the corpus is mapped in place)."""
+    plan = (
+        score_stupid_backoff(corpus, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
