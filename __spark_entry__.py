@@ -1409,6 +1409,111 @@ def q_odf_rule_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPUB_LONG = (
+    "interleaved corpora need faithful reading order to survive training"
+)
+
+
+def _epub_variant_doc(v: int) -> bytes:
+    """Fixed EPUB variant payloads (container walk + spine order over
+    the HTML lane; pinned by tests/test_epub.py)."""
+    from machine_readability_checker_spark.core.epub import write_epub
+
+    if v == 0:  # two chapters + non-linear cover that must not extract
+        ch1 = (
+            f"<html><body><h1>Part One</h1><p>{_EPUB_LONG} alpha</p>"
+            "</body></html>"
+        ).encode()
+        ch2 = (
+            f"<html><body><h1>Part Two</h1><p>{_EPUB_LONG} beta</p>"
+            '<img src="img/fig1.png"></body></html>'
+        ).encode()
+        cover = b"<html><body><p>COVER ART ONLY</p></body></html>"
+        return write_epub([ch1, ch2], non_linear=[cover])
+    if v == 1:  # title + link-density boilerplate classification
+        ch = (
+            "<html><head><title>Solo</title></head><body><h1>Only</h1>"
+            f"<p>{_EPUB_LONG} gamma</p>"
+            "<div><a href='/x'>nav</a> <a href='/y'>links</a></div>"
+            "</body></html>"
+        ).encode()
+        return write_epub([ch])
+    ch1 = (  # v == 2: nav/footer boilerplate around the main block
+        "<html><body><nav><a href='/'>home</a></nav><h2>Deep</h2>"
+        f"<p>{_EPUB_LONG} delta</p><footer>(c) someone</footer>"
+        "</body></html>"
+    ).encode()
+    return write_epub([ch1])
+
+
+_EPUB_VARIANT_SPANS = {
+    0: [
+        ("heading", "Part One", ""),
+        ("main", f"{_EPUB_LONG} alpha", ""),
+        ("heading", "Part Two", ""),
+        ("main", f"{_EPUB_LONG} beta", ""),
+        ("media", "", "img/fig1.png"),
+    ],
+    1: [
+        ("title", "Solo", ""),
+        ("heading", "Only", ""),
+        ("main", f"{_EPUB_LONG} gamma", ""),
+        ("boilerplate", "nav links", ""),
+    ],
+    2: [
+        ("boilerplate", "home", ""),
+        ("heading", "Deep", ""),
+        ("main", f"{_EPUB_LONG} delta", ""),
+        ("boilerplate", "(c) someone", ""),
+    ],
+}
+
+
+def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB extraction end-to-end: write the fixed variant container,
+    walk OCF → OPF spine → chapters through the HTML lane, pin the
+    ordered span sequence.  Same narrow mapInPandas + hash aggregate
+    shape as the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(str(did), "epub", _epub_variant_doc(v))
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -1798,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odf_extract": q_odf_extract,
         "odf_rule_results": q_odf_rule_results,
         "ngram_lm_ppl": q_ngram_lm_ppl,
+        "epub_extract": q_epub_extract,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -1932,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
     out["odf_extract"] = _odf_extract_oracle_sql()
     out["odf_rule_results"] = _odf_rules_oracle_sql()
     out["ngram_lm_ppl"] = _NGRAM_LM_SQL
+    out["epub_extract"] = _epub_extract_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
@@ -2754,6 +2861,33 @@ def _odf_extract_oracle_sql() -> str:
         )
         for v in (0, 1, 2)
         for idx, (kind, text, media) in enumerate(_ODF_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def _epub_extract_oracle_sql() -> str:
+    """Mirrors ``q_epub_extract``: the Spark side computes the rows
+    THROUGH epub-write → OCF/OPF walk → HTML block classification; the
+    oracle states the expected ordered spans as literals (pinned by
+    tests/test_epub.py)."""
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_EPUB_VARIANT_SPANS[v])
     )
     return f"""
     WITH counts AS (

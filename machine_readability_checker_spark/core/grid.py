@@ -25,7 +25,8 @@ import pandas as pd
 from .xlsx import XlsxWorkbook, read_xlsx
 
 ALLOWED_FORMATS = {
-    "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods", "odt",
+    "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
+    "odt", "epub",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -182,6 +183,10 @@ def parse_document(
         from .odf import parse_odt
 
         return parse_odt(content)
+    if fmt == "epub":
+        from .epub import parse_epub
+
+        return parse_epub(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

@@ -568,6 +568,28 @@ def fam_odt(rng, i) -> Dict[str, Any]:
     )
 
 
+def fam_epub(rng, i) -> Dict[str, Any]:
+    """EPUB: two XHTML chapters in spine order plus a non-linear cover
+    that must not be extracted — drives the OCF/OPF container walk on
+    top of the HTML lane."""
+    from ..core.epub import write_epub
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(40))
+    ch = lambda t, p: (  # noqa: E731
+        f"<html><body><h1>{t}</h1><p>{p}</p>"
+        f'<img src="img/{i}.png"></body></html>'
+    ).encode()
+    cover = b"<html><body><p>COVER ART ONLY</p></body></html>"
+    return _doc(
+        f"epub{i:05d}",
+        "epub",
+        write_epub(
+            [ch(f"Chapter 1 of {i}", para), ch(f"Chapter 2 of {i}", para[::-1])],
+            non_linear=[cover],
+        ),
+    )
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -599,6 +621,7 @@ FAMILIES = [
     ("rtf_docs", fam_rtf),
     ("ods_docs", fam_ods),
     ("odt_docs", fam_odt),
+    ("epub_docs", fam_epub),
 ]
 
 
