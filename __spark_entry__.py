@@ -1469,6 +1469,68 @@ _EPUB_VARIANT_SPANS = {
 }
 
 
+_BM25_QUERY = "hash join vector"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents table for a fixed query:
+    postings build (one explode + two aggregates) → per-doc score sum →
+    TakeOrderedAndProject.  The oracle recomputes BM25 in SQL."""
+    from machine_readability_checker_spark.operators.bm25 import (
+        bm25_build,
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = bm25_build(docs)
+    out = bm25_topk(postings, _BM25_QUERY, k=10)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+    )
+
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
+               x -> x != '') AS t
+      FROM documents
+    ), posting AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM posting GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    df AS (
+      SELECT p.term, COUNT(DISTINCT p.doc_id) AS df
+      FROM posting p JOIN q ON q.term = p.term GROUP BY p.term
+    ), scored AS (
+      SELECT p.doc_id,
+             SUM(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * p.tf * (1.2 + 1)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ) AS score,
+             COUNT(*) AS hits
+      FROM posting p
+      JOIN q ON q.term = p.term
+      JOIN df ON df.term = p.term
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS score,
+           CAST(hits AS INTEGER) AS n_terms_hit
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB extraction end-to-end: write the fixed variant container,
     walk OCF → OPF spine → chapters through the HTML lane, pin the
@@ -1904,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odf_rule_results": q_odf_rule_results,
         "ngram_lm_ppl": q_ngram_lm_ppl,
         "epub_extract": q_epub_extract,
+        "bm25_topk": q_bm25_topk,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -2039,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
     out["odf_rule_results"] = _odf_rules_oracle_sql()
     out["ngram_lm_ppl"] = _NGRAM_LM_SQL
     out["epub_extract"] = _epub_extract_oracle_sql()
+    out["bm25_topk"] = _BM25_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

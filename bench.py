@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "media_decode",
     "media_context_pairs",
     "events_asof",
+    "odf_extract",
+    "epub_extract",
+    "ngram_lm_ppl",
+    "bm25_topk",
 ]
 
 
@@ -234,13 +238,16 @@ def main() -> None:
         )
 
     def _bench_media(spark, sf_dir):
-        # real-codec decode throughput: 2000 JPEGs + 500 WAV clips +
-        # 200 MJPEG AVIs through the Arrow feature kernels (bench-only
-        # lane; correctness lives in tests/test_jpeg.py incl. the
-        # javax.imageio cross-validation)
+        # real-codec decode throughput: 2000 JPEGs + 500 GIFs + 500
+        # BMPs + 500 WAV clips + 200 MJPEG AVIs through the Arrow
+        # feature kernels (bench-only lane; correctness lives in
+        # tests/test_jpeg.py + test_gif_bmp.py incl. the javax.imageio
+        # cross-validations)
         import numpy as _np
 
         from machine_readability_checker_spark.core.avi import encode_avi
+        from machine_readability_checker_spark.core.bmp import encode_bmp
+        from machine_readability_checker_spark.core.gif import encode_gif
         from machine_readability_checker_spark.core.jpeg import encode_jpeg
         from machine_readability_checker_spark.core.wav import encode_wav
         from machine_readability_checker_spark.operators.multimodal import (
@@ -265,6 +272,12 @@ def main() -> None:
             [(f"img{i}", "m.jpg", "image", bytearray(jpg)) for i in range(2000)]
             + [(f"aud{i}", "m.wav", "audio", bytearray(wavb)) for i in range(500)]
             + [(f"vid{i}", "m.avi", "video", bytearray(avib)) for i in range(200)]
+            + [(f"gif{i}", "m.gif", "image",
+                bytearray(encode_gif(32, 32, 3, (rgb // 16 * 16).tobytes())))
+               for i in range(500)]
+            + [(f"bmp{i}", "m.bmp", "image",
+                bytearray(encode_bmp(32, 32, 3, rgb.tobytes())))
+               for i in range(500)]
         )
         df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(32)
         imgs = extract_media_features(df.filter("media_type = 'image'"))
