@@ -50,6 +50,13 @@ def main() -> None:
         help="path/glob of *.warc(.gz) files to ingest instead of parquet "
         "(HTTP-200 response records become docs_raw; file = task granule)",
     )
+    ap.add_argument(
+        "--archive",
+        help="path/glob of .tar/.tar.gz/.tgz/.zip document bundles to "
+        "ingest instead of parquet (members become docs_raw rows; "
+        "archive file = task granule; oversized/corrupt members "
+        "quarantine)",
+    )
     ap.add_argument("--gen", type=int, default=0, help="generate N fixture docs")
     ap.add_argument("--out", required=True)
     ap.add_argument("--splits", type=int, default=16)
@@ -79,10 +86,16 @@ def main() -> None:
         )
 
         raw = warc_to_docs_raw(read_warc(spark, args.warc))
+    elif args.archive:
+        from machine_readability_checker_spark.sources.archive import (
+            read_archives,
+        )
+
+        raw = read_archives(spark, args.archive)
     elif args.gen:
         raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
     else:
-        ap.error("need --input, --warc or --gen")
+        ap.error("need --input, --warc, --archive or --gen")
         return
 
     store = ManifestStore(args.out)
