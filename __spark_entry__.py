@@ -1469,6 +1469,106 @@ _EPUB_VARIANT_SPANS = {
 }
 
 
+def q_span_regression_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's correctness criterion as an operator: build a
+    span table from the documents corpus (5-token cell chunks), apply a
+    deterministic 'regression' to the twin (every 7th doc loses its
+    last span; every 11th mutates its first span's kind), and diff the
+    two with ``operators.spandiff`` — one full-outer join, pure JVM
+    array comparison.  The oracle derives the expected verdicts from
+    the perturbation rules, independently of the array machinery."""
+    from machine_readability_checker_spark.operators.spandiff import (
+        span_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    staged = docs.select("doc_id", toks.alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / F.lit(5)).cast("int")
+    spans = F.when(
+        F.size("_t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.lit("cell").alias("kind"),
+                F.array_join(
+                    F.slice(F.col("_t"), i * 5 + 1, 5), " "
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,"
+            "offset:int>>"
+        )
+    )
+    base = staged.select("doc_id", spans.alias("spans"))
+    drop_last = F.expr("slice(spans, 1, greatest(size(spans) - 1, 0))")
+    mutate_first = F.when(
+        F.size("spans") > 0,
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("header").alias("kind"),
+                    F.col("spans")[0]["text"].alias("text"),
+                    F.col("spans")[0]["media_ref"].alias("media_ref"),
+                    F.col("spans")[0]["offset"].alias("offset"),
+                )
+            ),
+            F.expr("slice(spans, 2, greatest(size(spans) - 1, 0))"),
+        ),
+    ).otherwise(F.col("spans"))
+    perturbed = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, drop_last)
+        .when(F.col("doc_id") % 11 == 0, mutate_first)
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
+    return (
+        span_diff(base, perturbed)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "status",
+            "first_diff_offset",
+            "n_left",
+            "n_right",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_DIFF_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id,
+             CASE WHEN n_toks > 0
+                  THEN CAST(ceil(n_toks / 5.0) AS INTEGER)
+                  ELSE 0 END AS nc
+      FROM t
+    )
+    SELECT doc_id,
+      CASE
+        WHEN doc_id % 7 = 0 AND nc > 0 THEN 'diff'
+        WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0 AND nc > 0 THEN 'diff'
+        ELSE 'equal' END AS status,
+      CASE
+        WHEN doc_id % 7 = 0 AND nc > 0 THEN nc - 1
+        WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0 AND nc > 0 THEN 0
+        END AS first_diff_offset,
+      nc AS n_left,
+      CASE WHEN doc_id % 7 = 0 AND nc > 0 THEN nc - 1 ELSE nc END
+        AS n_right
+    FROM n ORDER BY doc_id
+"""
+
+
 _BM25_QUERY = "hash join vector"
 
 
@@ -1967,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_ppl": q_ngram_lm_ppl,
         "epub_extract": q_epub_extract,
         "bm25_topk": q_bm25_topk,
+        "span_regression_diff": q_span_regression_diff,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -2103,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_lm_ppl"] = _NGRAM_LM_SQL
     out["epub_extract"] = _epub_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
+    out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
