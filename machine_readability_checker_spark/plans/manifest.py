@@ -160,6 +160,10 @@ def run_resumable(
     docs_processed = 0
     wave_secs: List[float] = []
     wave_docs: List[int] = []
+    if wave_size <= 0:
+        # one wave over everything: coarsest resume granularity, zero
+        # inter-wave fixed cost (see jobs/extract.py --wave help)
+        wave_size = max(1, len(todo))
     for wave_start in range(0, len(todo), wave_size):
         wave = todo[wave_start : wave_start + wave_size]
         _tw = _time.time()
