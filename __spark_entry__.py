@@ -1689,7 +1689,9 @@ def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    model = ngram_lm_train(docs, n=3)
+    # cache: the model feeds BOTH the n_total aggregate and the scoring
+    # join — uncached, the whole training explode+agg runs twice
+    model = ngram_lm_train(docs, n=3).cache()
     scored = score_stupid_backoff_join(docs, model, order=3)
     return scored.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

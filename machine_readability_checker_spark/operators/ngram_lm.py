@@ -226,11 +226,15 @@ def score_stupid_backoff(
                 )
             yield pd.DataFrame(out)
 
+    # id type follows the input (bigint ids from parquet, string ids
+    # from synthetic frames — a hardcoded string here fails Arrow
+    # serialization for numeric ids)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return (
         docs.select(F.col(id_col).alias("_id"), text_col)
         .mapInPandas(
             kernel,
-            schema=f"_id string, n_tokens int, log_score_sum double, "
+            schema=f"_id {id_type}, n_tokens int, log_score_sum double, "
                    "perplexity double",
         )
         .withColumnRenamed("_id", id_col)
@@ -300,9 +304,16 @@ def score_stupid_backoff_join(
         (F.size(toks) - (order - 1)).cast("int").alias("n_tokens"),
         pos_grams.alias("pg_arr"),
     )
-    melted = base.select(
-        "_id", "n_tokens", F.explode("pg_arr").alias("pg")
-    ).select("_id", "n_tokens", "pg.pos", "pg.role", "pg.gram")
+    # explode_OUTER, then drop the null rows: plain explode injects an
+    # implicit `size(pg_arr) > 0` filter whose full struct-building
+    # expression gets pushed into the scan and re-evaluated per row in
+    # interpreted mode — measured 10× slower than the whole rest of the
+    # pipeline at sf0.1 (54 s → 5 s)
+    melted = (
+        base.select("_id", "n_tokens", F.explode_outer("pg_arr").alias("pg"))
+        .filter(F.col("pg").isNotNull())
+        .select("_id", "n_tokens", "pg.pos", "pg.role", "pg.gram")
+    )
     joined = melted.join(
         model.select("gram", "count"), on="gram", how="left"
     )
