@@ -642,6 +642,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = TS.with_repetition_stats(
         docs.unionByName(bat), max_top_bigram_frac=0.1, battery=True
     )
+    # cache barrier: SimplifyExtractValueOps rewrites every
+    # `repetition.<field>` in the flat select below back into the
+    # field's full stat expression, so 25 extractions re-derive the
+    # whole staged battery 25× (measured 30.6 s vs 8.1 s for the
+    # battery itself at sf0.1).  Materializing the struct rows once
+    # makes the flat select a plain column read.
+    r = r.select("doc_id", "repetition", "repetition_flag").cache()
     return r.select(
         "doc_id",
         F.round("repetition.dup_token_frac", 6).alias("dup_token_frac"),
