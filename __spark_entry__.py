@@ -1576,6 +1576,99 @@ _SPAN_DIFF_SQL = """
 """
 
 
+_ROBOTS_FILES = {
+    "d0.example": (
+        "User-agent: GoodBot\nDisallow: /private/\n\n"
+        "User-agent: *\nDisallow: /tmp/\nDisallow: /*.pdf$\n"
+        "Allow: /tmp/ok\n"
+    ),
+    "d1.example": "User-agent: *\nDisallow: /\nAllow: /docs/\n",
+    "d2.example": "# no rules\nSitemap: https://d2.example/s.xml\n",
+}
+_ROBOTS_PATHS = [
+    "/private/press/kit", "/private/secret", "/tmp/junk",
+    "/docs/file.pdf", "/home",
+]
+# hand-derived RFC 9309 verdicts for agent '*' per (domain_variant,
+# path_variant): (allowed, matched_rule) — pinned independently by
+# tests/test_robots.py's operator tests
+_ROBOTS_EXPECT = {
+    (0, 0): (True, None),
+    (0, 1): (True, None),
+    (0, 2): (False, "/tmp/"),
+    (0, 3): (False, "/*.pdf$"),
+    (0, 4): (True, None),
+    (1, 0): (False, "/"),
+    (1, 1): (False, "/"),
+    (1, 2): (False, "/"),
+    (1, 3): (True, "/docs/"),
+    (1, 4): (False, "/"),
+    (2, 0): (True, None),
+    (2, 1): (True, None),
+    (2, 2): (True, None),
+    (2, 3): (True, None),
+    (2, 4): (True, None),
+}
+
+
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness end-to-end: parse three fixed robots.txt files
+    (Arrow kernel), derive one URL per document from the corpus, and
+    evaluate RFC 9309 longest-match permission with the pure-JVM join
+    operator.  The oracle states the hand-derived verdict matrix as
+    literals and recomputes the counts from doc_id arithmetic."""
+    from machine_readability_checker_spark.operators.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    robots_df = spark.createDataFrame(
+        [(d, t.encode("utf-8")) for d, t in sorted(_ROBOTS_FILES.items())],
+        "domain string, content binary",
+    )
+    rules = robots_rules(robots_df)
+    domains = F.array(*[F.lit(d) for d in sorted(_ROBOTS_FILES)])
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    urls = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(domains, (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "domain"
+        ),
+        F.element_at(paths, (F.col("doc_id") % 5 + 1).cast("int")).alias(
+            "path"
+        ),
+    )
+    out = robots_allowed(urls, rules)
+    return (
+        out.groupBy("domain", "path", "allowed", "matched_rule")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("domain", "path")
+    )
+
+
+def _robots_oracle_sql() -> str:
+    doms = sorted(_ROBOTS_FILES)
+    vals = ",\n      ".join(
+        "({}, {}, '{}', {}, {}, {})".format(
+            dv, pv, doms[dv], _sql_str(_ROBOTS_PATHS[pv]),
+            "TRUE" if allowed else "FALSE",
+            _sql_str(rule) if rule is not None else "CAST(NULL AS VARCHAR)",
+        )
+        for (dv, pv), (allowed, rule) in sorted(_ROBOTS_EXPECT.items())
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS dv, doc_id % 5 AS pv, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), expect(dv, pv, domain, path, allowed, matched_rule) AS (VALUES
+      {vals}
+    )
+    SELECT e.domain, e.path, e.allowed, e.matched_rule, c.n AS n_docs
+    FROM expect e JOIN counts c ON c.dv = e.dv AND c.pv = e.pv
+    ORDER BY e.domain, e.path
+    """
+
+
 _BM25_QUERY = "hash join vector"
 
 
@@ -2077,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_extract": q_epub_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
+        "robots_allowed": q_robots_allowed,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -2214,6 +2308,7 @@ def oracle_sql() -> dict[str, str]:
     out["epub_extract"] = _epub_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
+    out["robots_allowed"] = _robots_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
