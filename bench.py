@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "epub_extract",
     "ngram_lm_ppl",
     "bm25_topk",
+    "span_regression_diff",
+    "robots_allowed",
 ]
 
 
