@@ -2109,6 +2109,229 @@ def _first_embedding(emb: DataFrame) -> list[float]:
     ]
 
 
+# ------------------------------------------------------------ link graph
+
+
+def _url_of(idc: F.Column) -> F.Column:
+    """Canonical URL of document ``idc`` from doc_id arithmetic alone
+    (the driver corpus pins ``source = 'src' || doc_id % 20``; the
+    degree lane's inner join back to ``_synth_url`` would go empty if
+    that ever drifted, failing the row-count gate)."""
+    suffix = (
+        F.when(idc % 3 == 0, F.lit(".co.uk"))
+        .when(idc % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org.au"))
+    )
+    return F.concat(
+        F.lit("https://sub"),
+        (idc % 5).cast("string"),
+        F.lit(".src"),
+        (idc % 20).cast("string"),
+        (idc % 7).cast("string"),
+        suffix,
+        F.lit("/docs/"),
+        idc.cast("string"),
+        F.lit("?ref=r"),
+        (idc % 2).cast("string"),
+    )
+
+
+def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic synthetic crawled HTML pages whose
+    hyperlink structure is pure doc_id arithmetic (so the DuckDB oracle
+    can regenerate the graph without parsing HTML): page i links to
+    docs (7i+3) mod N and (13i+5) mod N, every 10th page is a dangling
+    sink, and each page also carries the link noise a real crawl sees —
+    a fragment anchor, a relative self-permalink (exercises RFC 3986
+    resolution; becomes a self-loop the graph build drops), a
+    rel=nofollow ad, and a mailto."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = docs.select(F.count(F.lit(1)).alias("_m"))
+    d = docs.crossJoin(F.broadcast(m))
+    i = F.col("doc_id")
+    body_links = F.when(
+        i % 10 != 0,
+        F.concat(
+            F.lit('<p>Related reading: <a href="'),
+            _url_of((i * 7 + 3) % F.col("_m")),
+            F.lit('">first related article</a> and <a href="'),
+            _url_of((i * 13 + 5) % F.col("_m")),
+            F.lit('">second related article</a>.</p>'),
+        ),
+    ).otherwise(F.lit("<p>No related articles for this terminal page.</p>"))
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        i.cast("string"),
+        F.lit('</title></head><body><nav><a href="#top">top</a> <a href="/docs/'),
+        i.cast("string"),
+        F.lit("?ref=r"),
+        (i % 2).cast("string"),
+        F.lit('">permalink</a></nav>'),
+        body_links,
+        F.lit(
+            '<p><a rel="nofollow" href="https://ads.example.com/click">'
+            'sponsored</a> <a href="mailto:ed@example.com">email</a></p>'
+            "</body></html>"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        _synth_url().alias("url"),
+        F.encode(html, "UTF-8").alias("content"),
+    )
+
+
+def _doc_graph(spark: SparkSession, sf_dir: str):
+    """Synthetic crawl → real anchor harvest → deduplicated doc-id
+    graph: extract_edges parses every page (Arrow kernel), graph_edges
+    drops nofollow/self-loops and dedups, and both endpoints map back
+    to doc ids through the canonical-URL join."""
+    from machine_readability_checker_spark.operators import linkgraph as LG
+
+    pages = _crawl_pages(spark, sf_dir)
+    g = LG.graph_edges(LG.extract_edges(pages))
+    mapping = _t(spark, sf_dir, "documents").select(
+        _url_of(F.col("doc_id")).alias("u"), F.col("doc_id")
+    )
+    return (
+        g.join(mapping.withColumnRenamed("doc_id", "_src_id"), g.src == F.col("u"))
+        .drop("u")
+        .join(
+            mapping.withColumnRenamed("doc_id", "_dst_id"), g.dst == F.col("u")
+        )
+        .select(F.col("_src_id").alias("src"), F.col("_dst_id").alias("dst"))
+    )
+
+
+def q_link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink graph build + degree statistics: synthesize crawled
+    pages, harvest anchors with the real HTML link collector (base-href
+    and RFC 3986 resolution, nofollow/mailto/fragment filtering), dedup
+    into a directed graph, and compute per-node in/out degrees with ONE
+    aggregate over the two-ended union (never a self-join).  The DuckDB
+    oracle regenerates the same graph arithmetically — any drift in
+    link extraction, URL resolution, or the noise filters changes a
+    degree and breaks the hash."""
+    from machine_readability_checker_spark.operators import linkgraph as LG
+
+    deg = LG.degree_stats(_doc_graph(spark, sf_dir))
+    return (
+        deg.select(
+            F.col("node").alias("doc_id"),
+            F.col("out_degree").cast("long").alias("out_degree"),
+            F.col("in_degree").cast("long").alias("in_degree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank document prior over the harvested hyperlink graph:
+    5 synchronous iterations, damping 0.85, uniform teleport, dangling
+    mass redistributed (rank mass sums to 1 each round).  Plan per
+    iteration: edges⋈ranks on src (edges hash-partitioned once and
+    reused) → one per-dst aggregate → narrow update with the dangling
+    scalar broadcast-cross-joined; the rank table is localCheckpoint'd
+    per round so the twice-referenced lineage stays flat.  Ranks are
+    reported scaled by N (mean 1.0) and rounded to 5dp; the oracle
+    unrolls the same 5 iterations as chained SQL CTEs."""
+    from machine_readability_checker_spark.operators import linkgraph as LG
+
+    gid = _doc_graph(spark, sf_dir)
+    n_nodes = (
+        gid.select(F.col("src").alias("n"))
+        .unionAll(gid.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    ranks = LG.pagerank(gid, n_iter=_PR_ITERS, damping=_PR_DAMPING)
+    return (
+        ranks.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.round(F.col("rank") * F.lit(float(n_nodes)), 5).alias(
+                "rank_scaled"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- line-level dedup
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multi-line twins: prose re-wrapped at 8 tokens per
+    line, plus two seeded boilerplate lines per document (one global
+    "subscribe" banner, one footer shared by each doc_id % 37 cohort) —
+    guaranteed corpus-wide duplicates for the line-dedup lane, all
+    constructively known to the oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TS.tokens(F.col("text"))
+    n = F.size(toks)
+    nl = F.ceil(n / F.lit(8.0)).cast("int")
+    content_lines = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(toks, i * F.lit(8) + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.concat(
+        content_lines,
+        F.array(F.lit("subscribe to our newsletter today")),
+        F.array(
+            F.concat(
+                F.lit("shared footer "), (F.col("doc_id") % 37).cast("string")
+            )
+        ),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicate-line removal at corpus scope: every line
+    occurring ≥2 times anywhere in the corpus is stripped from every
+    document (boilerplate banners/footers die; unique prose survives).
+    One aggregate finds the dup set; a LEFT ANTI join (AQE-broadcast in
+    practice) filters the line table; documents reassemble with an
+    order-preserving array_sort — no Python anywhere."""
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_dup_lines,
+    )
+
+    out = strip_dup_lines(_multiline_docs(spark, sf_dir))
+    return (
+        out.select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.length("text").cast("long").alias("out_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (sklearn smooth-idf): two
+    hash aggregates (doc-term counts, then document frequencies over
+    the already-distinct pairs), a term-keyed join, the corpus count as
+    a broadcast 1-row cross join, and a WindowGroupLimit-pruned window
+    for the top-k — the corpus text is scanned exactly once."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.tfidf_top_terms(docs, k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "score",
+        F.col("rn").cast("long").alias("rn"),
+    ).orderBy("doc_id", "rn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_span_stats": q_extract_span_stats,
@@ -2184,6 +2407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_refined_topk": q_ivfpq_refined_topk,
         "media_context_pairs": q_media_context_pairs,
         "events_asof": q_events_asof,
+        "link_graph_degrees": q_link_graph_degrees,
+        "pagerank_ranks": q_pagerank_ranks,
+        "line_dedup": q_line_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2322,7 +2549,162 @@ def oracle_sql() -> dict[str, str]:
     out["ivfpq_refined_topk"] = _IVFPQ_REFINED_SQL
     out["media_context_pairs"] = _MEDIA_CONTEXT_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
+    out["link_graph_degrees"] = _LINK_DEGREES_SQL
+    out["pagerank_ranks"] = _pagerank_oracle_sql()
+    out["line_dedup"] = _LINE_DEDUP_SQL
+    out["tfidf_top_terms"] = _TFIDF_SQL
     return out
+
+
+# Link-graph oracles: the synthetic crawl's hyperlink structure is pure
+# doc_id arithmetic (page i → (7i+3) mod N and (13i+5) mod N, i%10==0
+# dangling), so DuckDB regenerates the exact graph without any HTML.
+
+_LINK_EDGES_CTE = """
+m AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % m.c AS dst
+    FROM documents, m WHERE doc_id % 10 != 0
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 13 + 5) % m.c AS dst
+    FROM documents, m WHERE doc_id % 10 != 0
+  ) WHERE src != dst
+)
+"""
+
+_LINK_DEGREES_SQL = f"""
+WITH {_LINK_EDGES_CTE},
+ends AS (
+  SELECT src AS doc_id, 1 AS o, 0 AS i FROM e
+  UNION ALL
+  SELECT dst AS doc_id, 0 AS o, 1 AS i FROM e
+)
+SELECT doc_id,
+       CAST(SUM(o) AS BIGINT) AS out_degree,
+       CAST(SUM(i) AS BIGINT) AS in_degree
+FROM ends GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled {_PR_ITERS}-iteration PageRank as chained CTEs (DuckDB
+    recursive CTEs can't aggregate over the working table, so the fixed
+    iteration count is unrolled instead) — same damping, uniform
+    teleport, and dangling-mass redistribution as operators.linkgraph
+    .pagerank, term for term so the doubles match to well past the
+    5dp rounding."""
+    iters = []
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{t} AS (
+  SELECT b.doc_id, b.od,
+         (1 - {_PR_DAMPING}) / nn.c
+           + {_PR_DAMPING} * (COALESCE(c.contrib, 0) + d.mass / nn.c)
+           AS rank
+  FROM base b
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(r.rank / r.od) AS contrib
+    FROM e JOIN {prev} r ON e.src = r.doc_id GROUP BY e.dst
+  ) c USING (doc_id)
+  CROSS JOIN (
+    SELECT COALESCE(SUM(CASE WHEN od = 0 THEN rank END), 0) AS mass
+    FROM {prev}
+  ) d
+  CROSS JOIN nn
+)""")
+        prev = f"r{t}"
+    return f"""
+WITH {_LINK_EDGES_CTE},
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT src AS doc_id FROM e UNION ALL SELECT dst AS doc_id FROM e
+  )
+),
+deg AS (SELECT src AS doc_id, COUNT(*) AS od FROM e GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+base AS (
+  SELECT n.doc_id, COALESCE(dg.od, 0) AS od
+  FROM nodes n LEFT JOIN deg dg USING (doc_id)
+),
+r0 AS (SELECT doc_id, od, 1.0 / nn.c AS rank FROM base, nn),
+{','.join(iters)}
+SELECT doc_id, ROUND(rank * nn.c, 5) AS rank_scaled
+FROM {prev}, nn ORDER BY doc_id
+"""
+
+
+_LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+cpd AS (
+  SELECT doc_id, CAST(ceil(len(t) / 8.0) AS BIGINT) AS ncl FROM toks
+),
+content AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ') AS line
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+    FROM toks WHERE len(t) > 0
+  )
+),
+alllines AS (
+  SELECT doc_id, pos, line FROM content
+  UNION ALL
+  SELECT doc_id, ncl, 'subscribe to our newsletter today' FROM cpd
+  UNION ALL
+  SELECT doc_id, ncl + 1, 'shared footer ' || CAST(doc_id % 37 AS VARCHAR)
+  FROM cpd
+),
+cnt AS (SELECT line, COUNT(*) AS c FROM alllines GROUP BY line),
+kept AS (
+  SELECT a.doc_id, a.pos, a.line
+  FROM alllines a JOIN cnt USING (line) WHERE cnt.c < 2
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         length(string_agg(line, chr(10) ORDER BY pos)) AS out_len
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(cpd.ncl + 2 AS BIGINT) AS n_lines,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(agg.out_len, 0) AS BIGINT) AS out_len
+FROM documents d
+JOIN cpd USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.c + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS rn
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       ROUND(score, 6) AS score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn
+"""
 
 
 # Engine-portable LSH oracles: the query lanes use md5-derived token

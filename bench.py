@@ -71,11 +71,19 @@ BENCH_QUERIES = [
     "events_asof",
     "odf_extract",
     "epub_extract",
-    "ngram_lm_ppl",
-    "bm25_topk",
     "span_regression_diff",
     "robots_allowed",
+    "link_graph_degrees",
+    "pagerank_ranks",
+    "line_dedup",
+    "tfidf_top_terms",
 ]
+# NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
+# conflated a one-off build (LM training / postings indexing) with the
+# per-request cost users feel.  They are now split families below
+# (ngram_lm_build/_query, bm25_index_build/bm25_query) — same pattern
+# the ANN index lanes adopted after the r3 verdict called the combined
+# numbers misleading.
 
 
 def _materialize(df) -> None:
@@ -352,6 +360,48 @@ def main() -> None:
         enc = spark.read.parquet(art["enc_path"])
         return SIM.pq_topk(enc, art["qvec"], art["cbs"], k=10)
 
+    def _lm_build(spark, sf_dir):
+        # train once + persist (the CCNet workflow: one reference LM,
+        # many scored shards)
+        import tempfile
+
+        from machine_readability_checker_spark.operators import ngram_lm as LM
+
+        docs = E._t(spark, sf_dir, "documents")
+        path = os.path.join(tempfile.gettempdir(), "mrc_bench_lm")
+        LM.write_ngram_model(LM.ngram_lm_train(docs, n=3), path)
+        return {"path": path}
+
+    def _lm_query(spark, sf_dir, art):
+        # score the whole corpus against the PERSISTED model — the
+        # per-shard cost; broadcast kernel, zero corpus exchanges
+        from machine_readability_checker_spark.operators import ngram_lm as LM
+
+        docs = E._t(spark, sf_dir, "documents")
+        model = LM.read_ngram_model(spark, art["path"])
+        return LM.score_stupid_backoff(docs, model)
+
+    def _bm25_build(spark, sf_dir):
+        import tempfile
+
+        from machine_readability_checker_spark.operators import bm25 as BM
+
+        docs = E._t(spark, sf_dir, "documents")
+        path = os.path.join(tempfile.gettempdir(), "mrc_bench_bm25")
+        BM.write_bm25_index(BM.bm25_build(docs), path, n_buckets=16)
+        return {"path": path}
+
+    def _bm25_query(spark, sf_dir, art):
+        # bucket-pruned scan + materialized (n_docs, avgdl): the query
+        # never touches postings outside its terms' buckets
+        from machine_readability_checker_spark.operators import bm25 as BM
+
+        idx = BM.read_bm25_index(spark, art["path"])
+        stats = BM.read_bm25_stats(spark, art["path"])
+        return BM.bm25_topk(
+            idx, "table merge join window", k=10, n_buckets=16, stats=stats
+        )
+
     # (build_fn, [(lane_name, query_fn), ...]) — build timed once per
     # rep as <family>_build, each query lane timed against the built
     # artifacts
@@ -364,6 +414,8 @@ def main() -> None:
         ("ivfpq_index", _ivfpq_index_build,
          [("ivfpq_index_query", _ivfpq_index_query),
           ("ivfpq_refined_query", _ivfpq_refined_query)]),
+        ("ngram_lm", _lm_build, [("ngram_lm_query", _lm_query)]),
+        ("bm25_index", _bm25_build, [("bm25_query", _bm25_query)]),
     ]
 
     qs = E.queries()

@@ -323,6 +323,112 @@ def classify_blocks(blocks: List[HtmlBlock]) -> List[Tuple[str, str, str]]:
     return out
 
 
+class _LinkCollector(HTMLParser):
+    """Hyperlink harvest for the link-graph lane: every ``<a href>``
+    with its visible anchor text and ``rel=nofollow`` flag, honoring a
+    ``<base href>`` and skipping <script>/<style> subtrees.  Kept
+    separate from ``_Extractor`` so the span lane's block state machine
+    stays single-purpose."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base: Optional[str] = None
+        self.links: List[Tuple[str, str, bool]] = []  # href, text, nofollow
+        self._drop_depth = 0
+        self._cur: Optional[Tuple[str, bool]] = None
+        self._parts: List[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        a = dict(attrs)
+        if tag == "base" and self.base is None and a.get("href"):
+            self.base = a["href"].strip()
+            return
+        if tag == "a":
+            if self._cur is not None:
+                self._finish()  # malformed nesting: close the open one
+            href = (a.get("href") or "").strip()
+            rel = (a.get("rel") or "").lower()
+            nofollow = "nofollow" in rel.split()
+            if href:
+                self._cur = (href, nofollow)
+                self._parts = []
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "a" and self._cur is not None:
+            self._finish()
+
+    def _finish(self) -> None:
+        href, nofollow = self._cur  # type: ignore[misc]
+        text = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        self.links.append((href, text, nofollow))
+        self._cur = None
+        self._parts = []
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._cur is not None:
+            self._parts.append(data)
+
+    def close(self):
+        super().close()
+        if self._cur is not None:
+            self._finish()
+
+
+# schemes that never produce a crawlable edge
+_NON_HTTP_SCHEME_RE = re.compile(
+    r"^(javascript|mailto|tel|data|ftp|file|about|blob):", re.I
+)
+
+
+def extract_links(
+    content: bytes, base_url: str, charset_hint: str = ""
+) -> List[Tuple[str, str, bool]]:
+    """HTML bytes → ordered (absolute_url, anchor_text, nofollow)
+    triples — the edge list a crawl frontier / link-graph build
+    consumes.
+
+    Resolution follows what a browser does: ``<base href>`` (itself
+    resolved against the page URL) outranks the page URL; relative
+    references resolve per RFC 3986 (stdlib ``urljoin``); fragments are
+    stripped (an in-page anchor is not an edge); fragment-only and
+    non-fetchable schemes (javascript:/mailto:/data:/...) are dropped;
+    only http(s) destinations survive.  Duplicate hrefs are preserved
+    in document order — graph-level dedup is the caller's job
+    (``operators.linkgraph`` does it with a DISTINCT, where it is one
+    shuffle over edges instead of per-document Python)."""
+    from urllib.parse import urldefrag, urljoin
+
+    enc = sniff_charset(content, charset_hint)
+    text = content.decode(enc, errors="replace")
+    parser = _LinkCollector()
+    parser.feed(text)
+    parser.close()
+    base = urljoin(base_url, parser.base) if parser.base else base_url
+    out: List[Tuple[str, str, bool]] = []
+    for href, anchor, nofollow in parser.links:
+        if href.startswith("#") or _NON_HTTP_SCHEME_RE.match(href):
+            continue
+        absolute, _frag = urldefrag(urljoin(base, href))
+        if not absolute.lower().startswith(("http://", "https://")):
+            continue
+        out.append((absolute, anchor, nofollow))
+    return out
+
+
 # canonicalize the charset labels real pages/headers actually carry
 _CHARSET_ALIASES = {
     "utf8": "utf-8",

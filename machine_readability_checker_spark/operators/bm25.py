@@ -78,7 +78,13 @@ def write_bm25_index(
 ) -> None:
     """Materialize the postings partitioned by term hash bucket: a
     query's terms prune to ≤ |terms| buckets (PartitionFilters, like
-    the MinHash band index)."""
+    the MinHash band index).
+
+    The corpus scalars (n_docs, avgdl) are materialized alongside under
+    ``{path}/_stats`` — an underscore-prefixed directory, so the
+    postings reader's file index skips it.  Without this every query
+    re-aggregates the FULL postings table just to learn avgdl; with it
+    a query touches only its pruned buckets plus one tiny file."""
     (
         postings.withColumn(
             "term_bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
@@ -88,10 +94,41 @@ def write_bm25_index(
         .partitionBy("term_bucket")
         .parquet(path)
     )
+    bm25_stats(postings).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_stats"
+    )
+    # per-term document frequencies, bucket-partitioned like the
+    # postings: batch retrieval joins its query terms against THIS
+    # instead of re-aggregating the full postings table every batch
+    (
+        postings.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .withColumn(
+            "term_bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/_df")
+    )
 
 
 def read_bm25_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_bm25_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The materialized (n_docs, avgdl) row written by
+    ``write_bm25_index`` — pass it to ``bm25_topk``/``bm25_topk_batch``
+    as ``stats`` so queries never re-scan the corpus."""
+    return spark.read.parquet(f"{path}/_stats")
+
+
+def read_bm25_df(spark: SparkSession, path: str) -> DataFrame:
+    """The materialized per-term document frequencies — pass to
+    ``bm25_topk_batch`` as ``df_table``; its term_bucket partitioning
+    prunes the read to the batch's own terms."""
+    return spark.read.parquet(f"{path}/_df")
 
 
 def _score_col(k1: float, b: float) -> F.Column:
@@ -113,13 +150,16 @@ def bm25_topk(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     n_buckets: Optional[int] = None,
+    stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Top-k documents for one query string →
     ``(doc_id, score, n_terms_hit)``, ties broken by doc_id.
 
     When the postings frame carries a ``term_bucket`` column (a
     materialized index), the scan is first pruned to the query terms'
-    buckets — pass ``n_buckets`` matching the index."""
+    buckets — pass ``n_buckets`` matching the index.  Pass ``stats``
+    (``read_bm25_stats``) to skip the full-corpus (n_docs, avgdl)
+    aggregate — with both, a query's cost is bounded by its buckets."""
     terms = tokenize_query(query)
     if not terms:
         raise ValueError("bm25: empty query")
@@ -135,7 +175,8 @@ def bm25_topk(
     df_tbl = hits.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    stats = bm25_stats(postings)
+    if stats is None:
+        stats = bm25_stats(postings)
     scored = (
         hits.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(stats))
@@ -201,19 +242,28 @@ def bm25_topk_batch(
     b: float = DEFAULT_B,
     query_id_col: str = "query_id",
     query_text_col: str = "query",
+    stats: Optional[DataFrame] = None,
+    df_table: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Batch retrieval: (query_id, query) frame → per-query top-k
     ``(query_id, rank, doc_id, score)``.  One postings-side shuffle on
     term, one window top-k per query — the batch twin of
-    ``bm25_topk``, exact per-query equality pinned by tests."""
+    ``bm25_topk``, exact per-query equality pinned by tests.  Pass the
+    materialized ``stats`` row (skips the corpus-wide avgdl scan) and
+    ``df_table`` (``read_bm25_df`` — skips the corpus-wide df
+    aggregate); with both, a batch touches only its own terms."""
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(_norm_tokens(F.col(query_text_col))).alias("term"),
     ).distinct()
-    df_tbl = postings.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    stats = bm25_stats(postings)
+    if df_table is None:
+        df_tbl = postings.groupBy("term").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+    else:
+        df_tbl = df_table.select("term", "df")
+    if stats is None:
+        stats = bm25_stats(postings)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("doc_id")
     )

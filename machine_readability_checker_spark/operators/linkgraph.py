@@ -1,0 +1,219 @@
+"""Link-graph operators: edge extraction, degree statistics, PageRank.
+
+The web-scale curation loop the reference's single-file checker never
+needed: crawled pages carry hyperlinks, and corpus quality work
+(RefinedWeb/CCNet-style) uses the induced graph — in/out degrees for
+spam heuristics, PageRank as a document prior.  Everything here is
+built from the crawl lanes this repo already has (`core.html`
+anchor harvest, `core.warc` pages, `weburl.parse_url`).
+
+Scale design (the part that must survive 10^12 documents):
+
+- ``extract_edges``: ONE Arrow-batched ``mapInPandas`` over pages —
+  per-page Python parses HTML (CPU-bound, embarrassingly parallel),
+  emits (src, dst, anchor, nofollow) rows.  No shuffle; edge dedup is
+  deferred to the graph build where it is one exchange over the much
+  smaller edge list.
+- ``degree_stats``: union of the two projections + one hash aggregate
+  keyed on node (map-side partial combine) — NOT a self-join of edges.
+- ``pagerank``: the classic bulk-synchronous iteration expressed so
+  each round is exactly one shuffle: contributions = edges ⋈ ranks on
+  ``src`` (both sides hash-partitioned on the same key once, so the
+  join itself reuses the exchange), then ``groupBy dst`` re-shuffles
+  by destination.  Dangling mass (nodes with no outlinks) is a scalar
+  aggregate broadcast back into the update expression (a 1-row cross
+  join, not a driver round-trip).  Lineage is cut with a lazy
+  ``localCheckpoint`` per iteration so the twice-referenced rank table
+  is shared, not a doubling expression tree.
+  Skewed in-degree (every page links to the homepage) stays safe: the
+  per-dst aggregate does map-side combine, so a hot destination
+  receives one partial per upstream partition, not one row per edge.
+
+Reference parity note: no analog in the reference (it audits one
+uploaded table at a time, `src/app/app.py:51-295`); this family is the
+training-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+EDGE_SCHEMA = "src string, dst string, anchor string, nofollow boolean"
+
+
+def extract_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content",
+    charset_col: Optional[str] = None,
+) -> DataFrame:
+    """Crawled pages (url, html bytes) → hyperlink edge rows
+    (src, dst, anchor, nofollow), one Arrow-batched kernel, zero
+    shuffles.  Fragment-only, javascript:/mailto:/data: and non-http
+    destinations are already dropped by ``core.html.extract_links``;
+    duplicate hrefs survive (frontier scheduling wants them; graph
+    builds dedup with one DISTINCT over edges)."""
+    cols = [F.col(url_col).alias("url"), F.col(content_col).alias("content")]
+    if charset_col:
+        cols.append(F.col(charset_col).alias("charset"))
+    else:
+        cols.append(F.lit("").alias("charset"))
+    src = pages.select(*cols)
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.html import (
+            extract_links,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                for dst, anchor, nofollow in extract_links(
+                    content, r.url or "", r.charset or ""
+                ):
+                    rows.append((r.url, dst, anchor, nofollow))
+            yield _pd.DataFrame(
+                rows, columns=["src", "dst", "anchor", "nofollow"]
+            )
+
+    return src.mapInPandas(kernel, schema=EDGE_SCHEMA)
+
+
+def graph_edges(
+    edges: DataFrame, follow_only: bool = True, drop_self: bool = True
+) -> DataFrame:
+    """Raw anchor rows → the deduplicated directed graph (src, dst):
+    DISTINCT pairs, optionally honoring rel=nofollow and dropping
+    self-loops.  One exchange on (src, dst)."""
+    e = edges
+    if follow_only and "nofollow" in e.columns:
+        e = e.filter(~F.col("nofollow"))
+    e = e.select("src", "dst")
+    if drop_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def degree_stats(graph: DataFrame) -> DataFrame:
+    """(src, dst) graph → per-node (node, out_degree, in_degree).
+
+    Union of the two one-column projections tagged with which end the
+    node appeared at, then ONE hash aggregate — the union is
+    map-side-only, so the whole statistic costs a single shuffle keyed
+    on node.  Nodes appear whether or not they have both directions
+    (a pure source has in_degree 0, a pure sink out_degree 0)."""
+    ends = graph.select(
+        F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(
+        graph.select(
+            F.col("dst").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i")
+        )
+    )
+    return ends.groupBy("node").agg(
+        F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
+    )
+
+
+def pagerank(
+    graph: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """(src, dst) edge list → (node, rank) after ``n_iter`` synchronous
+    PageRank iterations with uniform teleport and dangling-mass
+    redistribution (ranks sum to 1 every iteration).
+
+    Plan shape per iteration (the 100 TB contract):
+
+    1. ``contribs = edges ⋈ ranks ON src`` — edges are repartitioned
+       on ``src`` ONCE and cached; ranks leave each iteration already
+       hash-partitioned, so Catalyst reuses the exchange instead of
+       re-shuffling the (huge) edge side every round.
+    2. ``groupBy(dst).sum`` — one exchange, map-side partial combine
+       defuses in-degree skew (the homepage problem).
+    3. dangling mass = a ONE-ROW aggregate over sink-node ranks,
+       broadcast-cross-joined into the update — it stays inside the
+       plan (no per-iteration driver action, which would re-trigger
+       the whole lineage as a separate job every round).
+    4. new rank = (1-d)/N + d * (contrib + dangling/N) — a narrow map
+       over the node table left-joined with contribs.
+
+    Each iteration's rank table is ``localCheckpoint``'d (lazy): the
+    next iteration references it TWICE (contribution join + dangling
+    aggregate), and the checkpoint makes that a shared materialized
+    RDD instead of a doubling expression tree — without it the plan
+    re-derives 2^k subtrees by iteration k.  The only driver-side
+    scalar is N (one count); per-node data never collects."""
+    edges = graph.select("src", "dst")
+    if num_partitions:
+        edges = edges.repartition(num_partitions, "src")
+    else:
+        edges = edges.repartition("src")
+    edges = edges.persist()
+
+    nodes = (
+        graph.select(F.col("src").alias("node"))
+        .unionAll(graph.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = graph.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    # node table with out_degree (0 = dangling sink), partitioned on node
+    base = (
+        nodes.join(out_deg, "node", "left")
+        .fillna(0, subset=["out_degree"])
+        .withColumn("is_sink", F.col("out_degree") == 0)
+        .repartition("node")
+        .persist()
+    )
+    n_nodes = base.count()  # O(1) scalar; also materializes the cache
+    if n_nodes == 0:
+        return base.select("node", F.lit(0.0).alias("rank")).limit(0)
+
+    ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
+    for it in range(n_iter):
+        ranks = ranks.localCheckpoint(eager=False)
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_sink"), F.col("rank"))), F.lit(0.0)
+            ).alias("_dangling")
+        )
+        contribs = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    # sinks never match an edge src, but ANSI mode
+                    # evaluates the projection before the join filters
+                    # them — guard the division
+                    F.when(
+                        F.col("out_degree") > 0,
+                        F.col("rank") / F.col("out_degree"),
+                    ).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))  # 1 row: the dangling scalar
+            .withColumn(
+                "rank",
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("_dangling") / F.lit(float(n_nodes))
+                ),
+            )
+            .select("node", "out_degree", "is_sink", "rank")
+        )
+    return ranks.select("node", "rank")

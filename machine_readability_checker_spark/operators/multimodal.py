@@ -192,12 +192,20 @@ def encode_fake_video(frames: list[bytes]) -> bytes:
 
 def decode_video_frames(content: bytes) -> list:
     """Per-frame bytes from a video blob: real AVI/MJPEG (RIFF walk →
-    JPEG frames, each decodable by ``decode_image``) or the legacy fake
-    length-prefixed container."""
+    JPEG frames, each decodable by ``decode_image``), animated GIF
+    (disposal-composited canvases re-encoded as lossless BMP so each
+    frame flows through the image feature kernel like any other blob),
+    or the legacy fake length-prefixed container."""
     if content.startswith(b"RIFF") and content[8:12] == b"AVI ":
         from ..core.avi import decode_avi
 
         return decode_avi(content).frames
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from ..core.bmp import encode_bmp
+        from ..core.gif import decode_gif_frames
+
+        sw, sh, canvases, _metas = decode_gif_frames(content)
+        return [encode_bmp(sw, sh, 3, c) for c in canvases]
     return _decode_fake_frames(content)
 
 

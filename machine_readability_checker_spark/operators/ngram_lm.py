@@ -388,3 +388,25 @@ def perplexity_buckets(
         .when(F.col("perplexity") <= tail_threshold, "middle")
         .otherwise("tail"),
     )
+
+
+def write_ngram_model(model: DataFrame, path: str) -> None:
+    """Materialize a trained counts model (train once, score many —
+    CCNet trains its reference LM once and reuses it across every
+    shard).  Partitioned by order ``n`` so per-order lookups (the join
+    path melts per role/order) can prune partitions; the gram rows are
+    sorted within files so parquet min/max row-group stats make point
+    lookups cheap."""
+    (
+        model.repartition("n")
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite")
+        .partitionBy("n")
+        .parquet(path)
+    )
+
+
+def read_ngram_model(spark, path: str) -> DataFrame:
+    """Read back a persisted model — column order restored to the
+    training contract (gram, n, count)."""
+    return spark.read.parquet(path).select("gram", "n", "count")

@@ -838,3 +838,61 @@ def ngram_counts(
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(top_k)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the standard keyword /
+    document-representation primitive (sklearn's smooth-idf formula:
+    ``idf = ln((N+1)/(df+1)) + 1``, raw term counts as tf).
+
+    Returns (id, term, tf, score, rn) with ``rn`` the 1-based rank by
+    (score DESC, term ASC) — the term tiebreak makes the output fully
+    deterministic.
+
+    Scale shape: term frequencies are ONE hash aggregate on
+    (doc, term); document frequencies are a SECOND aggregate over that
+    (already-deduplicated) table, so the corpus is never re-scanned;
+    the idf join is keyed on term (AQE broadcasts it when the
+    vocabulary is small); N arrives as a broadcast 1-row cross join,
+    never a driver round-trip; the final top-k is a window partitioned
+    by document — map-side WindowGroupLimit prunes before the shuffle."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("score", 6).alias("score"),
+            "rn",
+        )
+    )

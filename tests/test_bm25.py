@@ -147,3 +147,50 @@ def test_materialized_index_prunes_partitions(spark, postings, tmp_path):
 def test_empty_query_raises(postings):
     with pytest.raises(ValueError):
         bm25_topk(postings, "   ")
+
+
+def test_materialized_stats_match_and_skip_corpus_scan(
+    spark, postings, tmp_path
+):
+    from machine_readability_checker_spark.operators.bm25 import (
+        read_bm25_stats,
+    )
+
+    path = str(tmp_path / "bm25_idx2")
+    write_bm25_index(postings, path, n_buckets=16)
+    idx = read_bm25_index(spark, path)
+    stats = read_bm25_stats(spark, path)
+    # the underscore dir is invisible to the postings reader
+    assert "term_bucket" in idx.columns and "avgdl" not in idx.columns
+    live = bm25_stats(postings).collect()[0]
+    mat = stats.collect()[0]
+    assert mat["n_docs"] == live["n_docs"]
+    assert abs(mat["avgdl"] - live["avgdl"]) < 1e-12
+
+    # scoring with materialized stats == scoring with live stats
+    a = bm25_topk(idx, "lazy dog", k=5, n_buckets=16).collect()
+    b = bm25_topk(idx, "lazy dog", k=5, n_buckets=16, stats=stats).collect()
+    assert [(r.doc_id, round(r.score, 10)) for r in a] == [
+        (r.doc_id, round(r.score, 10)) for r in b
+    ]
+    # batch path accepts both materialized artifacts; the df table
+    # must produce the same scores as the live aggregate
+    from machine_readability_checker_spark.operators.bm25 import (
+        read_bm25_df,
+    )
+
+    dft = read_bm25_df(spark, path)
+    live_df = {
+        r.term: r.df
+        for r in postings.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    assert {r.term: r.df for r in dft.collect()} == live_df
+    q = spark.createDataFrame(
+        [("q1", "lazy dog")], "query_id string, query string"
+    )
+    c = bm25_topk_batch(idx, q, k=5, stats=stats, df_table=dft).collect()
+    assert [(r.doc_id, round(r.score, 10)) for r in c] == [
+        (r.doc_id, round(r.score, 10)) for r in a
+    ]

@@ -11,7 +11,12 @@ import numpy as np
 import pytest
 
 from machine_readability_checker_spark.core.bmp import decode_bmp, encode_bmp
-from machine_readability_checker_spark.core.gif import decode_gif, encode_gif
+from machine_readability_checker_spark.core.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    encode_gif_animation,
+)
 
 
 def _paletted_rgb(h, w, n_colors=20, seed=11):
@@ -224,3 +229,140 @@ def test_gif_bmp_flow_through_media_kernel(spark):
         assert r["decode_error"] is None, r["decode_error"]
         assert (r["width"], r["height"]) == (16, 16)
     del pd
+
+
+# ------------------------------------------------------- animation decode
+
+
+def test_gif_animation_disposal_compositing():
+    """Constructive disposal-method matrix: keep (1), restore-background
+    (2), restore-previous (3), local color tables, transparency."""
+    red = b"\xff\x00\x00" * 16
+    blue = b"\x00\x00\xff" * 4
+    green = b"\x00\xff\x00"
+    anim = encode_gif_animation(
+        4,
+        4,
+        [
+            dict(left=0, top=0, w=4, h=4, rgb=red, disposal=1),
+            dict(left=1, top=1, w=2, h=2, rgb=blue, disposal=2),
+            dict(left=0, top=0, w=1, h=1, rgb=green, disposal=0),
+        ],
+        bg_rgb=b"\x20\x20\x20",
+    )
+    sw, sh, frames, metas = decode_gif_frames(anim)
+    assert (sw, sh, len(frames)) == (4, 4, 3)
+    f0 = np.frombuffer(frames[0], np.uint8).reshape(4, 4, 3)
+    f1 = np.frombuffer(frames[1], np.uint8).reshape(4, 4, 3)
+    f2 = np.frombuffer(frames[2], np.uint8).reshape(4, 4, 3)
+    assert (f0 == [255, 0, 0]).all()
+    # frame 1 drew a blue rect over the kept red canvas
+    assert (f1[1:3, 1:3] == [0, 0, 255]).all()
+    assert (f1[0, 0] == [255, 0, 0]).all()
+    # disposal 2 restored the RECT to the background color before frame 2
+    assert (f2[1:3, 1:3] == [32, 32, 32]).all()
+    assert (f2[0, 0] == [0, 255, 0]).all()
+    assert (f2[3, 3] == [255, 0, 0]).all()
+    assert [m["disposal"] for m in metas] == [1, 2, 0]
+
+
+def test_gif_animation_restore_previous_and_transparency():
+    t = b"\x01\x02\x03"
+    anim = encode_gif_animation(
+        3,
+        3,
+        [
+            dict(left=0, top=0, w=3, h=3, rgb=b"\x10\x10\x10" * 9, disposal=1),
+            dict(
+                left=0, top=0, w=2, h=2,
+                rgb=t + b"\xaa\xbb\xcc" + t + t,
+                disposal=3, transparent=t,
+            ),
+            dict(left=2, top=2, w=1, h=1, rgb=b"\x00\xff\x00", disposal=0),
+        ],
+    )
+    sw, sh, frames, metas = decode_gif_frames(anim)
+    g1 = np.frombuffer(frames[1], np.uint8).reshape(3, 3, 3)
+    g2 = np.frombuffer(frames[2], np.uint8).reshape(3, 3, 3)
+    # transparent pixels let the prior canvas through
+    assert (g1[0, 1] == [0xAA, 0xBB, 0xCC]).all()
+    assert (g1[0, 0] == [16, 16, 16]).all()
+    # disposal 3 rewound frame 1 entirely before frame 2 drew
+    assert (g2[0, 1] == [16, 16, 16]).all()
+    assert (g2[2, 2] == [0, 255, 0]).all()
+    assert metas[1]["has_transparency"] == 1
+
+    # sampling returns selected canvases but composites the full chain
+    sw, sh, frames_s, metas_s = decode_gif_frames(anim, sample=[2])
+    assert len(frames_s) == 1 and frames_s[0] == g2.tobytes()
+    assert metas_s[0]["frame"] == 2
+
+
+def test_gif_animation_frame0_matches_decode_gif():
+    rgb = _paletted_rgb(9, 11, seed=31)
+    blob = encode_gif(11, 9, 3, rgb.tobytes(), extra_frames=2)
+    _, _, _, px, _ = decode_gif(blob)
+    _, _, frames, _ = decode_gif_frames(blob)
+    assert frames[0] == px and len(frames) == 3
+
+
+def test_gif_animation_cross_validates_per_frame_against_imageio(spark):
+    """Full-screen frames with disposal=keep: composited canvas k ==
+    raw frame k, so every frame's LZW + palette decode cross-checks
+    byte-exactly against javax.imageio's per-frame read."""
+    jvm = spark._jvm
+    rngs = [_paletted_rgb(10, 14, seed=s) for s in (41, 42, 43)]
+    anim = encode_gif_animation(
+        14,
+        10,
+        [
+            dict(left=0, top=0, w=14, h=10, rgb=r.tobytes(), disposal=1)
+            for r in rngs
+        ],
+    )
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(anim))
+    stream = jvm.javax.imageio.ImageIO.createImageInputStream(bais)
+    readers = jvm.javax.imageio.ImageIO.getImageReaders(stream)
+    assert readers.hasNext()
+    reader = readers.next()
+    reader.setInput(stream)
+    assert reader.getNumImages(True) == 3
+    _, _, frames, _ = decode_gif_frames(anim)
+    for k, want in enumerate(rngs):
+        img = reader.read(k)
+        got_ref = np.zeros((10, 14, 3), dtype=np.uint8)
+        for y in range(10):
+            for x in range(14):
+                argb = img.getRGB(x, y)
+                got_ref[y, x] = [
+                    (argb >> 16) & 255, (argb >> 8) & 255, argb & 255,
+                ]
+        ours = np.frombuffer(frames[k], np.uint8).reshape(10, 14, 3)
+        assert np.array_equal(got_ref, want), f"imageio disagrees at {k}"
+        assert np.array_equal(ours, want), f"our decode differs at {k}"
+
+
+def test_gif_animation_flows_through_frame_sampler(spark):
+    from machine_readability_checker_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+    from machine_readability_checker_spark.core.bmp import decode_bmp
+
+    rgb0 = _paletted_rgb(6, 6, seed=51)
+    rgb1 = _paletted_rgb(6, 6, seed=52)
+    anim = encode_gif_animation(
+        6,
+        6,
+        [
+            dict(left=0, top=0, w=6, h=6, rgb=rgb0.tobytes(), disposal=1),
+            dict(left=0, top=0, w=6, h=6, rgb=rgb1.tobytes(), disposal=1),
+        ],
+    )
+    frames = decode_video_frames(anim)
+    assert len(frames) == 2
+    for blob, want in zip(frames, (rgb0, rgb1)):
+        w, h, ch, px = decode_bmp(blob)
+        assert (w, h, ch) == (6, 6, 3)
+        assert np.array_equal(
+            np.frombuffer(px, np.uint8).reshape(6, 6, 3), want
+        )

@@ -1,0 +1,125 @@
+"""Line-level corpus dedup (CCNet-style) and TF-IDF top terms."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.operators.linededup import (
+    dup_lines,
+    strip_dup_lines,
+)
+from machine_readability_checker_spark.operators.textstats import (
+    tfidf_top_terms,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "unique alpha line\nSUBSCRIBE NOW\nmore unique prose"),
+        (1, "SUBSCRIBE NOW\nanother one-off sentence"),
+        (2, "totally different\nSUBSCRIBE NOW\nshared tail\nok"),
+        (3, "shared tail\nsolo"),
+        (4, "SUBSCRIBE NOW"),  # document that is pure boilerplate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_lines_counts(spark):
+    got = {
+        r.line: (r.n_occurrences, r.n_docs)
+        for r in dup_lines(_docs(spark)).collect()
+    }
+    assert got == {"SUBSCRIBE NOW": (4, 4), "shared tail": (2, 2)}
+
+
+def test_strip_dup_lines_semantics(spark):
+    out = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in strip_dup_lines(_docs(spark)).collect()
+    }
+    assert out[0] == ("unique alpha line\nmore unique prose", 3, 2)
+    assert out[1] == ("another one-off sentence", 2, 1)
+    assert out[2] == ("totally different\nok", 4, 2)
+    assert out[3] == ("solo", 2, 1)
+    # every copy dies — the pure-boilerplate doc survives as a row
+    # with empty text, so downstream length filters can drop it
+    assert out[4] == ("", 1, 0)
+
+
+def test_strip_dup_lines_min_line_len_exemption(spark):
+    docs = spark.createDataFrame(
+        [(0, "ok\nlong duplicated line"), (1, "ok\nlong duplicated line x")],
+        "doc_id long, text string",
+    )
+    # "ok" repeats but is below min_line_len → exempt, kept everywhere
+    out = {
+        r.doc_id: r.text
+        for r in strip_dup_lines(docs, min_line_len=5).collect()
+    }
+    assert out[0] == "ok\nlong duplicated line"
+    assert out[1] == "ok\nlong duplicated line x"
+
+
+def test_strip_dup_lines_partition_invariant(spark):
+    docs = _docs(spark)
+    a = sorted(strip_dup_lines(docs.repartition(1)).collect())
+    b = sorted(strip_dup_lines(docs.repartition(7)).collect())
+    assert a == b
+
+
+# ------------------------------------------------------------------ tfidf
+
+
+def test_tfidf_matches_sequential(spark):
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "cherry date elderberry elderberry elderberry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.term, r.tf, r.score, r.rn)
+        for r in tfidf_top_terms(docs, k=2)
+        .orderBy("doc_id", "rn")
+        .collect()
+    ]
+
+    texts = {i: t.split() for i, t in rows}
+    n = len(rows)
+    df = {}
+    for toks in texts.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+
+    def score(doc, term):
+        tf = texts[doc].count(term)
+        return tf * (math.log((n + 1.0) / (df[term] + 1.0)) + 1.0)
+
+    for doc_id, term, tf, sc, rn in got:
+        assert tf == texts[doc_id].count(term)
+        assert math.isclose(sc, round(score(doc_id, term), 6), abs_tol=1e-9)
+    # per-doc ordering: score desc, term asc, exactly k rows
+    by_doc = {}
+    for doc_id, term, tf, sc, rn in got:
+        by_doc.setdefault(doc_id, []).append((sc, term, rn))
+    for doc_id, lst in by_doc.items():
+        assert [r for _, _, r in lst] == list(range(1, len(lst) + 1))
+        assert lst == sorted(lst, key=lambda x: (-x[0], x[1]))
+        assert len(lst) == 2
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, "zz aa"), (1, "qq")], "doc_id long, text string"
+    )
+    # zz and aa: same tf, same df → identical score → term-ASC order
+    got = [
+        (r.term, r.rn)
+        for r in tfidf_top_terms(docs, k=2)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == [("aa", 1), ("zz", 2)]

@@ -1,0 +1,163 @@
+"""Link-graph family: anchor harvest, URL resolution, degrees, PageRank."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.core.html import extract_links
+from machine_readability_checker_spark.operators import linkgraph as LG
+
+
+# ---------------------------------------------------------- extract_links
+
+
+def test_extract_links_resolution_and_filtering():
+    html = b"""<html><head><base href="https://ex.co.uk/sub/"></head>
+    <body>
+    <a href="#top">frag</a>
+    <a href="https://other.com/docs/7">abs</a>
+    <a href="../docs/9.html">updir</a>
+    <a href="rel2">rel</a>
+    <a href="/root.html?q=1#sec">rooted</a>
+    <a rel="me nofollow" href="http://spam.example/x#frag">nf</a>
+    <a href="mailto:a@b">mail</a>
+    <a href="javascript:void(0)">js</a>
+    <a href="data:text/plain,x">data</a>
+    <script><a href="/hidden">no</a></script>
+    </body></html>"""
+    links = extract_links(html, "https://ex.co.uk/page/1.html")
+    assert links == [
+        ("https://other.com/docs/7", "abs", False),
+        ("https://ex.co.uk/docs/9.html", "updir", False),
+        ("https://ex.co.uk/sub/rel2", "rel", False),
+        ("https://ex.co.uk/root.html?q=1", "rooted", False),
+        ("http://spam.example/x", "nf", True),
+    ]
+
+
+def test_extract_links_no_base_and_anchor_text_normalization():
+    html = b'<p><a href="a/b">two\n  words</a><a href="a/b">dup</a></p>'
+    links = extract_links(html, "https://h.com/d/page.html")
+    # duplicates preserved in document order; whitespace collapsed
+    assert links == [
+        ("https://h.com/d/a/b", "two words", False),
+        ("https://h.com/d/a/b", "dup", False),
+    ]
+
+
+def test_extract_links_malformed_nesting_and_unclosed():
+    html = b'<a href="/x">one<a href="/y">two'
+    links = extract_links(html, "https://h.com/")
+    assert [(u, t) for u, t, _ in links] == [
+        ("https://h.com/x", "one"),
+        ("https://h.com/y", "two"),
+    ]
+
+
+# ------------------------------------------------------------ graph build
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    # 0→1, 0→2, 1→2, 2→0, 3 dangling (3 has an inlink but no outlinks)
+    edges = spark.createDataFrame(
+        [
+            ("0", "1", "a", False),
+            ("0", "2", "b", False),
+            ("0", "2", "b-dup", False),  # dup edge: deduped
+            ("1", "2", "c", False),
+            ("2", "0", "d", False),
+            ("2", "2", "self", False),  # self-loop: dropped
+            ("1", "3", "e", False),
+            ("1", "9", "nf", True),  # nofollow: dropped
+        ],
+        "src string, dst string, anchor string, nofollow boolean",
+    )
+    return LG.graph_edges(edges)
+
+
+def test_graph_edges_dedup_nofollow_selfloop(small_graph):
+    got = {(r.src, r.dst) for r in small_graph.collect()}
+    assert got == {("0", "1"), ("0", "2"), ("1", "2"), ("2", "0"), ("1", "3")}
+
+
+def test_degree_stats(small_graph):
+    deg = {
+        r.node: (r.out_degree, r.in_degree)
+        for r in LG.degree_stats(small_graph).collect()
+    }
+    assert deg == {
+        "0": (2, 1),
+        "1": (2, 1),
+        "2": (1, 2),
+        "3": (0, 1),
+    }
+
+
+def _pagerank_numpy(edges, n_iter, damping):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = [0] * n
+    for s, _ in edges:
+        out[idx[s]] += 1
+    rank = [1.0 / n] * n
+    for _ in range(n_iter):
+        dangling = sum(r for r, o in zip(rank, out) if o == 0)
+        contrib = [0.0] * n
+        for s, d in edges:
+            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        rank = [
+            (1.0 - damping) / n + damping * (c + dangling / n)
+            for c in contrib
+        ]
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_pagerank_matches_sequential_reference(spark, small_graph):
+    edges = [(r.src, r.dst) for r in small_graph.collect()]
+    want = _pagerank_numpy(edges, n_iter=7, damping=0.85)
+    got = {
+        r.node: r.rank
+        for r in LG.pagerank(small_graph, n_iter=7, damping=0.85).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), k
+
+
+def test_pagerank_mass_conserved_and_partition_invariant(spark, small_graph):
+    df = LG.pagerank(small_graph, n_iter=5)
+    total = df.agg(F.sum("rank")).first()[0]
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+    # partition invariance: same result at a different parallelism
+    df2 = LG.pagerank(small_graph.repartition(7), n_iter=5)
+    a = {r.node: round(r.rank, 12) for r in df.collect()}
+    b = {r.node: round(r.rank, 12) for r in df2.collect()}
+    assert a == b
+
+
+def test_extract_edges_kernel(spark):
+    rows = [
+        (
+            "https://h.com/a",
+            (
+                b'<html><body><a href="/b">to b</a>'
+                b'<a rel="nofollow" href="/c">to c</a></body></html>'
+            ),
+        ),
+        ("https://h.com/empty", b"<html><body>none</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, content binary")
+    got = sorted(
+        (r.src, r.dst, r.anchor, r.nofollow)
+        for r in LG.extract_edges(pages).collect()
+    )
+    assert got == [
+        ("https://h.com/a", "https://h.com/b", "to b", False),
+        ("https://h.com/a", "https://h.com/c", "to c", True),
+    ]

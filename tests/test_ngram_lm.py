@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from machine_readability_checker_spark.operators.ngram_lm import (
     BACKOFF_ALPHA,
@@ -194,3 +195,34 @@ def test_broadcast_scorer_plan_is_narrow(spark, corpus, model):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_model_persistence_roundtrip(spark, corpus, model, tmp_path):
+    """Train once, write, read back: the scored output is EXACTLY equal
+    through both the broadcast and join paths (the materialized-model
+    workflow CCNet uses — score many shards against one model)."""
+    from machine_readability_checker_spark.operators.ngram_lm import (
+        read_ngram_model,
+        score_stupid_backoff,
+        write_ngram_model,
+    )
+
+    path = str(tmp_path / "lm_model")
+    write_ngram_model(model, path)
+    back = read_ngram_model(spark, path)
+    assert back.columns == ["gram", "n", "count"]
+    a = {
+        r.doc_id: (r.n_tokens, r.log_score_sum)
+        for r in score_stupid_backoff(corpus, model).collect()
+    }
+    b = {
+        r.doc_id: (r.n_tokens, r.log_score_sum)
+        for r in score_stupid_backoff(corpus, back).collect()
+    }
+    assert a == b
+    # partition pruning surface: per-order reads prune on n
+    plan = (
+        back.filter(F.col("n") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan

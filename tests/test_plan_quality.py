@@ -261,3 +261,50 @@ def test_html_table_rules_single_exchange(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("MapInPandas") == 2
+
+
+def test_tfidf_plan_jvm_only_with_group_limit(spark):
+    """TF-IDF must stay whole-JVM (no Python in the hot path) and the
+    per-document top-k must pre-prune map-side (WindowGroupLimit), not
+    shuffle every (doc, term) row into the window."""
+    plan = _plan(E.q_tfidf_top_terms(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    # N arrives as a broadcast 1-row join, never a driver collect
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_line_dedup_plan_shape(spark):
+    """Duplicate-line strip: all-JVM, the line table joined against the
+    (small) dup set with a hashed-key join — and no cartesian anywhere
+    (the 1-row N-broadcast of tfidf is the only sanctioned nested-loop
+    in this family)."""
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_dup_lines,
+    )
+
+    plan = _plan(strip_dup_lines(E._multiline_docs(spark, SF)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_pagerank_iteration_plan(spark):
+    """One PageRank iteration must carry the dangling mass as a 1-row
+    BROADCAST (never a driver action or a wide cross join) and keep the
+    contribution aggregate partial (map-side combine defuses in-degree
+    skew)."""
+    from machine_readability_checker_spark.operators import linkgraph as LG
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    df = LG.pagerank(g, n_iter=1)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # dangling scalar: broadcast nested-loop over ONE row
+    assert "BroadcastNestedLoopJoin" in plan
+    # the per-dst sum is a partial+final hash aggregate pair
+    assert plan.count("HashAggregate") >= 2
