@@ -2149,14 +2149,20 @@ def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select(F.count(F.lit(1)).alias("_m"))
     d = docs.crossJoin(F.broadcast(m))
     i = F.col("doc_id")
+    j1 = (i * 7 + 3) % F.col("_m")
+    j2 = (i * 13 + 5) % F.col("_m")
     body_links = F.when(
         i % 10 != 0,
         F.concat(
             F.lit('<p>Related reading: <a href="'),
-            _url_of((i * 7 + 3) % F.col("_m")),
-            F.lit('">first related article</a> and <a href="'),
-            _url_of((i * 13 + 5) % F.col("_m")),
-            F.lit('">second related article</a>.</p>'),
+            _url_of(j1),
+            F.lit('">read doc '),
+            (j1 % 11).cast("string"),
+            F.lit('</a> and <a href="'),
+            _url_of(j2),
+            F.lit('">see doc '),
+            (j2 % 11).cast("string"),
+            F.lit("</a>.</p>"),
         ),
     ).otherwise(F.lit("<p>No related articles for this terminal page.</p>"))
     html = F.concat(
@@ -2225,6 +2231,29 @@ def q_link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile over the harvested RAW edge list
+    (anchor text is how the rest of the web describes a page — IR
+    document expansion / spam signal): one (dst, anchor) aggregate
+    with map-side combine, then a WindowGroupLimit-pruned per-dst
+    top-3.  Unlike the graph lanes this keeps duplicate hrefs and
+    self-permalinks (profiles count MENTIONS) but drops rel=nofollow —
+    the oracle regenerates the exact mention multiset
+    arithmetically."""
+    from machine_readability_checker_spark.operators import linkgraph as LG
+
+    edges = LG.extract_edges(_crawl_pages(spark, sf_dir))
+    at = LG.anchor_texts(edges, k=3)
+    mapping = _t(spark, sf_dir, "documents").select(
+        _url_of(F.col("doc_id")).alias("dst"), F.col("doc_id")
+    )
+    return (
+        at.join(mapping, "dst")
+        .select("doc_id", "anchor", "n_occurrences", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 _PR_ITERS = 5
 _PR_DAMPING = 0.85
 
@@ -2255,6 +2284,60 @@ def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank") * F.lit(float(n_nodes)), 5).alias(
                 "rank_scaled"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization: four deterministic "messy"
+    variants per document (uppercase scheme/host + fragment everywhere;
+    default port + utm params / dot segments / doubled slash + extra
+    param / userinfo + ./ prefix by doc_id % 4) must canonicalize to
+    the arithmetic canonical form — one narrow JVM map, zero shuffles.
+    The oracle regenerates the expected canonical strings without
+    running any URL code."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    suffix_up = (
+        F.when(i % 3 == 0, F.lit(".CO.UK"))
+        .when(i % 3 == 1, F.lit(".COM"))
+        .otherwise(F.lit(".ORG.AU"))
+    )
+    host_up = F.concat(
+        F.lit("SUB"),
+        (i % 5).cast("string"),
+        F.lit(".SRC"),
+        (i % 20).cast("string"),
+        (i % 7).cast("string"),
+        suffix_up,
+    )
+    ref = F.concat(F.lit("ref=r"), (i % 2).cast("string"))
+    ids = i.cast("string")
+    v = i % 4
+    messy = F.concat(
+        F.lit("HTTPS://"),
+        F.when(v == 3, F.lit("user:pw@")).otherwise(F.lit("")),
+        host_up,
+        F.when(v == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(v == 0, F.concat(F.lit("/docs/"), ids))
+        .when(v == 1, F.concat(F.lit("/docs/../docs/"), ids))
+        .when(v == 2, F.concat(F.lit("/docs//"), ids))
+        .otherwise(F.concat(F.lit("/./docs/"), ids)),
+        F.when(v == 0, F.concat(F.lit("?utm_source=feed&"), ref))
+        .when(v == 2, F.concat(F.lit("?z=9&"), ref))
+        .otherwise(F.concat(F.lit("?"), ref)),
+        F.lit("#sec"),
+    )
+    canon = WU.canonicalize_url(messy)
+    return (
+        docs.select(
+            "doc_id",
+            canon.alias("canonical_url"),
+            (canon == F.concat(
+                _url_of(i),
+                F.when(v == 2, F.lit("&z=9")).otherwise(F.lit("")),
+            )).alias("matches"),
         )
         .orderBy("doc_id")
     )
@@ -2409,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
+        "anchor_texts": q_anchor_texts,
+        "url_canonical": q_url_canonical,
         "line_dedup": q_line_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -2551,6 +2636,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
+    out["anchor_texts"] = _ANCHOR_TEXTS_SQL
+    out["url_canonical"] = _URL_CANONICAL_SQL
     out["line_dedup"] = _LINE_DEDUP_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
     return out
@@ -2632,6 +2719,54 @@ r0 AS (SELECT doc_id, od, 1.0 / nn.c AS rank FROM base, nn),
 {','.join(iters)}
 SELECT doc_id, ROUND(rank * nn.c, 5) AS rank_scaled
 FROM {prev}, nn ORDER BY doc_id
+"""
+
+
+_ANCHOR_TEXTS_SQL = """
+WITH m AS (SELECT COUNT(*) AS c FROM documents),
+raw AS (
+  SELECT (doc_id * 7 + 3) % m.c AS dst,
+         'read doc ' || CAST(((doc_id * 7 + 3) % m.c) % 11 AS VARCHAR)
+           AS anchor
+  FROM documents, m WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % m.c,
+         'see doc ' || CAST(((doc_id * 13 + 5) % m.c) % 11 AS VARCHAR)
+  FROM documents, m WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id, 'permalink' FROM documents
+),
+counts AS (
+  SELECT dst, anchor, COUNT(*) AS n_occurrences
+  FROM raw GROUP BY dst, anchor
+),
+ranked AS (
+  SELECT dst, anchor, n_occurrences,
+         ROW_NUMBER() OVER (
+           PARTITION BY dst ORDER BY n_occurrences DESC, anchor
+         ) AS rn
+  FROM counts
+)
+SELECT dst AS doc_id, anchor,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
+_URL_CANONICAL_SQL = """
+SELECT doc_id,
+       'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+         || '.src' || CAST(doc_id % 20 AS VARCHAR)
+         || CAST(doc_id % 7 AS VARCHAR)
+         || CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+            ELSE '.org.au' END
+         || '/docs/' || CAST(doc_id AS VARCHAR)
+         || '?ref=r' || CAST(doc_id % 2 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 2 THEN '&z=9' ELSE '' END
+         AS canonical_url,
+       TRUE AS matches
+FROM documents ORDER BY doc_id
 """
 
 

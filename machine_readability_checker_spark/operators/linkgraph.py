@@ -217,3 +217,43 @@ def pagerank(
             .select("node", "out_degree", "is_sink", "rank")
         )
     return ranks.select("node", "rank")
+
+
+def anchor_texts(
+    edges: DataFrame, k: int = 3, follow_only: bool = True
+) -> DataFrame:
+    """Per-target anchor-text profile: the top-k distinct anchor texts
+    pointing at each destination with occurrence counts →
+    (dst, anchor, n_occurrences, rn).  Anchor text is how the REST of
+    the web describes a page — classic IR document-expansion signal
+    (and a spam tell when thousands of sources repeat one phrase).
+
+    Scale shape: ONE hash aggregate on (dst, anchor) — map-side combine
+    absorbs the hot-anchor skew ("click here" at billions of
+    occurrences arrives as one partial per task) — then a per-dst
+    window that WindowGroupLimit prunes map-side.  Empty anchors
+    (image links) are dropped; ties break on anchor text for
+    determinism."""
+    from pyspark.sql import Window
+
+    e = edges
+    if follow_only and "nofollow" in e.columns:
+        e = e.filter(~F.col("nofollow"))
+    counts = (
+        e.filter(F.col("anchor") != "")
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("n_occurrences"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "dst",
+            "anchor",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -147,3 +147,101 @@ def cap_per_domain(
         cap=cap,
         id_col=id_col,
     ).drop("_rd")
+
+
+# tracking parameters stripped by canonicalization (the public
+# crawler/analytics-hygiene convention: params that never change the
+# resource)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)(=.*)?$"
+)
+
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Crawl-frontier URL canonicalization, entirely in JVM
+    expressions (codegen — no Python, no UDF):
+
+    - scheme + host lowercased, userinfo dropped
+    - default ports stripped (http:80, https:443)
+    - RFC 3986 dot-segment removal on the path (an ``aggregate`` fold
+      over the split segments; ``..`` never pops past the root)
+    - empty path → ``/``; a trailing ``/``/``/.``/``/..`` keeps its
+      trailing slash (RFC 5.2.4 output shapes)
+    - fragment dropped; tracking params (utm_*, fbclid, gclid, ...)
+      removed; remaining query params SORTED for a stable key; empty
+      query dropped
+
+    Two URLs that differ only in these dimensions map to one frontier
+    key — at crawl scale this is the dedup key for the fetch queue, so
+    it must be a cheap narrow map, which this is."""
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)", 2)
+    )
+    port = F.regexp_extract(col, _PORT_RE, 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    raw_path = F.regexp_extract(col, _PATH_RE, 1)
+
+    # dot-segment removal: fold over '/'-split segments; empty
+    # segments (the rooted split's leading '', doubled slashes, the
+    # trailing '' of a directory path) are dropped — ``ends_dir``
+    # restores the trailing slash afterwards
+    segs = F.filter(F.split(raw_path, "/"), lambda s: s != "")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    # RFC output keeps a trailing slash when the input ended in
+    # '/', '/.' or '/..'; the fold's dropped-segment forms lose it
+    ends_dir = (
+        raw_path.endswith("/")
+        | raw_path.endswith("/.")
+        | raw_path.endswith("/..")
+    )
+    joined = F.array_join(folded, "/")
+    path = F.concat(
+        F.lit("/"),
+        joined,
+        F.when(ends_dir & (joined != ""), F.lit("/")).otherwise(F.lit("")),
+    )
+    # '/..'-to-root collapses to '//' via the branch above — normalize
+    path = F.when(path == "//", F.lit("/")).otherwise(path)
+
+    q = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        query,
+    )
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach ``canonical_url`` — one narrow map; dedup the frontier
+    with a groupBy on it (one exchange keyed on the canonical form)."""
+    return df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))

@@ -161,3 +161,32 @@ def test_extract_edges_kernel(spark):
         ("https://h.com/a", "https://h.com/b", "to b", False),
         ("https://h.com/a", "https://h.com/c", "to c", True),
     ]
+
+
+def test_anchor_texts_topk(spark):
+    edges = spark.createDataFrame(
+        [
+            ("s1", "d1", "click here", False),
+            ("s2", "d1", "click here", False),
+            ("s3", "d1", "spark engine", False),
+            ("s4", "d1", "zz", False),
+            ("s5", "d1", "aa", False),
+            ("s6", "d1", "", False),      # image link: dropped
+            ("s7", "d1", "spam", True),   # nofollow: dropped
+            ("s8", "d2", "only one", False),
+        ],
+        "src string, dst string, anchor string, nofollow boolean",
+    )
+    got = [
+        (r.dst, r.anchor, r.n_occurrences, r.rn)
+        for r in LG.anchor_texts(edges, k=3)
+        .orderBy("dst", "rn")
+        .collect()
+    ]
+    # count desc, anchor asc tiebreak; k=3 caps d1's four anchors
+    assert got == [
+        ("d1", "click here", 2, 1),
+        ("d1", "aa", 1, 2),
+        ("d1", "spark engine", 1, 3),
+        ("d2", "only one", 1, 1),
+    ]

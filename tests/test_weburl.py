@@ -124,3 +124,45 @@ def test_cap_per_domain(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in WU.cap_per_domain(df, cap=5).collect())
     assert a == b
+
+
+def test_canonicalize_url_matrix(spark):
+    from machine_readability_checker_spark.operators.weburl import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # scheme/host case, userinfo, default port, dot segments,
+        # tracking params, param sort, fragment
+        (
+            "HTTP://User:p@WWW.Example.COM:80/a/./b/../c"
+            "?utm_source=x&b=2&a=1#frag",
+            "http://www.example.com/a/c?a=1&b=2",
+        ),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # kept port
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/a/b/", "https://ex.com/a/b/"),
+        ("https://ex.com/a//b/", "https://ex.com/a/b/"),
+        ("https://ex.com/a/b/..", "https://ex.com/a/"),
+        ("https://ex.com/a/.", "https://ex.com/a/"),
+        ("https://ex.com/../../x", "https://ex.com/x"),  # .. never pops root
+        ("https://ex.com/a?fbclid=123", "https://ex.com/a"),
+        ("https://ex.com/a?z=1&y=2&utm_campaign=c", "https://ex.com/a?y=2&z=1"),
+        ("https://ex.com/..", "https://ex.com/"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_canonicalize_url_is_jvm_only(spark):
+    from machine_readability_checker_spark.operators.weburl import (
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame([("https://a.com/x",)], "url string")
+    plan = (
+        with_canonical_url(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
