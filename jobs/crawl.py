@@ -1,0 +1,128 @@
+"""spark-submit entry point: end-to-end web-crawl curation.
+
+    python tools/make_pyfiles.py dist/engine.zip
+    spark-submit --master local[32] --py-files dist/engine.zip \
+        jobs/crawl.py --gen 600 --out /tmp/crawl_out
+
+or against real archives:
+
+    spark-submit ... jobs/crawl.py --warc '/data/crawl/*.warc.gz' \
+        --out /tmp/crawl_out --agent mybot --pr-iters 5
+
+Pipeline (plans/crawl.py): WARC records → robots.txt filter (rules
+parsed from the crawl itself, broadcast evaluation) → URL
+canonicalization + frontier dedup → span extraction through the shared
+salted kernel → link graph with degrees + PageRank prior.  Outputs
+``pages/ spans/ graph/ ranks/`` parquet under --out and prints one
+JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from machine_readability_checker_spark.plans.crawl import crawl_curate  # noqa: E402
+from machine_readability_checker_spark.session import get_spark  # noqa: E402
+from machine_readability_checker_spark.sources.warc import read_warc  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warc", help="path/glob of *.warc(.gz) crawl archives")
+    ap.add_argument(
+        "--gen", type=int, default=0,
+        help="generate N fixture pages as real .warc.gz files first",
+    )
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--agent", default="*", help="crawler user-agent token")
+    ap.add_argument("--pr-iters", type=int, default=5)
+    ap.add_argument(
+        "--cores", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    args = ap.parse_args()
+
+    t0 = time.time()
+    spark = get_spark(
+        "mrc-crawl",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(8, args.cores),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    expected = None
+    warc_glob = args.warc
+    if args.gen:
+        from machine_readability_checker_spark.sources.fixtures import (
+            gen_crawl_warc_files,
+        )
+
+        gen_dir = os.path.join(args.out, "_gen_warc")
+        expected = gen_crawl_warc_files(gen_dir, args.gen)
+        warc_glob = os.path.join(gen_dir, "*.warc.gz")
+    if not warc_glob:
+        ap.error("need --warc or --gen")
+
+    records = read_warc(spark, warc_glob)
+    out = crawl_curate(
+        records, agent=args.agent, pr_iters=args.pr_iters, cores=args.cores
+    )
+
+    # materialize: pages last (it joins graph outputs)
+    spans = out["spans"]
+    spans.write.mode("overwrite").parquet(os.path.join(args.out, "spans"))
+    out["graph"].write.mode("overwrite").parquet(
+        os.path.join(args.out, "graph")
+    )
+    out["ranks"].write.mode("overwrite").parquet(
+        os.path.join(args.out, "ranks")
+    )
+    out["pages"].write.mode("overwrite").parquet(
+        os.path.join(args.out, "pages")
+    )
+
+    pages = spark.read.parquet(os.path.join(args.out, "pages"))
+    graph = spark.read.parquet(os.path.join(args.out, "graph"))
+    ranks = spark.read.parquet(os.path.join(args.out, "ranks"))
+    spans_tbl = spark.read.parquet(os.path.join(args.out, "spans"))
+    n_blocked = out["blocked"].count()
+    n_dups = out["dups"].count()
+    n_pages = pages.count()
+    stats = {
+        "pages_kept": n_pages,
+        "robots_blocked": n_blocked,
+        "url_dups_removed": n_dups,
+        "docs_extracted": spans_tbl.count(),
+        "parse_errors": spans_tbl.filter(
+            F.col("metrics.parse_errors") > 0
+        ).count(),
+        "edges": graph.count(),
+        "nodes": ranks.count(),
+        "rank_mass": round(
+            ranks.agg(F.sum("rank")).first()[0] or 0.0, 6
+        ),
+        "pr_iters": args.pr_iters,
+        "wall_sec": round(time.time() - t0, 3),
+        "cores": args.cores,
+    }
+    if expected:
+        stats["gen_expected"] = expected
+        stats["gen_matches"] = (
+            expected["kept"] == n_pages
+            and expected["blocked"] == n_blocked
+            and expected["dups"] == n_dups
+        )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,8 @@ TWO_LEVEL_SUFFIXES: List[str] = [
     "com.br", "co.in", "co.kr", "com.cn", "com.mx",
 ]
 
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)"
+# scheme chars case-insensitive: real crawls carry HTTP:// URIs
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)"
 
 
 def parse_url(col: Column) -> Column:
@@ -59,13 +60,13 @@ def parse_url(col: Column) -> Column:
     )
     tld = F.element_at(labels, -1)
     return F.struct(
-        F.lower(F.regexp_extract(col, r"^([a-z][a-z0-9+.-]*)://", 1)).alias(
+        F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)).alias(
             "scheme"
         ),
         host.alias("host"),
         registered.alias("registered_domain"),
         F.when(n >= 1, tld).otherwise(F.lit("")).alias("tld"),
-        F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
         .alias("path"),
         F.regexp_extract(col, r"\?([^#]*)", 1).alias("query"),
     )

@@ -1,0 +1,135 @@
+"""End-to-end web-crawl curation plan: WARC records → robots-filtered,
+frontier-deduplicated pages → extracted spans → link graph + PageRank
+prior.
+
+This is the composition the individual web operators exist for — the
+Common-Crawl-style path from raw crawl archives to a curated page table
+a training pipeline consumes:
+
+1. split the record stream into HTML responses and robots.txt bodies
+   (both arrive in the same crawl);
+2. parse robots rules once per domain (Arrow kernel over the tiny
+   robots subset) and evaluate crawl permission relationally —
+   the rules broadcast, the page table never shuffles for the filter;
+3. canonicalize URLs (JVM fold) and collapse frontier duplicates —
+   one row per canonical URL, kept deterministically (min doc_id),
+   with the per-URL window pruned map-side (WindowGroupLimit);
+4. extract spans through the shared salted-repartition kernel
+   (identical path to jobs/extract.py — skew-immune);
+5. harvest hyperlinks, canonicalize BOTH endpoints, and compute
+   degrees + PageRank over the canonical graph.
+
+Shuffle budget end-to-end (excluding PageRank's per-iteration pair):
+robots broadcast (0 corpus exchanges) + 1 frontier window + 1 salted
+repartition + 1 edge distinct + 1 degree aggregate — every other step
+is a narrow map or an Arrow kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators import linkgraph as LG
+from ..operators import weburl as WU
+from ..operators.extract import extract
+from ..operators.repartition import salted_repartition
+from ..operators.robots import robots_allowed, robots_rules
+from ..sources.warc import warc_to_docs_raw
+
+_PATH_EXPR = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
+
+
+def _with_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    p = WU.parse_url(F.col(url_col))
+    path = F.regexp_extract(F.col(url_col), _PATH_EXPR, 1)
+    return df.withColumn("domain", p["host"]).withColumn(
+        "path", F.when(path == "", F.lit("/")).otherwise(path)
+    )
+
+
+def crawl_curate(
+    records: DataFrame,
+    agent: str = "*",
+    pr_iters: int = 5,
+    cores: int = 8,
+) -> Dict[str, DataFrame]:
+    """WARC record frame (``sources.warc.WARC_SCHEMA``) → the curated
+    outputs: ``pages`` (canonical URL, robots verdict survived, degree
+    + rank prior), ``spans`` (extraction output), ``graph`` (canonical
+    edges), ``ranks``, and the intermediate ``blocked``/``dups``
+    diagnostic frames the job's stats line counts."""
+    html = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+        & F.col("content").isNotNull()
+    )
+    robots_bodies = _with_parts(
+        html.filter(F.col("url").rlike(r"^[^?#]*/robots\.txt$"))
+    ).select("domain", "content")
+    pages_raw = _with_parts(
+        html.filter(~F.col("url").rlike(r"^[^?#]*/robots\.txt$"))
+    ).withColumn("canonical_url", WU.canonicalize_url(F.col("url")))
+
+    # robots: parse once per domain, broadcast the rules, evaluate
+    # relationally — the page table is never shuffled for this filter
+    rules = robots_rules(robots_bodies)
+    verdicts = robots_allowed(
+        pages_raw.select("doc_id", "domain", "path"), rules, agent=agent
+    ).select("doc_id", "allowed")
+    pages_v = pages_raw.join(verdicts, "doc_id", "left").withColumn(
+        "allowed", F.coalesce(F.col("allowed"), F.lit(True))
+    )
+    blocked = pages_v.filter(~F.col("allowed"))
+    allowed = pages_v.filter(F.col("allowed"))
+
+    # frontier dedup: one page per canonical URL, deterministic winner
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    with_rn = allowed.withColumn("_rn", F.row_number().over(w))
+    dups = with_rn.filter(F.col("_rn") > 1).drop("_rn")
+    kept = with_rn.filter(F.col("_rn") == 1).drop("_rn")
+
+    # extraction: identical kernel + skew treatment as jobs/extract.py
+    docs_raw = warc_to_docs_raw(
+        records.join(kept.select("doc_id"), "doc_id", "left_semi")
+    )
+    spans = extract(salted_repartition(docs_raw, cores))
+
+    # link graph over canonical endpoints
+    edges_raw = LG.extract_edges(
+        kept.select("url", "content", "charset"), charset_col="charset"
+    )
+    edges_canon = edges_raw.select(
+        WU.canonicalize_url(F.col("src")).alias("src"),
+        WU.canonicalize_url(F.col("dst")).alias("dst"),
+        "anchor",
+        "nofollow",
+    )
+    graph = LG.graph_edges(edges_canon)
+    deg = LG.degree_stats(graph)
+    ranks = LG.pagerank(graph, n_iter=pr_iters)
+
+    pages = (
+        kept.select("doc_id", "url", "canonical_url", "domain", "path")
+        .join(
+            deg.withColumnRenamed("node", "canonical_url"),
+            "canonical_url",
+            "left",
+        )
+        .join(
+            ranks.withColumnRenamed("node", "canonical_url"),
+            "canonical_url",
+            "left",
+        )
+        .fillna(0, subset=["out_degree", "in_degree"])
+    )
+    return {
+        "pages": pages,
+        "spans": spans,
+        "graph": graph,
+        "ranks": ranks,
+        "blocked": blocked,
+        "dups": dups,
+    }

@@ -679,3 +679,113 @@ def gen_corpus(
     return pd.DataFrame(
         [gen_doc(i, seed, whale_every, chosen) for i in range(n_docs)]
     )
+
+
+def gen_crawl_warc_files(
+    out_dir: str, n_pages: int = 600, per_file: int = 200
+) -> Dict[str, int]:
+    """Deterministic synthetic crawl as REAL ``.warc.gz`` files for the
+    end-to-end crawl-curation job (jobs/crawl.py --gen): 20 domains,
+    one robots.txt per domain (``Disallow: /private/`` with an
+    ``Allow: /private/open/`` carve-out), pages whose hyperlink
+    structure is doc-index arithmetic (page i → (7i+3) mod N and
+    (13i+5) mod N), every i % 7 == 3 page under the disallowed prefix
+    (i % 14 == 3 under the allowed carve-out), and every i % 11 == 0
+    page ALSO crawled under a messy duplicate URL (uppercase host +
+    utm param) that canonicalizes onto the clean one.
+
+    Returns the expected stat counts so tests and the job's JSON line
+    can assert the pipeline's filter arithmetic exactly."""
+    import os as _os
+
+    from ..core.warc import (
+        encode_http_response,
+        encode_warc_gz,
+        encode_warc_record,
+    )
+
+    _os.makedirs(out_dir, exist_ok=True)
+    n_domains = 20
+
+    def _host(i: int) -> str:
+        return f"site{i % n_domains}.example.com"
+
+    def _path(i: int) -> str:
+        if i % 14 == 3:
+            return f"/private/open/{i}"
+        if i % 7 == 3:
+            return f"/private/{i}"
+        return f"/docs/{i}"
+
+    def _url(i: int) -> str:
+        return f"http://{_host(i)}{_path(i)}"
+
+    records: List[bytes] = []
+    for d in range(n_domains):
+        body = (
+            b"User-agent: *\r\nDisallow: /private/\r\n"
+            b"Allow: /private/open/\r\n"
+        )
+        records.append(
+            encode_warc_record(
+                "response",
+                f"http://site{d}.example.com/robots.txt",
+                f"<urn:uuid:robots-{d}>",
+                "2026-01-01T00:00:00Z",
+                encode_http_response(body, content_type="text/plain"),
+            )
+        )
+
+    expected = {"robots": n_domains, "pages": 0, "dups": 0, "blocked": 0}
+    for i in range(n_pages):
+        j1, j2 = (7 * i + 3) % n_pages, (13 * i + 5) % n_pages
+        html = (
+            f"<html><head><title>page {i}</title></head><body>"
+            f"<p>Deterministic prose for page {i} with enough words to "
+            f"classify as main content under the density rule.</p>"
+            f'<p>Related: <a href="{_url(j1)}">read {j1 % 11}</a> and '
+            f'<a href="{_url(j2)}">see {j2 % 11}</a>.</p>'
+            f'<p><a rel="nofollow" href="http://ads.example.net/c">ad'
+            f"</a></p></body></html>"
+        ).encode("utf-8")
+        records.append(
+            encode_warc_record(
+                "response",
+                _url(i),
+                f"<urn:uuid:page-{i}>",
+                "2026-01-01T00:00:01Z",
+                encode_http_response(html),
+            )
+        )
+        expected["pages"] += 1
+        if i % 14 != 3 and i % 7 == 3:
+            expected["blocked"] += 1
+        if i % 11 == 0:
+            messy = (
+                f"HTTP://{_host(i).upper()}{_path(i)}?utm_source=feed"
+            )
+            records.append(
+                encode_warc_record(
+                    "response",
+                    messy,
+                    f"<urn:uuid:page-{i}-dup>",
+                    "2026-01-01T00:00:02Z",
+                    encode_http_response(html),
+                )
+            )
+            expected["pages"] += 1
+            if not (i % 14 != 3 and i % 7 == 3):
+                # the dup survives robots (same path) and dies at the
+                # frontier window instead
+                expected["dups"] += 1
+            else:
+                expected["blocked"] += 1
+
+    for f, start in enumerate(range(0, len(records), per_file)):
+        blob = encode_warc_gz(records[start:start + per_file])
+        with open(_os.path.join(out_dir, f"crawl-{f:04d}.warc.gz"), "wb") as fh:
+            fh.write(blob)
+    expected["kept"] = (
+        expected["pages"] - expected["blocked"] - expected["dups"]
+    )
+    return expected

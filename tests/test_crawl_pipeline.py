@@ -1,0 +1,94 @@
+"""End-to-end crawl curation plan: WARC → robots → canonical frontier
+dedup → extraction → link graph + PageRank, reconciled against the
+fixture generator's constructive expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.plans.crawl import crawl_curate
+from machine_readability_checker_spark.sources.fixtures import (
+    gen_crawl_warc_files,
+)
+from machine_readability_checker_spark.sources.warc import read_warc
+
+N = 140
+
+
+@pytest.fixture(scope="module")
+def crawl_out(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warcs")
+    expected = gen_crawl_warc_files(str(d), N, per_file=60)
+    records = read_warc(spark, str(d / "*.warc.gz"))
+    out = crawl_curate(records, pr_iters=3, cores=8)
+    return expected, out
+
+
+def test_counts_reconcile_with_generator(crawl_out):
+    expected, out = crawl_out
+    assert out["blocked"].count() == expected["blocked"]
+    assert out["dups"].count() == expected["dups"]
+    assert out["pages"].count() == expected["kept"]
+
+
+def test_robots_blocks_private_but_not_carveout(crawl_out):
+    _, out = crawl_out
+    blocked_paths = [r.path for r in out["blocked"].collect()]
+    assert blocked_paths and all(
+        p.startswith("/private/") and not p.startswith("/private/open/")
+        for p in blocked_paths
+    )
+    kept_paths = [r.path for r in out["pages"].collect()]
+    assert any(p.startswith("/private/open/") for p in kept_paths)
+
+
+def test_frontier_dedup_keeps_clean_variant(crawl_out):
+    _, out = crawl_out
+    # the messy duplicate (uppercase host + utm param) loses to the
+    # clean record; canonical keys are unique in the kept table
+    pages = out["pages"]
+    assert pages.count() == pages.select("canonical_url").distinct().count()
+    assert pages.filter(F.col("url").contains("utm_source")).count() == 0
+    dup_urls = [r.url for r in out["dups"].collect()]
+    assert dup_urls and all("utm_source=feed" in u for u in dup_urls)
+
+
+def test_extraction_and_graph_shapes(crawl_out):
+    _, out = crawl_out
+    spans = out["spans"]
+    assert spans.filter(F.col("metrics.parse_errors") > 0).count() == 0
+    kinds = {
+        r.kind
+        for r in spans.select(F.explode("spans").alias("s"))
+        .select(F.col("s.kind").alias("kind"))
+        .distinct()
+        .collect()
+    }
+    assert {"title", "main"} <= kinds
+    # 2 outlinks per page (nofollow ad excluded), except the pages
+    # whose two arithmetic targets coincide — (7i+3) ≡ (13i+5) mod 140
+    # ⇔ i ≡ 23 (mod 70), i.e. i ∈ {23, 93} — whose distinct out-edges
+    # collapse to 1 (graph_edges dedups)
+    coincide = {i for i in range(N) if (7 * i + 3) % N == (13 * i + 5) % N}
+    kept_ids = {
+        int(r.doc_id.removeprefix("page-")) for r in out["pages"].collect()
+    }
+    want_edges = 2 * len(kept_ids) - len(coincide & kept_ids)
+    assert out["graph"].count() == want_edges
+    ranks = out["ranks"]
+    assert ranks.count() == N
+    mass = ranks.agg(F.sum("rank")).first()[0]
+    assert math.isclose(mass, 1.0, rel_tol=1e-9)
+
+
+def test_pages_carry_degree_and_rank(crawl_out):
+    _, out = crawl_out
+    pages = out["pages"]
+    # every kept page emits 2 outlinks, deduped to 1 for the two
+    # coincident-target pages (see test_extraction_and_graph_shapes)
+    assert pages.filter(~F.col("out_degree").isin(1, 2)).count() == 0
+    assert pages.filter(F.col("out_degree") == 1).count() <= 2
+    assert pages.filter(F.col("rank").isNull()).count() == 0
