@@ -2343,6 +2343,67 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier seeding: one real `<urlset>` XML document per
+    doc_id % 20 cohort is ASSEMBLED with JVM expressions (groupBy +
+    array_sort + array_join — the synthesis never touches Python),
+    then parsed back through the stdlib-XML Arrow kernel; the oracle
+    regenerates every (source_url, loc, lastmod, priority) row
+    arithmetically, so namespace handling, entry ordering and priority
+    float parsing are all pinned."""
+    from machine_readability_checker_spark.operators.sitemaps import (
+        sitemap_urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    entry = F.struct(
+        i.alias("id"),
+        F.concat(
+            F.lit("<url><loc>"),
+            _url_of(i),
+            F.lit("</loc><lastmod>2026-01-0"),
+            ((i % 7) + 1).cast("string"),
+            F.lit("</lastmod><priority>"),
+            (((i % 9) + 1) / F.lit(10.0)).cast("string"),
+            F.lit("</priority></url>"),
+        ).alias("xml"),
+    )
+    sm = (
+        docs.select((i % 20).alias("cohort"), entry.alias("e"))
+        .groupBy("cohort")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("e")),
+                        lambda s: s["xml"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit("https://cohort"),
+                F.col("cohort").cast("string"),
+                F.lit("/sitemap.xml"),
+            ).alias("url"),
+            F.encode("xml", "UTF-8").alias("content"),
+        )
+    )
+    return (
+        sitemap_urls(sm)
+        .select("source_url", "kind", "loc", "lastmod", "priority")
+        .orderBy("loc")
+    )
+
+
 # ------------------------------------------------------- line-level dedup
 
 
@@ -2494,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_ranks": q_pagerank_ranks,
         "anchor_texts": q_anchor_texts,
         "url_canonical": q_url_canonical,
+        "sitemap_urls": q_sitemap_urls,
         "line_dedup": q_line_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -2638,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
     out["pagerank_ranks"] = _pagerank_oracle_sql()
     out["anchor_texts"] = _ANCHOR_TEXTS_SQL
     out["url_canonical"] = _URL_CANONICAL_SQL
+    out["sitemap_urls"] = _SITEMAP_URLS_SQL
     out["line_dedup"] = _LINE_DEDUP_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
     return out
@@ -2767,6 +2830,23 @@ SELECT doc_id,
          AS canonical_url,
        TRUE AS matches
 FROM documents ORDER BY doc_id
+"""
+
+
+_SITEMAP_URLS_SQL = """
+SELECT 'https://cohort' || CAST(doc_id % 20 AS VARCHAR) || '/sitemap.xml'
+         AS source_url,
+       'url' AS kind,
+       'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+         || '.src' || CAST(doc_id % 20 AS VARCHAR)
+         || CAST(doc_id % 7 AS VARCHAR)
+         || CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+            ELSE '.org.au' END
+         || '/docs/' || CAST(doc_id AS VARCHAR)
+         || '?ref=r' || CAST(doc_id % 2 AS VARCHAR) AS loc,
+       '2026-01-0' || CAST(doc_id % 7 + 1 AS VARCHAR) AS lastmod,
+       CAST(doc_id % 9 + 1 AS DOUBLE) / 10 AS priority
+FROM documents ORDER BY loc
 """
 
 

@@ -130,6 +130,12 @@ def main() -> None:
         "document are dropped before near-dup clustering",
     )
     ap.add_argument("--min-common", type=int, default=5)
+    ap.add_argument(
+        "--min-compression-ratio", type=float, default=None,
+        help="drop documents whose zlib compression ratio falls below "
+        "this (RPv2-style signal: templated/keyword-stuffed pages "
+        "compress far below prose; ~0.3 is a conservative floor)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -226,6 +232,7 @@ def main() -> None:
         lang_prob_threshold=args.lang_prob_threshold,
         ppl_model=pmodel,
         ppl_threshold=pthreshold,
+        min_compression_ratio=args.min_compression_ratio,
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,
@@ -233,6 +240,7 @@ def main() -> None:
         drop_repetitive=args.drop_repetitive,
         model_quality=qmodel is not None,
         lm_ppl=pmodel is not None,
+        compression=args.min_compression_ratio is not None,
     )
     funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
     funnel_rows = {

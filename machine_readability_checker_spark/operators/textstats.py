@@ -535,12 +535,15 @@ def stage_names(
     drop_repetitive: bool = False,
     model_quality: bool = False,
     lm_ppl: bool = False,
+    compression: bool = False,
 ) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
     names = ["raw", "exact_dedup", "normalized_dedup", "min_tokens"]
     if drop_repetitive:
         names.append("repetition_ok")
+    if compression:
+        names.append("compression_ok")
     if model_quality:
         names.append("model_quality")
     if lm_ppl:
@@ -562,6 +565,7 @@ def label_drop_stage(
     lang_prob_threshold: float = 0.5,
     ppl_model=None,
     ppl_threshold: float = None,
+    min_compression_ratio: float = None,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -578,6 +582,9 @@ def label_drop_stage(
       3. min_tokens       : ≥ 5 whitespace tokens
       4. repetition_ok    : Gopher repetition flags clear (opt-in via
                             ``drop_repetitive`` — shifts later stages)
+      4b. compression_ok  : zlib ratio ≥ ``min_compression_ratio``
+                            (opt-in — RPv2-style long-range repetition
+                            signal; Arrow kernel, narrow)
       5. model_quality    : hashed-n-gram logistic quality score ≥
                             ``quality_threshold`` (opt-in: pass a
                             fitted ``quality_model`` PipelineModel —
@@ -604,6 +611,11 @@ def label_drop_stage(
         # only the flag struct rides along into the labeling pass
         df = with_repetition_stats(df, text_col).drop("repetition")
         extra_cols = ["repetition_flag"]
+    if min_compression_ratio is not None:
+        # RPv2-style zlib signal: templated/keyword-stuffed documents
+        # compress far below prose (Arrow kernel, narrow)
+        df = with_compression_ratio(df, text_col, id_col)
+        extra_cols = extra_cols + ["compression_ratio"]
     if quality_model is not None:
         from .quality_model import score_quality
 
@@ -649,6 +661,13 @@ def label_drop_stage(
             "repetition_flag.looping_bigram"
         )
         drop = drop.when(F.coalesce(rep_bad, F.lit(False)), F.lit(stage))
+        stage += 1
+    if min_compression_ratio is not None:
+        keep_cr = F.coalesce(
+            F.col("compression_ratio") >= F.lit(float(min_compression_ratio)),
+            F.lit(False),
+        )
+        drop = drop.when(~keep_cr, F.lit(stage))
         stage += 1
     if quality_model is not None:
         keep_q = F.coalesce(
@@ -699,12 +718,14 @@ def funnel_from_labels(
     drop_repetitive: bool = False,
     model_quality: bool = False,
     lm_ppl: bool = False,
+    compression: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
     names = stage_names(
-        require_known_lang, drop_repetitive, model_quality, lm_ppl
+        require_known_lang, drop_repetitive, model_quality, lm_ppl,
+        compression,
     )
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0
@@ -896,3 +917,41 @@ def tfidf_top_terms(
             "rn",
         )
     )
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach ``compression_ratio`` = len(zlib(text)) / len(utf8 text)
+    — the RedPajama-v2 / Dolma-family quality signal: highly repetitive
+    or templated documents compress far below prose (~0.3-0.6 for
+    natural text; boilerplate and keyword-stuffed spam dive under it,
+    random noise sits near 1.0).  Complements the n-gram repetition
+    battery: zlib's LZ77 window catches long-range repetition the
+    fixed-n statistics miss.
+
+    zlib is not expressible in SQL, so this signal is pytest-pinned
+    rather than DuckDB-oracled.  Arrow-batched kernel (one pass, no
+    shuffle); empty documents get ratio NULL."""
+    import pyspark.sql.types as T
+
+    out_fields = df.schema.fields + [
+        T.StructField("compression_ratio", T.DoubleType(), True)
+    ]
+    schema = T.StructType(out_fields)
+
+    def kernel(batches):
+        import zlib as _zlib
+
+        for pdf in batches:
+            ratios = []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                ratios.append(
+                    len(_zlib.compress(raw, 6)) / len(raw) if raw else None
+                )
+            pdf = pdf.copy()
+            pdf["compression_ratio"] = ratios
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)

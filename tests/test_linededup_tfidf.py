@@ -123,3 +123,64 @@ def test_tfidf_deterministic_tiebreak(spark):
         .collect()
     ]
     assert got == [("aa", 1), ("zz", 2)]
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from machine_readability_checker_spark.operators.textstats import (
+        with_compression_ratio,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "magistrates deliberated an entirely unrelated question of law"
+    )
+    spammy = "buy now " * 60
+    rows = [(0, prose), (1, spammy), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.compression_ratio for r in with_compression_ratio(df).collect()}
+    # exact agreement with a driver-side zlib call
+    for i, t in rows[:2]:
+        want = len(zlib.compress(t.encode(), 6)) / len(t.encode())
+        assert abs(got[i] - want) < 1e-12
+    # ordering property: spam compresses far better than prose
+    assert got[1] < got[0]
+    assert got[2] is None
+
+
+def test_compression_funnel_stage(spark):
+    """compression_ok drops exactly the below-threshold documents at
+    its own stage index, between repetition and the model stages."""
+    from machine_readability_checker_spark.operators.textstats import (
+        funnel_from_labels,
+        label_drop_stage,
+        stage_names,
+    )
+
+    prose = (
+        "seventeen magistrates deliberated an entirely unrelated "
+        "question of law beside the quiet harbor"
+    )
+    spam = "buy now best price deal " * 40
+    rows = [(0, prose), (1, spam), (2, prose + " extended further")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = label_drop_stage(
+        docs, require_known_lang=False, min_compression_ratio=0.35
+    )
+    names = stage_names(require_known_lang=False, compression=True)
+    assert names == [
+        "raw", "exact_dedup", "normalized_dedup", "min_tokens",
+        "compression_ok",
+    ]
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in funnel_from_labels(
+            lab, require_known_lang=False, compression=True
+        ).collect()
+    }
+    assert funnel["raw"] == 3
+    assert funnel["min_tokens"] == 3
+    assert funnel["compression_ok"] == 2  # the spam doc dies here
+    dropped = {r.doc_id for r in lab.collect() if r._drop == 4}
+    assert dropped == {1}
