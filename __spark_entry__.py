@@ -2459,6 +2459,36 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization cross-engine: documents gain a messy
+    suffix of decomposed combining sequences (e+́, o+̈, a+̊), the Arrow
+    kernel normalizes via Python's ``unicodedata``, and the oracle runs
+    DuckDB's independent ``nfc_normalize`` (utf8proc) over the same
+    construction — two Unicode implementations must produce identical
+    lengths and tail bytes."""
+    from machine_readability_checker_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" é ö å")),
+    )
+    out = normalize_text(
+        messy, form="NFC", strip_controls=False, collapse_ws=False
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.length("norm_text").cast("long").alias("norm_len"),
+            F.substring(F.col("norm_text"), -5, 5).alias("tail"),
+            (F.col("norm_text") != F.col("text")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF keywords (sklearn smooth-idf): two
     hash aggregates (doc-term counts, then document frequencies over
@@ -2556,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "url_canonical": q_url_canonical,
         "sitemap_urls": q_sitemap_urls,
+        "text_normalize": q_text_normalize,
         "line_dedup": q_line_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -2701,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
     out["anchor_texts"] = _ANCHOR_TEXTS_SQL
     out["url_canonical"] = _URL_CANONICAL_SQL
     out["sitemap_urls"] = _SITEMAP_URLS_SQL
+    out["text_normalize"] = _TEXT_NORMALIZE_SQL
     out["line_dedup"] = _LINE_DEDUP_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
     return out
@@ -2830,6 +2862,21 @@ SELECT doc_id,
          AS canonical_url,
        TRUE AS matches
 FROM documents ORDER BY doc_id
+"""
+
+
+_TEXT_NORMALIZE_SQL = """
+WITH messy AS (
+  SELECT doc_id,
+         text || ' e' || chr(769) || ' o' || chr(776) || ' a' || chr(778)
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS norm_len,
+       right(nfc_normalize(text), 5) AS tail,
+       nfc_normalize(text) != text AS changed
+FROM messy ORDER BY doc_id
 """
 
 

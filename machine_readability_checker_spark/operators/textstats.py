@@ -955,3 +955,56 @@ def with_compression_ratio(
             yield pdf
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFKC",
+    strip_controls: bool = True,
+    collapse_ws: bool = False,
+) -> DataFrame:
+    """Unicode normalization — the first step of essentially every
+    public cleaning recipe (CCNet normalizes before hashing; Gopher
+    and fastText pipelines NFKC-fold width/ligature/compatibility
+    variants so '１２３' and 'ﬁ' match their ASCII forms).
+
+    ``form`` ∈ NFC/NFKC/NFD/NFKD via ``unicodedata`` in an Arrow
+    kernel (narrow, zero shuffles).  ``strip_controls`` removes
+    C0/C1 controls except tab/newline; ``collapse_ws`` collapses
+    whitespace runs to single spaces and trims.  The NFC path is
+    cross-engine-oracled against DuckDB's ``nfc_normalize`` (lane
+    ``text_normalize``) — two independent Unicode implementations
+    agreeing on the same bytes."""
+    import pyspark.sql.types as T
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.StringType(), True)]
+    )
+
+    def kernel(batches):
+        import re as _re
+        import unicodedata as _ud
+
+        ctrl = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+        ws = _re.compile(r"\s+")
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append(None)
+                    continue
+                s = _ud.normalize(form, str(t))
+                if strip_controls:
+                    s = ctrl.sub("", s)
+                if collapse_ws:
+                    s = ws.sub(" ", s).strip()
+                out.append(s)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from machine_readability_checker_spark.operators.linededup import (
@@ -184,3 +185,35 @@ def test_compression_funnel_stage(spark):
     assert funnel["compression_ok"] == 2  # the spam doc dies here
     dropped = {r.doc_id for r in lab.collect() if r._drop == 4}
     assert dropped == {1}
+
+
+def test_normalize_text_forms(spark):
+    import unicodedata
+
+    from machine_readability_checker_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    decomposed = "café"          # e + combining acute
+    compat = "ﬁle １２"   # fi-ligature, full-width digits
+    ctrl = "a\x00b\x07c\td"            # NULs/bell stripped, tab kept
+    rows = [(0, decomposed), (1, compat), (2, ctrl), (3, "  a   b  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    nfc = {
+        r.doc_id: r.norm_text
+        for r in normalize_text(df, form="NFC", strip_controls=False).collect()
+    }
+    assert nfc[0] == unicodedata.normalize("NFC", decomposed) == "café"
+    assert nfc[1] == compat  # NFC leaves compatibility chars alone
+
+    nfkc = {
+        r.doc_id: r.norm_text
+        for r in normalize_text(df, form="NFKC", collapse_ws=True).collect()
+    }
+    assert nfkc[1] == "file 12"
+    assert nfkc[2] == "abc d"  # controls stripped, tab collapsed
+    assert nfkc[3] == "a b"
+
+    with pytest.raises(ValueError):
+        normalize_text(df, form="NFX")
