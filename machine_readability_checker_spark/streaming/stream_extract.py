@@ -220,3 +220,50 @@ def stream_media_features(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_frontier(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl-frontier dedup — the continuous-ingest twin of
+    the batch canonical-URL window in ``plans.crawl``: canonicalize
+    the URL (same JVM fold the batch path uses, so stream and batch
+    agree on the key byte-for-byte), then
+    ``dropDuplicatesWithinWatermark`` keeps the first fetch per
+    canonical URL with state bounded by the watermark.  A re-crawl
+    arriving later than the watermark is re-emitted — that is crawl
+    semantics (recrawl after N hours), not a bug; the batch frontier
+    window over the materialized table remains the global guarantee."""
+    from ..operators.weburl import canonicalize_url
+
+    if dict(pages.dtypes).get(ts_col) == "timestamp_ntz":
+        pages = pages.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        pages.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
+def stream_frontier_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "1 hour",
+):
+    """File-source page stream → canonical frontier dedup → parquet."""
+    pages = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream_frontier(pages, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -190,3 +190,54 @@ def test_stream_media_features_matches_batch(spark, tmp_path):
     q2 = stream_media_features(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n1  # nothing re-emitted
+
+
+def test_stream_frontier_canonical_dedup(spark, tmp_path):
+    """Streaming frontier: messy URL variants of one resource collapse
+    onto a single canonical key across micro-batches; the kept row is
+    the first arrival and carries the canonical column the batch path
+    would compute."""
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_frontier_to_parquet,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, url string, ts timestamp"
+
+    def _batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    from datetime import datetime, timedelta
+
+    t = datetime(2026, 1, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+    _batch(
+        [
+            ("a", "https://ex.com/docs/1", t),
+            ("b", "HTTPS://EX.COM:443/docs/./1?utm_source=x#f", t + m),
+            ("c", "https://ex.com/docs/2", t + 2 * m),
+        ]
+    )
+    q = stream_frontier_to_parquet(spark, in_dir, out_dir, ckpt, schema)
+    q.awaitTermination(120)
+    got = {r.doc_id: r.canonical_url for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        "a": "https://ex.com/docs/1",
+        "c": "https://ex.com/docs/2",
+    }
+
+    # cross-batch duplicate via another messy variant, plus a new URL
+    _batch(
+        [
+            ("d", "https://user@ex.com/x/../docs/1", t + 3 * m),
+            ("e", "https://ex.com/docs/3", t + 4 * m),
+        ]
+    )
+    q2 = stream_frontier_to_parquet(spark, in_dir, out_dir, ckpt, schema)
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"a", "c", "e"}
