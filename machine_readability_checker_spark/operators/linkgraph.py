@@ -124,6 +124,7 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     num_partitions: Optional[int] = None,
+    init_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(src, dst) edge list → (node, rank) after ``n_iter`` synchronous
     PageRank iterations with uniform teleport and dangling-mass
@@ -149,7 +150,15 @@ def pagerank(
     aggregate), and the checkpoint makes that a shared materialized
     RDD instead of a doubling expression tree — without it the plan
     re-derives 2^k subtrees by iteration k.  The only driver-side
-    scalar is N (one count); per-node data never collects."""
+    scalar is N (one count); per-node data never collects.
+
+    ``init_ranks`` (node, rank) warm-starts the iteration — the
+    incremental-recrawl path: yesterday's converged ranks are a far
+    better starting point than uniform, so a lightly-changed graph
+    needs 2-3 iterations instead of 10+.  Ranks are renormalized over
+    the CURRENT node set (new nodes get the uniform prior, vanished
+    nodes' mass is redistributed by the normalization), so mass still
+    sums to 1 from iteration one."""
     edges = graph.select("src", "dst")
     if num_partitions:
         edges = edges.repartition(num_partitions, "src")
@@ -177,7 +186,26 @@ def pagerank(
     if n_nodes == 0:
         return base.select("node", F.lit(0.0).alias("rank")).limit(0)
 
-    ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
+    if init_ranks is None:
+        ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
+    else:
+        seeded = base.join(
+            init_ranks.select(
+                "node", F.col("rank").alias("_r0")
+            ),
+            "node",
+            "left",
+        ).withColumn(
+            "_r0", F.coalesce(F.col("_r0"), F.lit(1.0 / n_nodes))
+        )
+        total = F.broadcast(
+            seeded.agg(F.sum("_r0").alias("_tot"))
+        )
+        ranks = (
+            seeded.crossJoin(total)
+            .withColumn("rank", F.col("_r0") / F.col("_tot"))
+            .drop("_r0", "_tot")
+        )
     for it in range(n_iter):
         ranks = ranks.localCheckpoint(eager=False)
         dang = ranks.agg(

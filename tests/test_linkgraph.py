@@ -190,3 +190,25 @@ def test_anchor_texts_topk(spark):
         ("d1", "spark engine", 1, 3),
         ("d2", "only one", 1, 1),
     ]
+
+
+def test_pagerank_warm_start_converges_to_same_fixed_point(
+    spark, small_graph
+):
+    """Warm-starting from near-converged ranks reaches the same fixed
+    point; new/vanished nodes are handled by renormalization (mass
+    stays 1 from iteration one)."""
+    cold = LG.pagerank(small_graph, n_iter=30)
+    warm = LG.pagerank(small_graph, n_iter=3, init_ranks=cold)
+    a = {r.node: r.rank for r in cold.collect()}
+    b = {r.node: r.rank for r in warm.collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-6), k
+    # init over a DIFFERENT node set: unknown node dropped, missing
+    # nodes seeded uniform; mass conserved immediately
+    partial = spark.createDataFrame(
+        [("0", 0.9), ("ghost", 0.5)], "node string, rank double"
+    )
+    seeded = LG.pagerank(small_graph, n_iter=1, init_ranks=partial)
+    total = seeded.agg(F.sum("rank")).first()[0]
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
