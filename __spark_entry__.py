@@ -2254,6 +2254,88 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 3
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the harvested hyperlink graph: 3 synchronous
+    iterations, L2-normalized each half-step.  Hubs (pages that point
+    at good content) and authorities (pages pointed at) are reported
+    scaled by sqrt(N) (mean square 1.0) and rounded to 5dp; the oracle
+    unrolls the same iterations as chained CTEs — join order, the
+    missing-node zero-fill, and both normalizations all pinned."""
+    from machine_readability_checker_spark.operators import linkgraph as LG
+
+    gid = _doc_graph(spark, sf_dir)
+    n_nodes = (
+        gid.select(F.col("src").alias("n"))
+        .unionAll(gid.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    scores = LG.hits(gid, n_iter=_HITS_ITERS)
+    scale = F.lit(float(n_nodes) ** 0.5)
+    return (
+        scores.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.round(F.col("hub") * scale, 5).alias("hub_scaled"),
+            F.round(F.col("authority") * scale, 5).alias("auth_scaled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled {_HITS_ITERS}-iteration HITS as chained CTEs, term for
+    term with operators.linkgraph.hits (coalesced zero-fill, L2 norm
+    via sqrt(SUM(v*v)), guarded zero-norm division)."""
+    parts = ["h0 AS (SELECT doc_id, 1.0 AS hub FROM nodes)"]
+    prev_h = "h0"
+    for t in range(1, _HITS_ITERS + 1):
+        parts.append(f"""
+a{t}_raw AS (
+  SELECT n.doc_id, COALESCE(s.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(h.hub) AS v
+    FROM e JOIN {prev_h} h ON e.src = h.doc_id GROUP BY e.dst
+  ) s USING (doc_id)
+),
+a{t} AS (
+  SELECT doc_id,
+         CASE WHEN nn.s > 0 THEN v / nn.s ELSE 0 END AS authority
+  FROM a{t}_raw, (SELECT sqrt(SUM(v * v)) AS s FROM a{t}_raw) nn
+),
+h{t}_raw AS (
+  SELECT n.doc_id, COALESCE(s.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS doc_id, SUM(a.authority) AS v
+    FROM e JOIN a{t} a ON e.dst = a.doc_id GROUP BY e.src
+  ) s USING (doc_id)
+),
+h{t} AS (
+  SELECT doc_id, CASE WHEN nn.s > 0 THEN v / nn.s ELSE 0 END AS hub
+  FROM h{t}_raw, (SELECT sqrt(SUM(v * v)) AS s FROM h{t}_raw) nn
+)""")
+        prev_h = f"h{t}"
+    return f"""
+WITH {_LINK_EDGES_CTE},
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT src AS doc_id FROM e UNION ALL SELECT dst AS doc_id FROM e
+  )
+),
+nn0 AS (SELECT sqrt(CAST(COUNT(*) AS DOUBLE)) AS s FROM nodes),
+{','.join(parts)}
+SELECT h.doc_id,
+       ROUND(h.hub * nn0.s, 5) AS hub_scaled,
+       ROUND(a.authority * nn0.s, 5) AS auth_scaled
+FROM h{_HITS_ITERS} h
+JOIN a{_HITS_ITERS} a USING (doc_id)
+CROSS JOIN nn0
+ORDER BY doc_id
+"""
+
+
 _PR_ITERS = 5
 _PR_DAMPING = 0.85
 
@@ -2583,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
+        "hits_scores": q_hits_scores,
         "anchor_texts": q_anchor_texts,
         "url_canonical": q_url_canonical,
         "sitemap_urls": q_sitemap_urls,
@@ -2729,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
+    out["hits_scores"] = _hits_oracle_sql()
     out["anchor_texts"] = _ANCHOR_TEXTS_SQL
     out["url_canonical"] = _URL_CANONICAL_SQL
     out["sitemap_urls"] = _SITEMAP_URLS_SQL

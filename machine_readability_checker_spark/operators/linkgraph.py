@@ -285,3 +285,106 @@ def anchor_texts(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def hits(
+    graph: DataFrame,
+    n_iter: int = 10,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Kleinberg's HITS over a (src, dst) edge list → (node, hub,
+    authority) after ``n_iter`` synchronous iterations with L2
+    normalization each half-step (the convergent formulation).
+
+    PageRank ranks by random-surfer mass; HITS separates "pages that
+    POINT at good content" (hubs) from "pages good content points AT"
+    (authorities) — the directory-vs-article distinction a curation
+    pipeline uses to pick seed lists vs keep lists.
+
+    Plan shape per iteration — the same contract as ``pagerank``:
+
+    * authority update: edges ⋈ hubs on ``src`` → groupBy ``dst`` sum
+      (one reused-exchange join + one partial-combine aggregate);
+    * hub update: edges ⋈ authorities on ``dst`` → groupBy ``src`` sum
+      (symmetric);
+    * each L2 norm is a ONE-ROW aggregate broadcast-cross-joined back
+      (no driver action);
+    * the score table is lazily ``localCheckpoint``'d per iteration —
+      it is referenced by both half-steps AND its own norm aggregate,
+      so without the barrier the plan doubles per round."""
+    edges = graph.select("src", "dst")
+    if num_partitions:
+        edges = edges.repartition(num_partitions, "src")
+    else:
+        edges = edges.repartition("src")
+    edges = edges.persist()
+
+    nodes = (
+        graph.select(F.col("src").alias("node"))
+        .unionAll(graph.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        ).limit(0)
+
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+    for _ in range(n_iter):
+        scores = scores.localCheckpoint(eager=False)
+        # authority(v) = Σ hub(u) over u→v, then L2-normalize
+        auth_raw = (
+            edges.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auth = (
+            nodes.join(auth_raw, "node", "left")
+            .withColumn("_a", F.coalesce(F.col("_a"), F.lit(0.0)))
+        )
+        a_norm = auth.agg(
+            F.sqrt(F.sum(F.col("_a") * F.col("_a"))).alias("_an")
+        )
+        auth = (
+            auth.crossJoin(F.broadcast(a_norm))
+            .withColumn(
+                "authority",
+                F.when(F.col("_an") > 0, F.col("_a") / F.col("_an"))
+                .otherwise(F.lit(0.0)),
+            )
+            .select("node", "authority")
+            .localCheckpoint(eager=False)
+        )
+        # hub(u) = Σ authority(v) over u→v, then L2-normalize
+        hub_raw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        hub = (
+            nodes.join(hub_raw, "node", "left")
+            .withColumn("_h", F.coalesce(F.col("_h"), F.lit(0.0)))
+        )
+        h_norm = hub.agg(
+            F.sqrt(F.sum(F.col("_h") * F.col("_h"))).alias("_hn")
+        )
+        hub = (
+            hub.crossJoin(F.broadcast(h_norm))
+            .withColumn(
+                "hub",
+                F.when(F.col("_hn") > 0, F.col("_h") / F.col("_hn"))
+                .otherwise(F.lit(0.0)),
+            )
+            .select("node", "hub")
+        )
+        scores = hub.join(auth, "node")
+    return scores.select("node", "hub", "authority")

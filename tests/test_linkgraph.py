@@ -212,3 +212,41 @@ def test_pagerank_warm_start_converges_to_same_fixed_point(
     seeded = LG.pagerank(small_graph, n_iter=1, init_ranks=partial)
     total = seeded.agg(F.sum("rank")).first()[0]
     assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def _hits_numpy(edges, n_iter):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    hub = [1.0] * n
+    auth = [0.0] * n
+    for _ in range(n_iter):
+        auth = [0.0] * n
+        for s, d in edges:
+            auth[idx[d]] += hub[idx[s]]
+        an = math.sqrt(sum(a * a for a in auth))
+        auth = [a / an if an > 0 else 0.0 for a in auth]
+        hub = [0.0] * n
+        for s, d in edges:
+            hub[idx[s]] += auth[idx[d]]
+        hn = math.sqrt(sum(h * h for h in hub))
+        hub = [h / hn if hn > 0 else 0.0 for h in hub]
+    return {nodes[i]: (hub[i], auth[i]) for i in range(n)}
+
+
+def test_hits_matches_sequential_reference(spark, small_graph):
+    edges = [(r.src, r.dst) for r in small_graph.collect()]
+    want = _hits_numpy(edges, n_iter=6)
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in LG.hits(small_graph, n_iter=6).collect()
+    }
+    assert set(got) == set(want)
+    for k, (h, a) in want.items():
+        assert math.isclose(got[k][0], h, rel_tol=1e-10, abs_tol=1e-12), k
+        assert math.isclose(got[k][1], a, rel_tol=1e-10, abs_tol=1e-12), k
+    # pure sink "3" is a valid authority but a zero hub
+    assert got["3"][0] == 0.0 and got["3"][1] > 0
+    # L2 norms are 1
+    assert math.isclose(sum(h * h for h, _ in got.values()), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(a * a for _, a in got.values()), 1.0, rel_tol=1e-9)
