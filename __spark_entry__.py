@@ -2571,6 +2571,47 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK-grade battery: documents re-punctuated
+    into 10-token sentences (JVM expressions), then the codegen
+    readability struct — vowel-group syllables with the silent-e
+    discount, sentence splitting, both formulas — against a DuckDB
+    oracle that recomputes every term with list functions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TS.tokens(F.col("text"))
+    n = F.size(toks)
+    ns = F.ceil(n / F.lit(10.0)).cast("int")
+    sent_text = F.when(
+        n > 0,
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), ns - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * F.lit(10) + 1, 10), " "
+                    ),
+                ),
+                ". ",
+            ),
+            F.lit("."),
+        ),
+    ).otherwise(F.lit(""))
+    scored = docs.select(
+        "doc_id", TS.readability_scores(sent_text).alias("r")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("r.n_words").cast("long").alias("n_words"),
+            F.col("r.n_sentences").cast("long").alias("n_sentences"),
+            F.col("r.n_syllables").cast("long").alias("n_syllables"),
+            F.round("r.reading_ease", 5).alias("reading_ease"),
+            F.round("r.fk_grade", 5).alias("fk_grade"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF keywords (sklearn smooth-idf): two
     hash aggregates (doc-term counts, then document frequencies over
@@ -2670,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "sitemap_urls": q_sitemap_urls,
         "text_normalize": q_text_normalize,
+        "readability": q_readability,
         "line_dedup": q_line_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -2817,6 +2859,7 @@ def oracle_sql() -> dict[str, str]:
     out["url_canonical"] = _URL_CANONICAL_SQL
     out["sitemap_urls"] = _SITEMAP_URLS_SQL
     out["text_normalize"] = _TEXT_NORMALIZE_SQL
+    out["readability"] = _READABILITY_SQL
     out["line_dedup"] = _LINE_DEDUP_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
     return out
@@ -2946,6 +2989,54 @@ SELECT doc_id,
          AS canonical_url,
        TRUE AS matches
 FROM documents ORDER BY doc_id
+"""
+
+
+_READABILITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sents AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) > 0 THEN
+           array_to_string(
+             [array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')
+              for i in range(CAST(ceil(len(t) / 10.0) AS BIGINT))],
+             '. ') || '.'
+         ELSE '' END AS text
+  FROM toks
+),
+ptoks AS (
+  -- the Spark lane tokenizes the RE-PUNCTUATED text, so words carry
+  -- their trailing periods; mirror that exactly (it changes the
+  -- silent-e discount: 'merge.' ends in '.', not 'e')
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS pt
+  FROM sents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(pt) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(COALESCE(list_sum(list_transform(pt, w ->
+           greatest(
+             len(regexp_extract_all(lower(w), '[aeiouy]+'))
+             - CASE WHEN regexp_matches(lower(w), '[^aeiouy]e$')
+               THEN 1 ELSE 0 END,
+             1))), 0) AS BIGINT) AS n_syllables
+  FROM ptoks
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN ROUND(
+         206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 5)
+       END AS reading_ease,
+       CASE WHEN n_words > 0 THEN ROUND(
+         0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 5)
+       END AS fk_grade
+FROM m ORDER BY doc_id
 """
 
 

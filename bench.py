@@ -75,12 +75,14 @@ BENCH_QUERIES = [
     "robots_allowed",
     "link_graph_degrees",
     "pagerank_ranks",
+    "hits_scores",
     "anchor_texts",
     "line_dedup",
     "tfidf_top_terms",
     "url_canonical",
     "sitemap_urls",
     "text_normalize",
+    "readability",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -1008,3 +1008,52 @@ def normalize_text(
             yield pdf
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def readability_scores(col: Column) -> Column:
+    """Flesch reading-ease + Flesch-Kincaid grade as a struct — the
+    classic shallow readability battery corpus audits report next to
+    the Gopher stats.  Entirely JVM regexp/array work (codegen):
+
+    - words: whitespace tokens
+    - sentences: runs ending in ``.!?`` (min 1 — headline documents)
+    - syllables: vowel-GROUP count per word with a silent-e discount,
+      min 1 per word — the standard public approximation (exact
+      hyphenation needs a dictionary; every OSS implementation of
+      Flesch uses a vowel-group heuristic of this family)
+
+    reading_ease = 206.835 − 1.015·(words/sentences)
+                   − 84.6·(syllables/words)
+    fk_grade     = 0.39·(words/sentences) + 11.8·(syllables/words)
+                   − 15.59
+    """
+    toks = tokens(col)
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syl_of = lambda w: F.greatest(  # noqa: E731
+        F.size(
+            F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)
+        )
+        - F.when(F.lower(w).rlike("[^aeiouy]e$"), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+        F.lit(1),
+    )
+    n_syl = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + syl_of(w)
+    )
+    wps = n_words.cast("double") / n_sents
+    spw = F.when(
+        n_words > 0, n_syl.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return F.struct(
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.when(n_words > 0, ease).alias("reading_ease"),
+        F.when(n_words > 0, grade).alias("fk_grade"),
+    )

@@ -217,3 +217,25 @@ def test_normalize_text_forms(spark):
 
     with pytest.raises(ValueError):
         normalize_text(df, form="NFX")
+
+
+def test_readability_hand_computed(spark):
+    from machine_readability_checker_spark.operators.textstats import (
+        readability_scores,
+    )
+
+    text = "The cat sat. The dog ran away quickly!"
+    df = spark.createDataFrame([(text,), ("",)], "text string")
+    rows = df.select(readability_scores(F.col("text")).alias("r")).collect()
+    r = rows[0].r
+    # 8 words, 2 sentences, syllables: 6x1 + away(2) + quickly(2) = 10
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (8, 2, 10)
+    assert abs(r.reading_ease - (206.835 - 1.015 * 4 - 84.6 * 1.25)) < 1e-9
+    assert abs(r.fk_grade - (0.39 * 4 + 11.8 * 1.25 - 15.59)) < 1e-9
+    # silent-e discount: "table" is 2 vowel groups minus the silent e
+    one = spark.createDataFrame([("table",)], "text string").select(
+        readability_scores(F.col("text")).alias("r")
+    ).collect()[0].r
+    assert one.n_syllables == 1
+    empty = rows[1].r
+    assert empty.n_words == 0 and empty.reading_ease is None
