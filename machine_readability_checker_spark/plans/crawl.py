@@ -38,12 +38,10 @@ from ..operators.repartition import salted_repartition
 from ..operators.robots import robots_allowed, robots_rules
 from ..sources.warc import warc_to_docs_raw
 
-_PATH_EXPR = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
-
 
 def _with_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     p = WU.parse_url(F.col(url_col))
-    path = F.regexp_extract(F.col(url_col), _PATH_EXPR, 1)
+    path = F.regexp_extract(F.col(url_col), WU._PATH_RE, 1)
     return df.withColumn("domain", p["host"]).withColumn(
         "path", F.when(path == "", F.lit("/")).otherwise(path)
     )
