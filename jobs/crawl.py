@@ -45,6 +45,16 @@ def main() -> None:
     ap.add_argument("--agent", default="*", help="crawler user-agent token")
     ap.add_argument("--pr-iters", type=int, default=5)
     ap.add_argument(
+        "--resume-spans", action="store_true",
+        help="route span extraction through the manifest-committed "
+        "resumable runner (jobs/extract.py's machinery): a killed crawl "
+        "re-run skips every committed split of the expensive per-doc "
+        "kernel work; the cheap global stages (graph, ranks, pages) "
+        "recompute",
+    )
+    ap.add_argument("--splits", type=int, default=16)
+    ap.add_argument("--wave", type=int, default=0)
+    ap.add_argument(
         "--cores", type=int,
         default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     )
@@ -77,8 +87,49 @@ def main() -> None:
     )
 
     # materialize: pages last (it joins graph outputs)
-    spans = out["spans"]
-    spans.write.mode("overwrite").parquet(os.path.join(args.out, "spans"))
+    resume_stats = {}
+    if args.resume_spans:
+        from machine_readability_checker_spark.operators.extract import (
+            extract,
+        )
+        from machine_readability_checker_spark.operators.repartition import (
+            salted_repartition,
+            split_id,
+        )
+        from machine_readability_checker_spark.plans.manifest import (
+            ManifestStore,
+            run_resumable,
+        )
+
+        store = ManifestStore(os.path.join(args.out, "spans"))
+
+        # materialize docs_raw ONCE: each resumable wave filters its
+        # splits out of the raw table, and without this the whole WARC
+        # parse + robots/frontier pipeline would re-execute per wave
+        raw_path = os.path.join(args.out, "docs_raw")
+        if not os.path.exists(raw_path):
+            out["docs_raw"].write.mode("overwrite").parquet(raw_path)
+        docs_raw = spark.read.parquet(raw_path)
+
+        def transform(wave_df):
+            balanced = salted_repartition(wave_df, max(8, args.cores))
+            return extract(balanced).withColumn(
+                "split", split_id("doc_id", args.splits)
+            )
+
+        resume_stats = run_resumable(
+            docs_raw,
+            store,
+            transform,
+            n_splits=args.splits,
+            wave_size=args.wave,
+        )
+        spans_path = store.data_dir
+    else:
+        out["spans"].write.mode("overwrite").parquet(
+            os.path.join(args.out, "spans")
+        )
+        spans_path = os.path.join(args.out, "spans")
     out["graph"].write.mode("overwrite").parquet(
         os.path.join(args.out, "graph")
     )
@@ -92,7 +143,7 @@ def main() -> None:
     pages = spark.read.parquet(os.path.join(args.out, "pages"))
     graph = spark.read.parquet(os.path.join(args.out, "graph"))
     ranks = spark.read.parquet(os.path.join(args.out, "ranks"))
-    spans_tbl = spark.read.parquet(os.path.join(args.out, "spans"))
+    spans_tbl = spark.read.parquet(spans_path)
     n_blocked = out["blocked"].count()
     n_dups = out["dups"].count()
     n_pages = pages.count()
@@ -112,6 +163,7 @@ def main() -> None:
         "pr_iters": args.pr_iters,
         "wall_sec": round(time.time() - t0, 3),
         "cores": args.cores,
+        **resume_stats,
     }
     if expected:
         stats["gen_expected"] = expected

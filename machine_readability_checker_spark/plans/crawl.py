@@ -89,7 +89,9 @@ def crawl_curate(
     dups = with_rn.filter(F.col("_rn") > 1).drop("_rn")
     kept = with_rn.filter(F.col("_rn") == 1).drop("_rn")
 
-    # extraction: identical kernel + skew treatment as jobs/extract.py
+    # extraction: identical kernel + skew treatment as jobs/extract.py;
+    # docs_raw is also returned so the job can route it through the
+    # manifest-committed resumable runner instead (--resume-spans)
     docs_raw = warc_to_docs_raw(
         records.join(kept.select("doc_id"), "doc_id", "left_semi")
     )
@@ -126,6 +128,7 @@ def crawl_curate(
     return {
         "pages": pages,
         "spans": spans,
+        "docs_raw": docs_raw,
         "graph": graph,
         "ranks": ranks,
         "blocked": blocked,
