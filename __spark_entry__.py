@@ -2372,13 +2372,16 @@ def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-frontier URL canonicalization: four deterministic "messy"
+    """Crawl-frontier URL canonicalization: five deterministic "messy"
     variants per document (uppercase scheme/host + fragment everywhere;
     default port + utm params / dot segments / doubled slash + extra
-    param / userinfo + ./ prefix by doc_id % 4) must canonicalize to
-    the arithmetic canonical form — one narrow JVM map, zero shuffles.
-    The oracle regenerates the expected canonical strings without
-    running any URL code."""
+    param / userinfo + ./ prefix / percent-encoding by doc_id % 5)
+    must canonicalize to the arithmetic canonical form — one narrow
+    JVM map, zero shuffles.  Variant 4 pins RFC 3986 §6.2.2: an
+    unreserved escape in the path decodes (%6f → o) and a reserved
+    escape in a query value uppercases its hex (%2f → %2F).  The
+    oracle regenerates the expected canonical strings without running
+    any URL code."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     i = F.col("doc_id")
     suffix_up = (
@@ -2396,7 +2399,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = F.concat(F.lit("ref=r"), (i % 2).cast("string"))
     ids = i.cast("string")
-    v = i % 4
+    v = i % 5
     messy = F.concat(
         F.lit("HTTPS://"),
         F.when(v == 3, F.lit("user:pw@")).otherwise(F.lit("")),
@@ -2405,9 +2408,11 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(v == 0, F.concat(F.lit("/docs/"), ids))
         .when(v == 1, F.concat(F.lit("/docs/../docs/"), ids))
         .when(v == 2, F.concat(F.lit("/docs//"), ids))
+        .when(v == 4, F.concat(F.lit("/d%6fcs/"), ids))
         .otherwise(F.concat(F.lit("/./docs/"), ids)),
         F.when(v == 0, F.concat(F.lit("?utm_source=feed&"), ref))
         .when(v == 2, F.concat(F.lit("?z=9&"), ref))
+        .when(v == 4, F.concat(F.lit("?x=%7e%2f&"), ref))
         .otherwise(F.concat(F.lit("?"), ref)),
         F.lit("#sec"),
     )
@@ -2418,7 +2423,9 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon.alias("canonical_url"),
             (canon == F.concat(
                 _url_of(i),
-                F.when(v == 2, F.lit("&z=9")).otherwise(F.lit("")),
+                F.when(v == 2, F.lit("&z=9"))
+                .when(v == 4, F.lit("&x=~%2F"))
+                .otherwise(F.lit("")),
             )).alias("matches"),
         )
         .orderBy("doc_id")
@@ -2985,7 +2992,9 @@ SELECT doc_id,
             ELSE '.org.au' END
          || '/docs/' || CAST(doc_id AS VARCHAR)
          || '?ref=r' || CAST(doc_id % 2 AS VARCHAR)
-         || CASE WHEN doc_id % 4 = 2 THEN '&z=9' ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN '&z=9'
+                 WHEN doc_id % 5 = 4 THEN '&x=~%2F'
+                 ELSE '' END
          AS canonical_url,
        TRUE AS matches
 FROM documents ORDER BY doc_id

@@ -125,6 +125,9 @@ def pagerank(
     damping: float = 0.85,
     num_partitions: Optional[int] = None,
     init_ranks: Optional[DataFrame] = None,
+    tol: Optional[float] = None,
+    check_every: int = 1,
+    info: Optional[dict] = None,
 ) -> DataFrame:
     """(src, dst) edge list → (node, rank) after ``n_iter`` synchronous
     PageRank iterations with uniform teleport and dangling-mass
@@ -158,7 +161,17 @@ def pagerank(
     needs 2-3 iterations instead of 10+.  Ranks are renormalized over
     the CURRENT node set (new nodes get the uniform prior, vanished
     nodes' mass is redistributed by the normalization), so mass still
-    sums to 1 from iteration one."""
+    sums to 1 from iteration one.
+
+    ``tol`` turns on a convergence stop: every ``check_every``
+    iterations the L1 delta ``Σ|rank_t − rank_{t−1}|`` is computed
+    (one join on the already-co-partitioned rank tables + a one-row
+    aggregate — the only thing that crosses to the driver is a single
+    double) and iteration ends early once it falls to ``tol`` or
+    below.  ``n_iter`` stays the hard upper bound, so the worst case
+    is unchanged; at 10^12 nodes set ``check_every`` ≥ 2 to amortize
+    the extra action.  ``info`` (a caller-supplied dict) receives
+    ``iterations`` (rounds actually run) and ``last_delta``."""
     edges = graph.select("src", "dst")
     if num_partitions:
         edges = edges.repartition(num_partitions, "src")
@@ -206,8 +219,12 @@ def pagerank(
             .withColumn("rank", F.col("_r0") / F.col("_tot"))
             .drop("_r0", "_tot")
         )
+    it_done, last_delta, ckpted = 0, None, False
     for it in range(n_iter):
-        ranks = ranks.localCheckpoint(eager=False)
+        if not ckpted:
+            ranks = ranks.localCheckpoint(eager=False)
+        ckpted = False
+        prev = ranks
         dang = ranks.agg(
             F.coalesce(
                 F.sum(F.when(F.col("is_sink"), F.col("rank"))), F.lit(0.0)
@@ -244,6 +261,32 @@ def pagerank(
             )
             .select("node", "out_degree", "is_sink", "rank")
         )
+        it_done = it + 1
+        if tol is not None and (it + 1) % max(check_every, 1) == 0:
+            # checkpoint now so the delta action materializes the SAME
+            # rdd the next iteration (or the caller) reuses — the check
+            # adds one join + scalar agg, never a recompute
+            ranks = ranks.localCheckpoint(eager=False)
+            ckpted = True
+            last_delta = (
+                ranks.select("node", "rank")
+                .join(
+                    prev.select("node", F.col("rank").alias("_pr")),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank") - F.col("_pr"))),
+                        F.lit(0.0),
+                    ).alias("_d")
+                )
+                .first()[0]
+            )
+            if last_delta <= tol:
+                break
+    if info is not None:
+        info["iterations"] = it_done
+        info["last_delta"] = last_delta
     return ranks.select("node", "rank")
 
 

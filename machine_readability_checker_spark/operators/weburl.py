@@ -150,6 +150,54 @@ def cap_per_domain(
     ).drop("_rd")
 
 
+# RFC 3986 §2.3 unreserved characters: percent-escapes of these are
+# equivalent to the bare character and MUST decode during
+# normalization (§6.2.2.2); every other escape keeps its %XX form but
+# gets uppercase hex (§6.2.2.1)
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_DECODE = {format(ord(c), "02X"): c for c in _UNRESERVED}
+
+
+def normalize_percent_encoding(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, entirely in JVM
+    expressions (one ``split`` + one ``transform`` over the pieces —
+    codegen, no Python):
+
+    - ``%6f`` → ``o`` … escapes of UNRESERVED chars decode to the char
+    - ``%2f`` → ``%2F`` … all other escapes get uppercase hex digits
+    - a ``%`` not followed by two hex digits passes through untouched
+
+    Decoding only unreserved escapes can never introduce a delimiter
+    (``/ ? # & =`` are all reserved), so this is safe to apply to the
+    WHOLE url string before structural parsing.  The 66-entry
+    code→char table ships as a map literal inside the lambda."""
+    decode_map = F.create_map(
+        *[
+            F.lit(x)
+            for code, ch in sorted(_PCT_DECODE.items())
+            for x in (code, ch)
+        ]
+    )
+    parts = F.split(col, "%", -1)
+
+    def piece(e: Column, idx: Column) -> Column:
+        hex2 = F.substring(e, 1, 2)
+        up = F.upper(hex2)
+        decoded = F.try_element_at(decode_map, up)
+        fixed = F.when(
+            hex2.rlike("^[0-9A-Fa-f]{2}$"),
+            F.concat(
+                F.coalesce(decoded, F.concat(F.lit("%"), up)),
+                F.substring(e, 3, 2147483647),
+            ),
+        ).otherwise(F.concat(F.lit("%"), e))
+        return F.when(idx == 0, e).otherwise(fixed)
+
+    return F.array_join(F.transform(parts, piece), "")
+
+
 # tracking parameters stripped by canonicalization (the public
 # crawler/analytics-hygiene convention: params that never change the
 # resource)
@@ -174,10 +222,14 @@ def canonicalize_url(col: Column) -> Column:
     - fragment dropped; tracking params (utm_*, fbclid, gclid, ...)
       removed; remaining query params SORTED for a stable key; empty
       query dropped
+    - percent-encoding normalized first (RFC 3986 §6.2.2): unreserved
+      escapes decode (``%6f`` → ``o``), the rest get uppercase hex
+      (``%2f`` → ``%2F``) — see ``normalize_percent_encoding``
 
     Two URLs that differ only in these dimensions map to one frontier
     key — at crawl scale this is the dedup key for the fetch queue, so
     it must be a cheap narrow map, which this is."""
+    col = normalize_percent_encoding(col)
     scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(
         F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#:]+)", 2)

@@ -214,6 +214,34 @@ def test_pagerank_warm_start_converges_to_same_fixed_point(
     assert math.isclose(total, 1.0, rel_tol=1e-9)
 
 
+def test_pagerank_tol_stops_early_at_same_answer(spark, small_graph):
+    """tol turns on the convergence stop: the loop ends as soon as the
+    L1 delta falls to tol, well before the n_iter ceiling, and the
+    early-stopped ranks match the full-length run to the same
+    tolerance.  info reports rounds actually run + the last delta."""
+    info: dict = {}
+    early = LG.pagerank(
+        small_graph, n_iter=100, tol=1e-10, check_every=2, info=info
+    )
+    assert info["iterations"] < 100  # actually stopped early
+    assert info["last_delta"] is not None and info["last_delta"] <= 1e-10
+    full = LG.pagerank(small_graph, n_iter=100)
+    a = {r.node: r.rank for r in early.collect()}
+    b = {r.node: r.rank for r in full.collect()}
+    for k in b:
+        assert math.isclose(a[k], b[k], rel_tol=1e-8, abs_tol=1e-10), k
+    # tol=None keeps the exact legacy behavior (hard iteration count)
+    info2: dict = {}
+    legacy = LG.pagerank(small_graph, n_iter=7, info=info2)
+    assert info2["iterations"] == 7 and info2["last_delta"] is None
+    want = _pagerank_numpy(
+        [(r.src, r.dst) for r in small_graph.collect()], 7, 0.85
+    )
+    got = {r.node: r.rank for r in legacy.collect()}
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), k
+
+
 def _hits_numpy(edges, n_iter):
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     idx = {n: i for i, n in enumerate(nodes)}

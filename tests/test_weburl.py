@@ -150,6 +150,13 @@ def test_canonicalize_url_matrix(spark):
         ("https://ex.com/a?fbclid=123", "https://ex.com/a"),
         ("https://ex.com/a?z=1&y=2&utm_campaign=c", "https://ex.com/a?y=2&z=1"),
         ("https://ex.com/..", "https://ex.com/"),
+        # RFC 3986 §6.2.2 percent-encoding normalization
+        ("https://ex.com/d%6fcs/%7E%75ser", "https://ex.com/docs/~user"),
+        ("https://ex.com/a%2fb", "https://ex.com/a%2Fb"),  # reserved: hex up
+        ("https://ex.com/a?k=%2d%2E%5f", "https://ex.com/a?k=-._"),
+        ("https://ex.com/100%", "https://ex.com/100%"),  # bare % untouched
+        ("https://ex.com/a%2", "https://ex.com/a%2"),  # truncated escape
+        ("https://ex.com/%41%%42", "https://ex.com/A%B"),
     ]
     df = spark.createDataFrame([(c,) for c, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
