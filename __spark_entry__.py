@@ -2636,6 +2636,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rn")
 
 
+def q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier Bloom incremental dedup: the "already ingested" set is
+    every doc_id % 3 == 0 document (keyed on md5(text)); the incoming
+    batch is the whole table.  Rows the broadcast Bloom filter rules
+    out skip the join entirely (no false negatives), and only the
+    filter's candidates are exactly re-checked with a LEFT ANTI join —
+    so the answer is EXACT (the oracle is a plain NOT EXISTS) no
+    matter where the false positives land, and the filter build is one
+    narrow pass + a bit_or aggregate capped at m/64 rows."""
+    from machine_readability_checker_spark.operators.bloom import (
+        incremental_new_keys,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("key")
+    )
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    new = incremental_new_keys(docs, seen, "key", fpp=0.01)
+    return new.select("doc_id").orderBy("doc_id")
+
+
+_BLOOM_NEW_DOCS_SQL = """
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents s
+  WHERE s.doc_id % 3 = 0 AND s.text = d.text
+)
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_span_stats": q_extract_span_stats,
@@ -2721,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "line_dedup": q_line_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bloom_new_docs": q_bloom_new_docs,
     }
 
 
@@ -2869,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
     out["readability"] = _READABILITY_SQL
     out["line_dedup"] = _LINE_DEDUP_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
+    out["bloom_new_docs"] = _BLOOM_NEW_DOCS_SQL
     return out
 
 
