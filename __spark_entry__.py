@@ -1669,6 +1669,130 @@ def _robots_oracle_sql() -> str:
     """
 
 
+# variant index → (payload builder key, expected sniffed MIME).  The
+# verdicts are hand-derived from the published magic-byte signatures
+# and independently pinned by tests/test_mimetype.py over the same
+# real writers/encoders.
+_MIME_EXPECT = [
+    ("png", "image/png"),
+    ("jpeg", "image/jpeg"),
+    ("gif", "image/gif"),
+    ("bmp", "image/bmp"),
+    ("wav", "audio/x-wav"),
+    ("avi", "video/x-msvideo"),
+    ("pdf", "application/pdf"),
+    ("gzip", "application/gzip"),
+    ("xlsx",
+     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+    ("docx",
+     "application/vnd.openxmlformats-officedocument"
+     ".wordprocessingml.document"),
+    ("epub", "application/epub+zip"),
+    ("ods", "application/vnd.oasis.opendocument.spreadsheet"),
+    ("rtf", "text/rtf"),
+    ("html", "text/html"),
+    ("xml", "application/xml"),
+    ("text", "text/plain"),
+    ("cfb", "application/x-cfb"),
+    ("warc", "application/warc"),
+    ("empty", "application/x-empty"),
+    ("binary", "application/octet-stream"),
+]
+
+
+def _mime_payloads() -> list:
+    """One real payload per _MIME_EXPECT variant, produced by the
+    repo's own encoders/writers where a codec exists — a signature
+    regression in any writer fails the lane, not just its unit test."""
+    import gzip as _gzip
+
+    from machine_readability_checker_spark.core.avi import encode_avi
+    from machine_readability_checker_spark.core.bmp import encode_bmp
+    from machine_readability_checker_spark.core.docx import write_docx
+    from machine_readability_checker_spark.core.epub import write_epub
+    from machine_readability_checker_spark.core.gif import encode_gif
+    from machine_readability_checker_spark.core.jpeg import encode_jpeg
+    from machine_readability_checker_spark.core.odf import write_ods
+    from machine_readability_checker_spark.core.png import encode_png
+    from machine_readability_checker_spark.core.wav import encode_wav
+    from machine_readability_checker_spark.core.xlsx import write_xlsx
+
+    px = bytes([10, 20, 30, 40])
+    jpg = encode_jpeg(2, 2, 1, px)
+    sheet = {"name": "S", "rows": [["a", "b"], ["1", "2"]]}
+    blobs = {
+        "png": encode_png(2, 2, 1, px),
+        "jpeg": jpg,
+        "gif": encode_gif(2, 2, 1, px),
+        "bmp": encode_bmp(2, 2, 1, px),
+        "wav": encode_wav(8000, 1, 16, b"\x00\x01" * 8),
+        "avi": encode_avi(2, 2, 5.0, [jpg]),
+        "pdf": b"%PDF-1.4\n1 0 obj\n<<>>\nendobj\n",
+        "gzip": _gzip.compress(b"hello"),
+        "xlsx": write_xlsx([sheet]),
+        "docx": write_docx([("Title", "T"), ("", "body")]),
+        "epub": write_epub([b"<html><body><p>c</p></body></html>"]),
+        "ods": write_ods([sheet]),
+        "rtf": b"{\\rtf1\\ansi Hello}",
+        "html": b"\n  <!DOCTYPE HTML><html><body>x",
+        "xml": b'<?xml version="1.0"?><urlset/>',
+        "text": "plain prose éあ".encode("utf-8"),
+        "cfb": b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24,
+        "warc": b"WARC/1.0\r\nWARC-Type: response\r\n",
+        "empty": b"",
+        "binary": b"\xff\x00\xfe\x01garbage",
+    }
+    return [blobs[k] for k, _ in _MIME_EXPECT]
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing at corpus scale: every document carries
+    one of 20 real payloads (doc_id arithmetic picks the variant), the
+    JVM magic-byte cascade types each row, and the zip sliver resolves
+    its subtype through the Arrow kernel.  Output: per-variant verdict
+    counts.  The oracle states the expected verdict matrix as literals
+    and recomputes the counts from doc_id arithmetic."""
+    from machine_readability_checker_spark.operators.mimetype import (
+        sniff_mime,
+    )
+
+    n = len(_MIME_EXPECT)
+    payloads = F.array(
+        *[F.lit(bytearray(b)) for b in _mime_payloads()]
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % n).cast("int").alias("variant"),
+        F.element_at(payloads, (F.col("doc_id") % n + 1).cast("int")).alias(
+            "content"
+        ),
+    )
+    out = sniff_mime(docs, "content")
+    return (
+        out.groupBy("variant", "mime")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant")
+    )
+
+
+def _mime_oracle_sql() -> str:
+    n = len(_MIME_EXPECT)
+    vals = ",\n      ".join(
+        f"({v}, {_sql_str(mime)})"
+        for v, (_, mime) in enumerate(_MIME_EXPECT)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT CAST(doc_id % {n} AS INTEGER) AS variant, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    ), expect(variant, mime) AS (VALUES
+      {vals}
+    )
+    SELECT e.variant, e.mime, c.n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY e.variant
+    """
+
+
 _BM25_QUERY = "hash join vector"
 
 
@@ -2729,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
+        "mime_sniff": q_mime_sniff,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -2878,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()
+    out["mime_sniff"] = _mime_oracle_sql()
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "epub_extract",
     "span_regression_diff",
     "robots_allowed",
+    "mime_sniff",
     "link_graph_degrees",
     "pagerank_ranks",
     "hits_scores",

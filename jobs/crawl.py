@@ -52,6 +52,12 @@ def main() -> None:
         "kernel work; the cheap global stages (graph, ranks, pages) "
         "recompute",
     )
+    ap.add_argument(
+        "--sniff", action="store_true",
+        help="route extraction lanes on magic-byte content sniffing "
+        "(operators/mimetype.py) instead of trusting the server's "
+        "Content-Type header",
+    )
     ap.add_argument("--splits", type=int, default=16)
     ap.add_argument("--wave", type=int, default=0)
     ap.add_argument(
@@ -83,7 +89,8 @@ def main() -> None:
 
     records = read_warc(spark, warc_glob)
     out = crawl_curate(
-        records, agent=args.agent, pr_iters=args.pr_iters, cores=args.cores
+        records, agent=args.agent, pr_iters=args.pr_iters,
+        cores=args.cores, sniff=args.sniff,
     )
 
     # materialize: pages last (it joins graph outputs)

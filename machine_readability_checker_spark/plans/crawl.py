@@ -52,12 +52,17 @@ def crawl_curate(
     agent: str = "*",
     pr_iters: int = 5,
     cores: int = 8,
+    sniff: bool = False,
 ) -> Dict[str, DataFrame]:
     """WARC record frame (``sources.warc.WARC_SCHEMA``) → the curated
     outputs: ``pages`` (canonical URL, robots verdict survived, degree
     + rank prior), ``spans`` (extraction output), ``graph`` (canonical
     edges), ``ranks``, and the intermediate ``blocked``/``dups``
-    diagnostic frames the job's stats line counts."""
+    diagnostic frames the job's stats line counts.
+
+    ``sniff=True`` routes extraction lanes on magic-byte content
+    sniffing instead of the server's Content-Type header (see
+    ``sources.warc.warc_to_docs_raw``)."""
     html = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
@@ -93,7 +98,8 @@ def crawl_curate(
     # docs_raw is also returned so the job can route it through the
     # manifest-committed resumable runner instead (--resume-spans)
     docs_raw = warc_to_docs_raw(
-        records.join(kept.select("doc_id"), "doc_id", "left_semi")
+        records.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        sniff=sniff,
     )
     spans = extract(salted_repartition(docs_raw, cores))
 

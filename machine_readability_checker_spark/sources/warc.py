@@ -64,6 +64,13 @@ _MIME_FMT = {
     "application/vnd.openxmlformats-officedocument"
     ".spreadsheetml.sheet": "xlsx",
     "application/vnd.ms-excel": "xls",
+    # sniffed-verdict spellings (operators/mimetype.py) — sniff mode
+    # routes on bytes, so the byte-derived MIME must map too
+    "text/rtf": "rtf",
+    "application/epub+zip": "epub",
+    "application/vnd.oasis.opendocument.spreadsheet": "ods",
+    "application/vnd.oasis.opendocument.text": "odt",
+    "application/x-cfb": "xls",  # BIFF lane; non-Excel CFB quarantines inside
 }
 
 
@@ -106,14 +113,33 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def warc_to_docs_raw(records: DataFrame) -> DataFrame:
+def warc_to_docs_raw(records: DataFrame, sniff: bool = False) -> DataFrame:
     """HTTP 200 ``response`` records → the extraction job's RAW_SCHEMA
     shape.  The MIME type picks the format lane; unknown MIME types
     keep their subtype as ``fmt`` so the extension gate quarantines
-    them with a faithful message.  Pure column work — no shuffle."""
+    them with a faithful message.  Pure column work — no shuffle.
+
+    ``sniff=True`` stops trusting the server's Content-Type header:
+    ``operators.mimetype.sniff_mime`` reads the payload's magic bytes
+    (JVM cascade; zip subtypes through the Arrow sliver kernel) and the
+    sniffed verdict overrides the header whenever it identifies a
+    concrete container.  The header only survives where bytes cannot
+    decide — ``text/plain`` (CSV vs prose is a semantic call) and
+    ``application/octet-stream`` (no signature matched).  Mislabeled
+    payloads (an HTML error page served as ``application/pdf``) route
+    to the lane that can actually parse them."""
     mime = F.lower(
         F.trim(F.element_at(F.split(F.col("content_type"), ";"), 1))
     )
+    if sniff:
+        from ..operators.mimetype import sniff_mime
+
+        records = sniff_mime(records, "content", out_col="_sniffed")
+        mime = F.when(
+            F.col("_sniffed").isin("text/plain", "application/octet-stream")
+            & mime.isNotNull(),
+            mime,
+        ).otherwise(F.col("_sniffed"))
     fmt_map = F.create_map(
         *[F.lit(x) for kv in _MIME_FMT.items() for x in kv]
     )
