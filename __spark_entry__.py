@@ -1793,6 +1793,75 @@ def _mime_oracle_sql() -> str:
     """
 
 
+def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection with hand-derivable geometry: each doc
+    gets a REAL image (PNG for even doc_ids, BMP for odd) whose 64-bit
+    dHash is FORCED by the inverse construction
+    (``imagehash.dhash_target_image``) to encode group ``g = doc_id//2
+    mod 65536`` — each of g's 16 bits spread over 4 hash positions, so
+    distinct groups sit at Hamming ≥ 4 while the odd member flips
+    exactly one bit (Hamming 1 from its even twin).  The banded
+    Hamming join (max 2) must therefore find exactly the within-group
+    pairs; the oracle recomputes the pair counts from doc_id
+    arithmetic alone — decoding, hashing and banding all have to be
+    right for the counts to land."""
+    from machine_readability_checker_spark.operators.imagehash import (
+        image_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from machine_readability_checker_spark.core.bmp import encode_bmp
+        from machine_readability_checker_spark.core.png import encode_png
+        from machine_readability_checker_spark.operators.imagehash import (
+            dhash_target_image,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = (did // 2) % 65536
+                h = 0
+                for i in range(64):
+                    if (g >> (i % 16)) & 1:
+                        h |= 1 << i
+                if did % 2:
+                    h ^= 1  # the odd twin: exactly one flipped bit
+                px = dhash_target_image(h).tobytes()
+                enc = encode_png if did % 2 == 0 else encode_bmp
+                blobs.append(enc(9, 8, 1, px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    imgs = docs.mapInPandas(build, schema="doc_id long, content binary")
+    pairs = image_near_dups(
+        imgs, content_col="content", id_col="doc_id", max_hamming=2
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+_IMAGE_DHASH_SQL = """
+    WITH m AS (
+      SELECT doc_id, (doc_id // 2) % 65536 AS gm, doc_id % 2 AS par
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN a.par = b.par THEN 0 ELSE 1 END AS INTEGER)
+             AS hamming,
+           COUNT(*) AS n_pairs
+    FROM m a JOIN m b ON a.gm = b.gm AND a.doc_id < b.doc_id
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 _BM25_QUERY = "hash join vector"
 
 
@@ -2854,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
         "mime_sniff": q_mime_sniff,
+        "image_dhash_dups": q_image_dhash_dups,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3004,6 +3074,7 @@ def oracle_sql() -> dict[str, str]:
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()
     out["mime_sniff"] = _mime_oracle_sql()
+    out["image_dhash_dups"] = _IMAGE_DHASH_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "span_regression_diff",
     "robots_allowed",
     "mime_sniff",
+    "image_dhash_dups",
     "link_graph_degrees",
     "pagerank_ranks",
     "hits_scores",

@@ -111,6 +111,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--resize", nargs=2, type=int, metavar=("W", "H"))
     ap.add_argument(
+        "--dedup-images", action="store_true",
+        help="also write image near-dup pairs (dHash, banded Hamming "
+        "join) and exact cross-container duplicate groups (normalized "
+        "pixel digest) under --out/image_dups",
+    )
+    ap.add_argument(
         "--cores", type=int,
         default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     )
@@ -161,6 +167,33 @@ def main() -> None:
             joined.filter("media_type = 'image'"), target_w=w, target_h=h
         ).write.mode("overwrite").parquet(os.path.join(args.out, "resized"))
 
+    extra = {}
+    if args.dedup_images:
+        from machine_readability_checker_spark.operators.imagehash import (
+            exact_image_dups,
+            image_near_dups,
+        )
+
+        imgs = joined.filter("media_type = 'image'").withColumn(
+            "img_id", F.concat_ws("#", "doc_id", "media_ref")
+        )
+        pairs = image_near_dups(imgs, id_col="img_id", max_hamming=4)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(args.out, "image_dups", "pairs")
+        )
+        groups = exact_image_dups(imgs, id_col="img_id")
+        groups.write.mode("overwrite").parquet(
+            os.path.join(args.out, "image_dups", "exact_groups")
+        )
+        extra = {
+            "image_dup_pairs": spark.read.parquet(
+                os.path.join(args.out, "image_dups", "pairs")
+            ).count(),
+            "image_exact_dup_groups": spark.read.parquet(
+                os.path.join(args.out, "image_dups", "exact_groups")
+            ).count(),
+        }
+
     joined.unpersist()
     wall = time.time() - t0
     print(
@@ -169,6 +202,7 @@ def main() -> None:
                 "media_blobs": total,
                 "quarantined": quarantined,
                 "per_modality": stats,
+                **extra,
                 "wall_sec": round(wall, 3),
                 "blobs_per_sec": round(total / wall, 1) if wall else None,
                 "cores": args.cores,
