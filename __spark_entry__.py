@@ -1969,6 +1969,141 @@ def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD_VARIANT_DOCS = [
+    (
+        "# Widget Library\n\n"
+        "Converts *markdown* to [spans](http://ex.example/spec) quickly.\n\n"
+        "## Install\n\n"
+        "- step one\n"
+        "- step two\n\n"
+        "```\n"
+        "pip install widget\n"
+        "```\n\n"
+        "![arch diagram](img/arch.png)\n"
+    ),
+    (
+        "Release Notes\n"
+        "=============\n\n"
+        "Fixes in v2\n"
+        "-----------\n\n"
+        "> quoted remark\n"
+        "> spans lines\n\n"
+        "See <https://docs.example/notes> and `inline code`.\n\n"
+        "[spec]: https://spec.example\n"
+    ),
+    (
+        "## Data\n\n"
+        "| name | qty |\n"
+        "|------|----:|\n"
+        "| ore  | 10  |\n"
+        "| coal | 20 |\n\n"
+        "Tail paragraph.\n"
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_markdown.py over the same bytes)
+_MD_VARIANT_SPANS = [
+    [
+        ("title", "Widget Library", ""),
+        ("main", "Converts markdown to spans quickly.", ""),
+        ("heading", "Install", ""),
+        ("main", "step one", ""),
+        ("main", "step two", ""),
+        ("code", "pip install widget", ""),
+        ("media", "arch diagram", "img/arch.png"),
+    ],
+    [
+        ("title", "Release Notes", ""),
+        ("heading", "Fixes in v2", ""),
+        ("main", "quoted remark spans lines", ""),
+        ("main", "See https://docs.example/notes and inline code.", ""),
+    ],
+    [
+        ("title", "Data", ""),
+        ("main", "name", ""),
+        ("main", "qty", ""),
+        ("main", "ore", ""),
+        ("main", "10", ""),
+        ("main", "coal", ""),
+        ("main", "20", ""),
+        ("main", "Tail paragraph.", ""),
+    ],
+]
+
+
+def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown extraction end-to-end: three fixed variant documents
+    (ATX + setext headings, inline markup, list, blockquote, fenced
+    code, GFM table, image) flow through the shared extraction kernel
+    (fmt="md"); the oracle states the expected ordered span sequences
+    as literals.  Same narrow mapInPandas + hash aggregate shape as the
+    other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "md", _MD_VARIANT_DOCS[v].encode("utf-8")
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _md_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_MD_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -2919,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odf_rule_results": q_odf_rule_results,
         "ngram_lm_ppl": q_ngram_lm_ppl,
         "epub_extract": q_epub_extract,
+        "md_extract": q_md_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -3070,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
     out["odf_rule_results"] = _odf_rules_oracle_sql()
     out["ngram_lm_ppl"] = _NGRAM_LM_SQL
     out["epub_extract"] = _epub_extract_oracle_sql()
+    out["md_extract"] = _md_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "events_asof",
     "odf_extract",
     "epub_extract",
+    "md_extract",
     "span_regression_diff",
     "robots_allowed",
     "mime_sniff",

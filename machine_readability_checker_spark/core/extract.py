@@ -83,7 +83,7 @@ def extract_document(
     layout: Optional[str] = None
 
     if doc.parse_error is None and doc.fmt in (
-        "html", "pdf", "docx", "pptx", "rtf", "odt", "epub",
+        "html", "pdf", "docx", "pptx", "rtf", "odt", "epub", "md",
     ):
         layout_triples = getattr(doc, "html_spans", None) or getattr(
             doc, "layout_spans", []

@@ -26,7 +26,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
-    "odt", "epub",
+    "odt", "epub", "md",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -187,6 +187,10 @@ def parse_document(
         from .epub import parse_epub
 
         return parse_epub(content)
+    if fmt == "md":
+        from .markdown import parse_markdown
+
+        return parse_markdown(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

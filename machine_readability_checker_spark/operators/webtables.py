@@ -107,6 +107,59 @@ def table_rule_results(
     return df_pages.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+def _md_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.markdown import extract_md_tables
+
+    try:
+        return extract_md_tables(bytes(row.content)), None
+    except Exception as e:  # malformed markdown must not kill the batch
+        return [], f"md table extract failed: {e}"
+
+
+def md_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=markdown bytes) → one row per (table, rule).
+
+    The GFM-pipe-table twin of ``table_rule_results``: markdown grids
+    are rectangular by spec (body rows pad/truncate to header width,
+    ``core/markdown.py``), and each data-shaped grid runs the full
+    rule battery through the same CSV ingest path — a table audits
+    identically whether it arrived as a CSV upload, an HTML
+    ``<table>``, a printed PDF page, or a README pipe table.  Same
+    100 TB shape: one narrow Arrow-batched ``mapInPandas``, zero
+    shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _md_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 def _pdf_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
     from ..core.pdf import extract_pdf_tables
 

@@ -590,6 +590,35 @@ def fam_epub(rng, i) -> Dict[str, Any]:
     )
 
 
+def fam_md(rng, i) -> Dict[str, Any]:
+    """README-style Markdown: title/heading, prose with inline markup,
+    list items, fenced code, a GFM pipe table and an image — drives the
+    md lane (blocks, inline cleanup, table grids)."""
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(35))
+    short = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(3))
+    md = f"""# Readme {i}
+
+{para} with a [link](http://ex.example/{i}) and **bold** text.
+
+## Usage {i}
+
+- {short}
+- step two of {i}
+
+```
+make build {i}
+```
+
+| name | qty |
+|------|----:|
+| item{i} | {rng.randint(1, 99)} |
+| other | {rng.randint(1, 99)} |
+
+![figure {i}](img/{i}.png)
+"""
+    return _doc(f"md{i:05d}", "md", md.encode("utf-8"))
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -622,6 +651,7 @@ FAMILIES = [
     ("ods_docs", fam_ods),
     ("odt_docs", fam_odt),
     ("epub_docs", fam_epub),
+    ("md_docs", fam_md),
 ]
 
 

@@ -64,6 +64,7 @@ _MIME_FMT = {
     "application/vnd.openxmlformats-officedocument"
     ".spreadsheetml.sheet": "xlsx",
     "application/vnd.ms-excel": "xls",
+    "text/markdown": "md",
     # sniffed-verdict spellings (operators/mimetype.py) — sniff mode
     # routes on bytes, so the byte-derived MIME must map too
     "text/rtf": "rtf",
