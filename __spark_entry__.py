@@ -1849,6 +1849,75 @@ def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_fold_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection with the same hand-derivable geometry
+    as ``image_dhash_dups``: each doc gets a REAL 3-frame animated GIF
+    whose frame dHashes are forced by the inverse construction, so the
+    majority fold is computable by hand — group g's even member folds
+    to H(g) (2-of-3 vote absorbs one perturbed frame), the odd member
+    to H(g) with one flipped bit.  Animation decode (disposal
+    compositing), per-frame hashing, the majority fold and the banded
+    pairing all have to be right for the arithmetic oracle to land."""
+    from machine_readability_checker_spark.operators.imagehash import (
+        hamming_band_pairs,
+    )
+    from machine_readability_checker_spark.operators.mediahash import (
+        media_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from machine_readability_checker_spark.core.gif import (
+            encode_gif_animation,
+        )
+        from machine_readability_checker_spark.operators.imagehash import (
+            dhash_target_image,
+        )
+
+        def frame(h):
+            gray = dhash_target_image(h)
+            rgb = np.repeat(gray.reshape(8, 9, 1), 3, axis=2)
+            return {"left": 0, "top": 0, "w": 9, "h": 8,
+                    "rgb": rgb.tobytes()}
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = (did // 2) % 65536
+                h = 0
+                for i in range(64):
+                    if (g >> (i % 16)) & 1:
+                        h |= 1 << i
+                if did % 2:
+                    h ^= 1
+                # majority 2-of-3 absorbs the third, perturbed frame
+                blobs.append(
+                    encode_gif_animation(
+                        9, 8, [frame(h), frame(h), frame(h ^ 0b110)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs,
+                 "media_type": "video"}
+            )
+
+    vids = docs.mapInPandas(
+        build, schema="doc_id long, content binary, media_type string"
+    )
+    hashed = media_fingerprints(vids).select("doc_id", "fingerprint")
+    pairs = hamming_band_pairs(hashed, "doc_id", "fingerprint", max_hamming=2)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 _IMAGE_DHASH_SQL = """
     WITH m AS (
       SELECT doc_id, (doc_id // 2) % 65536 AS gm, doc_id % 2 AS par
@@ -3060,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "mime_sniff": q_mime_sniff,
         "image_dhash_dups": q_image_dhash_dups,
+        "video_fold_dups": q_video_fold_dups,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3212,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
     out["robots_allowed"] = _robots_oracle_sql()
     out["mime_sniff"] = _mime_oracle_sql()
     out["image_dhash_dups"] = _IMAGE_DHASH_SQL
+    out["video_fold_dups"] = _IMAGE_DHASH_SQL  # same pair geometry
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

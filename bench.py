@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "robots_allowed",
     "mime_sniff",
     "image_dhash_dups",
+    "video_fold_dups",
     "link_graph_degrees",
     "pagerank_ranks",
     "hits_scores",

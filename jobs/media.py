@@ -111,6 +111,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--resize", nargs=2, type=int, metavar=("W", "H"))
     ap.add_argument(
+        "--dedup-media", action="store_true",
+        help="write near-dup pairs for the WHOLE store (image dHash, "
+        "audio band-energy fingerprint, video majority frame fold; "
+        "pairs never cross a modality) under --out/media_dups",
+    )
+    ap.add_argument(
         "--dedup-images", action="store_true",
         help="also write image near-dup pairs (dHash, banded Hamming "
         "join) and exact cross-container duplicate groups (normalized "
@@ -168,6 +174,24 @@ def main() -> None:
         ).write.mode("overwrite").parquet(os.path.join(args.out, "resized"))
 
     extra = {}
+    if args.dedup_media:
+        from machine_readability_checker_spark.operators.mediahash import (
+            media_near_dups,
+        )
+
+        store_ids = joined.withColumn(
+            "img_id", F.concat_ws("#", "doc_id", "media_ref")
+        )
+        media_near_dups(store_ids, id_col="img_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.out, "media_dups"))
+        back = spark.read.parquet(os.path.join(args.out, "media_dups"))
+        extra["media_dup_pairs"] = {
+            r.media_type: r.n
+            for r in back.groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     if args.dedup_images:
         from machine_readability_checker_spark.operators.imagehash import (
             exact_image_dups,
@@ -185,14 +209,14 @@ def main() -> None:
         groups.write.mode("overwrite").parquet(
             os.path.join(args.out, "image_dups", "exact_groups")
         )
-        extra = {
+        extra.update({
             "image_dup_pairs": spark.read.parquet(
                 os.path.join(args.out, "image_dups", "pairs")
             ).count(),
             "image_exact_dup_groups": spark.read.parquet(
                 os.path.join(args.out, "image_dups", "exact_groups")
             ).count(),
-        }
+        })
 
     joined.unpersist()
     wall = time.time() - t0
