@@ -961,6 +961,45 @@ def q_html_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_md_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README-table machine-readability audit: the markdown twin of
+    ``html_table_rules`` — each doc becomes a README whose GFM pipe
+    tables densify to grids IDENTICAL to the HTML variants' (empty
+    cells state the span expansion, ``<br>`` the embedded newline), so
+    the two lanes share the hand-derived verdict literals verbatim.
+    Same shape: two narrow mapInPandas kernels + one hash aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            md_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        md_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    res = WT.md_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_html_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-table corpus survey: per captured table its grid dimensions
     and whether it is data-shaped (≥2×2) or a filtered layout/nav
@@ -3114,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "warc_extract": q_warc_extract,
         "html_table_rules": q_html_table_rules,
+        "md_table_rules": q_md_table_rules,
         "html_table_stats": q_html_table_stats,
         "pdf_table_rules": q_pdf_table_rules,
         "pdf_table_stats": q_pdf_table_stats,
@@ -3267,6 +3307,8 @@ def oracle_sql() -> dict[str, str]:
     out["url_quality"] = _URL_QUALITY_SQL
     out["warc_extract"] = _WARC_EXTRACT_SQL
     out["html_table_rules"] = _html_table_rules_oracle_sql()
+    # md grids == html grids by construction → identical verdict matrix
+    out["md_table_rules"] = _html_table_rules_oracle_sql()
     out["html_table_stats"] = _html_table_stats_oracle_sql()
     out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()

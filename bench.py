@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "url_quality",
     "warc_extract",
     "html_table_rules",
+    "md_table_rules",
     "temperature_mix",
     "training_order",
     "ngram_top_counts",

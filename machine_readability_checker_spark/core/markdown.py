@@ -54,6 +54,7 @@ _REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
 _AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
 _CODESPAN_RE = re.compile(r"(`+)(.+?)\1")
 _EMPH_RE = re.compile(r"(\*\*\*|___|\*\*|__|\*|_)(?=\S)(.+?)(?<=\S)\1")
+_BR_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
 _TAG_RE = re.compile(r"</?[a-zA-Z][^>]*>")
 _ESCAPE_RE = re.compile(r"\\([\\`*_{}\[\]()#+\-.!|>~\"'])")
 
@@ -80,17 +81,22 @@ def _inline(text: str) -> Tuple[str, List[Tuple[str, str]]]:
     text = _CODESPAN_RE.sub(r"\2", text)
     for _ in range(2):  # twice: nested emphasis (***x*** etc.)
         text = _EMPH_RE.sub(r"\2", text)
+    text = _BR_RE.sub("\n", text)  # GFM hard break inside table cells
     text = _TAG_RE.sub("", text)
     text = re.sub(
         "\x00([0-9a-f]{4})", lambda m: chr(int(m.group(1), 16)), text
     )
-    return re.sub(r"\s+", " ", text).strip(), images
+    # collapse ASCII whitespace ONLY: full-width spaces (U+3000) are
+    # CONTENT the rule battery detects (F9), never separators; <br>
+    # newlines survive so a cell can match its HTML-grid twin exactly
+    text = re.sub(r"[ \t\f\v]+", " ", text)
+    return text.strip(" \t\f\v\n"), images
 
 
 def _split_row(line: str) -> List[str]:
     """GFM row split: strip one leading/trailing pipe, split on
     unescaped ``|``, trim cells."""
-    s = line.strip()
+    s = line.strip(" \t")
     if s.startswith("|"):
         s = s[1:]
     if s.endswith("|") and not s.endswith("\\|"):
@@ -103,12 +109,12 @@ def _split_row(line: str) -> List[str]:
             i += 2
             continue
         if c == "|":
-            cells.append("".join(cur).strip())
+            cells.append("".join(cur).strip(" \t"))
             cur = []
         else:
             cur.append(c)
         i += 1
-    cells.append("".join(cur).strip())
+    cells.append("".join(cur).strip(" \t"))
     return cells
 
 
@@ -214,7 +220,7 @@ def extract_md_blocks(
             i += 1
             while i < n and lines[i].strip() and not _LIST_RE.match(lines[i]) \
                     and lines[i].startswith(" " * indent):
-                item.append(lines[i].strip())
+                item.append(lines[i].strip(" \t"))
                 i += 1
             blocks.append(("para", " ".join(item)))
             continue
@@ -222,11 +228,13 @@ def extract_md_blocks(
             flush_para()
             quote = []
             while i < n and lines[i].strip().startswith(">"):
-                quote.append(lines[i].strip().lstrip(">").strip())
+                quote.append(lines[i].strip(" \t").lstrip(">").strip(" \t"))
                 i += 1
             blocks.append(("para", " ".join(q for q in quote if q)))
             continue
-        para.append(stripped)
+        # content keeps unicode whitespace (e.g. U+3000 indents — rule
+        # battery signal); only ASCII edges trim
+        para.append(line.strip(" \t"))
         i += 1
     flush_para()
     return blocks
@@ -236,6 +244,7 @@ def extract_md_spans(content: bytes) -> Tuple[List[Triple], Optional[str]]:
     """Markdown bytes → ordered (kind, text, media_ref) triples."""
     try:
         text = content.decode("utf-8", errors="replace")
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
         blocks = extract_md_blocks(text)
         spans: List[Triple] = []
         first = True
@@ -274,6 +283,7 @@ def extract_md_tables(content: bytes) -> List[List[List[str]]]:
     """Markdown bytes → dense rectangular GFM pipe-table grids (inline
     markup stripped per cell; images reduce to their alt text)."""
     text = content.decode("utf-8", errors="replace")
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
     grids: List[List[List[str]]] = []
     for btype, payload in extract_md_blocks(text):
         if btype != "table":

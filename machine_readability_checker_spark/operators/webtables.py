@@ -374,6 +374,56 @@ def variant_pdf(doc_id: int, text: str) -> bytes:
     return write_pdf(items, compress=True)
 
 
+# Markdown (GFM pipe-table) twins of VARIANT_TABLES: the md lane's
+# dense grids equal the HTML lane's EXACTLY (`` | | `` empty cells
+# state what colspan/rowspan expansion produces; ``<br>`` is GFM's
+# in-cell hard break and extracts as the same embedded newline), so
+# the rule-battery verdicts — and the driver oracle's literals — are
+# shared verbatim between the two lanes.
+MD_VARIANT_TABLES = {
+    0: (
+        "| id | name | value |\n"
+        "|----|------|-------|\n"
+        "| 1  | alpha | 10 |\n"
+        "| 2  | beta  | 20 |\n"
+        "| 3  | gamma | 30 |\n"
+    ),
+    1: (
+        "| id | score | tags | memo |\n"
+        "|----|-------|------|------|\n"
+        "| 1  | 10    | a、b | 済 |\n"
+        "| 2  | -     | c    | 　字下げ |\n"
+        "| 3  | 30以上 | d   | 済 |\n"
+    ),
+    2: (
+        "| home | about |\n"
+        "|------|-------|\n"
+        "\n"
+        "| 注: このデータは速報値 | | |\n"
+        "|------|----|----|\n"
+        "| item | q1 | q2 |\n"
+        "| ①新規 | 5 | 7 |\n"
+        "| 継続<br>更新 | 6 | 8 |\n"
+        "| 小計 | 11 | 15 |\n"
+        "| | 9 | 9 |\n"
+    ),
+}
+
+
+def md_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic README: per-document prose around the
+    fixed per-variant pipe table(s) — the markdown twin of
+    ``variant_page``."""
+    v = int(doc_id) % 3
+    prose = (
+        (text or "").replace("\n", " ").replace("|", " ").replace("#", " ")
+    )
+    return (
+        f"# page {doc_id}\n\n{prose}\n\n{MD_VARIANT_TABLES[v]}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
 def variant_page(doc_id: int, text: str) -> bytes:
     """Deterministic synthetic crawled page: per-document prose (escaped
     corpus text) around the fixed per-variant table(s)."""

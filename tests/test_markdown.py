@@ -133,6 +133,26 @@ def test_md_table_rules_equal_csv_battery(spark):
     assert all(r.n_rows == 4 and r.n_cols == 3 for r in rows)
 
 
+def test_md_variant_grids_equal_html_variant_grids():
+    """The driver lane's contract: MD_VARIANT_TABLES densify to grids
+    IDENTICAL to VARIANT_TABLES' (span expansion as literal empty
+    cells, <br> as the embedded newline, full-width space preserved),
+    so md_table_rules shares html_table_rules' verdict oracle."""
+    from machine_readability_checker_spark.core.html import (
+        extract_html_tables,
+    )
+    from machine_readability_checker_spark.operators.webtables import (
+        MD_VARIANT_TABLES,
+        VARIANT_TABLES,
+    )
+
+    for v in (0, 1, 2):
+        html = f"<html><body>{VARIANT_TABLES[v]}</body></html>".encode()
+        hg, _enc = extract_html_tables(html)
+        mg = extract_md_tables(MD_VARIANT_TABLES[v].encode())
+        assert mg == hg, v
+
+
 def test_md_fixture_family_extracts(spark):
     from machine_readability_checker_spark.sources.fixtures import gen_doc
 
