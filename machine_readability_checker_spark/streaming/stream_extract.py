@@ -222,6 +222,34 @@ def stream_media_features(
     )
 
 
+def stream_media_fingerprints(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous media fingerprinting: the streaming twin of
+    ``mediahash.media_fingerprints`` — image dHash, audio band-energy
+    deltas, video majority frame fold, same quarantine-row contract.
+    The kernel is a stateless ``mapInPandas``, so exactly-once rides
+    the file-source + checkpoint offsets alone; at 100 TB this is how
+    fingerprints are computed ONCE at ingest and persisted, making the
+    near-dup band join the only recurring cost."""
+    from ..operators.mediahash import media_fingerprints
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.readStream.schema(MEDIA_SCHEMA).parquet(input_dir)
+    return (
+        media_fingerprints(media)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_frontier(
     pages: DataFrame,
     url_col: str = "url",

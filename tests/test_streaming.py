@@ -192,6 +192,71 @@ def test_stream_media_features_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n1  # nothing re-emitted
 
 
+def test_stream_media_fingerprints_matches_batch(spark, tmp_path):
+    """Streaming fingerprint twin: stream == batch for all three
+    modalities (image dHash, audio band deltas, video fold) including
+    the quarantine row; a committed trigger re-run emits nothing."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.gif import (
+        encode_gif_animation,
+    )
+    from machine_readability_checker_spark.core.png import encode_png
+    from machine_readability_checker_spark.core.wav import encode_wav
+    from machine_readability_checker_spark.operators.imagehash import (
+        dhash_target_image,
+    )
+    from machine_readability_checker_spark.operators.mediahash import (
+        media_fingerprints,
+    )
+    from machine_readability_checker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_media_fingerprints,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    img = dhash_target_image(0xABCD)
+    rgb = np.repeat(img.reshape(8, 9, 1), 3, axis=2)
+    frame = {"left": 0, "top": 0, "w": 9, "h": 8, "rgb": rgb.tobytes()}
+    x = np.sin(2 * np.pi * 440 * np.arange(4000) / 8000) * 0.5
+    rows = [
+        ("m1", "a.png", "image",
+         bytearray(encode_png(9, 8, 1, img.tobytes()))),
+        ("m2", "b.wav", "audio",
+         bytearray(encode_wav(8000, 1, 16,
+                              (x * 32767).astype("<i2").tobytes()))),
+        ("m3", "c.gif", "video",
+         bytearray(encode_gif_animation(9, 8, [frame, frame]))),
+        ("m4", "bad.bin", "audio", bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_media_fingerprints(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["media_ref"]: r for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["media_ref"]: r for r in media_fingerprints(df).collect()
+    }
+    assert set(got) == set(want)
+    for ref in want:
+        assert got[ref]["fingerprint"] == want[ref]["fingerprint"], ref
+    assert got["a.png"]["fingerprint"] == 0xABCD
+    assert got["bad.bin"]["decode_error"] is not None
+
+    n1 = spark.read.parquet(out_dir).count()
+    q2 = stream_media_fingerprints(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1
+
+
 def test_stream_frontier_canonical_dedup(spark, tmp_path):
     """Streaming frontier: messy URL variants of one resource collapse
     onto a single canonical key across micro-batches; the kept row is
