@@ -184,3 +184,63 @@ def test_avi_container_preserves_frames(n_frames, every_k, seed):
     assert v.frames == frames
     assert (v.width, v.height) == (64, 48)
     assert abs(v.fps - 12.5) < 1e-6
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_markdown_never_raises_and_spans_well_formed(text):
+    """Any unicode input parses: no exception escapes, every span is a
+    (kind, text, media_ref) triple with a known kind, and text spans
+    are non-empty after cleanup."""
+    from machine_readability_checker_spark.core.markdown import (
+        extract_md_spans,
+        extract_md_tables,
+    )
+
+    spans, err = extract_md_spans(text.encode("utf-8"))
+    assert err is None
+    for kind, body, ref in spans:
+        assert kind in {"title", "heading", "main", "code", "media"}
+        if kind != "media":
+            assert ref == ""
+        if kind in ("title", "heading", "main"):
+            assert body != ""
+    for grid in extract_md_tables(text.encode("utf-8")):
+        assert grid and all(len(r) == len(grid[0]) for r in grid)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="|\\\r\n\x00",
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=8,
+            ),
+            min_size=2,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_markdown_pipe_table_roundtrip(rows):
+    """A rendered pipe table parses back to the same dense grid (cells
+    ASCII-trimmed and inline-cleaned, width = header width)."""
+    from machine_readability_checker_spark.core.markdown import (
+        _inline,
+        extract_md_tables,
+    )
+
+    w = len(rows[0])
+    rows = [(r + [""] * w)[:w] for r in rows]
+    md = "| " + " | ".join(rows[0]) + " |\n"
+    md += "|" + "---|" * w + "\n"
+    for r in rows[1:]:
+        md += "| " + " | ".join(r) + " |\n"
+    grids = extract_md_tables(md.encode("utf-8"))
+    want = [[_inline(c)[0] for c in r] for r in rows]
+    assert grids == [want]
