@@ -961,6 +961,112 @@ def q_html_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (variant html, page url) → hand-derived expected metadata; pinned
+# independently by tests/test_pagemeta.py's resolution matrix
+_PM_VARIANTS = [
+    (
+        '<html lang="en"><head><base href="/s/"><title> Alpha  Page </title>'
+        '<meta name="description" content="alpha desc">'
+        '<meta name="robots" content="index, follow">'
+        '<meta property="og:title" content="Alpha OG">'
+        '<meta property="og:description" content="alpha og desc">'
+        '<meta property="og:image" content="i.png">'
+        '<link rel="canonical" href="../c">'
+        "</head><body><p>x</p></body></html>",
+        "http://site0.example/a/page.html",
+    ),
+    (
+        "<html><head><title>Bare</title></head><body><p>y</p></body></html>",
+        "http://site1.example/p",
+    ),
+    (
+        '<html lang="ja"><head>'
+        '<meta name="robots" content="noindex">'
+        '<meta property="og:title" content="OGのみ">'
+        '<link rel="canonical" href="https://canon.example/x">'
+        "</head><body><p>z</p></body></html>",
+        "http://site2.example/q",
+    ),
+]
+
+_PM_EXPECT = [
+    # (title, description, og_title, og_description, og_image,
+    #  canonical, robots, lang)
+    ("Alpha Page", "alpha desc", "Alpha OG", "alpha og desc",
+     "http://site0.example/s/i.png", "http://site0.example/c",
+     "index, follow", "en"),
+    ("Bare", None, None, None, None, None, None, None),
+    (None, None, "OGのみ", None, None, "https://canon.example/x",
+     "noindex", "ja"),
+]
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata harvest at corpus scale: three fixed page variants
+    (full OpenGraph + base-resolved relative canonical; bare; noindex
+    with absolute canonical) through the Arrow kernel; the oracle
+    states the expected field matrix as literals — title collapse,
+    first-wins, RFC 3986 base resolution and og/link dispatch all have
+    to be right."""
+    from machine_readability_checker_spark.operators.pagemeta import (
+        page_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                html, url = _PM_VARIANTS[did % 3]
+                rows.append((str(did), url, html.encode("utf-8")))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "url", "content"]
+            )
+
+    pages = docs.mapInPandas(
+        kernel, schema="doc_id string, url string, content binary"
+    )
+    meta = page_metadata(pages)
+    return (
+        meta.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy(
+            "variant", "title", "description", "og_title",
+            "og_description", "og_image", "canonical", "robots", "lang",
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant")
+    )
+
+
+def _page_metadata_oracle_sql() -> str:
+    def lit(v):
+        return _sql_str(v) if v is not None else "CAST(NULL AS VARCHAR)"
+
+    vals = ",\n      ".join(
+        "({}, {})".format(v, ", ".join(lit(x) for x in row))
+        for v, row in enumerate(_PM_EXPECT)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, title, description, og_title, og_description,
+              og_image, canonical, robots, lang) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           e.title, e.description, e.og_title,
+           e.og_description, e.og_image, e.canonical, e.robots, e.lang,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY e.variant
+    """
+
+
 def q_md_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README-table machine-readability audit: the markdown twin of
     ``html_table_rules`` — each doc becomes a README whose GFM pipe
@@ -3154,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
+        "page_metadata": q_page_metadata,
         "html_table_stats": q_html_table_stats,
         "pdf_table_rules": q_pdf_table_rules,
         "pdf_table_stats": q_pdf_table_stats,
@@ -3309,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
     out["html_table_rules"] = _html_table_rules_oracle_sql()
     # md grids == html grids by construction → identical verdict matrix
     out["md_table_rules"] = _html_table_rules_oracle_sql()
+    out["page_metadata"] = _page_metadata_oracle_sql()
     out["html_table_stats"] = _html_table_stats_oracle_sql()
     out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()

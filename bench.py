@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "warc_extract",
     "html_table_rules",
     "md_table_rules",
+    "page_metadata",
     "temperature_mix",
     "training_order",
     "ngram_top_counts",

@@ -58,6 +58,12 @@ def main() -> None:
         "(operators/mimetype.py) instead of trusting the server's "
         "Content-Type header",
     )
+    ap.add_argument(
+        "--honor-canonical", action="store_true",
+        help="dedup the frontier on each page's declared "
+        "<link rel=canonical> (RFC 6596) when present, falling back "
+        "to the canonicalized fetched URL",
+    )
     ap.add_argument("--splits", type=int, default=16)
     ap.add_argument("--wave", type=int, default=0)
     ap.add_argument(
@@ -91,6 +97,7 @@ def main() -> None:
     out = crawl_curate(
         records, agent=args.agent, pr_iters=args.pr_iters,
         cores=args.cores, sniff=args.sniff,
+        honor_canonical=args.honor_canonical,
     )
 
     # materialize: pages last (it joins graph outputs)

@@ -394,6 +394,87 @@ _NON_HTTP_SCHEME_RE = re.compile(
 )
 
 
+class _MetaCollector(HTMLParser):
+    """Head-metadata harvest: <title>, description/robots <meta>,
+    OpenGraph properties, <link rel=canonical>, <html lang> and
+    <base href>.  First occurrence wins throughout (what browsers and
+    crawlers do for duplicated head tags)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: dict = {}
+        self.base: Optional[str] = None
+        self._in_title = False
+        self._title_parts: List[str] = []
+
+    def _set(self, key: str, value: Optional[str]) -> None:
+        value = (value or "").strip()
+        if value and key not in self.meta:
+            self.meta[key] = value
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "html":
+            self._set("lang", a.get("lang"))
+        elif tag == "base" and self.base is None and a.get("href"):
+            self.base = a["href"].strip()
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            name = a.get("name", "").lower()
+            prop = a.get("property", "").lower()
+            content = a.get("content", "")
+            if name in ("description", "robots"):
+                self._set(name, content)
+            elif prop in ("og:title", "og:description", "og:image"):
+                self._set(prop.replace(":", "_"), content)
+        elif tag == "link":
+            rel = a.get("rel", "").lower().split()
+            if "canonical" in rel:
+                self._set("canonical", a.get("href"))
+
+    def handle_endtag(self, tag):
+        if tag.lower() == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+def extract_page_metadata(
+    content: bytes, base_url: str = "", charset_hint: str = ""
+) -> dict:
+    """HTML bytes → head metadata a curation pipeline keys on:
+    ``title, description, og_title, og_description, og_image,
+    canonical, robots, lang`` (absent → None).  ``canonical`` and
+    ``og_image`` resolve like a browser would: ``<base href>``
+    (itself resolved against the page URL) outranks the page URL;
+    relative references resolve per RFC 3986."""
+    from urllib.parse import urljoin
+
+    enc = sniff_charset(content, charset_hint)
+    parser = _MetaCollector()
+    parser.feed(content.decode(enc, errors="replace"))
+    parser.close()
+    meta = dict(parser.meta)
+    title = " ".join("".join(parser._title_parts).split())
+    if title:
+        meta.setdefault("title", title)
+    base = urljoin(base_url, parser.base) if parser.base else base_url
+    for key in ("canonical", "og_image"):
+        if meta.get(key) and base:
+            meta[key] = urljoin(base, meta[key])
+    return {
+        k: meta.get(k)
+        for k in (
+            "title", "description", "og_title", "og_description",
+            "og_image", "canonical", "robots", "lang",
+        )
+    }
+
+
 def extract_links(
     content: bytes, base_url: str, charset_hint: str = ""
 ) -> List[Tuple[str, str, bool]]:

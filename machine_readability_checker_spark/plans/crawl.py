@@ -53,6 +53,7 @@ def crawl_curate(
     pr_iters: int = 5,
     cores: int = 8,
     sniff: bool = False,
+    honor_canonical: bool = False,
 ) -> Dict[str, DataFrame]:
     """WARC record frame (``sources.warc.WARC_SCHEMA``) → the curated
     outputs: ``pages`` (canonical URL, robots verdict survived, degree
@@ -62,7 +63,13 @@ def crawl_curate(
 
     ``sniff=True`` routes extraction lanes on magic-byte content
     sniffing instead of the server's Content-Type header (see
-    ``sources.warc.warc_to_docs_raw``)."""
+    ``sources.warc.warc_to_docs_raw``).
+
+    ``honor_canonical=True`` deduplicates the frontier on each page's
+    DECLARED ``<link rel=canonical>`` when present (RFC 6596 — what
+    production crawlers cluster duplicates on), falling back to the
+    canonicalized fetched URL.  Costs one extra Arrow kernel pass
+    (head-metadata harvest) over the kept-candidate pages."""
     html = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
@@ -75,6 +82,30 @@ def crawl_curate(
     pages_raw = _with_parts(
         html.filter(~F.col("url").rlike(r"^[^?#]*/robots\.txt$"))
     ).withColumn("canonical_url", WU.canonicalize_url(F.col("url")))
+    if honor_canonical:
+        # frontier key = the page's declared rel=canonical (resolved +
+        # canonicalized), else the fetched URL's canonical form; the
+        # metadata harvest is one narrow Arrow kernel, the preference
+        # itself a JVM expression
+        from ..operators.pagemeta import canonical_key, page_metadata
+
+        meta = canonical_key(
+            page_metadata(
+                pages_raw.select("doc_id", "url", "content", "charset")
+            )
+        ).select("doc_id", "frontier_key")
+        pages_raw = (
+            pages_raw.drop("canonical_url")
+            .join(meta, "doc_id", "left")
+            .withColumn(
+                "canonical_url",
+                F.coalesce(
+                    F.col("frontier_key"),
+                    WU.canonicalize_url(F.col("url")),
+                ),
+            )
+            .drop("frontier_key")
+        )
 
     # robots: parse once per domain, broadcast the rules, evaluate
     # relationally — the page table is never shuffled for this filter

@@ -92,3 +92,46 @@ def test_pages_carry_degree_and_rank(crawl_out):
     assert pages.filter(~F.col("out_degree").isin(1, 2)).count() == 0
     assert pages.filter(F.col("out_degree") == 1).count() <= 2
     assert pages.filter(F.col("rank").isNull()).count() == 0
+
+
+def test_honor_canonical_collapses_declared_duplicates(spark):
+    """Two pages at DIFFERENT URLs declaring the same rel=canonical
+    collapse to one frontier entry with --honor-canonical; without it
+    they stay distinct (URL-canonicalization alone can't see it)."""
+    from machine_readability_checker_spark.sources.warc import WARC_SCHEMA
+
+    def page(canon):
+        c = (
+            f'<link rel="canonical" href="{canon}">' if canon else ""
+        )
+        return (
+            f"<html><head><title>t</title>{c}</head>"
+            "<body><p>same article body prose</p></body></html>"
+        ).encode()
+
+    rows = [
+        ("d0", "http://s.example/article?page=1", "response", 200,
+         "text/html", "utf-8", bytearray(page("http://s.example/article")),
+         10, "f", None),
+        ("d1", "http://s.example/article/amp", "response", 200,
+         "text/html", "utf-8", bytearray(page("http://s.example/article")),
+         10, "f", None),
+        ("d2", "http://s.example/other", "response", 200,
+         "text/html", "utf-8", bytearray(page(None)), 10, "f", None),
+    ]
+    records = spark.createDataFrame(rows, WARC_SCHEMA)
+
+    plain = crawl_curate(records, pr_iters=1, cores=4)
+    assert plain["pages"].count() == 3  # URLs all distinct
+
+    honored = crawl_curate(
+        records, pr_iters=1, cores=4, honor_canonical=True
+    )
+    pages = honored["pages"].collect()
+    assert len(pages) == 2
+    keys = {p.canonical_url for p in pages}
+    assert keys == {"http://s.example/article", "http://s.example/other"}
+    # deterministic winner: min doc_id of the declared-canonical pair
+    kept_ids = {p.doc_id for p in pages}
+    assert kept_ids == {"d0", "d2"}
+    assert honored["dups"].count() == 1
