@@ -146,3 +146,86 @@ def test_kernel_absolute_floor(parsed_docs):
     dt = time.perf_counter() - t0
     rate = len(raw) / dt
     assert rate > 100, f"kernel at {rate:.0f} docs/s/core (floor 100)"
+
+
+def test_media_hash_kernels_absolute_floor():
+    """Catastrophe guards for the session-D perceptual-hash kernels
+    (accidental O(n²), per-call regex/FFT-plan rebuilds): generous
+    floors far under measured rates so loaded hosts never flake."""
+    import numpy as np
+
+    from machine_readability_checker_spark.core.gif import (
+        encode_gif_animation,
+    )
+    from machine_readability_checker_spark.core.png import encode_png
+    from machine_readability_checker_spark.core.wav import encode_wav
+    from machine_readability_checker_spark.operators.imagehash import (
+        dhash_target_image,
+    )
+    from machine_readability_checker_spark.operators.mediahash import (
+        audio_fingerprint,
+        video_fold,
+    )
+
+    # image: dhash via the full decode path — measured >2000/s/core
+    from machine_readability_checker_spark.operators.imagehash import (
+        _to_gray,
+        dhash_gray,
+    )
+    from machine_readability_checker_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    pngs = [
+        encode_png(9, 8, 1, dhash_target_image(i * 977).tobytes())
+        for i in range(60)
+    ]
+    t0 = time.perf_counter()
+    for b in pngs:
+        img = decode_image(b)
+        dhash_gray(_to_gray(img.width, img.height, img.channels, img.pixels))
+    assert len(pngs) / (time.perf_counter() - t0) > 200
+
+    # audio: 0.5 s clips — measured >300/s/core
+    x = (np.sin(np.arange(4000) * 0.3) * 20000).astype("<i2").tobytes()
+    wavs = [encode_wav(8000, 1, 16, x) for _ in range(30)]
+    for b in wavs[:3]:
+        audio_fingerprint(b)
+    t0 = time.perf_counter()
+    for b in wavs:
+        audio_fingerprint(b)
+    assert len(wavs) / (time.perf_counter() - t0) > 30
+
+    # video: 3-frame GIFs — measured >300/s/core
+    gray = dhash_target_image(12345)
+    rgb = np.repeat(gray.reshape(8, 9, 1), 3, axis=2).tobytes()
+    f = {"left": 0, "top": 0, "w": 9, "h": 8, "rgb": rgb}
+    gifs = [encode_gif_animation(9, 8, [f, f, f]) for _ in range(30)]
+    t0 = time.perf_counter()
+    for b in gifs:
+        video_fold(b)
+    assert len(gifs) / (time.perf_counter() - t0) > 30
+
+
+def test_markdown_kernel_absolute_floor():
+    """Markdown block parse + inline cleanup must stay linear: >200
+    README-sized docs/s/core (measured well over 1000)."""
+    from machine_readability_checker_spark.core.markdown import (
+        extract_md_spans,
+    )
+    from machine_readability_checker_spark.sources.fixtures import (
+        FAMILIES,
+        gen_doc,
+    )
+
+    fam_idx = [n for n, _ in FAMILIES].index("md_docs")
+    n_fam = len(FAMILIES)
+    docs = [
+        bytes(gen_doc(fam_idx + i * n_fam)["content"]) for i in range(40)
+    ]
+    for b in docs[:5]:
+        extract_md_spans(b)
+    t0 = time.perf_counter()
+    for b in docs:
+        extract_md_spans(b)
+    assert len(docs) / (time.perf_counter() - t0) > 200
