@@ -64,6 +64,11 @@ def main() -> None:
         "<link rel=canonical> (RFC 6596) when present, falling back "
         "to the canonicalized fetched URL",
     )
+    ap.add_argument(
+        "--honor-noindex", action="store_true",
+        help="honor <meta name=robots> noindex: drop such pages from "
+        "the corpus outputs while still harvesting their links",
+    )
     ap.add_argument("--splits", type=int, default=16)
     ap.add_argument("--wave", type=int, default=0)
     ap.add_argument(
@@ -98,6 +103,7 @@ def main() -> None:
         records, agent=args.agent, pr_iters=args.pr_iters,
         cores=args.cores, sniff=args.sniff,
         honor_canonical=args.honor_canonical,
+        honor_noindex=args.honor_noindex,
     )
 
     # materialize: pages last (it joins graph outputs)
@@ -175,6 +181,10 @@ def main() -> None:
             ranks.agg(F.sum("rank")).first()[0] or 0.0, 6
         ),
         "pr_iters": args.pr_iters,
+        **(
+            {"meta_noindex_dropped": out["noindex"].count()}
+            if out.get("noindex") is not None else {}
+        ),
         "wall_sec": round(time.time() - t0, 3),
         "cores": args.cores,
         **resume_stats,

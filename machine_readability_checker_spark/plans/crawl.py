@@ -54,6 +54,7 @@ def crawl_curate(
     cores: int = 8,
     sniff: bool = False,
     honor_canonical: bool = False,
+    honor_noindex: bool = False,
 ) -> Dict[str, DataFrame]:
     """WARC record frame (``sources.warc.WARC_SCHEMA``) → the curated
     outputs: ``pages`` (canonical URL, robots verdict survived, degree
@@ -69,7 +70,13 @@ def crawl_curate(
     DECLARED ``<link rel=canonical>`` when present (RFC 6596 — what
     production crawlers cluster duplicates on), falling back to the
     canonicalized fetched URL.  Costs one extra Arrow kernel pass
-    (head-metadata harvest) over the kept-candidate pages."""
+    (head-metadata harvest) over the kept-candidate pages.
+
+    ``honor_noindex=True`` honors ``<meta name=robots>`` ``noindex``:
+    such pages leave the corpus outputs (``pages``/``spans``, returned
+    also as the ``noindex`` diagnostic frame) but still feed the link
+    graph — noindex is an indexing opt-out, not nofollow.  Shares the
+    metadata kernel with ``honor_canonical``."""
     html = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
@@ -82,21 +89,24 @@ def crawl_curate(
     pages_raw = _with_parts(
         html.filter(~F.col("url").rlike(r"^[^?#]*/robots\.txt$"))
     ).withColumn("canonical_url", WU.canonicalize_url(F.col("url")))
+    meta = None
+    if honor_canonical or honor_noindex:
+        # ONE metadata harvest kernel serves both policies
+        from ..operators.pagemeta import page_metadata
+
+        meta = page_metadata(
+            pages_raw.select("doc_id", "url", "content", "charset")
+        )
     if honor_canonical:
         # frontier key = the page's declared rel=canonical (resolved +
         # canonicalized), else the fetched URL's canonical form; the
-        # metadata harvest is one narrow Arrow kernel, the preference
-        # itself a JVM expression
-        from ..operators.pagemeta import canonical_key, page_metadata
+        # preference itself is a JVM expression
+        from ..operators.pagemeta import canonical_key
 
-        meta = canonical_key(
-            page_metadata(
-                pages_raw.select("doc_id", "url", "content", "charset")
-            )
-        ).select("doc_id", "frontier_key")
+        keyed = canonical_key(meta).select("doc_id", "frontier_key")
         pages_raw = (
             pages_raw.drop("canonical_url")
-            .join(meta, "doc_id", "left")
+            .join(keyed, "doc_id", "left")
             .withColumn(
                 "canonical_url",
                 F.coalesce(
@@ -125,11 +135,24 @@ def crawl_curate(
     dups = with_rn.filter(F.col("_rn") > 1).drop("_rn")
     kept = with_rn.filter(F.col("_rn") == 1).drop("_rn")
 
+    # noindex (meta robots) is an INDEXING opt-out, not a crawl ban:
+    # such pages leave the corpus (pages/spans) but still pass link
+    # juice — the graph below harvests from `kept`, corpus stages from
+    # `corpus_kept` (real-crawler semantics: noindex ≠ nofollow)
+    noindex = None
+    corpus_kept = kept
+    if honor_noindex:
+        from ..operators.pagemeta import noindex_filter
+
+        indexable = noindex_filter(meta).select("doc_id")
+        noindex = kept.join(indexable, "doc_id", "left_anti")
+        corpus_kept = kept.join(indexable, "doc_id", "left_semi")
+
     # extraction: identical kernel + skew treatment as jobs/extract.py;
     # docs_raw is also returned so the job can route it through the
     # manifest-committed resumable runner instead (--resume-spans)
     docs_raw = warc_to_docs_raw(
-        records.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        records.join(corpus_kept.select("doc_id"), "doc_id", "left_semi"),
         sniff=sniff,
     )
     spans = extract(salted_repartition(docs_raw, cores))
@@ -149,7 +172,7 @@ def crawl_curate(
     ranks = LG.pagerank(graph, n_iter=pr_iters)
 
     pages = (
-        kept.select("doc_id", "url", "canonical_url", "domain", "path")
+        corpus_kept.select("doc_id", "url", "canonical_url", "domain", "path")
         .join(
             deg.withColumnRenamed("node", "canonical_url"),
             "canonical_url",
@@ -170,4 +193,5 @@ def crawl_curate(
         "ranks": ranks,
         "blocked": blocked,
         "dups": dups,
+        "noindex": noindex,
     }

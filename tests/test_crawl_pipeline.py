@@ -135,3 +135,36 @@ def test_honor_canonical_collapses_declared_duplicates(spark):
     kept_ids = {p.doc_id for p in pages}
     assert kept_ids == {"d0", "d2"}
     assert honored["dups"].count() == 1
+
+
+def test_honor_noindex_drops_corpus_but_keeps_links(spark):
+    """A noindex page leaves pages/spans but its outlinks still reach
+    the graph (noindex is an indexing opt-out, not nofollow)."""
+    from machine_readability_checker_spark.sources.warc import WARC_SCHEMA
+
+    def page(robots, link):
+        r = f'<meta name="robots" content="{robots}">' if robots else ""
+        a = f'<a href="{link}">out</a>' if link else ""
+        return (
+            f"<html><head><title>t</title>{r}</head>"
+            f"<body><p>body prose here</p>{a}</body></html>"
+        ).encode()
+
+    rows = [
+        ("d0", "http://s.example/keep", "response", 200, "text/html",
+         "utf-8", bytearray(page(None, "http://s.example/target")),
+         10, "f", None),
+        ("d1", "http://s.example/hidden", "response", 200, "text/html",
+         "utf-8", bytearray(page("noindex", "http://s.example/secret-dst")),
+         10, "f", None),
+    ]
+    records = spark.createDataFrame(rows, WARC_SCHEMA)
+    out = crawl_curate(
+        records, pr_iters=1, cores=4, honor_noindex=True
+    )
+    assert {p.doc_id for p in out["pages"].collect()} == {"d0"}
+    assert {r.doc_id for r in out["noindex"].collect()} == {"d1"}
+    assert out["spans"].select("doc_id").distinct().count() == 1
+    dsts = {e.dst for e in out["graph"].collect()}
+    # the noindex page's outlink is still an edge
+    assert "http://s.example/secret-dst" in dsts
