@@ -961,6 +961,125 @@ def q_html_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEED_VARIANTS = [
+    (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>S</title>"
+        "<item><title>Post  one</title><link>http://f0.example/p1</link>"
+        "<pubDate>Tue, 02 Jan 2024 03:04:05 GMT</pubDate></item>"
+        "<item><title>Post two</title><link>http://f0.example/p2</link>"
+        "<pubDate>Tue, 02 Jan 2024 05:04:05 +0200</pubDate></item>"
+        "</channel></rss>",
+        "http://f0.example/feed.xml",
+    ),
+    (
+        '<?xml version="1.0"?>'
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+        '<entry><title>Entry one</title>'
+        '<link rel="self" href="http://f1.example/self"/>'
+        '<link rel="alternate" href="http://f1.example/e1"/>'
+        "<published>2024-01-02T03:04:05Z</published></entry>"
+        '<entry><title>Entry two</title>'
+        '<link href="http://f1.example/e2"/>'
+        "<updated>2024-03-04T05:06:07+09:00</updated></entry>"
+        "</feed>",
+        "http://f1.example/atom.xml",
+    ),
+    ("<html>not a feed</html>", "http://f2.example/x"),
+]
+
+# hand-derived per-variant entry rows (entry_idx, url, title,
+# published_utc, error) — date math: +0200 → UTC −2 h, +09:00 → −9 h;
+# pinned independently by tests/test_feeds.py
+_FEED_EXPECT = [
+    [
+        (0, "http://f0.example/p1", "Post one",
+         "2024-01-02 03:04:05", None),
+        (1, "http://f0.example/p2", "Post two",
+         "2024-01-02 03:04:05", None),
+    ],
+    [
+        (0, "http://f1.example/e1", "Entry one",
+         "2024-01-02 03:04:05", None),
+        (1, "http://f1.example/e2", "Entry two",
+         "2024-03-03 20:06:07", None),
+    ],
+    [
+        (-1, None, None, None, "feed: unsupported root element <html>"),
+    ],
+]
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication-feed discovery end-to-end: RSS 2.0 and Atom variant
+    feeds (plus a non-feed quarantine variant) through the Arrow
+    kernel; the oracle states the expected entry matrix — dialect
+    dispatch, rel=alternate preference, published-over-updated, and
+    RFC 822 + RFC 3339 → UTC normalization all have to be right."""
+    from machine_readability_checker_spark.operators.feeds import (
+        feed_entries,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                xml, url = _FEED_VARIANTS[did % 3]
+                rows.append((str(did), url, xml.encode("utf-8")))
+            yield _pd.DataFrame(rows, columns=["doc_id", "url", "content"])
+
+    feeds = docs.mapInPandas(
+        kernel, schema="doc_id string, url string, content binary"
+    )
+    out = feed_entries(feeds)
+    return (
+        out.withColumn(
+            "variant",
+            F.regexp_extract(F.col("feed_url"), r"f(\d)\.example", 1)
+            .cast("int"),
+        )
+        .groupBy(
+            "variant", "entry_idx", "url", "title", "published_utc",
+            "error",
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "entry_idx")
+    )
+
+
+def _feed_entries_oracle_sql() -> str:
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        return _sql_str(str(v))
+
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {}, {})".format(
+            v, idx, lit(url), lit(title), lit(pub), lit(err)
+        )
+        for v, rows in enumerate(_FEED_EXPECT)
+        for (idx, url, title, pub, err) in rows
+    )
+    return f"""
+    WITH counts AS (
+      SELECT CAST(doc_id % 3 AS INTEGER) AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, entry_idx, url, title, published_utc, error)
+      AS (VALUES
+      {vals}
+    )
+    SELECT e.variant, CAST(e.entry_idx AS INT) AS entry_idx, e.url,
+           e.title, e.published_utc, e.error, c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY e.variant, e.entry_idx
+    """
+
+
 # (variant html, page url) → hand-derived expected metadata; pinned
 # independently by tests/test_pagemeta.py's resolution matrix
 _PM_VARIANTS = [
@@ -3261,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
         "page_metadata": q_page_metadata,
+        "feed_entries": q_feed_entries,
         "html_table_stats": q_html_table_stats,
         "pdf_table_rules": q_pdf_table_rules,
         "pdf_table_stats": q_pdf_table_stats,
@@ -3417,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
     # md grids == html grids by construction → identical verdict matrix
     out["md_table_rules"] = _html_table_rules_oracle_sql()
     out["page_metadata"] = _page_metadata_oracle_sql()
+    out["feed_entries"] = _feed_entries_oracle_sql()
     out["html_table_stats"] = _html_table_stats_oracle_sql()
     out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "url_canonical",
     "sitemap_urls",
+    "feed_entries",
     "text_normalize",
     "readability",
 ]
