@@ -961,6 +961,65 @@ def q_html_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier scheduling: a synthetic frontier from
+    doc_id arithmetic (7 domains, priority cycling mod 13) through the
+    per-domain window (slots_per_wave=2, 1.5 s delay), aggregated per
+    (domain, wave).  The oracle recomputes the ENTIRE schedule with a
+    ROW_NUMBER window in DuckDB — a genuine full-SQL twin."""
+    from machine_readability_checker_spark.operators.frontier import (
+        schedule_frontier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("http://d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 13).cast("double").alias("priority"),
+    )
+    sched = schedule_frontier(frontier, slots_per_wave=2, delay_s=1.5)
+    return (
+        sched.groupBy("domain", "fetch_wave")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("host_rank").alias("max_host_rank"),
+            F.min("eta_s").alias("eta_s"),
+        )
+        .orderBy("domain", "fetch_wave")
+    )
+
+
+_FRONTIER_SQL = """
+    WITH f AS (
+      SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+             'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 13 AS DOUBLE) AS priority
+      FROM documents
+    ), r AS (
+      SELECT domain,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY domain ORDER BY priority DESC, url
+             ) - 1 AS INT) AS host_rank
+      FROM f
+    ), s AS (
+      SELECT domain, host_rank,
+             CAST(host_rank // 2 AS INT) AS fetch_wave
+      FROM r
+    )
+    SELECT domain, fetch_wave, COUNT(*) AS n_urls,
+           MAX(host_rank) AS max_host_rank,
+           MIN(CAST(fetch_wave AS DOUBLE) * 1.5) AS eta_s
+    FROM s GROUP BY domain, fetch_wave
+    ORDER BY domain, fetch_wave
+"""
+
+
 _FEED_VARIANTS = [
     (
         '<?xml version="1.0"?><rss version="2.0"><channel>'
@@ -3381,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_table_rules": q_md_table_rules,
         "page_metadata": q_page_metadata,
         "feed_entries": q_feed_entries,
+        "frontier_schedule": q_frontier_schedule,
         "html_table_stats": q_html_table_stats,
         "pdf_table_rules": q_pdf_table_rules,
         "pdf_table_stats": q_pdf_table_stats,
@@ -3538,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
     out["md_table_rules"] = _html_table_rules_oracle_sql()
     out["page_metadata"] = _page_metadata_oracle_sql()
     out["feed_entries"] = _feed_entries_oracle_sql()
+    out["frontier_schedule"] = _FRONTIER_SQL
     out["html_table_stats"] = _html_table_stats_oracle_sql()
     out["pdf_table_rules"] = _pdf_table_rules_oracle_sql()
     out["pdf_table_stats"] = _pdf_table_stats_oracle_sql()

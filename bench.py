@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "url_canonical",
     "sitemap_urls",
     "feed_entries",
+    "frontier_schedule",
     "text_normalize",
     "readability",
 ]
