@@ -192,6 +192,26 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+
+        # keep-one-per-cluster: connected components over the pair
+        # graph, canonical = min id; the keep list is what a training
+        # pipeline joins against (reuses the text lanes' machinery)
+        from machine_readability_checker_spark.operators.dedup import (
+            dedup_keep_list,
+            near_dup_clusters,
+        )
+
+        clusters = near_dup_clusters(back)
+        keep = dedup_keep_list(
+            store_ids.select("img_id", "media_type"), clusters,
+            id_col="img_id",
+        )
+        keep.write.mode("overwrite").parquet(
+            os.path.join(args.out, "media_keep")
+        )
+        extra["media_kept_after_dedup"] = spark.read.parquet(
+            os.path.join(args.out, "media_keep")
+        ).count()
     if args.dedup_images:
         from machine_readability_checker_spark.operators.imagehash import (
             exact_image_dups,

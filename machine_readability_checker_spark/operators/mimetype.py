@@ -95,6 +95,14 @@ def detect_mime(col: Column) -> Column:
     out = out.when(
         F.coalesce(F.length(col), F.lit(0)) == 0, F.lit("application/x-empty")
     )
+    # UTF-16 BOM: text in a non-UTF-8 encoding — classify text/plain so
+    # the declared Content-Type (which carries the charset and subtype)
+    # keeps routing authority, mirroring the text/plain rule below
+    out = out.when(
+        (F.substring(col, 1, 2) == F.lit(b"\xff\xfe"))
+        | (F.substring(col, 1, 2) == F.lit(b"\xfe\xff")),
+        F.lit("text/plain"),
+    )
     out = out.when(
         F.try_validate_utf8(col.cast("string")).isNotNull(),
         F.lit("text/plain"),

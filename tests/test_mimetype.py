@@ -67,6 +67,8 @@ def _payloads():
         ("html2", b"<HTML><head></head>", "text/html"),
         ("xml", b'<?xml version="1.0"?><urlset/>', "application/xml"),
         ("text", "plain prose éあ".encode("utf-8"), "text/plain"),
+        # UTF-16 BOM classifies as text; the header keeps subtype authority
+        ("utf16", "プレーン prose".encode("utf-16"), "text/plain"),
         ("empty", b"", "application/x-empty"),
         ("binary", b"\xff\x00\xfe\x01garbage", "application/octet-stream"),
     ]
