@@ -53,7 +53,10 @@ _LINK_RE = re.compile(r"\[([^\]]*)\]\(\s*<?[^)\s>]*>?(?:\s+\"[^\"]*\")?\s*\)")
 _REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
 _AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
 _CODESPAN_RE = re.compile(r"(`+)(.+?)\1")
-_EMPH_RE = re.compile(r"(\*\*\*|___|\*\*|__|\*|_)(?=\S)(.+?)(?<=\S)\1")
+# '*' emphasis may be intraword; '_' emphasis may NOT (CommonMark §6.2:
+# snake_case_words are literal text, never emphasis)
+_STAR_EMPH_RE = re.compile(r"(\*\*\*|\*\*|\*)(?=\S)(.+?)(?<=\S)\1")
+_UNDER_EMPH_RE = re.compile(r"(?<!\w)(___|__|_)(?=\S)(.+?)(?<=\S)\1(?!\w)")
 _BR_RE = re.compile(r"<br\s*/?>", re.IGNORECASE)
 _TAG_RE = re.compile(r"</?[a-zA-Z][^>]*>")
 _ESCAPE_RE = re.compile(r"\\([\\`*_{}\[\]()#+\-.!|>~\"'])")
@@ -74,13 +77,20 @@ def _inline(text: str) -> Tuple[str, List[Tuple[str, str]]]:
     text = _ESCAPE_RE.sub(
         lambda m: "\x00%04x" % ord(m.group(1)), text
     )
+    def _mask(s: str) -> str:
+        # opaque-content mask (same \x00-hex coding as escapes): code
+        # spans and autolink URLs are literal text — the emphasis/tag
+        # passes below must never rewrite their underscores/asterisks
+        return "".join("\x00%04x" % ord(c) for c in s)
+
     text = _IMG_RE.sub(_img, text)
     text = _LINK_RE.sub(r"\1", text)
     text = _REFLINK_RE.sub(r"\1", text)
-    text = _AUTOLINK_RE.sub(r"\1", text)
-    text = _CODESPAN_RE.sub(r"\2", text)
+    text = _AUTOLINK_RE.sub(lambda m: _mask(m.group(1)), text)
+    text = _CODESPAN_RE.sub(lambda m: _mask(m.group(2)), text)
     for _ in range(2):  # twice: nested emphasis (***x*** etc.)
-        text = _EMPH_RE.sub(r"\2", text)
+        text = _STAR_EMPH_RE.sub(r"\2", text)
+        text = _UNDER_EMPH_RE.sub(r"\2", text)
     text = _BR_RE.sub("\n", text)  # GFM hard break inside table cells
     text = _TAG_RE.sub("", text)
     text = re.sub(

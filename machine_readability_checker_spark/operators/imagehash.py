@@ -186,11 +186,16 @@ def hamming_band_pairs(
     max_hamming: int = 2,
     bits: int = 64,
     band_bits: Optional[int] = None,
+    same_cols: Optional[list] = None,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) for every pair within ``max_hamming`` of
-    the 64-bit ``hash_col`` — the pigeonhole band join from
-    ``dedup.simhash_pairs``, generalized to any precomputed hash column
-    (null hashes drop: quarantined blobs can't pair)."""
+    """(id_a, id_b, hamming[, same_cols...]) for every pair within
+    ``max_hamming`` of the 64-bit ``hash_col`` — the pigeonhole band
+    join from ``dedup.simhash_pairs``, generalized to any precomputed
+    hash column (null hashes drop: quarantined blobs can't pair).
+
+    ``same_cols`` adds equality columns to the band key (e.g. a
+    media_type column so pairs never cross a modality) — one join over
+    the whole frame instead of one filtered branch per group."""
     if band_bits is None:
         band_bits = max(1, bits // (max_hamming + 1))
     n_bands = bits // band_bits
@@ -199,13 +204,15 @@ def hamming_band_pairs(
             f"{n_bands} bands of {band_bits} bits cannot guarantee "
             f"recall at max_hamming={max_hamming} (need bands > max_hamming)"
         )
+    same_cols = list(same_cols or [])
     mask = (1 << band_bits) - 1
     base = hashed.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"), *same_cols
     )
     bands = base.select(
         "_id",
         "_h",
+        *same_cols,
         F.explode(
             F.array(
                 *[
@@ -219,19 +226,22 @@ def hamming_band_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_h", "bb.band", "bb.band_val")
+    ).select("_id", "_h", *same_cols, "bb.band", "bb.band_val")
     l, r = bands.alias("l"), bands.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_val") == F.col("r.band_val"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    for c in same_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        l.join(r, cond)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
             hamming64(F.col("l._h"), F.col("r._h")).alias("hamming"),
+            *[F.col(f"l.{c}").alias(c) for c in same_cols],
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)

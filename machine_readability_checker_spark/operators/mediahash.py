@@ -81,10 +81,11 @@ def audio_fingerprint(content: bytes) -> int:
     for t in range(_N_WINDOWS):
         spec = np.abs(np.fft.rfft(x[t * wlen:(t + 1) * wlen])) ** 2
         spec = spec[1:]  # drop DC: offset-coded PCM must not leak in
-        # 4 log-spaced bands over the usable bins
+        # 4 log-spaced bands over the usable bins; the final edge is
+        # n+1 so the top bin spec[n-1] lands in the last band
         n = len(spec)
         edges = np.unique(
-            np.round(np.geomspace(1, n, _N_BANDS + 1)).astype(int)
+            np.round(np.geomspace(1, n + 1, _N_BANDS + 1)).astype(int)
         )
         while len(edges) < _N_BANDS + 1:  # tiny windows: pad linearly
             edges = np.append(edges, edges[-1] + 1)
@@ -190,21 +191,14 @@ def media_near_dups(
     max_hamming: int = 4,
 ) -> DataFrame:
     """Near-dup pairs across the whole media store, never across
-    modality boundaries: the fingerprint kernel, then one banded
-    Hamming join per media type over the same hashed frame (an
-    image can only pair with an image, etc.)."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
+    modality boundaries: the fingerprint kernel, then ONE banded
+    Hamming join with media_type in the band key — an image can only
+    pair with an image, and the expensive decode+fingerprint pass runs
+    over the store once, not once per modality branch."""
     hashed = media_fingerprints(df, content_col, media_type_col).select(
         id_col, media_type_col, "fingerprint"
     )
-    parts = []
-    for mt in ("image", "audio", "video"):
-        sub = hashed.filter(F.col(media_type_col) == mt)
-        parts.append(
-            hamming_band_pairs(sub, id_col, "fingerprint", max_hamming)
-            .withColumn("media_type", F.lit(mt))
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return hamming_band_pairs(
+        hashed, id_col, "fingerprint", max_hamming,
+        same_cols=[media_type_col],
+    )

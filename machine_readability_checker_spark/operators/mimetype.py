@@ -42,7 +42,15 @@ _MAGIC = [
     ("application/zip", 1, b"PK\x03\x04"),
     ("text/rtf", 1, b"{\\rtf"),
     ("application/warc", 1, b"WARC/"),
-    ("image/bmp", 1, b"BM"),
+    # NB: BMP's 2-byte 'BM' is too weak alone (ordinary text can start
+    # 'BM'); detect_mime additionally requires a plausible DIB header
+    # size at offset 15 (see the guarded clause there)
+]
+
+# BITMAPINFOHEADER-family sizes, little-endian (BMP offset 14..17):
+# 12 (CORE), 40 (INFO), 52/56 (V2/V3), 108 (V4), 124 (V5)
+_BMP_DIB_SIZES = [
+    bytes([n, 0, 0, 0]) for n in (12, 40, 52, 56, 108, 124)
 ]
 
 OOXML_MIMES = {
@@ -87,6 +95,14 @@ def detect_mime(col: Column) -> Column:
         out = out.when(
             F.substring(col, off, len(sig)) == F.lit(sig), F.lit(mime)
         )
+    dib = F.substring(col, 15, 4)
+    dib_ok = F.lit(False)
+    for b in _BMP_DIB_SIZES:
+        dib_ok = dib_ok | (dib == F.lit(b))
+    out = out.when(
+        (F.substring(col, 1, 2) == F.lit(b"BM")) & dib_ok,
+        F.lit("image/bmp"),
+    )
     out = out.when(
         s.startswith("<!doctype html") | s.startswith("<html"),
         F.lit("text/html"),
@@ -125,8 +141,10 @@ def refine_zip_subtypes(
     otherwise the row stays ``application/zip``.  Unreadable/corrupt
     zips also stay ``application/zip`` — the container verdict stands
     even when the directory doesn't parse."""
-    zips = df.filter(F.col(mime_col) == "application/zip")
-    rest = df.filter(F.col(mime_col) != "application/zip")
+    # null-safe split: a NULL mime (possible when callers pass a
+    # header-derived column) must stay in `rest`, not vanish from both
+    zips = df.filter(F.col(mime_col).eqNullSafe("application/zip"))
+    rest = df.filter(~F.col(mime_col).eqNullSafe("application/zip"))
     schema = df.schema
     cols = df.columns
     mime_idx = cols.index(mime_col)

@@ -95,8 +95,12 @@ def canonical_key(df_meta: DataFrame) -> DataFrame:
 
 
 def noindex_filter(df_meta: DataFrame) -> DataFrame:
-    """Drop pages whose ``<meta name=robots>`` carries ``noindex`` —
+    """Drop pages whose ``<meta name=robots>`` carries ``noindex`` (or
+    ``none``, which the robots-meta spec defines as noindex,nofollow) —
     the page author's opt-out a curation pipeline must honor.  Pure
     JVM predicate."""
     tokens = F.split(F.lower(F.coalesce(F.col("robots"), F.lit(""))), r"[,\s]+")
-    return df_meta.filter(~F.array_contains(tokens, "noindex"))
+    return df_meta.filter(
+        ~F.array_contains(tokens, "noindex")
+        & ~F.array_contains(tokens, "none")
+    )

@@ -171,18 +171,19 @@ def crawl_curate(
     deg = LG.degree_stats(graph)
     ranks = LG.pagerank(graph, n_iter=pr_iters)
 
+    # degree/rank join on the GRAPH's node key — the canonicalized
+    # FETCHED url.  With honor_canonical the frontier key
+    # (canonical_url) may be the page's declared rel=canonical, which
+    # is not what edges_canon keyed nodes on; joining on it would
+    # silently null out exactly the canonical-declaring pages' ranks
     pages = (
-        corpus_kept.select("doc_id", "url", "canonical_url", "domain", "path")
-        .join(
-            deg.withColumnRenamed("node", "canonical_url"),
-            "canonical_url",
-            "left",
+        corpus_kept.select(
+            "doc_id", "url", "canonical_url", "domain", "path"
         )
-        .join(
-            ranks.withColumnRenamed("node", "canonical_url"),
-            "canonical_url",
-            "left",
-        )
+        .withColumn("_node", WU.canonicalize_url(F.col("url")))
+        .join(deg.withColumnRenamed("node", "_node"), "_node", "left")
+        .join(ranks.withColumnRenamed("node", "_node"), "_node", "left")
+        .drop("_node")
         .fillna(0, subset=["out_degree", "in_degree"])
     )
     return {

@@ -132,10 +132,20 @@ def warc_to_docs_raw(records: DataFrame, sniff: bool = False) -> DataFrame:
     mime = F.lower(
         F.trim(F.element_at(F.split(F.col("content_type"), ";"), 1))
     )
+    # filter BEFORE any sniffing: the magic cascade — and especially
+    # the zip-sliver Arrow kernel — must only touch kept responses, so
+    # the Python surface stays proportional to the corpus, not to the
+    # request/metadata/error records riding in the same archives
+    kept = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+        & F.col("content").isNotNull()
+    )
     if sniff:
         from ..operators.mimetype import sniff_mime
 
-        records = sniff_mime(records, "content", out_col="_sniffed")
+        kept = sniff_mime(kept, "content", out_col="_sniffed")
         mime = F.when(
             F.col("_sniffed").isin("text/plain", "application/octet-stream")
             & mime.isNotNull(),
@@ -145,12 +155,7 @@ def warc_to_docs_raw(records: DataFrame, sniff: bool = False) -> DataFrame:
         *[F.lit(x) for kv in _MIME_FMT.items() for x in kv]
     )
     return (
-        records.filter(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.col("error").isNull()
-            & F.col("content").isNotNull()
-        )
+        kept
         .select(
             F.col("doc_id"),
             F.coalesce(

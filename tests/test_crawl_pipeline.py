@@ -106,7 +106,8 @@ def test_honor_canonical_collapses_declared_duplicates(spark):
         )
         return (
             f"<html><head><title>t</title>{c}</head>"
-            "<body><p>same article body prose</p></body></html>"
+            "<body><p>same article body prose</p>"
+            '<a href="http://s.example/dst">out</a></body></html>'
         ).encode()
 
     rows = [
@@ -135,6 +136,12 @@ def test_honor_canonical_collapses_declared_duplicates(spark):
     kept_ids = {p.doc_id for p in pages}
     assert kept_ids == {"d0", "d2"}
     assert honored["dups"].count() == 1
+    # degrees/ranks join on the GRAPH's node key (canonicalized fetched
+    # url), so the canonical-declaring page keeps its graph stats even
+    # though its frontier key is the declared canonical
+    d0 = [p for p in pages if p.doc_id == "d0"][0]
+    assert d0.out_degree == 1
+    assert d0.rank is not None
 
 
 def test_honor_noindex_drops_corpus_but_keeps_links(spark):

@@ -53,6 +53,22 @@ def test_inline_markup_matrix():
     )]
 
 
+def test_inline_never_rewrites_code_autolinks_or_snake_case():
+    """Code spans and autolink URLs are literal text (masked before the
+    emphasis pass), and intraword '_' is never emphasis (CommonMark)."""
+    md = (
+        "Use `my_var_name` via <https://x.example/a_b_c> in "
+        "snake_case_words, em _one_ but mid_word_not.\n"
+    )
+    spans, _ = extract_md_spans(md.encode())
+    assert spans == [(
+        "main",
+        "Use my_var_name via https://x.example/a_b_c in "
+        "snake_case_words, em one but mid_word_not.",
+        "",
+    )]
+
+
 def test_fence_preserves_content_verbatim():
     md = "```python\n# not a heading\n**not bold**\n| not | table |\n```\n"
     spans, _ = extract_md_spans(md.encode())

@@ -122,6 +122,24 @@ def test_media_near_dups_pairs_within_modality_only(spark):
     assert got == {("video", "v1", "v2", 0), ("audio", "a1", "a2", 0)}
 
 
+def test_media_near_dups_single_fingerprint_pass(spark):
+    """The store decodes ONCE: one band join keyed on media_type, not
+    one filtered branch per modality (≤2 Arrow kernels in the plan —
+    the self-join's two sides; no 3x branch multiplication)."""
+    df = spark.createDataFrame(
+        [("a", "audio", bytearray(_wav()))],
+        "media_ref string, media_type string, content binary",
+    )
+    plan = (
+        MH.media_near_dups(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") <= 2, plan.count("ArrowEvalPython")
+    assert "Union" not in plan
+
+
 def test_fingerprint_kernel_quarantines(spark):
     df = spark.createDataFrame(
         [("x", "video", bytearray(b"not a video"))],

@@ -157,6 +157,40 @@ def test_warc_sniff_routing_overrides_header(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_bm_prefixed_text_is_not_bmp(spark):
+    """'BM' alone is too weak a signature: text starting with it must
+    classify as text, and a truthful text/csv header must survive
+    sniff-mode routing (the DIB-size guard makes BMP detection real)."""
+    from machine_readability_checker_spark.sources.warc import (
+        warc_to_docs_raw,
+    )
+
+    blob = b"BMW,price\n320i,45000\nM3,82000\n"
+    df = spark.createDataFrame(
+        [("x", bytearray(blob))], "name string, content binary"
+    )
+    assert M.sniff_mime(df, "content").head().mime == "text/plain"
+
+    records = spark.createDataFrame(
+        [("d0", "http://x/p.csv", "response", 200, "text/csv", None,
+          bytearray(blob), len(blob), "f.warc", None)],
+        "doc_id string, url string, warc_type string, http_status int, "
+        "content_type string, charset string, content binary, "
+        "n_bytes long, src_file string, error string",
+    )
+    assert warc_to_docs_raw(records, sniff=True).head().fmt == "csv"
+
+
+def test_refine_zip_keeps_null_mime_rows(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(b"plain"), None),
+         ("b", bytearray(b"plain"), "text/plain")],
+        "name string, content binary, mime string",
+    )
+    out = M.refine_zip_subtypes(df, "content", "mime").collect()
+    assert {r.name for r in out} == {"a", "b"}  # NULL row survives
+
+
 def test_mislabeled_payload_is_caught(spark):
     # a "jpeg" that is actually HTML: the sniffer ignores names/labels
     df = spark.createDataFrame(

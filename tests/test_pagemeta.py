@@ -85,6 +85,7 @@ def test_noindex_filter(spark):
             ("keep2", "nofollow"),
             ("drop1", "noindex"),
             ("drop2", "NOINDEX, nofollow"),
+            ("drop3", "none"),  # spec: none == noindex,nofollow
         ],
         "doc_id string, robots string",
     )
