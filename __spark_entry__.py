@@ -596,6 +596,78 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: 8 seed
+    centroids (``kmeans_centroids(iters=0)`` so the DuckDB oracle can
+    rebuild the quantizer in SQL; production runs Lloyd), within-cluster
+    cosine pairs at tau=0.40 (the synthetic embeddings are
+    near-orthogonal, max pairwise cosine ≈0.49), connected components,
+    and the paper's keep-the-most-atypical rule (lowest cos-to-centroid
+    survives).  The oracle recomputes assignment + pairs + a recursive
+    CTE for the components + the argmin keep rule entirely in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, k=8, iters=0)
+    return (
+        S.semantic_dedup(emb, cents, tau=0.40)
+        .select(
+            "vec_id",
+            "cell",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.round("cos_centroid", 6).alias("cos_centroid"),
+            "kept",
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), c AS (
+  SELECT ev AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+  FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+), assign AS (
+  SELECT vec_id, ev, cell_id FROM (
+    SELECT v.vec_id, v.ev, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_distance(v.ev, c.cv), c.cell_id
+           ) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.40
+), edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) seed
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.w = r.u
+), clusters AS (
+  SELECT u AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+), member AS (
+  SELECT cl.vec_id, a.cell_id, cl.cluster_id,
+         list_cosine_similarity(a.ev, c.cv) AS cosc
+  FROM clusters cl
+  JOIN assign a ON a.vec_id = cl.vec_id
+  JOIN c ON c.cell_id = a.cell_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY cosc, vec_id) AS rn
+  FROM member
+)
+SELECT vec_id, CAST(cell_id AS INTEGER) AS cell,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       round(cosc, 6) AS cos_centroid, (rn = 1) AS kept
+FROM ranked ORDER BY vec_id
+"""
+
+
 _BATTERY_FRACS = (
     ["dup_line_frac", "dup_para_frac", "dup_line_char_frac",
      "dup_para_char_frac"]
@@ -3457,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "image_dhash_dups": q_image_dhash_dups,
         "video_fold_dups": q_video_fold_dups,
+        "semantic_dedup": q_semantic_dedup,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3639,6 +3712,7 @@ def oracle_sql() -> dict[str, str]:
     out["line_dedup"] = _LINE_DEDUP_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
     out["bloom_new_docs"] = _BLOOM_NEW_DOCS_SQL
+    out["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
     return out
 
 

@@ -1011,3 +1011,128 @@ def query_ivfpq_batch(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cell", "adc", "rank")
     )
+
+
+# -------------------------------------------------- SemDeDup
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: List[List[float]],
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    assign every embedding to its nearest k-means centroid, then compute
+    pairwise cosine ONLY within each cluster; pairs with cosine ≥ ``tau``
+    are semantic duplicates.  Returns ``(id_a, id_b, cell, cosine)``
+    with ``id_a < id_b``.
+
+    Scale shape — the within-cluster self-join is the paper's own
+    complexity reduction: O(N²/k) comparisons instead of O(N²).  Both
+    sides shuffle once on ``cell`` and the join is co-partitioned; at
+    100 TB you pick k large enough (paper: 50k clusters for LAION) that
+    the largest cell fits a task.  No cross-cell pair is ever formed —
+    there is no cartesian anywhere (`tests/test_plan_quality.py` pins
+    SortMergeJoin/ShuffledHashJoin on the equality key)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("cell", _nearest_centroid(F.col("_v"), centroids))
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("cell"), F.col("_v").alias("_va")
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("cell"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cell", "cosine")
+    )
+
+
+def _centroid_df(spark, centroids: List[List[float]]) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField(
+                "cvec", T.ArrayType(T.DoubleType(), False), False
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)], schema
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: List[List[float]],
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full SemDeDup decision table over the members of the semantic
+    near-dup graph: ``(vec_id, cell, cluster_id, cos_centroid, kept)``.
+
+    Duplicate groups are connected components of the ≥ tau pair graph
+    (min-label propagation, reused from the text near-dup family); per
+    the paper, the member KEPT from each group is the one with the
+    LOWEST cosine similarity to its cluster centroid — the most atypical
+    example survives, maximizing diversity (ties break to the lowest
+    id).  Vectors outside the graph are trivially kept and are not
+    returned; ``semantic_dedup_keep`` applies the verdict to the corpus.
+
+    Scale shape — cos-to-centroid comes from a broadcast join against
+    the k-row centroid table (never a shuffle of the corpus); the
+    winner-per-cluster argmin is one min(struct) aggregate."""
+    from .dedup import near_dup_clusters
+
+    pairs = semantic_dedup_pairs(df, centroids, tau, vec_col, id_col)
+    clusters = near_dup_clusters(pairs)  # (doc_id, cluster_id)
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("cell", _nearest_centroid(F.col("_v"), centroids))
+    member = clusters.join(v, "doc_id").join(
+        F.broadcast(_centroid_df(spark, centroids)), "cell"
+    )
+    member = member.withColumn(
+        "cos_centroid", cosine_sim(F.col("_v"), F.col("cvec"))
+    )
+    winners = member.groupBy("cluster_id").agg(
+        F.min(F.struct("cos_centroid", "doc_id"))["doc_id"].alias("_keep_id")
+    )
+    return (
+        member.join(winners, "cluster_id")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("cluster_id"),
+            F.col("cos_centroid"),
+            (F.col("doc_id") == F.col("_keep_id")).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    centroids: List[List[float]],
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rows of ``df`` surviving SemDeDup: graph members whose ``kept``
+    verdict is false are dropped via one LEFT ANTI join; everything
+    outside the near-dup graph survives untouched."""
+    verdict = semantic_dedup(df, centroids, tau, vec_col, id_col)
+    losers = verdict.filter(~F.col("kept")).select(F.col(id_col))
+    return df.join(losers, id_col, "left_anti")

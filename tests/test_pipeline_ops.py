@@ -2258,3 +2258,44 @@ def test_model_quality_funnel_stage(spark):
     for r in lab_rows:
         if r["_drop"] in (1, 2, 3):
             assert base[r["doc_id"]] == r["_drop"]
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup invariants on a hand-built geometry: three copies of a
+    direction plus an atypical (far-from-centroid) member form one
+    cluster; exactly one member is kept and it is the one with the
+    LOWEST cosine to the cluster centroid (the paper's diversity rule);
+    vectors outside the graph survive semantic_dedup_keep untouched."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(8)
+    a /= np.linalg.norm(a)
+    # orthogonal helper for the "atypical" member
+    b = rng.randn(8)
+    b -= (b @ a) * a
+    b /= np.linalg.norm(b)
+    rows = [
+        (0, [float(x) for x in a]),                      # seed centroid 0
+        (1, [float(x) for x in -a + 0.01 * b]),          # seed centroid 1
+        (2, [float(x) for x in a * 2.0]),                # dup of 0-direction
+        (3, [float(x) for x in a + 0.001 * b]),          # dup of 0-direction
+        (4, [float(x) for x in (a + 0.9 * b) * 0.6]),    # atypical, still ≥ tau
+        (5, [float(x) for x in b]),                      # lone member, no pair
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.kmeans_centroids(df, k=2, iters=0)
+    verdict = similarity.semantic_dedup(df, cents, tau=0.55).collect()
+    by_id = {r["vec_id"]: r for r in verdict}
+    # 5 pairs nothing at tau=0.55 → not in the graph at all
+    assert 5 not in by_id and 1 not in by_id
+    cluster = {r["vec_id"] for r in verdict}
+    assert cluster == {0, 2, 3, 4}
+    kept = [r["vec_id"] for r in verdict if r["kept"]]
+    # the atypical member has the lowest cos-to-centroid → survives
+    assert kept == [4]
+    # exactly one survivor per cluster_id
+    ids = {r["cluster_id"] for r in verdict}
+    assert len(ids) == 1
+    survivors = similarity.semantic_dedup_keep(df, cents, tau=0.55)
+    assert sorted(r["vec_id"] for r in survivors.collect()) == [1, 4, 5]

@@ -308,3 +308,16 @@ def test_pagerank_iteration_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # the per-dst sum is a partial+final hash aggregate pair
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semantic_dedup_pairs_plan_shape(spark):
+    """SemDeDup's within-cluster self-join must be an equality join on
+    the cell key (SMJ/SHJ after one shuffle per side) — a cartesian or
+    nested-loop here is the O(N²) the paper's clustering exists to
+    avoid — and all cosine math stays JVM-side."""
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    cents = similarity.kmeans_centroids(emb, k=4, iters=0)
+    plan = _plan(similarity.semantic_dedup_pairs(emb, cents, tau=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
