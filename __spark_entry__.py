@@ -668,6 +668,86 @@ FROM ranked ORDER BY vec_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) end-to-end on the
+    documents table: unigram+bigram models for raw (all docs) vs target
+    (lang='en'), per-doc log likelihood-ratio weights, md5-deterministic
+    Gumbel top-50 selection.  The oracle recomputes models + weights +
+    Gumbel keys + the rank cutoff entirely in SQL."""
+    from machine_readability_checker_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    raw_c = dsir.feature_counts(docs)
+    tgt_c = dsir.feature_counts(docs.filter(F.col("lang") == "en"))
+    lr = dsir.dsir_log_ratios(raw_c, tgt_c)
+    w = dsir.dsir_weights(docs, lr)
+    return (
+        dsir.dsir_selected_flag(w, k=50)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("log_w", 5).alias("log_w"),
+            F.round("gumbel_key", 5).alias("gumbel_key"),
+            "selected",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    h = _md5_int_sql("CAST(doc_id AS VARCHAR) || ':0'", 6)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(
+      toks,
+      CASE WHEN len(toks) >= 2
+        THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        ELSE CAST([] AS VARCHAR[]) END)
+  ) AS feature FROM t
+), rc AS (
+  SELECT feature, count(*) AS cr FROM f GROUP BY feature
+), tc AS (
+  SELECT feature, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY feature
+), vocab AS (
+  SELECT coalesce(rc.feature, tc.feature) AS feature,
+         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM rc FULL OUTER JOIN tc ON rc.feature = tc.feature
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab
+), lr AS (
+  SELECT feature,
+         ln(ct + 1.0) - ln(tt + 1.0 * v)
+         - ln(cr + 1.0) + ln(tr + 1.0 * v) AS log_ratio
+  FROM vocab CROSS JOIN tot
+), w AS (
+  SELECT doc_id, count(*) AS n_feats,
+         sum(coalesce(log_ratio, 0.0)) AS log_w
+  FROM f LEFT JOIN lr USING (feature) GROUP BY doc_id
+), wfull AS (
+  -- featureless (empty-text) docs drop out of the unnest; restore them
+  -- with n_feats=0/log_w=0 to mirror the operator's explode_outer
+  SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+         coalesce(w.log_w, 0.0) AS log_w
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN w USING (doc_id)
+), g AS (
+  SELECT doc_id, n_feats, log_w,
+         log_w + (- ln(- ln(({h} + 1.0) / 16777217.0))) AS gumbel_key
+  FROM wfull
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rn
+  FROM g
+)
+SELECT doc_id, n_feats, round(log_w, 5) AS log_w,
+       round(gumbel_key, 5) AS gumbel_key, (rn <= 50) AS selected
+FROM ranked ORDER BY doc_id
+"""
+
+
 _BATTERY_FRACS = (
     ["dup_line_frac", "dup_para_frac", "dup_line_char_frac",
      "dup_para_char_frac"]
@@ -3530,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": q_image_dhash_dups,
         "video_fold_dups": q_video_fold_dups,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3713,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
     out["tfidf_top_terms"] = _TFIDF_SQL
     out["bloom_new_docs"] = _BLOOM_NEW_DOCS_SQL
     out["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
+    out["dsir_weights"] = _dsir_oracle_sql()
     return out
 
 

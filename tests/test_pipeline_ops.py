@@ -2299,3 +2299,48 @@ def test_semantic_dedup_keep_rule(spark):
     assert len(ids) == 1
     survivors = similarity.semantic_dedup_keep(df, cents, tau=0.55)
     assert sorted(r["vec_id"] for r in survivors.collect()) == [1, 4, 5]
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR invariants: (1) docs from the target distribution get higher
+    weights than off-target docs; (2) Gumbel top-k is deterministic and
+    exactly k; (3) the hashed-feature variant preserves the same
+    target-vs-raw ordering; (4) empty docs score n_feats=0, log_w=0."""
+    from machine_readability_checker_spark.operators import dsir
+
+    tgt_rows = [(1000 + i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+    raw_rows = [(i, "zzz qqq vvv kkk www yyy xxx") for i in range(20)] + [
+        (50 + i, "the quick brown fox likes the lazy dog") for i in range(4)
+    ] + [(99, "")]
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+
+    lr = dsir.dsir_log_ratios(dsir.feature_counts(raw), dsir.feature_counts(target))
+    w = dsir.dsir_weights(raw, lr)
+    by_id = {r["doc_id"]: r for r in w.collect()}
+    assert by_id[99]["n_feats"] == 0 and by_id[99]["log_w"] == 0.0
+    assert min(by_id[50 + i]["log_w"] for i in range(4)) > max(
+        by_id[i]["log_w"] for i in range(20)
+    )
+
+    sel = dsir.dsir_select(w, k=4)
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    assert len(ids) == 4
+    sel2 = sorted(r["doc_id"] for r in dsir.dsir_select(w, k=4).collect())
+    assert ids == sel2  # md5-Gumbel: same seed, same sample
+    flag = dsir.dsir_selected_flag(w, k=4)
+    assert sorted(
+        r["doc_id"] for r in flag.filter("selected").collect()
+    ) == ids
+
+    lr_h = dsir.dsir_log_ratios(
+        dsir.feature_counts(raw, hash_buckets=512),
+        dsir.feature_counts(target, hash_buckets=512),
+    )
+    w_h = dsir.dsir_weights(
+        raw, lr_h, hash_buckets=512, broadcast_model=True
+    )
+    by_id_h = {r["doc_id"]: r["log_w"] for r in w_h.collect()}
+    assert min(by_id_h[50 + i] for i in range(4)) > max(
+        by_id_h[i] for i in range(20)
+    )

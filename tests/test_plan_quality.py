@@ -321,3 +321,23 @@ def test_semantic_dedup_pairs_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR at scale: the hashed-model weight join must BROADCAST the
+    ≤hash_buckets-row model (the corpus never shuffles toward the
+    model), selection must compile to TakeOrderedAndProject (per-
+    partition top-k, never a global sort), and everything stays
+    JVM-side."""
+    from machine_readability_checker_spark.operators import dsir
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    lr = dsir.dsir_log_ratios(
+        dsir.feature_counts(docs, hash_buckets=256),
+        dsir.feature_counts(docs.filter("lang = 'en'"), hash_buckets=256),
+    )
+    w = dsir.dsir_weights(docs, lr, hash_buckets=256, broadcast_model=True)
+    plan = _plan(dsir.dsir_select(w, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
