@@ -748,6 +748,46 @@ FROM ranked ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context sequence packing (concat-and-chunk, seq_len=256)
+    over the documents table: one row per (sequence × doc segment) with
+    intra-doc and intra-sequence offsets.  Every sequence except the
+    last must hold exactly 256 tokens; the oracle recomputes the global
+    prefix sum and the segment arithmetic in SQL."""
+    from machine_readability_checker_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=256).orderBy("seq_id", "doc_id")
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS tc
+  FROM documents
+), p AS (
+  SELECT doc_id, tc,
+         CAST(coalesce(SUM(tc) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prev
+  FROM t WHERE tc > 0
+), seg AS (
+  SELECT doc_id, tc, prev,
+         unnest(range(prev // 256, (prev + tc - 1) // 256 + 1)) AS seq_id
+  FROM p
+)
+SELECT seq_id, doc_id,
+  CAST(least(prev + tc, (seq_id + 1) * 256)
+       - greatest(prev, seq_id * 256) AS INTEGER) AS n_tokens,
+  CAST(greatest(prev, seq_id * 256) - prev AS INTEGER) AS doc_start,
+  CAST(greatest(prev, seq_id * 256) - seq_id * 256 AS INTEGER) AS seq_start
+FROM seg ORDER BY seq_id, doc_id
+"""
+
+
 _BATTERY_FRACS = (
     ["dup_line_frac", "dup_para_frac", "dup_line_char_frac",
      "dup_para_char_frac"]
@@ -3611,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_fold_dups": q_video_fold_dups,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3795,6 +3836,7 @@ def oracle_sql() -> dict[str, str]:
     out["bloom_new_docs"] = _BLOOM_NEW_DOCS_SQL
     out["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
     out["dsir_weights"] = _dsir_oracle_sql()
+    out["pack_sequences"] = _PACK_SEQUENCES_SQL
     return out
 
 

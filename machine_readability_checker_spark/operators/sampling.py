@@ -71,6 +71,54 @@ def stratified_sample(
     return df.filter(b < F.round(frac * buckets).cast("long"))
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    num_ranges: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``df`` + a ``_prev_cum`` column holding the exclusive prefix sum
+    of ``val_col`` in global ``id_col`` order — the two-phase parallel
+    prefix sum shared by the packing operators.
+
+    The naive ``Window.orderBy(id)`` running total drags the whole
+    corpus through ONE task (the classic global-window bottleneck);
+    this range-partitions by id, runs per-partition totals in parallel
+    windows, then turns a ``num_ranges``-row driver round-trip into
+    exclusive partition offsets mapped back as a literal CASE — no
+    single-task stage anywhere."""
+    from pyspark.sql import Window
+
+    t = df.repartitionByRange(num_ranges, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("_lcum", F.sum(val_col).over(w))
+    if checkpoint:
+        # two consumers (totals collect + final select) — materialize
+        # the window stage once
+        t = t.localCheckpoint(eager=False)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in t.groupBy("_pid").agg(F.max("_lcum").alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off = F.lit(0).cast("long")
+    for pid, o in sorted(offsets.items()):
+        off = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(off)
+    return t.withColumn(
+        "_prev_cum", off + F.col("_lcum") - F.col(val_col)
+    ).drop("_pid", "_lcum")
+
+
 def pack_shards(
     df: DataFrame,
     budget_tokens: int = 100_000,
@@ -88,54 +136,77 @@ def pack_shards(
     except the last holds ≥ budget tokens and the assignment is a pure
     function of the global id order.
 
-    Scale shape — the naive ``Window.orderBy(id)`` running total drags
-    the whole corpus through ONE task (the classic global-window
-    bottleneck); this uses the two-phase parallel prefix sum instead:
-    range-partition by id, per-partition running totals in parallel
-    windows, then a ``num_ranges``-row driver round-trip turns
-    partition totals into exclusive offsets that are mapped back as a
-    literal CASE — no single-task stage anywhere."""
-    from pyspark.sql import Window
-
+    Scale shape — see ``exclusive_prefix_sum`` (two-phase parallel
+    prefix sum, no single-task stage anywhere)."""
     from .textstats import token_count
 
-    t = (
-        df.select(
-            F.col(id_col),
-            # NULL text counts as 0 tokens (NULL would poison the
-            # running totals on both engines differently)
-            F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("_tc"),
-        )
-        .repartitionByRange(num_ranges, F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
+    t = df.select(
+        F.col(id_col),
+        # NULL text counts as 0 tokens (NULL would poison the
+        # running totals on both engines differently)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("_tc"),
     )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    t = t.withColumn("_lcum", F.sum("_tc").over(w))
-    if checkpoint:
-        # two consumers (totals collect + final select) — materialize the
-        # token-count/window stage once.  checkpoint=False keeps the
-        # full lineage visible (plan audits / callers that cache higher)
-        t = t.localCheckpoint(eager=False)
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in t.groupBy("_pid").agg(F.max("_lcum").alias("_t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    off = F.lit(0).cast("long")
-    for pid, o in sorted(offsets.items()):
-        off = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(off)
-    prev_cum = off + F.col("_lcum") - F.col("_tc")
+    t = exclusive_prefix_sum(t, id_col, "_tc", num_ranges, checkpoint)
     return t.select(
         id_col,
         F.col("_tc").alias("n_tokens"),
-        F.floor(prev_cum / F.lit(budget_tokens)).cast("int").alias("shard"),
+        F.floor(F.col("_prev_cum") / F.lit(budget_tokens))
+        .cast("int")
+        .alias("shard"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Fixed-context sequence packing — the concat-and-chunk step that
+    turns a cleaned corpus into training sequences of exactly
+    ``seq_len`` tokens: documents are concatenated in global id order
+    and the token stream is cut every ``seq_len`` tokens, so a document
+    may span several sequences and a sequence may hold several document
+    segments (the standard GPT-style pretraining layout; padding-free
+    per Kosec et al. 2021 / T5's "pack" preprocessing).
+
+    Returns one row per (sequence × document segment):
+    ``(seq_id, doc_id, n_tokens, doc_start, seq_start)`` where
+    ``doc_start`` is the segment's token offset inside the document and
+    ``seq_start`` its offset inside the sequence; the last sequence may
+    be short (callers drop or pad it).
+
+    Scale shape — one ``exclusive_prefix_sum`` (two-phase, parallel)
+    plus a per-doc ``sequence()`` explode whose width is
+    ceil(doc_len/seq_len)+1 — output-proportional, never corpus²; all
+    arithmetic JVM-side."""
+    from .textstats import token_count
+
+    t = df.select(
+        F.col(id_col),
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("_tc"),
+    ).filter(F.col("_tc") > 0)
+    t = exclusive_prefix_sum(t, id_col, "_tc", num_ranges)
+    L = F.lit(int(seq_len)).cast("long")
+    first = F.floor(F.col("_prev_cum") / L)
+    last = F.floor((F.col("_prev_cum") + F.col("_tc") - 1) / L)
+    seg = t.select(
+        F.col(id_col),
+        F.col("_tc"),
+        F.col("_prev_cum"),
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("_prev_cum"), F.col("seq_id") * L)
+    seg_end = F.least(
+        F.col("_prev_cum") + F.col("_tc"), (F.col("seq_id") + 1) * L
+    )
+    return seg.select(
+        "seq_id",
+        F.col(id_col),
+        (seg_end - seg_start).cast("int").alias("n_tokens"),
+        (seg_start - F.col("_prev_cum")).cast("int").alias("doc_start"),
+        (seg_start - F.col("seq_id") * L).cast("int").alias("seq_start"),
     )
 
 

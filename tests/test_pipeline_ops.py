@@ -2344,3 +2344,36 @@ def test_dsir_selects_target_like_docs(spark):
     assert min(by_id_h[50 + i] for i in range(4)) > max(
         by_id_h[i] for i in range(20)
     )
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """Packing invariants at a hand-checkable scale: every sequence but
+    the last holds exactly seq_len tokens; each document's segments tile
+    it (doc_start runs 0..tc contiguously); empty docs are absent; the
+    layout is invariant to input partitioning."""
+    from machine_readability_checker_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(7 + (i * 13) % 30))) for i in range(40)]
+    rows.append((99, ""))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(docs, seq_len=32).collect()
+    assert all(r["doc_id"] != 99 for r in out)
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["n_tokens"]
+    seqs = sorted(by_seq)
+    assert seqs == list(range(len(seqs)))
+    assert all(by_seq[s] == 32 for s in seqs[:-1])
+    assert 0 < by_seq[seqs[-1]] <= 32
+    by_doc: dict = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["doc_start"])):
+        nxt = by_doc.setdefault(r["doc_id"], 0)
+        assert r["doc_start"] == nxt
+        by_doc[r["doc_id"]] = nxt + r["n_tokens"]
+    assert by_doc[0] == 7
+    repart = pack_sequences(docs.repartition(7), seq_len=32).collect()
+    key = lambda rs: sorted((r["seq_id"], r["doc_id"], r["n_tokens"], r["doc_start"], r["seq_start"]) for r in rs)
+    assert key(repart) == key(out)
