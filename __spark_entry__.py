@@ -788,6 +788,60 @@ FROM seg ORDER BY seq_id, doc_id
 """
 
 
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot delta (CDX-style revisit classification): two
+    deterministic snapshots derived from the documents table — docs
+    ≡1 (mod 10) exist only in the new crawl (added), ≡2 (mod 10) only
+    in the old (removed), ≡0 (mod 7) re-crawled with changed content —
+    classified by one full-outer join on URL + payload-digest compare."""
+    from machine_readability_checker_spark.operators import frontier as FR
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("https://ex.com/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "text",
+        "doc_id",
+    )
+    old = base.filter(F.col("doc_id") % 10 != 1).drop("doc_id")
+    new = (
+        base.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .filter(F.col("doc_id") % 10 != 2)
+        .drop("doc_id")
+    )
+    return FR.snapshot_delta(old, new).orderBy("url")
+
+
+_SNAPSHOT_DELTA_SQL = """
+WITH base AS (
+  SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url, text, doc_id
+  FROM documents
+), o AS (
+  SELECT url, md5(coalesce(text, '')) AS old_fp
+  FROM base WHERE doc_id % 10 != 1
+), n AS (
+  SELECT url,
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                           ELSE text END, '')) AS new_fp
+  FROM base WHERE doc_id % 10 != 2
+)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM o FULL OUTER JOIN n ON o.url = n.url
+ORDER BY 1
+"""
+
+
 _BATTERY_FRACS = (
     ["dup_line_frac", "dup_para_frac", "dup_line_char_frac",
      "dup_para_char_frac"]
@@ -3652,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
+        "snapshot_delta": q_snapshot_delta,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3837,6 +3892,7 @@ def oracle_sql() -> dict[str, str]:
     out["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
     out["dsir_weights"] = _dsir_oracle_sql()
     out["pack_sequences"] = _PACK_SEQUENCES_SQL
+    out["snapshot_delta"] = _SNAPSHOT_DELTA_SQL
     return out
 
 

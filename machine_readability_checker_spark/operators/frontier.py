@@ -47,3 +47,66 @@ def schedule_frontier(
     ).withColumn(
         "eta_s", F.col("fetch_wave").cast("double") * float(delay_s)
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta between two crawl snapshots keyed by (canonical) URL — the
+    CDX-style revisit classification an incremental recrawl pipeline
+    runs before spending extraction compute: ``(key, status, old_fp,
+    new_fp)`` with status ∈ added / removed / changed / unchanged
+    (changed = same URL, different content fingerprint; the md5 here
+    plays the role of the WARC revisit record's payload digest,
+    RFC-drafted in the WARC 1.1 spec §6.7.2).
+
+    Scale shape — exactly one full-outer shuffle join on the key; the
+    fingerprints are computed in the map phase so document text never
+    moves through the join.  Callers feed ``dedupe``d snapshots (one
+    row per key); duplicate keys would cross-multiply like any join."""
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")).alias(
+            "old_fp"
+        ),
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"),
+        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")).alias(
+            "new_fp"
+        ),
+    )
+    j = o.join(n, "_k", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("_k").alias(key_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
+def recrawl_workset(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``new`` that actually need reprocessing after a recrawl:
+    added + changed keys only (the unchanged majority — typically >90%
+    of a recrawl — skips extraction entirely).  One left-semi join
+    against the delta verdict."""
+    need = snapshot_delta(old, new, key_col, text_col).filter(
+        F.col("status").isin("added", "changed")
+    )
+    return new.join(
+        need.select(F.col(key_col)), key_col, "left_semi"
+    )

@@ -66,3 +66,31 @@ def test_single_exchange_on_domain(spark):
     assert plan.count("Exchange") == 1
     assert "SinglePartition" not in plan  # never a global sort
     assert "EvalPython" not in plan
+
+
+def test_snapshot_delta_and_recrawl_workset(spark):
+    """Hand-built two-snapshot matrix: one of each status; the recrawl
+    workset is exactly the added+changed rows of the NEW snapshot (the
+    unchanged majority never reaches extraction)."""
+    from machine_readability_checker_spark.operators.frontier import (
+        recrawl_workset,
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [("u/keep", "same text"), ("u/gone", "bye"), ("u/edit", "old body")],
+        ["url", "text"],
+    )
+    new = spark.createDataFrame(
+        [("u/keep", "same text"), ("u/edit", "new body"), ("u/new", "hi")],
+        ["url", "text"],
+    )
+    verdict = {r["url"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert verdict == {
+        "u/keep": "unchanged",
+        "u/gone": "removed",
+        "u/edit": "changed",
+        "u/new": "added",
+    }
+    work = sorted(r["url"] for r in recrawl_workset(old, new).collect())
+    assert work == ["u/edit", "u/new"]
