@@ -22,7 +22,9 @@ extension gate / extraction kernel as loose files:
   decompression-bomb guard at the container level;
 - a corrupt archive produces ONE quarantine row for the whole file
   (fmt ``__archive_error__``), never a task failure;
-- ``.tar.gz``/``.tgz`` decompress transparently (stdlib tarfile "r:*").
+- ``.tar.gz``/``.tgz``/``.tar.bz2``/``.tbz2``/``.tar.xz``/``.txz``
+  decompress transparently (stdlib tarfile "r:*" auto-detects gzip,
+  bzip2, and LZMA containers).
 
 Deterministic: members emit in archive order.
 """
@@ -43,7 +45,9 @@ from ..model import RAW_SCHEMA
 
 MAX_MEMBER_BYTES = 256 << 20  # same ceiling as the gzip ingest guard
 
-_TAR_EXTS = (".tar", ".tar.gz", ".tgz")
+_TAR_EXTS = (
+    ".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2", ".tar.xz", ".txz",
+)
 _ZIP_EXTS = (".zip",)
 
 

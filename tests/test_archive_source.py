@@ -139,3 +139,21 @@ def test_archive_job_surface(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
     assert stats["docs_processed"] == 20
+
+
+def test_iter_members_bz2_and_xz_tars():
+    """tarfile 'r:*' auto-detects bzip2 and LZMA containers; the
+    extension gate must admit all the tar spellings."""
+    import bz2
+    import lzma
+
+    raw = _tar_bytes([("a.csv", CSV), ("b.html", HTML)])
+    for ext, blob in [
+        ("x.tar.bz2", bz2.compress(raw)),
+        ("x.tbz2", bz2.compress(raw)),
+        ("x.tar.xz", lzma.compress(raw)),
+        ("x.txz", lzma.compress(raw)),
+    ]:
+        got = iter_archive_members(ext, blob)
+        assert [(n, f) for n, f, _ in got] == [("a.csv", "csv"), ("b.html", "html")]
+        assert got[0][2] == CSV
