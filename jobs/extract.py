@@ -52,7 +52,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--archive",
-        help="path/glob of .tar/.tar.gz/.tgz/.zip document bundles to "
+        help="path/glob of .tar/.tar.{gz,bz2,xz}/.tgz/.tbz2/.txz/.zip document bundles to "
         "ingest instead of parquet (members become docs_raw rows; "
         "archive file = task granule; oversized/corrupt members "
         "quarantine)",
