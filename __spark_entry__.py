@@ -842,6 +842,84 @@ ORDER BY 1
 """
 
 
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index lane: two capture records per document (an early 200
+    and a later recrawl that 404s for every 4th doc) are ASSEMBLED as
+    real CDXJ lines with JVM string expressions, parsed back through
+    ``sources.cdx.parse_cdxj_lines`` (split + from_json), and reduced to
+    the latest successful capture per SURT key.  The oracle regenerates
+    the expected winner per doc arithmetically, so line splitting, JSON
+    field extraction, numeric casts, status filtering and the
+    latest-per-key window are all pinned."""
+    from machine_readability_checker_spark.sources.cdx import (
+        latest_captures,
+        parse_cdxj_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    day = F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("https://h"), (i % 5).cast("string"),
+        F.lit(".example.com/p/"), i.cast("string"),
+    )
+    surt = F.concat(
+        F.lit("com,example,h"), (i % 5).cast("string"),
+        F.lit(")/p/"), i.cast("string"),
+    )
+
+    def _line(ts, status, tag):
+        return F.concat(
+            surt, F.lit(" "), ts,
+            F.lit(' {"url": "'), url,
+            F.lit('", "mime": "text/html", "status": "'), status,
+            F.lit('", "digest": "sha1:'), F.lit(tag), i.cast("string"),
+            F.lit('", "length": "'), (100 + i).cast("string"),
+            F.lit('", "offset": "'), (i * 1000).cast("string"),
+            F.lit('", "filename": "crawl-'), (i % 3).cast("string"),
+            F.lit('.warc.gz"}'),
+        )
+
+    ts1 = F.concat(F.lit("202401"), day, F.lit("120000"))
+    ts2 = F.concat(F.lit("202402"), day, F.lit("120000"))
+    status2 = F.when(i % 4 == 0, F.lit("404")).otherwise(F.lit("200"))
+    lines = docs.select(
+        F.explode(
+            F.array(_line(ts1, F.lit("200"), "A"), _line(ts2, status2, "B"))
+        ).alias("value")
+    )
+    return (
+        latest_captures(parse_cdxj_lines(lines))
+        .select(
+            "surt", "ts", "url", "status", "digest", "length", "offset",
+            "filename",
+        )
+        .orderBy("surt")
+    )
+
+
+_CDX_LATEST_SQL = """
+SELECT
+  'com,example,h' || CAST(doc_id % 5 AS VARCHAR) || ')/p/'
+    || CAST(doc_id AS VARCHAR) AS surt,
+  CASE WHEN doc_id % 4 = 0
+       THEN '202401' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+            || '120000'
+       ELSE '202402' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+            || '120000' END AS ts,
+  'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  200 AS status,
+  'sha1:' || CASE WHEN doc_id % 4 = 0 THEN 'A' ELSE 'B' END
+    || CAST(doc_id AS VARCHAR) AS digest,
+  CAST(100 + doc_id AS BIGINT) AS length,
+  CAST(doc_id * 1000 AS BIGINT) AS offset,
+  'crawl-' || CAST(doc_id % 3 AS VARCHAR) || '.warc.gz' AS filename
+FROM documents
+ORDER BY surt
+"""
+
+
 _BATTERY_FRACS = (
     ["dup_line_frac", "dup_para_frac", "dup_line_char_frac",
      "dup_para_char_frac"]
@@ -3707,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
         "snapshot_delta": q_snapshot_delta,
+        "cdx_latest": q_cdx_latest,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
@@ -3893,6 +3972,7 @@ def oracle_sql() -> dict[str, str]:
     out["dsir_weights"] = _dsir_oracle_sql()
     out["pack_sequences"] = _PACK_SEQUENCES_SQL
     out["snapshot_delta"] = _SNAPSHOT_DELTA_SQL
+    out["cdx_latest"] = _CDX_LATEST_SQL
     return out
 
 

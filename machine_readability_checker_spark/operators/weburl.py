@@ -298,3 +298,32 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach ``canonical_url`` — one narrow map; dedup the frontier
     with a groupBy on it (one exchange keyed on the canonical form)."""
     return df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+
+
+def surt_key(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL — the
+    canonical CDX index key used by Heritrix / pywb / OpenWayback:
+    hostname labels reversed and comma-joined, ``)`` and the lowercased
+    path appended, query (sorted) kept after ``?``.  Example:
+    ``https://Sub.Example.COM/A/b?x=1`` → ``com,example,sub)/a/b?x=1``.
+
+    Pure JVM expressions (reverse + array_join over the parsed host
+    labels) — a narrow map at any scale."""
+    parts = parse_url(col)
+    host_rev = F.array_join(
+        F.reverse(F.split(parts["host"], r"\.")), ","
+    )
+    path = F.lower(
+        F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"])
+    )
+    q = F.when(
+        parts["query"] == "", F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit("?"),
+            F.array_join(
+                F.array_sort(F.split(F.lower(parts["query"]), "&")), "&"
+            ),
+        )
+    )
+    return F.concat(host_rev, F.lit(")"), path, q)
