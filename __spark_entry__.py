@@ -2578,6 +2578,105 @@ _IMAGE_DHASH_SQL = """
 """
 
 
+def q_exif_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF scan + scrub round-trip with an arithmetic oracle: each doc
+    gets a REAL baseline JPEG carrying an EXIF APP1 built from doc_id
+    arithmetic (byte order alternates II/MM by parity; every 7th doc
+    has no EXIF; every 3rd EXIF doc carries integer-degree GPS, which
+    the D/M/S rational encoding round-trips exactly).  The lane scans
+    the store, scrubs it with ``strip_metadata``, re-scans, and returns
+    per-doc rows — parse, DMS math, both byte orders, segment removal
+    and pixel-preserving re-assembly all have to be right for the
+    doc_id-arithmetic oracle to land."""
+    from machine_readability_checker_spark.operators.exifscan import (
+        scan_exif,
+        strip_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from machine_readability_checker_spark.core.exif import (
+            build_exif_app1,
+            insert_app1,
+        )
+        from machine_readability_checker_spark.core.jpeg import encode_jpeg
+
+        px = np.clip(np.mgrid[0:8, 0:8].sum(0) * 16, 0, 255).astype(
+            np.uint8
+        )
+        base = encode_jpeg(8, 8, 1, px.tobytes(), quality=90)
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 6:
+                    blobs.append(base)
+                    continue
+                gps = (
+                    (float((did % 91) - 45), float((did % 181) - 90))
+                    if did % 3 == 0
+                    else None
+                )
+                app1 = build_exif_app1(
+                    make=f"Cam{did % 5}",
+                    orientation=(did % 8) + 1,
+                    gps=gps,
+                    byte_order="II" if did % 2 == 0 else "MM",
+                )
+                blobs.append(insert_app1(base, app1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.mapInPandas(build, schema="doc_id long, content binary")
+    scanned = scan_exif(media)
+    rescan = scan_exif(
+        strip_metadata(media), id_cols=("doc_id", "bytes_removed")
+    ).select(
+        "doc_id",
+        F.col("has_exif").alias("still_has_exif"),
+        (F.col("bytes_removed") > 0).alias("scrub_removed"),
+    )
+    return (
+        scanned.join(rescan, "doc_id")
+        .select(
+            "doc_id",
+            "has_exif",
+            "make",
+            "orientation",
+            "has_gps",
+            "gps_lat",
+            "gps_lon",
+            (~F.col("still_has_exif")).alias("stripped_clean"),
+            "scrub_removed",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXIF_SCAN_SQL = """
+    SELECT doc_id,
+           (doc_id % 7) <> 6 AS has_exif,
+           CASE WHEN doc_id % 7 <> 6
+                THEN 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 7 <> 6
+                THEN CAST((doc_id % 8) + 1 AS INTEGER) END AS orientation,
+           (doc_id % 7) <> 6 AND doc_id % 3 = 0 AS has_gps,
+           CASE WHEN doc_id % 7 <> 6 AND doc_id % 3 = 0
+                THEN CAST((doc_id % 91) - 45 AS DOUBLE) END AS gps_lat,
+           CASE WHEN doc_id % 7 <> 6 AND doc_id % 3 = 0
+                THEN CAST((doc_id % 181) - 90 AS DOUBLE) END AS gps_lon,
+           TRUE AS stripped_clean,
+           (doc_id % 7) <> 6 AS scrub_removed
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 _BM25_QUERY = "hash join vector"
 
 
@@ -3781,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "image_dhash_dups": q_image_dhash_dups,
         "video_fold_dups": q_video_fold_dups,
+        "exif_scan": q_exif_scan,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
@@ -3944,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
     out["mime_sniff"] = _mime_oracle_sql()
     out["image_dhash_dups"] = _IMAGE_DHASH_SQL
     out["video_fold_dups"] = _IMAGE_DHASH_SQL  # same pair geometry
+    out["exif_scan"] = _EXIF_SCAN_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

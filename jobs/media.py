@@ -68,6 +68,23 @@ def _gen_interleaved(spark, n_docs: int):
         ).astype(np.uint8)
         rgb = np.stack([img] * 3, -1)
         jpg = encode_jpeg(16, 16, 3, rgb.tobytes(), quality=85)
+        if i % 2 == 0:
+            # half the camera uploads carry EXIF; every 6th has GPS PII
+            from machine_readability_checker_spark.core.exif import (
+                build_exif_app1,
+                insert_app1,
+            )
+
+            jpg = insert_app1(
+                jpg,
+                build_exif_app1(
+                    make=f"Cam{i % 5}",
+                    orientation=(i % 8) + 1,
+                    gps=(float(i % 91 - 45), float(i % 181 - 90))
+                    if i % 6 == 0
+                    else None,
+                ),
+            )
         spans.append({"kind": "media", "text": "", "media_ref": "m.jpg", "offset": 1})
         media_rows.append((doc, "m.jpg", "image", bytearray(jpg)))
         if i % 4 == 0:
@@ -121,6 +138,13 @@ def main() -> None:
         help="also write image near-dup pairs (dHash, banded Hamming "
         "join) and exact cross-container duplicate groups (normalized "
         "pixel digest) under --out/image_dups",
+    )
+    ap.add_argument(
+        "--strip-exif", action="store_true",
+        help="write a metadata-scrubbed copy of the store (JPEG "
+        "APP1/APP2/APP13/COM segments and PNG text/eXIf/tIME chunks "
+        "removed, pixels byte-identical) under --out/scrubbed, plus a "
+        "PII report (GPS-bearing blobs) under --out/exif_report",
     )
     ap.add_argument(
         "--cores", type=int,
@@ -237,6 +261,33 @@ def main() -> None:
                 os.path.join(args.out, "image_dups", "exact_groups")
             ).count(),
         })
+
+    if args.strip_exif:
+        from machine_readability_checker_spark.operators.exifscan import (
+            scan_exif,
+            strip_metadata,
+        )
+
+        scan = scan_exif(joined, id_cols=("doc_id", "media_ref"))
+        scan.write.mode("overwrite").parquet(
+            os.path.join(args.out, "exif_report")
+        )
+        strip_metadata(joined).write.mode("overwrite").parquet(
+            os.path.join(args.out, "scrubbed")
+        )
+        rep = spark.read.parquet(os.path.join(args.out, "exif_report"))
+        agg = rep.agg(
+            F.sum(F.col("has_exif").cast("int")).alias("exif"),
+            F.sum(F.col("has_gps").cast("int")).alias("gps"),
+        ).collect()[0]
+        scrub = spark.read.parquet(os.path.join(args.out, "scrubbed"))
+        extra["exif"] = {
+            "blobs_with_exif": int(agg["exif"] or 0),
+            "blobs_with_gps": int(agg["gps"] or 0),
+            "bytes_removed": int(
+                scrub.agg(F.sum("bytes_removed")).collect()[0][0] or 0
+            ),
+        }
 
     joined.unpersist()
     wall = time.time() - t0
