@@ -2677,6 +2677,83 @@ _EXIF_SCAN_SQL = """
 """
 
 
+# C4 lane line pool — each line's verdict under the battery is
+# hand-derived in q_c4_line_filter's docstring; the oracle states the
+# resulting per-variant counters as literals.
+_C4_L = [
+    "This is a good sentence number one.",      # kept
+    "short line",                               # no terminal punct
+    "Enable javascript to view this page.",     # javascript
+    "We use cookies under our privacy policy.", # policy boilerplate
+    "Is this not a question worth asking?",     # kept
+    "Buy now!",                                 # <3 words
+    "The quick brown fox jumps over the dog.",  # kept
+]
+_C4_VARIANTS = [
+    # v0: 5 surviving sentences → page kept
+    "\n".join([_C4_L[0], _C4_L[1], _C4_L[2], _C4_L[4], _C4_L[3],
+               _C4_L[6], _C4_L[5], _C4_L[0], _C4_L[4]]),
+    # v1: curly brace on the page → dropped wholesale
+    "\n".join([_C4_L[0], _C4_L[4], _C4_L[6], "if (x) { return; }",
+               _C4_L[0], _C4_L[4]]),
+    # v2: lorem ipsum on the page → dropped wholesale (the lorem line
+    # itself SURVIVES the line filter — the gate is page-level)
+    "\n".join([_C4_L[0], _C4_L[4], "Lorem ipsum dolor sit amet.",
+               _C4_L[6], _C4_L[0], _C4_L[4]]),
+    # v3: only 2 surviving sentences → below the 5-sentence floor
+    "\n".join([_C4_L[0], _C4_L[1], _C4_L[4], _C4_L[5], _C4_L[2]]),
+]
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line battery (Raffel et al. 2020 §2.2) over four hand-built
+    page variants assigned by doc_id arithmetic: terminal-punctuation /
+    min-words / javascript / cookie-policy line filters plus the
+    lorem-ipsum, curly-brace and 5-sentence page gates.  The oracle
+    states each variant's (n_lines, n_kept, n_sentences, keep) matrix
+    as hand-derived literals — splitting, every line predicate, the
+    rebuild and the page gates all have to be right for the counts to
+    land.  The whole lane is JVM codegen (split / higher-order filter /
+    array_join / regexp_count): zero Python, zero shuffle."""
+    from machine_readability_checker_spark.operators.textstats import (
+        with_c4_line_stats,
+    )
+
+    texts = F.array(*[F.lit(v) for v in _C4_VARIANTS])
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(texts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+            "text"
+        ),
+    )
+    out = with_c4_line_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("c4_n_lines").cast("int").alias("n_lines"),
+        F.col("c4_n_kept").cast("int").alias("n_kept"),
+        F.col("c4_n_sentences").alias("n_sentences"),
+        "c4_keep",
+    ).orderBy("doc_id")
+
+
+_C4_SQL = """
+    WITH expect(variant, n_lines, n_kept, n_sentences, c4_keep) AS (
+      VALUES (0, 9, 5, 5, TRUE),
+             (1, 6, 5, 5, FALSE),
+             (2, 6, 6, 6, FALSE),
+             (3, 5, 2, 2, FALSE)
+    )
+    SELECT d.doc_id,
+           CAST(e.n_lines AS INTEGER) AS n_lines,
+           CAST(e.n_kept AS INTEGER) AS n_kept,
+           CAST(e.n_sentences AS INTEGER) AS n_sentences,
+           e.c4_keep
+    FROM documents d
+    JOIN expect e ON e.variant = d.doc_id % 4
+    ORDER BY d.doc_id
+"""
+
+
 _BM25_QUERY = "hash join vector"
 
 
@@ -3881,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": q_image_dhash_dups,
         "video_fold_dups": q_video_fold_dups,
         "exif_scan": q_exif_scan,
+        "c4_line_filter": q_c4_line_filter,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
@@ -4045,6 +4123,7 @@ def oracle_sql() -> dict[str, str]:
     out["image_dhash_dups"] = _IMAGE_DHASH_SQL
     out["video_fold_dups"] = _IMAGE_DHASH_SQL  # same pair geometry
     out["exif_scan"] = _EXIF_SCAN_SQL
+    out["c4_line_filter"] = _C4_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

@@ -63,6 +63,17 @@ def main() -> None:
         "language-free and would be wiped out)",
     )
     ap.add_argument(
+        "--c4-lines", action="store_true",
+        help="add the C4 line battery (Raffel et al. 2020): rewrite "
+        "every document to its surviving lines (terminal punctuation, "
+        ">=3 words, no javascript/cookie-policy boilerplate) and drop "
+        "pages with lorem ipsum, curly braces, or fewer than 5 "
+        "surviving sentences; all later stages see the rewritten text. "
+        "Meant for line-structured web prose — tabular/synthetic "
+        "corpora without terminal punctuation will be wiped out "
+        "(same caveat as --require-known-lang)",
+    )
+    ap.add_argument(
         "--drop-repetitive", action="store_true",
         help="add the Gopher-style repetition stage to the funnel "
         "(dup-token / looping-bigram flags)",
@@ -233,6 +244,7 @@ def main() -> None:
         ppl_model=pmodel,
         ppl_threshold=pthreshold,
         min_compression_ratio=args.min_compression_ratio,
+        c4_lines=args.c4_lines,
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,
@@ -241,6 +253,7 @@ def main() -> None:
         model_quality=qmodel is not None,
         lm_ppl=pmodel is not None,
         compression=args.min_compression_ratio is not None,
+        c4_lines=args.c4_lines,
     )
     funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
     funnel_rows = {

@@ -536,10 +536,13 @@ def stage_names(
     model_quality: bool = False,
     lm_ppl: bool = False,
     compression: bool = False,
+    c4_lines: bool = False,
 ) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
     names = ["raw", "exact_dedup", "normalized_dedup", "min_tokens"]
+    if c4_lines:
+        names.append("c4_lines")
     if drop_repetitive:
         names.append("repetition_ok")
     if compression:
@@ -566,6 +569,7 @@ def label_drop_stage(
     ppl_model=None,
     ppl_threshold: float = None,
     min_compression_ratio: float = None,
+    c4_lines: bool = False,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -606,6 +610,15 @@ def label_drop_stage(
     from pyspark.sql import Window
 
     extra_cols = []
+    if c4_lines:
+        # C4 is a LINE rewrite, not just a document gate: every later
+        # stage (dedup fingerprints, token floor, repetition, models)
+        # must see the line-filtered text, so the rewrite happens first
+        # and only the page verdict rides along into the labeling pass
+        df = with_c4_line_stats(df, text_col).withColumn(
+            text_col, F.col("c4_text")
+        ).drop("c4_text", "c4_n_lines", "c4_n_kept", "c4_n_sentences")
+        extra_cols = extra_cols + ["c4_keep"]
     if drop_repetitive:
         # materialized-stage computation (see with_repetition_stats);
         # only the flag struct rides along into the labeling pass
@@ -656,6 +669,11 @@ def label_drop_stage(
         .when(~keep_tokens, F.lit(3))
     )
     stage = 4
+    if c4_lines:
+        drop = drop.when(
+            ~F.coalesce(F.col("c4_keep"), F.lit(False)), F.lit(stage)
+        )
+        stage += 1
     if drop_repetitive:
         rep_bad = F.col("repetition_flag.too_many_dup_tokens") | F.col(
             "repetition_flag.looping_bigram"
@@ -719,13 +737,14 @@ def funnel_from_labels(
     model_quality: bool = False,
     lm_ppl: bool = False,
     compression: bool = False,
+    c4_lines: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
     names = stage_names(
         require_known_lang, drop_repetitive, model_quality, lm_ppl,
-        compression,
+        compression, c4_lines,
     )
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0
@@ -769,6 +788,91 @@ def cleaning_funnel(
     ``label_drop_stage`` for the stage list).  One labeling pass + one
     aggregate — the dedup window shuffles run exactly once."""
     return funnel_from_labels(label_drop_stage(df, text_col, id_col))
+
+
+# ------------------------------------------------------- C4 line filters
+
+#: C4 (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
+#: §2.2) line battery: a line survives only if it ends in a terminal
+#: punctuation mark (period / exclamation / question mark / closing
+#: quote), has ≥3 words, and mentions neither "javascript" nor a
+#: cookie/policy boilerplate phrase (the phrase list is the
+#: RefinedWeb/FineWeb extension of C4's javascript rule).  Pages drop
+#: wholesale when they contain "lorem ipsum" or a curly brace, or when
+#: fewer than 5 sentences survive the line filter.  Patterns are
+#: engine-portable (identical under Java regex and RE2/DuckDB).
+C4_TERMINAL_PATTERN = "[.!?\"’”]\\s*$"
+C4_BAD_LINE_PATTERN = (
+    "javascript|privacy policy|terms of use|cookie policy|"
+    "use cookies|uses cookies|use of cookies"
+)
+C4_SENTENCE_PATTERN = "[.!?]"
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+
+
+def with_c4_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """C4 line filtering as added columns: ``c4_text`` (the document
+    rebuilt from surviving lines), ``c4_n_lines`` / ``c4_n_kept`` /
+    ``c4_n_sentences`` counters, and the page verdict ``c4_keep``.
+
+    Pure codegen — one ``split`` + one higher-order ``filter`` whose
+    predicates all reference the lambda argument (no re-evaluated
+    captured expressions, see SCALE.md), then ``array_join`` and a
+    ``regexp_count``.  Zero shuffle, zero Python: at 100 TB this is
+    scan-bound like the PII pass."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_PATTERN)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= min_words)
+        & ~F.lower(x).rlike(C4_BAD_LINE_PATTERN),
+    )
+    out = (
+        df.withColumn("_c4_lines", lines)
+        .withColumn("_c4_kept", kept)
+        .withColumn("c4_text", F.array_join(F.col("_c4_kept"), "\n"))
+        .withColumn("c4_n_lines", F.size("_c4_lines"))
+        .withColumn("c4_n_kept", F.size("_c4_kept"))
+        .withColumn(
+            "c4_n_sentences",
+            F.regexp_count(F.col("c4_text"), F.lit(C4_SENTENCE_PATTERN)).cast(
+                "int"
+            ),
+        )
+    )
+    page_ok = (
+        (F.col("c4_n_sentences") >= min_sentences)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return out.withColumn(
+        "c4_keep", F.coalesce(page_ok, F.lit(False))
+    ).drop("_c4_lines", "_c4_kept")
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """The C4-filtered corpus: pages passing the page gates, with
+    ``text_col`` replaced by the surviving lines."""
+    return (
+        with_c4_line_stats(df, text_col, min_words, min_sentences)
+        .filter(F.col("c4_keep"))
+        .withColumn(text_col, F.col("c4_text"))
+        .drop(
+            "c4_text", "c4_n_lines", "c4_n_kept", "c4_n_sentences",
+            "c4_keep",
+        )
+    )
 
 
 # ----------------------------------------------------------- PII redaction

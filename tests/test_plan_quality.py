@@ -156,6 +156,18 @@ def test_repetition_stats_is_narrow(spark):
     assert _plan(full).count("Exchange") == 0
 
 
+def test_c4_line_stats_is_narrow_jvm_only(spark):
+    """The C4 line battery is per-row expression work (split /
+    higher-order filter / array_join / regexp_count): zero exchanges
+    and zero Python eval nodes — at 100 TB the pass is scan-bound."""
+    from machine_readability_checker_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(textstats.with_c4_line_stats(docs))
+    assert plan.count("Exchange") == 0
+    assert "EvalPython" not in plan
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """Decontamination must broadcast the (small) benchmark shingle side:
     the corpus shingle table is never shuffled for the join — the only
