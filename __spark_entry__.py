@@ -2677,6 +2677,86 @@ _EXIF_SCAN_SQL = """
 """
 
 
+def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org harvest: each doc gets a REAL HTML page ASSEMBLED
+    with JVM expressions carrying one JSON-LD Product (name/sku/price
+    from doc_id arithmetic) and one microdata Person block (name from
+    text content, url from href, age from meta content), parsed back
+    through the stdlib JSON-LD + microdata kernel.  The oracle
+    regenerates all six property rows per doc arithmetically — script
+    extraction, JSON flattening, itemscope scoping, every microdata
+    value-attribute rule and the document-order property indices all
+    have to be right for the rows to land."""
+    from machine_readability_checker_spark.operators.structdata import (
+        structured_data,
+    )
+
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="application/ld+json">'
+            '{"@type":"Product","name":"Widget '
+        ),
+        i.cast("string"),
+        F.lit('","sku":"SKU-'),
+        (i % 97).cast("string"),
+        F.lit('","price":'),
+        ((i % 50) + 1).cast("string"),
+        F.lit(
+            "}</script></head><body>"
+            '<div itemscope itemtype="https://schema.org/Person">'
+            '<span itemprop="name">User '
+        ),
+        (i % 13).cast("string"),
+        F.lit('</span><a itemprop="url" href="https://ex.com/u/'),
+        (i % 13).cast("string"),
+        F.lit('">profile</a><meta itemprop="age" content="'),
+        ((i % 60) + 18).cast("string"),
+        F.lit('"></div></body></html>'),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("content"),
+    )
+    return (
+        structured_data(pages)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "item_id", "prop_idx", "format", "item_type", "prop",
+            "value",
+        )
+        .orderBy("doc_id", "item_id", "prop_idx")
+    )
+
+
+_STRUCT_DATA_SQL = """
+    SELECT d.doc_id,
+           CAST(p.item_id AS INTEGER) AS item_id,
+           CAST(p.prop_idx AS INTEGER) AS prop_idx,
+           p.format, p.item_type, p.prop,
+           CASE p.prop
+             WHEN 'name'  THEN CASE p.format
+                                 WHEN 'jsonld' THEN 'Widget ' || d.doc_id
+                                 ELSE 'User ' || (d.doc_id % 13) END
+             WHEN 'sku'   THEN 'SKU-' || (d.doc_id % 97)
+             WHEN 'price' THEN CAST((d.doc_id % 50) + 1 AS VARCHAR)
+             WHEN 'url'   THEN 'https://ex.com/u/' || (d.doc_id % 13)
+             WHEN 'age'   THEN CAST((d.doc_id % 60) + 18 AS VARCHAR)
+           END AS value
+    FROM documents d
+    CROSS JOIN (VALUES
+      (0, 0, 'jsonld', 'Product', 'name'),
+      (0, 1, 'jsonld', 'Product', 'sku'),
+      (0, 2, 'jsonld', 'Product', 'price'),
+      (1, 0, 'microdata', 'https://schema.org/Person', 'name'),
+      (1, 1, 'microdata', 'https://schema.org/Person', 'url'),
+      (1, 2, 'microdata', 'https://schema.org/Person', 'age')
+    ) AS p(item_id, prop_idx, format, item_type, prop)
+    ORDER BY d.doc_id, p.item_id, p.prop_idx
+"""
+
+
 # C4 lane line pool — each line's verdict under the battery is
 # hand-derived in q_c4_line_filter's docstring; the oracle states the
 # resulting per-variant counters as literals.
@@ -3959,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_fold_dups": q_video_fold_dups,
         "exif_scan": q_exif_scan,
         "c4_line_filter": q_c4_line_filter,
+        "structured_data": q_structured_data,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
@@ -4124,6 +4205,7 @@ def oracle_sql() -> dict[str, str]:
     out["video_fold_dups"] = _IMAGE_DHASH_SQL  # same pair geometry
     out["exif_scan"] = _EXIF_SCAN_SQL
     out["c4_line_filter"] = _C4_SQL
+    out["structured_data"] = _STRUCT_DATA_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

@@ -69,6 +69,12 @@ def main() -> None:
         help="honor <meta name=robots> noindex: drop such pages from "
         "the corpus outputs while still harvesting their links",
     )
+    ap.add_argument(
+        "--structured-data", action="store_true",
+        help="harvest schema.org annotations (JSON-LD + microdata) "
+        "from the kept pages into --out/structdata (one row per "
+        "entity property)",
+    )
     ap.add_argument("--splits", type=int, default=16)
     ap.add_argument("--wave", type=int, default=0)
     ap.add_argument(
@@ -104,6 +110,7 @@ def main() -> None:
         cores=args.cores, sniff=args.sniff,
         honor_canonical=args.honor_canonical,
         honor_noindex=args.honor_noindex,
+        structured=args.structured_data,
     )
 
     # materialize: pages last (it joins graph outputs)
@@ -159,6 +166,18 @@ def main() -> None:
     out["pages"].write.mode("overwrite").parquet(
         os.path.join(args.out, "pages")
     )
+    sd_stats = {}
+    if out.get("structdata") is not None:
+        out["structdata"].write.mode("overwrite").parquet(
+            os.path.join(args.out, "structdata")
+        )
+        sd = spark.read.parquet(os.path.join(args.out, "structdata"))
+        sd_stats["structdata"] = {
+            r["format"]: r["n"]
+            for r in sd.groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
     pages = spark.read.parquet(os.path.join(args.out, "pages"))
     graph = spark.read.parquet(os.path.join(args.out, "graph"))
@@ -185,6 +204,7 @@ def main() -> None:
             {"meta_noindex_dropped": out["noindex"].count()}
             if out.get("noindex") is not None else {}
         ),
+        **sd_stats,
         "wall_sec": round(time.time() - t0, 3),
         "cores": args.cores,
         **resume_stats,
@@ -195,6 +215,15 @@ def main() -> None:
             expected["kept"] == n_pages
             and expected["blocked"] == n_blocked
             and expected["dups"] == n_dups
+            and (
+                not args.structured_data
+                or (
+                    sd_stats["structdata"].get("jsonld", 0)
+                    == expected["sd_jsonld"]
+                    and sd_stats["structdata"].get("microdata", 0)
+                    == expected["sd_microdata"]
+                )
+            )
         )
     print(json.dumps(stats))
     spark.stop()

@@ -55,6 +55,7 @@ def crawl_curate(
     sniff: bool = False,
     honor_canonical: bool = False,
     honor_noindex: bool = False,
+    structured: bool = False,
 ) -> Dict[str, DataFrame]:
     """WARC record frame (``sources.warc.WARC_SCHEMA``) → the curated
     outputs: ``pages`` (canonical URL, robots verdict survived, degree
@@ -76,7 +77,12 @@ def crawl_curate(
     such pages leave the corpus outputs (``pages``/``spans``, returned
     also as the ``noindex`` diagnostic frame) but still feed the link
     graph — noindex is an indexing opt-out, not nofollow.  Shares the
-    metadata kernel with ``honor_canonical``."""
+    metadata kernel with ``honor_canonical``.
+
+    ``structured=True`` additionally harvests schema.org annotations
+    (JSON-LD + microdata, ``operators.structdata``) from the corpus
+    pages into a ``structdata`` frame — one more narrow Arrow kernel
+    over the already-kept pages, nothing upstream changes."""
     html = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
@@ -186,6 +192,14 @@ def crawl_curate(
         .drop("_node")
         .fillna(0, subset=["out_degree", "in_degree"])
     )
+    structdata = None
+    if structured:
+        from ..operators.structdata import structured_data
+
+        structdata = structured_data(
+            corpus_kept.select("doc_id", "url", "content", "charset")
+        )
+
     return {
         "pages": pages,
         "spans": spans,
@@ -195,4 +209,5 @@ def crawl_curate(
         "blocked": blocked,
         "dups": dups,
         "noindex": noindex,
+        "structdata": structdata,
     }

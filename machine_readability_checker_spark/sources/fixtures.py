@@ -766,17 +766,41 @@ def gen_crawl_warc_files(
             )
         )
 
-    expected = {"robots": n_domains, "pages": 0, "dups": 0, "blocked": 0}
+    expected = {
+        "robots": n_domains, "pages": 0, "dups": 0, "blocked": 0,
+        "sd_jsonld": 0, "sd_microdata": 0,
+    }
     for i in range(n_pages):
         j1, j2 = (7 * i + 3) % n_pages, (13 * i + 5) % n_pages
+        # schema.org annotations for the --structured-data surface:
+        # every 3rd page a JSON-LD Article (2 props), every 4th a
+        # microdata Person (2 props); scripts are DROP_TAGS so the
+        # extraction spans are untouched
+        sd_head = (
+            '<script type="application/ld+json">{"@type":"Article",'
+            f'"headline":"Page {i}","position":{i % 9}}}</script>'
+            if i % 3 == 0 else ""
+        )
+        sd_body = (
+            '<div itemscope itemtype="https://schema.org/Person">'
+            f'<span itemprop="name">Author {i % 13}</span>'
+            f'<meta itemprop="affiliation" content="site{i % n_domains}">'
+            "</div>"
+            if i % 4 == 0 else ""
+        )
+        if not (i % 14 != 3 and i % 7 == 3):  # page survives robots
+            if i % 3 == 0:
+                expected["sd_jsonld"] += 2
+            if i % 4 == 0:
+                expected["sd_microdata"] += 2
         html = (
-            f"<html><head><title>page {i}</title></head><body>"
+            f"<html><head><title>page {i}</title>{sd_head}</head><body>"
             f"<p>Deterministic prose for page {i} with enough words to "
             f"classify as main content under the density rule.</p>"
             f'<p>Related: <a href="{_url(j1)}">read {j1 % 11}</a> and '
             f'<a href="{_url(j2)}">see {j2 % 11}</a>.</p>'
             f'<p><a rel="nofollow" href="http://ads.example.net/c">ad'
-            f"</a></p></body></html>"
+            f"</a></p>{sd_body}</body></html>"
         ).encode("utf-8")
         records.append(
             encode_warc_record(
