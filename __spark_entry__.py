@@ -2658,6 +2658,92 @@ def q_exif_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF auto-orientation: each doc gets a REAL 16×8 JPEG whose
+    orientation tag cycles 1..8 by doc_id; the operator must read the
+    tag, apply the right transform, and re-encode — the oracle pins
+    the tag value and the output geometry (orientations 5–8 swap the
+    axes) from doc_id arithmetic alone.  Pixel-level transform
+    correctness is pinned exactly in pytest (hand-derived matrices
+    for all eight tags); the lane pins the distributed plumbing plus
+    the decode → transform → re-encode → re-decode round trip."""
+    from machine_readability_checker_spark.operators.multimodal import (
+        auto_orient_images,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from machine_readability_checker_spark.core.exif import (
+            build_exif_app1,
+            insert_app1,
+        )
+        from machine_readability_checker_spark.core.jpeg import encode_jpeg
+
+        px = np.clip(
+            np.mgrid[0:8, 0:16][0] * 16 + np.mgrid[0:8, 0:16][1] * 4,
+            0, 255,
+        ).astype(np.uint8)
+        base = encode_jpeg(16, 8, 1, px.tobytes(), quality=90)
+        for pdf in batches:
+            blobs = [
+                insert_app1(
+                    base,
+                    build_exif_app1(orientation=(int(did) % 8) + 1),
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": "m",
+                 "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        build, schema="doc_id long, media_ref string, content binary"
+    )
+    oriented = auto_orient_images(media)
+    # second decode pass proves the re-encoded bytes are a valid image
+    # of the transformed geometry
+    feats = extract_media_features(
+        oriented.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "media_ref",
+            "content",
+        )
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").alias("re_width"),
+        F.col("height").alias("re_height"),
+    )
+    return (
+        oriented.select("doc_id", "orientation", "width", "height")
+        .join(feats, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_AUTO_ORIENT_SQL = """
+    SELECT doc_id,
+           CAST((doc_id % 8) + 1 AS INTEGER) AS orientation,
+           CAST(CASE WHEN (doc_id % 8) + 1 >= 5 THEN 8 ELSE 16 END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN (doc_id % 8) + 1 >= 5 THEN 16 ELSE 8 END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN (doc_id % 8) + 1 >= 5 THEN 8 ELSE 16 END
+                AS INTEGER) AS re_width,
+           CAST(CASE WHEN (doc_id % 8) + 1 >= 5 THEN 16 ELSE 8 END
+                AS INTEGER) AS re_height
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 _EXIF_SCAN_SQL = """
     SELECT doc_id,
            (doc_id % 7) <> 6 AS has_exif,
@@ -4040,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_scan": q_exif_scan,
         "c4_line_filter": q_c4_line_filter,
         "structured_data": q_structured_data,
+        "auto_orient": q_auto_orient,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
@@ -4206,6 +4293,7 @@ def oracle_sql() -> dict[str, str]:
     out["exif_scan"] = _EXIF_SCAN_SQL
     out["c4_line_filter"] = _C4_SQL
     out["structured_data"] = _STRUCT_DATA_SQL
+    out["auto_orient"] = _AUTO_ORIENT_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

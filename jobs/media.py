@@ -140,6 +140,12 @@ def main() -> None:
         "pixel digest) under --out/image_dups",
     )
     ap.add_argument(
+        "--auto-orient", action="store_true",
+        help="normalize JPEGs to upright pixels per their EXIF "
+        "orientation tag (transform applied, metadata scrubbed so the "
+        "tag cannot be double-applied) under --out/oriented",
+    )
+    ap.add_argument(
         "--strip-exif", action="store_true",
         help="write a metadata-scrubbed copy of the store (JPEG "
         "APP1/APP2/APP13/COM segments and PNG text/eXIf/tIME chunks "
@@ -261,6 +267,27 @@ def main() -> None:
                 os.path.join(args.out, "image_dups", "exact_groups")
             ).count(),
         })
+
+    if args.auto_orient:
+        from machine_readability_checker_spark.operators.multimodal import (
+            auto_orient_images,
+        )
+
+        auto_orient_images(
+            joined.filter("media_type = 'image'")
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "oriented"))
+        ob = spark.read.parquet(os.path.join(args.out, "oriented"))
+        extra["oriented"] = {
+            "rotated": ob.filter(
+                F.coalesce(F.col("orientation"), F.lit(1)) > 1
+            ).count(),
+            "passthrough": ob.filter(
+                F.coalesce(F.col("orientation"), F.lit(1)) <= 1
+            ).count(),
+            "quarantined": ob.filter(
+                F.col("decode_error").isNotNull()
+            ).count(),
+        }
 
     if args.strip_exif:
         from machine_readability_checker_spark.operators.exifscan import (

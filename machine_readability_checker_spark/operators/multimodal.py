@@ -304,6 +304,117 @@ def resize_images(media_df: DataFrame, target_w: int, target_h: int) -> DataFram
     return media_df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
+def apply_orientation(img: DecodedImage, orientation: int) -> DecodedImage:
+    """Apply an EXIF orientation tag (TIFF 6.0 / EXIF 2.3 values 1–8)
+    to decoded pixels — the transform a correct decode pipeline must
+    honor before any geometry-sensitive op (resize, dHash, feature
+    extraction).  Exact numpy views, no resampling:
+
+      1 identity · 2 mirror-H · 3 rotate 180 · 4 mirror-V ·
+      5 transpose · 6 rotate 90 CW · 7 transverse · 8 rotate 90 CCW
+    """
+    import numpy as np
+
+    if orientation in (None, 0, 1):
+        return img
+    if orientation not in range(2, 9):
+        raise ValueError(f"bad EXIF orientation {orientation}")
+    a = np.frombuffer(img.pixels, dtype=np.uint8)
+    if len(a) != img.width * img.height * img.channels:
+        raise ValueError("payload does not match dimensions")
+    a = a.reshape(img.height, img.width, img.channels)
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1]
+    elif orientation == 5:
+        a = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        a = np.rot90(a, k=-1)
+    elif orientation == 7:
+        a = a[::-1, ::-1].transpose(1, 0, 2)
+    else:  # 8
+        a = np.rot90(a, k=1)
+    h2, w2 = a.shape[0], a.shape[1]
+    return DecodedImage(
+        img.container, w2, h2, img.channels, np.ascontiguousarray(a).tobytes()
+    )
+
+
+ORIENTED_FIELDS = [
+    T.StructField("orientation", T.IntegerType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("decode_error", T.StringType(), True),
+]
+
+
+def auto_orient_images(media_df: DataFrame) -> DataFrame:
+    """Normalize every JPEG to upright pixels: read the EXIF
+    orientation tag, apply its transform, re-encode, and scrub the
+    metadata (the oriented bytes carry no stale tag a downstream
+    consumer could double-apply).  Non-JPEG containers and tag-1/-less
+    JPEGs pass through byte-identical with ``orientation`` null/1.
+    Arrow-batched narrow map; malformed blobs quarantine.  Note the
+    re-encode is lossy for JPEG (like every auto-orient that does not
+    do lossless DCT-domain rotation) — geometry is exact, samples are
+    within codec tolerance."""
+    from ..core.exif import parse_exif, strip_jpeg_metadata
+
+    in_fields = {f.name: f for f in media_df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields["doc_id"], in_fields["media_ref"]] + ORIENTED_FIELDS
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "doc_id": [], "media_ref": [], "orientation": [],
+                "width": [], "height": [], "content": [],
+                "decode_error": [],
+            }
+            for row in batch.itertuples(index=False):
+                content = bytes(row.content)
+                out["doc_id"].append(row.doc_id)
+                out["media_ref"].append(row.media_ref)
+                try:
+                    ori = None
+                    if content.startswith(b"\xff\xd8"):
+                        meta = parse_exif(content)
+                        ori = meta["orientation"] if meta else None
+                    if ori in (None, 0, 1):
+                        img = decode_image(content)
+                        out["orientation"].append(ori)
+                        out["width"].append(img.width)
+                        out["height"].append(img.height)
+                        out["content"].append(content)
+                    else:
+                        img = apply_orientation(
+                            decode_image(content), ori
+                        )
+                        out["orientation"].append(ori)
+                        out["width"].append(img.width)
+                        out["height"].append(img.height)
+                        out["content"].append(
+                            strip_jpeg_metadata(encode_image(img))
+                        )
+                    out["decode_error"].append(None)
+                except Exception as e:
+                    out["orientation"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["content"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media_df.select(
+        "doc_id", "media_ref", "content"
+    ).mapInPandas(kernel, schema=out_schema)
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),

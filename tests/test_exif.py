@@ -125,6 +125,67 @@ def test_malformed_raises(blob):
         parse_exif(blob)
 
 
+def test_apply_orientation_all_eight():
+    from machine_readability_checker_spark.operators.multimodal import (
+        DecodedImage,
+        apply_orientation,
+    )
+
+    # h=2, w=3: [[1,2,3],[4,5,6]] — every expectation hand-derived
+    img = DecodedImage("png", 3, 2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    expect = {
+        1: (3, 2, [1, 2, 3, 4, 5, 6]),
+        2: (3, 2, [3, 2, 1, 6, 5, 4]),       # mirror horizontal
+        3: (3, 2, [6, 5, 4, 3, 2, 1]),       # rotate 180
+        4: (3, 2, [4, 5, 6, 1, 2, 3]),       # mirror vertical
+        5: (2, 3, [1, 4, 2, 5, 3, 6]),       # transpose
+        6: (2, 3, [4, 1, 5, 2, 6, 3]),       # rotate 90 CW
+        7: (2, 3, [6, 3, 5, 2, 4, 1]),       # transverse
+        8: (2, 3, [3, 6, 2, 5, 1, 4]),       # rotate 90 CCW
+    }
+    for o, (w, h, px) in expect.items():
+        got = apply_orientation(img, o)
+        assert (got.width, got.height, list(got.pixels)) == (w, h, px), o
+    with pytest.raises(ValueError):
+        apply_orientation(img, 9)
+
+
+def test_auto_orient_operator(spark):
+    from machine_readability_checker_spark.operators.multimodal import (
+        auto_orient_images,
+        decode_image,
+    )
+
+    px = np.clip(
+        (np.mgrid[0:8, 0:16][0] * 16 + np.mgrid[0:8, 0:16][1] * 4),
+        0, 255,
+    ).astype(np.uint8)  # h=8, w=16 asymmetric gradient
+    base = encode_jpeg(16, 8, 1, px.tobytes(), quality=95)
+    rows = [
+        ("d0", "m", bytearray(insert_app1(
+            base, build_exif_app1(orientation=6)))),  # rotate CW
+        ("d1", "m", bytearray(base)),                 # no EXIF: passthrough
+        ("d2", "m", bytearray(encode_png(3, 2, 1, bytes(6)))),  # non-JPEG
+        ("d3", "m", bytearray(b"\xff\xd8\x00\x00")),  # malformed
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, content binary"
+    )
+    out = {r["doc_id"]: r for r in auto_orient_images(df).collect()}
+    assert (out["d0"]["width"], out["d0"]["height"]) == (8, 16)
+    assert out["d0"]["orientation"] == 6
+    got = decode_image(bytes(out["d0"]["content"]))
+    assert (got.width, got.height) == (8, 16)
+    want = np.rot90(px, k=-1)
+    have = np.frombuffer(got.pixels, dtype=np.uint8).reshape(16, 8)
+    # geometry exact, samples within JPEG round-trip tolerance
+    assert np.abs(have.astype(int) - want.astype(int)).max() <= 8
+    assert bytes(out["d1"]["content"]) == base  # byte-identical
+    assert out["d1"]["orientation"] is None
+    assert bytes(out["d2"]["content"]) == encode_png(3, 2, 1, bytes(6))
+    assert out["d3"]["decode_error"] is not None
+
+
 def test_scan_exif_operator(spark):
     base = _base_jpeg()
     rows = [
