@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "frontier_schedule",
     "text_normalize",
     "readability",
+    "c4_line_filter",
+    "structured_data",
+    "exif_scan",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

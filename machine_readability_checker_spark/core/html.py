@@ -41,6 +41,20 @@ MAX_LINK_DENSITY = 0.33
 
 _WS_RE = re.compile(r"\s+")
 
+#: HTML5 void elements — no end tag, must not advance the depth the
+#: hidden-subtree tracker keys on.
+HTML_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+#: inline-CSS invisibility: the one styling channel a no-CSS-engine
+#: extractor CAN honor.  Hidden content is a boilerplate/cloaking
+#: vector (keyword stuffing, screen-reader-only duplication, unexpanded
+#: template panes) a training corpus should not ingest as page text.
+_HIDDEN_STYLE_RE = re.compile(
+    r"display\s*:\s*none|visibility\s*:\s*hidden", re.I
+)
+
 # HTML-spec whitespace is ASCII-only (space, tab, LF, FF, CR): browsers
 # collapse those but render U+3000 (full-width space) literally — so cell
 # text must preserve it for the L1-06 whitespace-formatting check.
@@ -80,6 +94,9 @@ class _Extractor(HTMLParser):
         self._heading_parts: List[str] = []
         self._in_title = False
         self._title_parts: List[str] = []
+        # -- hidden-subtree suppression (hidden attr / inline CSS) -----
+        self._elem_depth = 0
+        self._hidden_from: Optional[int] = None
         # -- table-grid capture (outermost <table> subtrees only) -----
         self.tables: List[List[List[str]]] = []
         self._tbl_depth = 0
@@ -183,6 +200,19 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
+        was_hidden = self._hidden_from is not None
+        if not was_hidden:
+            a = {k: (v or "") for k, v in attrs}
+            if "hidden" in a or _HIDDEN_STYLE_RE.search(a.get("style", "")):
+                if tag in HTML_VOID_TAGS:
+                    return  # hidden void element: skip it alone
+                self._flush()
+                self._hidden_from = self._elem_depth
+                was_hidden = True
+        if tag not in HTML_VOID_TAGS:
+            self._elem_depth += 1
+        if was_hidden:
+            return
         if tag == "title":
             self._in_title = True
             return
@@ -232,6 +262,12 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
+        if tag not in HTML_VOID_TAGS:
+            self._elem_depth = max(0, self._elem_depth - 1)
+        if self._hidden_from is not None:
+            if self._elem_depth <= self._hidden_from:
+                self._hidden_from = None  # hidden subtree closed
+            return
         if tag == "title":
             self._in_title = False
             return
@@ -272,7 +308,7 @@ class _Extractor(HTMLParser):
             self._flush()
 
     def handle_data(self, data):
-        if self._drop_depth:
+        if self._drop_depth or self._hidden_from is not None:
             return
         if self._in_title:
             self._title_parts.append(data)

@@ -256,6 +256,44 @@ def test_html_density_classification():
     assert refs == ["pic.png"]
 
 
+def test_html_hidden_content_dropped():
+    """hidden attribute and inline display:none / visibility:hidden
+    subtrees never reach the span stream (cloaking / keyword-stuffing
+    vector); visible siblings and content AFTER the hidden subtree
+    survive, and a hidden VOID element only skips itself."""
+    long_text = "word " * 30
+    html = f"""
+    <html><body>
+    <p>{long_text}before</p>
+    <div style="display:none"><p>STUFFED {long_text}</p>
+      <div><p>NESTED INVISIBLE</p></div></div>
+    <div hidden><p>ALSO HIDDEN</p></div>
+    <span style="visibility: Hidden">SR-ONLY</span>
+    <img hidden src="skipme.png">
+    <img src="keep.png">
+    <p>{long_text}after</p>
+    </body></html>"""
+    spans, _enc = extract_html_spans(html.encode("utf-8"))
+    joined = " ".join(t for _, t, _ in spans)
+    for bad in ("STUFFED", "NESTED INVISIBLE", "ALSO HIDDEN", "SR-ONLY"):
+        assert bad not in joined
+    assert "before" in joined and "after" in joined
+    assert [r for k, _, r in spans if k == "media"] == ["keep.png"]
+
+
+def test_html_hidden_table_not_captured():
+    from machine_readability_checker_spark.core.html import (
+        extract_html_tables,
+    )
+
+    html = (
+        '<table hidden><tr><td>x</td></tr></table>'
+        "<table><tr><td>a</td><td>b</td></tr></table>"
+    )
+    tables, _enc = extract_html_tables(html.encode("utf-8"))
+    assert tables == [[["a", "b"]]]
+
+
 # ------------------------------------------------------------ quarantine
 
 
