@@ -67,7 +67,11 @@ def _gen_interleaved(spark, n_docs: int):
             0, 255,
         ).astype(np.uint8)
         rgb = np.stack([img] * 3, -1)
-        jpg = encode_jpeg(16, 16, 3, rgb.tobytes(), quality=85)
+        # every 3rd JPEG is progressive (SOF2) — like a real crawl
+        jpg = encode_jpeg(
+            16, 16, 3, rgb.tobytes(), quality=85,
+            progressive=(i % 3 == 1),
+        )
         if i % 2 == 0:
             # half the camera uploads carry EXIF; every 6th has GPS PII
             from machine_readability_checker_spark.core.exif import (

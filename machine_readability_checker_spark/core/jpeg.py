@@ -1,4 +1,4 @@
-"""Baseline JPEG codec (ITU-T T.81 / JFIF) — pure stdlib + numpy.
+"""JPEG codec (ITU-T T.81 / JFIF) — pure stdlib + numpy.
 
 The second real still-image decode path next to PNG: marker parse,
 canonical Huffman entropy decode (byte-stuffing + restart markers),
@@ -6,14 +6,27 @@ dequantize/dezigzag, orthonormal IDCT, chroma upsampling (4:4:4, 4:2:2,
 4:2:0), YCbCr→RGB.  The encoder (Annex-K tables, libjpeg quality
 scaling, 4:4:4 or 4:2:0) exists for fixtures and round-trip tests.
 
+**Progressive (SOF2, T.81 Annex G) decodes for real**: multi-scan
+spectral selection AND successive approximation — interleaved/
+single-component DC first+refine scans, single-component AC first
+scans with EOBn run coding, the §G.1.2.3 AC refinement correction-bit
+algorithm, restart markers per scan — accumulated into per-component
+coefficient grids and rendered once at EOI.  This matters because most
+web JPEGs are progressive; a baseline-only decoder quarantines the
+majority of a real crawl's images.  The encoder can emit a
+spectral-selection-only progressive stream (``progressive=True``) for
+self-contained fixtures.
+
 Correctness is NOT self-referential: the tests cross-validate both
 directions against the JVM's ``javax.imageio`` through the running
 SparkSession's py4j gateway — our encoder's bytes must decode correctly
-under ImageIO, and ImageIO-written JPEGs must decode correctly here —
+under ImageIO, and ImageIO-written JPEGs (including its
+successive-approximation progressive mode) must decode correctly here —
 so a shared misunderstanding of the spec cannot cancel out.
 
-Scope: baseline sequential DCT, 8-bit, 1 or 3 components.  Progressive
-(SOF2) and arithmetic coding raise ``ValueError`` → quarantine rows.
+Scope: sequential + progressive DCT, 8-bit, 1 or 3 components.
+Arithmetic coding and hierarchical mode raise ``ValueError`` →
+quarantine rows.
 """
 
 from __future__ import annotations
@@ -177,13 +190,15 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # marker: pad; caller handles via at_marker/skip
+                else:
+                    # any marker ends the entropy segment: pad with 1s
+                    # (T.81 §B.2.1) — the caller resumes at the marker
+                    # (restart: skip_restart; progressive: next scan's
+                    # header).  Corrupt streams surface as invalid
+                    # Huffman codes, never as silent overruns.
                     self.acc = (self.acc << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -245,6 +260,7 @@ def decode_jpeg(content: bytes) -> Tuple[int, int, int, bytes]:
     huff_ac: Dict[int, Dict] = {}
     restart_interval = 0
     frame = None
+    coefs = None  # progressive: per-component zigzag coefficient grids
     pos = 2
     n = len(content)
     while pos + 4 <= n:
@@ -279,7 +295,7 @@ def decode_jpeg(content: bytes) -> Tuple[int, int, int, bytes]:
                 i += 17 + cnt
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -289,28 +305,46 @@ def decode_jpeg(content: bytes) -> Tuple[int, int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF{marker - 0xC0} unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                content,
-                pos + 2 + seglen,
-                frame,
-                sel,
-                qt,
-                huff_dc,
-                huff_ac,
-                restart_interval,
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    content,
+                    pos + 2 + seglen,
+                    frame,
+                    sel,
+                    qt,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _init_prog_coefs(frame)
+            _decode_progressive_scan(
+                content, pos + 2 + seglen, frame, order, sel,
+                huff_dc, huff_ac, restart_interval, coefs,
+                ss, se, a >> 4, a & 0xF,
             )
+            pos = _next_marker(content, pos + 2 + seglen)
+            continue
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _render_progressive(frame, qt, coefs)
     raise ValueError("no SOS marker found")
 
 
@@ -370,7 +404,16 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
 
-    # upsample to full resolution, crop, color transform
+    return _postprocess(frame, planes)
+
+
+def _postprocess(frame, planes):
+    """Shared decode tail: upsample to full resolution, crop, color
+    transform → (w, h, channels, bytes)."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for c, p in zip(comps, planes):
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
@@ -391,6 +434,239 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
     )
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, out.tobytes()
+
+
+# --- progressive decoding (T.81 Annex G) ----------------------------------
+
+
+def _mcu_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_block_grid(frame, c):
+    """Non-interleaved block grid: ceil(componentDim / 8) of the
+    UNPADDED component size (T.81 §A.2.2) — smaller than the MCU-padded
+    grid when the image is not an exact MCU multiple."""
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8  # (rows, cols)
+
+
+def _init_prog_coefs(frame):
+    """Per-component coefficient store over the MCU-padded grid,
+    zigzag index order (what every scan addresses)."""
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First non-stuffing, non-restart marker at/after ``pos`` (the end
+    of an entropy-coded segment)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _refine_nonzero(r: "_BitReader", blk: np.ndarray, k: int, se: int,
+                    p1: int, run: int) -> int:
+    """AC-refinement advance (T.81 §G.1.2.3 / libjpeg
+    decode_mcu_AC_refine inner loop): move k forward over ``run``
+    zero-history coefficients, emitting a correction bit for every
+    nonzero-history coefficient passed.  Returns the stop index
+    (a zero-history slot, or se+1)."""
+    while k <= se:
+        if blk[k] != 0:
+            if r.read_bit():
+                if (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else -p1
+        else:
+            if run == 0:
+                break
+            run -= 1
+        k += 1
+    return k
+
+
+def _decode_progressive_scan(
+    data, pos, frame, order, sel, huff_dc, huff_ac,
+    restart_interval, coefs, ss, se, ah, al,
+):
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    scan_cis = [by_id[cid] for cid in order]
+    r = _BitReader(data, pos)
+    p1 = 1 << al
+
+    def handle_restart(state):
+        if r.at_restart():
+            r.skip_restart()
+        else:
+            r.byte_align()
+            if r.at_restart():
+                r.skip_restart()
+        state["pred"] = [0] * len(comps)
+        state["eobrun"] = 0
+
+    state = {"pred": [0] * len(comps), "eobrun": 0}
+    is_dc = ss == 0
+
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if not is_dc and len(scan_cis) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    if is_dc and len(scan_cis) > 1:
+        # interleaved DC scan: standard MCU walk
+        _, _, mcux, mcuy = _mcu_geometry(frame)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    handle_restart(state)
+                mcu_count += 1
+                for ci in scan_cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + by,
+                                            mx * c["h"] + bx]
+                            _prog_dc_block(
+                                r, blk, huff_dc, sel[c["id"]][0],
+                                state, ci, ah, al,
+                            )
+        return
+
+    # single-component scan (DC or AC): walk the component's own grid
+    ci = scan_cis[0]
+    c = comps[ci]
+    rows, cols = _comp_block_grid(frame, c)
+    mcu_count = 0
+    for byy in range(rows):
+        for bxx in range(cols):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                handle_restart(state)
+            mcu_count += 1
+            blk = coefs[ci][byy, bxx]
+            if is_dc:
+                _prog_dc_block(
+                    r, blk, huff_dc, sel[c["id"]][0], state, ci, ah, al
+                )
+            else:
+                _prog_ac_block(
+                    r, blk, huff_ac[sel[c["id"]][1]], state,
+                    ss, se, ah, al, p1,
+                )
+
+
+def _prog_dc_block(r, blk, huff_dc, dc_t, state, ci, ah, al):
+    if ah == 0:  # first DC scan: Huffman diff at bit position al
+        t = r.decode_symbol(huff_dc[dc_t])
+        diff = _extend(r.read_bits(t), t)
+        state["pred"][ci] += diff
+        blk[0] = state["pred"][ci] << al
+    else:  # refinement: one raw bit
+        if r.read_bit():
+            blk[0] = blk[0] | (1 << al)
+
+
+def _prog_ac_block(r, blk, ac, state, ss, se, ah, al, p1):
+    if ah == 0:  # first AC scan for this band
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = r.decode_symbol(ac)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:  # EOBn: run of end-of-band blocks
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += r.read_bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(r.read_bits(size), size) << al
+            k += 1
+        return
+    # refinement scan (§G.1.2.3)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = r.decode_symbol(ac)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += r.read_bits(run)
+                    break  # EOB tail handled below
+                # ZRL: pass 16 zero-history slots
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement size")
+                newval = p1 if r.read_bit() else -p1
+            k = _refine_nonzero(r, blk, k, se, p1, run)
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        # correction bits for the remaining nonzero history of this block
+        while k <= se:
+            if blk[k] != 0:
+                if r.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _render_progressive(frame, qt, coefs):
+    comps = frame["comps"]
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        grid = coefs[ci]
+        rows, cols = grid.shape[0], grid.shape[1]
+        plane = np.zeros((rows * 8, cols * 8))
+        q = qt[c["tq"]]
+        for by in range(rows):
+            for bx in range(cols):
+                coef = np.zeros(64)
+                coef[ZIGZAG] = grid[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct(coef.reshape(8, 8) * q) + 128.0
+                )
+        planes.append(plane)
+    return _postprocess(frame, planes)
 
 
 # --- encoder -------------------------------------------------------------
@@ -475,11 +751,19 @@ def encode_jpeg(
     pixels: bytes,
     quality: int = 85,
     subsample_420: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encoder (fixtures + round-trip tests): grayscale or
-    RGB, 4:4:4 by default, optional 4:2:0 (box-filter chroma)."""
+    """JFIF encoder (fixtures + round-trip tests): grayscale or RGB,
+    4:4:4 by default, optional 4:2:0 (box-filter chroma).
+    ``progressive=True`` emits a REAL SOF2 stream in
+    spectral-selection mode (interleaved DC scan, then one AC 1–63
+    scan per component; Ah=Al=0) — quantized coefficients are
+    identical to the baseline encode of the same pixels, so both
+    decode to bit-identical output (pinned in tests).  4:4:4 only."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg supports 1 or 3 channels")
+    if progressive and subsample_420:
+        raise ValueError("progressive fixture encoder is 4:4:4 only")
     img = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
     img = img.astype(np.float64)
 
@@ -528,24 +812,90 @@ def encode_jpeg(
     ac_c = _canonical_codes(*STD_AC_CHROMA)
     tabsel = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (channels - 1)
 
-    bw = _BitWriter()
-    pred = [0] * channels
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(channels):
-                sh, sv = samp[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        pred[ci] = _encode_block(
-                            bw, block, qts[ci], pred[ci], *tabsel[ci]
-                        )
-    bw.flush()
-
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    if progressive:
+        # precompute quantized zigzag coefficient blocks (4:4:4 ⇒ every
+        # component shares the mcuy × mcux grid)
+        zz_all = []
+        for ci in range(channels):
+            arr = np.zeros((mcuy, mcux, 64), dtype=int)
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    block = padded[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ]
+                    coef = _fdct(block - 128.0) / qts[ci]
+                    arr[by, bx] = np.round(coef.reshape(64))[ZIGZAG].astype(
+                        int
+                    )
+            zz_all.append(arr)
+        # scan 1: interleaved DC (Ss=0 Se=0 Ah=0 Al=0)
+        bw = _BitWriter()
+        pred = [0] * channels
+        for by in range(mcuy):
+            for bx in range(mcux):
+                for ci in range(channels):
+                    dc = int(zz_all[ci][by, bx, 0])
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    t = _category(diff)
+                    code, length = tabsel[ci][0][t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(_mag_bits(diff, t), t)
+        bw.flush()
+        dc_bits = bytes(bw.buf)
+        # one AC 1..63 scan per component (Ss=1 Se=63 Ah=0 Al=0)
+        ac_scans = []
+        for ci in range(channels):
+            bw = _BitWriter()
+            ac_codes = tabsel[ci][1]
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    zz = zz_all[ci][by, bx]
+                    run = 0
+                    last_nz = (
+                        int(np.nonzero(zz[1:])[0][-1]) + 1
+                        if np.any(zz[1:])
+                        else 0
+                    )
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac_codes[0xF0]
+                            bw.write(c, ln)
+                            run -= 16
+                        size = _category(v)
+                        c, ln = ac_codes[(run << 4) | size]
+                        bw.write(c, ln)
+                        bw.write(_mag_bits(v, size), size)
+                        run = 0
+                    if last_nz < 63:
+                        c, ln = ac_codes[0x00]  # EOB (EOBRUN of 1)
+                        bw.write(c, ln)
+            bw.flush()
+            ac_scans.append(bytes(bw.buf))
+    else:
+        bw = _BitWriter()
+        pred = [0] * channels
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            y0 = (my * sv + by) * 8
+                            x0 = (mx * sh + bx) * 8
+                            block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                            pred[ci] = _encode_block(
+                                bw, block, qts[ci], pred[ci], *tabsel[ci]
+                            )
+        bw.flush()
 
     # quant tables are stored in zigzag order: table_zz[i] = table[ZIGZAG[i]]
     out = bytearray(b"\xff\xd8")
@@ -557,7 +907,7 @@ def encode_jpeg(
     for ci in range(channels):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
 
     def dht(tc: int, th: int, spec) -> bytes:
         bits, vals = spec
@@ -566,11 +916,23 @@ def encode_jpeg(
     out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, STD_AC_LUMA)
     if channels == 3:
         out += dht(0, 1, STD_DC_CHROMA) + dht(1, 1, STD_AC_CHROMA)
-    sos = bytes([channels])
-    for ci in range(channels):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bw.buf
+    if progressive:
+        # DC scan header (all components, Ss=Se=0)
+        sos = bytes([channels])
+        for ci in range(channels):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x10])
+        sos += bytes([0, 0, 0])
+        out += seg(0xDA, sos) + dc_bits
+        # AC scans (one component each, Ss=1 Se=63)
+        for ci in range(channels):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x01, 1, 63, 0])
+            out += seg(0xDA, sos) + ac_scans[ci]
+    else:
+        sos = bytes([channels])
+        for ci in range(channels):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)

@@ -64,10 +64,16 @@ def test_jpeg_quality_knob_and_errors():
     for bad in [b"", b"\xff\xd8\xff\xe0junk", b"PNG not jpeg"]:
         with pytest.raises(ValueError):
             decode_jpeg(bad)
-    # progressive SOF2 is refused, not misparsed
+    # a baseline full-band scan header inside an SOF2 frame is
+    # malformed progressive (DC scan must have Se=0) — refused, not
+    # misparsed
     blob = bytearray(encode_jpeg(48, 32, 3, rgb.tobytes()))
     idx = blob.find(b"\xff\xc0")
     blob[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+    # genuinely unsupported SOFs still refuse by name
+    blob[idx + 1] = 0xC3  # lossless sequential
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(blob))
 
@@ -116,6 +122,65 @@ def test_jpeg_cross_validates_against_javax_imageio(spark):
     W, H, C, px = decode_jpeg(blob2)
     ours2 = np.frombuffer(px, np.uint8).reshape(H, W, 3)
     assert int(np.max(np.abs(ours2.astype(int) - ref2.astype(int)))) <= 1
+
+
+def test_progressive_decode_matches_baseline_bit_for_bit():
+    """Spectral-selection progressive encode of the same pixels carries
+    the SAME quantized coefficients as the baseline encode, so both
+    must decode bit-identically — pins DC-scan interleaving, AC band
+    scans, EOB handling and the coefficient-accumulate-then-render
+    pipeline with zero tolerance."""
+    rng = np.random.RandomState(7)
+    for (w, h, ch) in [(16, 16, 3), (8, 8, 1), (23, 17, 3), (9, 31, 1)]:
+        px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        base = encode_jpeg(w, h, ch, px.tobytes(), quality=80)
+        prog = encode_jpeg(
+            w, h, ch, px.tobytes(), quality=80, progressive=True
+        )
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+        assert decode_jpeg(prog) == decode_jpeg(base)
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, 3, bytes(192), progressive=True,
+                    subsample_420=True)
+
+
+def test_progressive_cross_validates_against_javax_imageio(spark):
+    """Successive approximation: javax.imageio's progressive writer
+    emits the full multi-scan script (DC first+refine, AC first+refine,
+    subsampled chroma) — our decoder must match ImageIO's own reading
+    of those bytes within ±1.  Reverse direction: our SOF2 bytes must
+    decode under ImageIO to our own pixels within ±1."""
+    jvm = spark._jvm
+    rgb = _test_image(32, 24)
+    img = jvm.java.awt.image.BufferedImage(32, 24, 1)  # TYPE_INT_RGB
+    for y in range(24):
+        for x in range(32):
+            r, g, b = (int(v) for v in rgb[y, x])
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpg"
+    ).next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    blob = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in blob  # actually progressive
+    ref = _imageio_decode(jvm, blob)
+    W, H, C, px = decode_jpeg(blob)
+    ours = np.frombuffer(px, np.uint8).reshape(H, W, 3)
+    assert int(np.max(np.abs(ref.astype(int) - ours.astype(int)))) <= 1
+
+    mine = encode_jpeg(32, 24, 3, rgb.tobytes(), quality=90,
+                       progressive=True)
+    ref2 = _imageio_decode(jvm, mine)
+    W, H, C, px = decode_jpeg(mine)
+    ours2 = np.frombuffer(px, np.uint8).reshape(H, W, 3)
+    assert int(np.max(np.abs(ref2.astype(int) - ours2.astype(int)))) <= 1
 
 
 def test_jpeg_flows_through_media_kernel(spark):
