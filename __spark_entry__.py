@@ -2763,6 +2763,55 @@ _EXIF_SCAN_SQL = """
 """
 
 
+def q_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation under a
+    fixed literal model: four word inputs with hand-derivable best
+    segmentations (multi-piece decomposition, repeated piece, OOV
+    fallback to single characters, mixed) assigned by doc_id
+    arithmetic.  The oracle states each variant's segmentation as a
+    literal — lattice scoring, the OOV surrogate and piece
+    concatenation all have to be right.  EM training itself is pinned
+    in pytest against brute-force segmentation enumeration
+    (tests/test_unigram.py)."""
+    from machine_readability_checker_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    model = dict(
+        {c: -8.0 for c in "abcdefghijklmnopqrstuvwxyz"},
+        **{"un": -2.0, "related": -3.0, "data": -4.0},
+    )
+    texts = F.array(
+        F.lit("unrelated data"),
+        F.lit("data xyz"),
+        F.lit("datadata"),
+        F.lit("un un data"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(texts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+            "text"
+        ),
+    )
+    out = unigram_encode(docs, model)
+    return out.select(
+        "doc_id", F.array_join("pieces", " ").alias("segmentation")
+    ).orderBy("doc_id")
+
+
+_UNIGRAM_SQL = """
+    WITH expect(variant, segmentation) AS (VALUES
+      (0, 'un related data'),
+      (1, 'data x y z'),
+      (2, 'data data'),
+      (3, 'un un data')
+    )
+    SELECT d.doc_id, e.segmentation
+    FROM documents d JOIN expect e ON e.variant = d.doc_id % 4
+    ORDER BY d.doc_id
+"""
+
+
 def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org harvest: each doc gets a REAL HTML page ASSEMBLED
     with JVM expressions carrying one JSON-LD Product (name/sku/price
@@ -4127,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "structured_data": q_structured_data,
         "auto_orient": q_auto_orient,
+        "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
@@ -4294,6 +4344,7 @@ def oracle_sql() -> dict[str, str]:
     out["c4_line_filter"] = _C4_SQL
     out["structured_data"] = _STRUCT_DATA_SQL
     out["auto_orient"] = _AUTO_ORIENT_SQL
+    out["unigram_segments"] = _UNIGRAM_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL

@@ -265,7 +265,8 @@ def main() -> None:
         )
 
     def _bench_media(spark, sf_dir):
-        # real-codec decode throughput: 2000 JPEGs + 500 GIFs + 500
+        # real-codec decode throughput: 2000 JPEGs (every 3rd
+        # progressive/SOF2, like a real crawl) + 500 GIFs + 500
         # BMPs + 500 WAV clips + 200 MJPEG AVIs through the Arrow
         # feature kernels (bench-only lane; correctness lives in
         # tests/test_jpeg.py + test_gif_bmp.py incl. the javax.imageio
@@ -290,13 +291,18 @@ def main() -> None:
             0, 255,
         ).astype(_np.uint8)
         jpg = encode_jpeg(32, 32, 3, rgb.tobytes(), quality=85)
+        jpg_prog = encode_jpeg(
+            32, 32, 3, rgb.tobytes(), quality=85, progressive=True
+        )
         wavb = encode_wav(
             16000, 1, 16,
             (_np.sin(_np.arange(16000) / 20) * 20000).astype("<i2").tobytes(),
         )
         avib = encode_avi(32, 32, 10.0, [jpg] * 5)
         rows = (
-            [(f"img{i}", "m.jpg", "image", bytearray(jpg)) for i in range(2000)]
+            [(f"img{i}", "m.jpg", "image",
+              bytearray(jpg_prog if i % 3 == 1 else jpg))
+             for i in range(2000)]
             + [(f"aud{i}", "m.wav", "audio", bytearray(wavb)) for i in range(500)]
             + [(f"vid{i}", "m.avi", "video", bytearray(avib)) for i in range(200)]
             + [(f"gif{i}", "m.gif", "image",
