@@ -3211,6 +3211,384 @@ def _md_extract_oracle_sql() -> str:
     """
 
 
+def _ipynb_variant_docs():
+    """Three fixed nbformat-4 notebooks covering the lane's dispatch
+    matrix: markdown-title + execute_result + display_data image (v0);
+    raw-cell skip + ANSI error traceback + post-code heading demotion
+    (v1); list-form sources, GFM table in a markdown cell, attachment
+    image, stream output without trailing newline (v2)."""
+    import json as _json
+
+    v0 = {
+        "nbformat": 4, "nbformat_minor": 5, "metadata": {},
+        "cells": [
+            {"cell_type": "markdown", "metadata": {},
+             "source": "# Analysis Report\n\nLoads *data* and plots it."},
+            {"cell_type": "code", "metadata": {}, "execution_count": 1,
+             "source": "import numpy as np\nnp.arange(3).sum()",
+             "outputs": [
+                 {"output_type": "execute_result", "execution_count": 1,
+                  "metadata": {}, "data": {"text/plain": "3"}},
+             ]},
+            {"cell_type": "code", "metadata": {}, "execution_count": 2,
+             "source": "plot()",
+             "outputs": [
+                 {"output_type": "display_data", "metadata": {},
+                  "data": {"image/png": "iVBORw0KGgo=",
+                           "text/plain": "<Figure 1x1>"}},
+             ]},
+        ],
+    }
+    v1 = {
+        "nbformat": 4, "nbformat_minor": 5, "metadata": {},
+        "cells": [
+            {"cell_type": "raw", "metadata": {}, "source": "::latex::"},
+            {"cell_type": "code", "metadata": {}, "execution_count": 1,
+             "source": "x = 1/0",
+             "outputs": [
+                 {"output_type": "error", "ename": "ZeroDivisionError",
+                  "evalue": "division by zero",
+                  "traceback": [
+                      "\x1b[0;31mZeroDivisionError\x1b[0m: "
+                      "division by zero"
+                  ]},
+             ]},
+            {"cell_type": "markdown", "metadata": {},
+             "source": "# Postmortem\n\nWhat failed."},
+        ],
+    }
+    v2 = {
+        "nbformat": 4, "nbformat_minor": 5, "metadata": {},
+        "cells": [
+            {"cell_type": "markdown", "metadata": {},
+             "source": ["# Results\n", "\n", "| run | score |\n",
+                        "|-----|------:|\n", "| a | 1 |\n", "\n",
+                        "![trend](attachment:trend.png)\n"]},
+            {"cell_type": "code", "metadata": {}, "execution_count": 1,
+             "source": ["print('done')"],
+             "outputs": [
+                 {"output_type": "stream", "name": "stderr",
+                  "text": "done"},
+             ]},
+        ],
+    }
+    return [_json.dumps(v) for v in (v0, v1, v2)]
+
+
+_IPYNB_VARIANT_DOCS = _ipynb_variant_docs()
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_ipynb.py over the same bytes)
+_IPYNB_VARIANT_SPANS = [
+    [
+        ("title", "Analysis Report", ""),
+        ("main", "Loads data and plots it.", ""),
+        ("code", "import numpy as np\nnp.arange(3).sum()", ""),
+        ("output", "3", ""),
+        ("code", "plot()", ""),
+        ("media", "<Figure 1x1>", "output:cell2/out0.png"),
+    ],
+    [
+        ("code", "x = 1/0", ""),
+        ("output",
+         "ZeroDivisionError: division by zero\n"
+         "ZeroDivisionError: division by zero", ""),
+        ("heading", "Postmortem", ""),
+        ("main", "What failed.", ""),
+    ],
+    [
+        ("title", "Results", ""),
+        ("main", "run", ""),
+        ("main", "score", ""),
+        ("main", "a", ""),
+        ("main", "1", ""),
+        ("media", "trend", "attachment:trend.png"),
+        ("code", "print('done')", ""),
+        ("output", "done", ""),
+    ],
+]
+
+
+def q_ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter notebook extraction end-to-end: three fixed variant
+    notebooks (markdown/code/raw cell dispatch, execute_result +
+    display_data + stream + error outputs, image media refs, ANSI
+    strip, list-form sources) flow through the shared extraction
+    kernel (fmt="ipynb"); the oracle states the expected ordered span
+    sequences as literals.  Same narrow mapInPandas + hash aggregate
+    shape as the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "ipynb", _IPYNB_VARIANT_DOCS[v].encode("utf-8")
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _ipynb_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_IPYNB_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+_SUBTITLE_VARIANT_DOCS = [
+    (
+        "srt",
+        "1\n00:00:01,000 --> 00:00:02,500\n<i>hello</i> world\n\n"
+        "2\n00:00:03,000 --> 00:00:04,000\nsecond cue\nline two\n",
+    ),
+    (
+        "vtt",
+        "WEBVTT\n\n"
+        "NOTE fixture comment\n\n"
+        "intro\n00:05.000 --> 00:07.250 align:start\n"
+        "<v Narrator>short form</v>\n\n"
+        "01:00:00.000 --> 01:00:01.500\n<c.yellow>tail &amp; end</c>\n",
+    ),
+    (
+        "srt",
+        "﻿00:00:10,000 --> 00:00:11,000\nlater\n\n"
+        "00:00:01,500 --> 00:00:02,000\n{\\an8}earlier\n",
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_subtitles.py over the same bytes)
+_SUBTITLE_VARIANT_SPANS = [
+    [
+        ("caption", "hello world", "t=1000-2500"),
+        ("caption", "second cue\nline two", "t=3000-4000"),
+    ],
+    [
+        ("caption", "short form", "t=5000-7250"),
+        ("caption", "tail & end", "t=3600000-3601500"),
+    ],
+    [
+        ("caption", "later", "t=10000-11000"),
+        ("caption", "earlier", "t=1500-2000"),
+    ],
+]
+
+
+def q_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle extraction end-to-end: three fixed variant docs (SRT
+    tags + multi-line cues; WebVTT NOTE blocks, cue ids, settings,
+    short + long timestamps, voice/class tags, entities; BOM +
+    index-less + out-of-order-timestamp SRT with ASS overrides) flow
+    through the shared extraction kernel; the oracle states the
+    expected ordered span sequences as literals.  Same narrow
+    mapInPandas + hash aggregate shape as the other extraction
+    lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                fmt, doc = _SUBTITLE_VARIANT_DOCS[v]
+                out = extract_document(str(did), fmt, doc.encode("utf-8"))
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _subtitle_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_SUBTITLE_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def q_transcript_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript chunking end-to-end: render a deterministic 4-cue SRT
+    per document (cue j starts at (doc_id%5)*700 + j*9000 ms — the
+    third cue straddles the 20 s window boundary depending on
+    doc_id%5), parse it through the REAL subtitle lane, then bucket
+    with ``transcript_windows`` (one hash aggregate, in-aggregate
+    ordering).  doc_id%35 fully determines a document's cue pattern,
+    so results aggregate to the 35 variants; the DuckDB oracle
+    reconstructs the cues arithmetically and applies the same window
+    aggregation in SQL."""
+    from machine_readability_checker_spark.operators.transcripts import (
+        transcript_windows,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        def srt_ts(ms):
+            s, ms2 = divmod(ms, 1000)
+            m, s = divmod(s, 60)
+            h, m = divmod(m, 60)
+            return f"{h:02d}:{m:02d}:{s:02d},{ms2:03d}"
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                parts = []
+                for j in range(4):
+                    a = (did % 5) * 700 + j * 9000
+                    b = a + 1200 + (did % 3) * 100
+                    parts.append(
+                        f"{j + 1}\n{srt_ts(a)} --> {srt_ts(b)}\n"
+                        f"w{did % 7} c{j}"
+                    )
+                out = extract_document(
+                    str(did), "srt", "\n\n".join(parts).encode("utf-8")
+                )
+                rows.append((str(did), out["spans"]))
+            yield _pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    from machine_readability_checker_spark.model import SPANS_SCHEMA
+
+    spans_df = docs.mapInPandas(kernel, schema=SPANS_SCHEMA)
+    win = transcript_windows(spans_df, window_ms=20_000)
+    return (
+        win.withColumn(
+            "variant", F.col("doc_id").cast("long") % F.lit(35)
+        )
+        .groupBy("variant", "window_id", "t_start_ms", "t_end_ms",
+                 "n_cues", "text")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "window_id")
+    )
+
+
+_TRANSCRIPT_WINDOWS_SQL = """
+    WITH j(j) AS (VALUES (0), (1), (2), (3)),
+    cues AS (
+      SELECT d.doc_id,
+             d.doc_id % 35 AS variant,
+             (d.doc_id % 5) * 700 + j.j * 9000 AS start_ms,
+             (d.doc_id % 5) * 700 + j.j * 9000
+               + 1200 + (d.doc_id % 3) * 100 AS end_ms,
+             'w' || CAST(d.doc_id % 7 AS VARCHAR) || ' c'
+               || CAST(j.j AS VARCHAR) AS text,
+             j.j AS cue_idx
+      FROM documents d CROSS JOIN j
+    ),
+    win AS (
+      SELECT doc_id, variant,
+             CAST(FLOOR(start_ms / 20000.0) AS BIGINT) AS window_id,
+             MIN(start_ms) AS t_start_ms,
+             MAX(end_ms) AS t_end_ms,
+             CAST(COUNT(*) AS INTEGER) AS n_cues,
+             STRING_AGG(text, chr(10) ORDER BY cue_idx) AS text
+      FROM cues
+      GROUP BY doc_id, variant, CAST(FLOOR(start_ms / 20000.0) AS BIGINT)
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, window_id,
+           CAST(t_start_ms AS BIGINT) AS t_start_ms,
+           CAST(t_end_ms AS BIGINT) AS t_end_ms, n_cues, text,
+           COUNT(*) AS n_docs
+    FROM win
+    GROUP BY variant, window_id, t_start_ms, t_end_ms, n_cues, text
+    ORDER BY variant, window_id
+"""
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -4166,6 +4544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_ppl": q_ngram_lm_ppl,
         "epub_extract": q_epub_extract,
         "md_extract": q_md_extract,
+        "ipynb_extract": q_ipynb_extract,
+        "subtitle_extract": q_subtitle_extract,
+        "transcript_windows": q_transcript_windows,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -4334,6 +4715,9 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_lm_ppl"] = _NGRAM_LM_SQL
     out["epub_extract"] = _epub_extract_oracle_sql()
     out["md_extract"] = _md_extract_oracle_sql()
+    out["ipynb_extract"] = _ipynb_extract_oracle_sql()
+    out["subtitle_extract"] = _subtitle_extract_oracle_sql()
+    out["transcript_windows"] = _TRANSCRIPT_WINDOWS_SQL
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()
@@ -5448,8 +5832,15 @@ _NGRAM_LM_SQL = f"""
 
 
 def _sql_str(s: str) -> str:
-    """SQL string literal with tab-safe rendering (DuckDB VALUES)."""
-    return "'" + s.replace("'", "''").replace("\t", "' || chr(9) || '") + "'"
+    """SQL string literal with tab/newline-safe rendering (DuckDB
+    VALUES)."""
+    return (
+        "'"
+        + s.replace("'", "''")
+        .replace("\t", "' || chr(9) || '")
+        .replace("\n", "' || chr(10) || '")
+        + "'"
+    )
 
 
 def _odf_extract_oracle_sql() -> str:

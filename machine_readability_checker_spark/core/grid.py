@@ -26,7 +26,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
-    "odt", "epub", "md",
+    "odt", "epub", "md", "ipynb", "srt", "vtt",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -191,6 +191,14 @@ def parse_document(
         from .markdown import parse_markdown
 
         return parse_markdown(content)
+    if fmt == "ipynb":
+        from .ipynb import parse_ipynb
+
+        return parse_ipynb(content)
+    if fmt in ("srt", "vtt"):
+        from .subtitles import parse_subtitles
+
+        return parse_subtitles(content, fmt)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

@@ -619,6 +619,115 @@ make build {i}
     return _doc(f"md{i:05d}", "md", md.encode("utf-8"))
 
 
+def fam_ipynb(rng, i) -> Dict[str, Any]:
+    """Jupyter notebook: markdown title cell, prose, a code cell with a
+    stream output and an execute_result, an error cell with an ANSI
+    traceback, and a display_data PNG output — drives the ipynb lane
+    (cell dispatch, output kinds, media refs, list-form sources)."""
+    import json as _json
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(25))
+    nb = {
+        "nbformat": 4,
+        "nbformat_minor": 5,
+        "metadata": {"kernelspec": {"name": "python3"}},
+        "cells": [
+            {
+                "cell_type": "markdown",
+                "metadata": {},
+                "source": [f"# Notebook {i}\n", "\n", f"{para}\n"],
+            },
+            {
+                "cell_type": "code",
+                "metadata": {},
+                "execution_count": 1,
+                "source": [f"x = {i}\n", "print(x * 2)\n", "x + 1"],
+                "outputs": [
+                    {
+                        "output_type": "stream",
+                        "name": "stdout",
+                        "text": [f"{i * 2}\n"],
+                    },
+                    {
+                        "output_type": "execute_result",
+                        "execution_count": 1,
+                        "metadata": {},
+                        "data": {"text/plain": [f"{i + 1}"]},
+                    },
+                ],
+            },
+            {
+                "cell_type": "code",
+                "metadata": {},
+                "execution_count": 2,
+                "source": f"raise ValueError({i})",
+                "outputs": [
+                    {
+                        "output_type": "error",
+                        "ename": "ValueError",
+                        "evalue": str(i),
+                        "traceback": [
+                            "\x1b[0;31mValueError\x1b[0m: " + str(i)
+                        ],
+                    }
+                ],
+            },
+            {
+                "cell_type": "code",
+                "metadata": {},
+                "execution_count": 3,
+                "source": "plot()",
+                "outputs": [
+                    {
+                        "output_type": "display_data",
+                        "metadata": {},
+                        "data": {
+                            "image/png": "iVBORw0KGgo=",
+                            "text/plain": ["<Figure>"],
+                        },
+                    }
+                ],
+            },
+        ],
+    }
+    return _doc(
+        f"nb{i:05d}", "ipynb", _json.dumps(nb).encode("utf-8")
+    )
+
+
+def fam_subtitles(rng, i) -> Dict[str, Any]:
+    """Timed captions: SRT for even i, WebVTT for odd — drives the
+    subtitle lane (cue timing → media_ref, tag strip, NOTE skip) and
+    the transcript-window operator downstream."""
+    n_cues = 3 + int(rng.randint(0, 3))
+    words = [WORDS[rng.randint(0, len(WORDS))] for _ in range(n_cues * 3)]
+    cues = []
+    t = int(rng.randint(0, 2000))
+    for j in range(n_cues):
+        start, end = t, t + 1500 + int(rng.randint(0, 1000))
+        cues.append((start, end, " ".join(words[j * 3:j * 3 + 3])))
+        t = end + int(rng.randint(100, 800))
+
+    def _srt_ts(ms):
+        s, ms = divmod(ms, 1000)
+        m, s = divmod(s, 60)
+        h, m = divmod(m, 60)
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+    if i % 2 == 0:
+        body = "\n\n".join(
+            f"{j + 1}\n{_srt_ts(a)} --> {_srt_ts(b)}\n<i>{txt}</i>"
+            for j, (a, b, txt) in enumerate(cues)
+        )
+        return _doc(f"st{i:05d}", "srt", (body + "\n").encode("utf-8"))
+    body = "WEBVTT\n\nNOTE generated fixture\n\n" + "\n\n".join(
+        f"{_srt_ts(a).replace(',', '.')} --> "
+        f"{_srt_ts(b).replace(',', '.')} align:start\n{txt}"
+        for (a, b, txt) in cues
+    )
+    return _doc(f"st{i:05d}", "vtt", (body + "\n").encode("utf-8"))
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -652,6 +761,8 @@ FAMILIES = [
     ("odt_docs", fam_odt),
     ("epub_docs", fam_epub),
     ("md_docs", fam_md),
+    ("ipynb_docs", fam_ipynb),
+    ("subtitle_docs", fam_subtitles),
 ]
 
 

@@ -65,6 +65,9 @@ _MIME_FMT = {
     ".spreadsheetml.sheet": "xlsx",
     "application/vnd.ms-excel": "xls",
     "text/markdown": "md",
+    "application/x-ipynb+json": "ipynb",  # Jupyter's registered type
+    "text/vtt": "vtt",  # RFC-registered WebVTT type
+    "application/x-subrip": "srt",
     # sniffed-verdict spellings (operators/mimetype.py) — sniff mode
     # routes on bytes, so the byte-derived MIME must map too
     "text/rtf": "rtf",
