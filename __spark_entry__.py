@@ -1608,6 +1608,47 @@ def q_md_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tex_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-table machine-readability audit: the LaTeX twin of
+    ``html_table_rules`` — each doc becomes a .tex fragment whose
+    ``tabular`` environments densify to grids IDENTICAL to the HTML
+    variants' (``\\multicolumn`` fillers state the span expansion,
+    ``\\newline`` the embedded newline, the full-width indent survives
+    the ASCII-only collapse), so the three markup lanes share the
+    hand-derived verdict literals verbatim.  Same shape: two narrow
+    mapInPandas kernels + one hash aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            tex_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        tex_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    res = WT.tex_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_html_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-table corpus survey: per captured table its grid dimensions
     and whether it is data-shaped (≥2×2) or a filtered layout/nav
@@ -3589,6 +3630,143 @@ _TRANSCRIPT_WINDOWS_SQL = """
 """
 
 
+_LATEX_VARIANT_DOCS = [
+    (
+        "\\documentclass{article}\n"
+        "\\title{Span Extraction\\thanks{grant}}\n"
+        "\\begin{document}\n\\maketitle\n"
+        "\\begin{abstract}\nWe extract 100\\% of spans --- reliably.\n"
+        "\\end{abstract}\n"
+        "\\section{Method}\n"
+        "Bold \\textbf{claims} need \\emph{proof} (see \\cite{k}) "
+        "and $x<y$.\n"
+        "\\begin{equation}\ne^{i\\pi} + 1 = 0\n\\end{equation}\n"
+        "\\end{document}\n"
+    ),
+    (
+        "\\section{Results}\n"
+        "Numbers\\footnote{computed twice} hold.\n"
+        "\\begin{itemize}\n\\item alpha wins\n"
+        "\\item beta \\texttt{loses}\n\\end{itemize}\n"
+        "\\begin{verbatim}\nx = 1 % literal\n\\end{verbatim}\n"
+        "$$a = b$$\n\nTail text.\n"
+    ),
+    (
+        "\\title{Figures}\n\\begin{document}\n"
+        "\\begin{figure}\n\\includegraphics[width=5cm]{img/f1.png}\n"
+        "\\caption{A \\emph{plot}}\n\\end{figure}\n"
+        "\\begin{table}\n\\begin{tabular}{lr}\nk & v \\\\\na & 1 \\\\\n"
+        "\\end{tabular}\n\\caption{Pairs}\n\\end{table}\n"
+        "\\end{document}\n"
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_latex.py over the same bytes)
+_LATEX_VARIANT_SPANS = [
+    [
+        ("title", "Span Extraction", ""),
+        ("main", "We extract 100% of spans — reliably.", ""),
+        ("heading", "Method", ""),
+        ("main", "Bold claims need proof (see) and $x<y$.", ""),
+        ("math", "e^{i\\pi} + 1 = 0", ""),
+    ],
+    [
+        ("heading", "Results", ""),
+        ("main", "Numbers (computed twice) hold.", ""),
+        ("main", "alpha wins", ""),
+        ("main", "beta loses", ""),
+        ("code", "x = 1 % literal", ""),
+        ("math", "a = b", ""),
+        ("main", "Tail text.", ""),
+    ],
+    [
+        ("title", "Figures", ""),
+        ("media", "", "img/f1.png"),
+        ("caption", "A plot", "img/f1.png"),
+        ("main", "k", ""),
+        ("main", "v", ""),
+        ("main", "a", ""),
+        ("main", "1", ""),
+        ("caption", "Pairs", ""),
+    ],
+]
+
+
+def q_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX extraction end-to-end: three fixed variant documents
+    (preamble title + \\thanks strip, abstract transparency, inline
+    cleanup with verbatim-protected comments, inline vs display math,
+    itemize items, figure/table floats with caption→media alignment,
+    tabular cells) flow through the shared extraction kernel
+    (fmt="tex"); the oracle states the expected ordered span
+    sequences as literals.  Same narrow mapInPandas + hash aggregate
+    shape as the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "tex", _LATEX_VARIANT_DOCS[v].encode("utf-8")
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _latex_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_LATEX_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -4547,6 +4725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_extract": q_ipynb_extract,
         "subtitle_extract": q_subtitle_extract,
         "transcript_windows": q_transcript_windows,
+        "latex_extract": q_latex_extract,
+        "tex_table_rules": q_tex_table_rules,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -4718,6 +4898,8 @@ def oracle_sql() -> dict[str, str]:
     out["ipynb_extract"] = _ipynb_extract_oracle_sql()
     out["subtitle_extract"] = _subtitle_extract_oracle_sql()
     out["transcript_windows"] = _TRANSCRIPT_WINDOWS_SQL
+    out["latex_extract"] = _latex_extract_oracle_sql()
+    out["tex_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -26,7 +26,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
-    "odt", "epub", "md", "ipynb", "srt", "vtt",
+    "odt", "epub", "md", "ipynb", "srt", "vtt", "tex",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -199,6 +199,10 @@ def parse_document(
         from .subtitles import parse_subtitles
 
         return parse_subtitles(content, fmt)
+    if fmt == "tex":
+        from .latex import parse_latex
+
+        return parse_latex(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

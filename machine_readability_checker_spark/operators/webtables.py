@@ -160,6 +160,60 @@ def md_table_rule_results(
     return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+def _tex_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.latex import extract_latex_tables
+
+    try:
+        return extract_latex_tables(bytes(row.content)), None
+    except Exception as e:  # malformed latex must not kill the batch
+        return [], f"tex table extract failed: {e}"
+
+
+def tex_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=latex bytes) → one row per (table, rule).
+
+    The ``tabular`` twin of ``table_rule_results``: LaTeX grids are
+    rectangular by construction (rows padded to the widest row,
+    ``\\multicolumn`` span-expanded with empty fillers,
+    ``core/latex.py``), and each data-shaped grid runs the full rule
+    battery through the same CSV ingest path — a table audits
+    identically whether it arrived as a CSV upload, an HTML
+    ``<table>``, a printed PDF page, a README pipe table, or a paper's
+    ``tabular``.  Same 100 TB shape: one narrow Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _tex_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 def _pdf_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
     from ..core.pdf import extract_pdf_tables
 
@@ -420,6 +474,74 @@ def md_variant_doc(doc_id: int, text: str) -> bytes:
     )
     return (
         f"# page {doc_id}\n\n{prose}\n\n{MD_VARIANT_TABLES[v]}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
+# LaTeX (tabular) twins of VARIANT_TABLES: the tex lane's dense grids
+# equal the HTML lane's EXACTLY (``\multicolumn{n}{..}{x}`` states what
+# colspan expansion produces; the covered rowspan cell is an explicit
+# empty cell; ``\newline`` is the in-cell hard break and extracts as
+# the same embedded newline; the full-width-space indent survives the
+# ASCII-only whitespace collapse), so the rule-battery verdicts — and
+# the driver oracle's literals — are shared verbatim across the three
+# markup lanes.
+TEX_VARIANT_TABLES = {
+    0: (
+        "\\begin{tabular}{lll}\n"
+        "id & name & value \\\\\n"
+        "1 & alpha & 10 \\\\\n"
+        "2 & beta & 20 \\\\\n"
+        "3 & gamma & 30 \\\\\n"
+        "\\end{tabular}\n"
+    ),
+    1: (
+        "\\begin{tabular}{llll}\n"
+        "\\hline\n"
+        "id & score & tags & memo \\\\\n"
+        "1 & 10 & a、b & 済 \\\\\n"
+        "2 & - & c & 　字下げ \\\\\n"
+        "3 & 30以上 & d & 済 \\\\\n"
+        "\\hline\n"
+        "\\end{tabular}\n"
+    ),
+    2: (
+        "\\begin{tabular}{ll}\n"
+        "home & about \\\\\n"
+        "\\end{tabular}\n\n"
+        "\\begin{tabular}{lrr}\n"
+        "\\multicolumn{3}{l}{注: このデータは速報値} \\\\\n"
+        "item & q1 & q2 \\\\\n"
+        "①新規 & 5 & 7 \\\\\n"
+        "継続\\newline更新 & 6 & 8 \\\\\n"
+        "小計 & 11 & 15 \\\\\n"
+        " & 9 & 9 \\\\\n"
+        "\\end{tabular}\n"
+    ),
+}
+
+
+def tex_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic paper: per-document prose around the
+    fixed per-variant tabular(s) — the LaTeX twin of
+    ``variant_page``."""
+    v = int(doc_id) % 3
+    prose = (
+        (text or "")
+        .replace("\\", " ")
+        .replace("%", "\\%")
+        .replace("&", "\\&")
+        .replace("$", "\\$")
+        .replace("#", "\\#")
+        .replace("_", "\\_")
+        .replace("{", "")
+        .replace("}", "")
+        .replace("~", " ")
+        .replace("^", " ")
+    )
+    return (
+        f"\\section{{page {doc_id}}}\n\n{prose}\n\n"
+        f"{TEX_VARIANT_TABLES[v]}\n"
         "generated fixture page\n"
     ).encode("utf-8")
 

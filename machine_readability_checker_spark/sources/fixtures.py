@@ -728,6 +728,31 @@ def fam_subtitles(rng, i) -> Dict[str, Any]:
     return _doc(f"st{i:05d}", "vtt", (body + "\n").encode("utf-8"))
 
 
+def fam_latex(rng, i) -> Dict[str, Any]:
+    """arXiv-style paper fragment: title/sections, inline markup +
+    citations, display math, verbatim, a tabular and a figure — drives
+    the tex lane (cleanup, math/code spans, float caption→media
+    alignment, grid extraction)."""
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    tex = (
+        f"\\documentclass{{article}}\n"
+        f"\\title{{Study {i}}}\n"
+        f"\\begin{{document}}\n\\maketitle\n"
+        f"\\section{{Intro {i}}}\n"
+        f"{para} \\textbf{{boldly}} stated~\\cite{{ref{i}}}.\n\n"
+        f"\\begin{{equation}}\nx_{{{i}}} = {i} + y\n\\end{{equation}}\n"
+        f"\\begin{{verbatim}}\nrun --seed {i}\n\\end{{verbatim}}\n"
+        f"\\begin{{figure}}\n"
+        f"\\includegraphics{{fig/{i}.png}}\n"
+        f"\\caption{{Trend {i}}}\n\\end{{figure}}\n"
+        f"\\begin{{tabular}}{{lr}}\nkey & val \\\\\n"
+        f"a & {int(rng.randint(1, 99))} \\\\\n"
+        f"b & {int(rng.randint(1, 99))} \\\\\n\\end{{tabular}}\n"
+        f"\\end{{document}}\n"
+    )
+    return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -763,6 +788,7 @@ FAMILIES = [
     ("md_docs", fam_md),
     ("ipynb_docs", fam_ipynb),
     ("subtitle_docs", fam_subtitles),
+    ("latex_docs", fam_latex),
 ]
 
 

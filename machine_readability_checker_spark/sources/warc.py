@@ -68,6 +68,8 @@ _MIME_FMT = {
     "application/x-ipynb+json": "ipynb",  # Jupyter's registered type
     "text/vtt": "vtt",  # RFC-registered WebVTT type
     "application/x-subrip": "srt",
+    "application/x-tex": "tex",
+    "text/x-tex": "tex",
     # sniffed-verdict spellings (operators/mimetype.py) — sniff mode
     # routes on bytes, so the byte-derived MIME must map too
     "text/rtf": "rtf",
