@@ -2382,6 +2382,8 @@ _MIME_EXPECT = [
     ("xml", "application/xml"),
     ("text", "text/plain"),
     ("cfb", "application/x-cfb"),
+    ("doc", "application/msword"),
+    ("xls", "application/vnd.ms-excel"),
     ("warc", "application/warc"),
     ("empty", "application/x-empty"),
     ("binary", "application/octet-stream"),
@@ -2396,6 +2398,7 @@ def _mime_payloads() -> list:
 
     from machine_readability_checker_spark.core.avi import encode_avi
     from machine_readability_checker_spark.core.bmp import encode_bmp
+    from machine_readability_checker_spark.core.doc import write_doc
     from machine_readability_checker_spark.core.docx import write_docx
     from machine_readability_checker_spark.core.epub import write_epub
     from machine_readability_checker_spark.core.gif import encode_gif
@@ -2403,6 +2406,9 @@ def _mime_payloads() -> list:
     from machine_readability_checker_spark.core.odf import write_ods
     from machine_readability_checker_spark.core.png import encode_png
     from machine_readability_checker_spark.core.wav import encode_wav
+    from machine_readability_checker_spark.core.xls import (
+        write_xls as _write_xls,
+    )
     from machine_readability_checker_spark.core.xlsx import write_xlsx
 
     px = bytes([10, 20, 30, 40])
@@ -2426,6 +2432,8 @@ def _mime_payloads() -> list:
         "xml": b'<?xml version="1.0"?><urlset/>',
         "text": "plain prose éあ".encode("utf-8"),
         "cfb": b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24,
+        "doc": write_doc([("para", "legacy word binary payload")]),
+        "xls": _write_xls([sheet]),
         "warc": b"WARC/1.0\r\nWARC-Type: response\r\n",
         "empty": b"",
         "binary": b"\xff\x00\xfe\x01garbage",
@@ -2435,9 +2443,10 @@ def _mime_payloads() -> list:
 
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type sniffing at corpus scale: every document carries
-    one of 20 real payloads (doc_id arithmetic picks the variant), the
-    JVM magic-byte cascade types each row, and the zip sliver resolves
-    its subtype through the Arrow kernel.  Output: per-variant verdict
+    one of 22 real payloads (doc_id arithmetic picks the variant), the
+    JVM magic-byte cascade types each row, and the zip + CFB slivers
+    resolve their subtypes through the Arrow kernels (.docx vs .doc vs
+    bare CFB all land differently).  Output: per-variant verdict
     counts.  The oracle states the expected verdict matrix as literals
     and recomputes the counts from doc_id arithmetic."""
     from machine_readability_checker_spark.operators.mimetype import (
@@ -3767,6 +3776,144 @@ def _latex_extract_oracle_sql() -> str:
     """
 
 
+def _doc_variant_docs():
+    """Three fixed Word-97 binary documents covering the .doc lane's
+    dispatch matrix: heading istd → title + a real table with TTP rows
+    + an inline object anchor (v0); mid-word piece split + a hyperlink
+    field whose code must vanish + a late heading + a UTF-16LE piece
+    (v1); the 0Table stream selector + a nested field + footnote and
+    header regions (v2)."""
+    from machine_readability_checker_spark.core.doc import write_doc
+
+    long0 = "Revenue grew across all regions during the period under review."
+    long2 = "Closing summary paragraph with more than enough characters."
+    v0 = write_doc([
+        ("heading", 1, "Quarterly Review"),
+        ("para", long0),
+        ("table", [["region", "total"], ["north", "10"]]),
+        ("media",),
+    ])
+    v1 = write_doc([
+        ("para", "short"),
+        ("field", 'HYPERLINK "http://example.com/a"',
+         "visible anchor text result here ok"),
+        ("heading", 2, "Appendix"),
+        ("para", "日本語の本文確認テキスト"),
+    ], piece_split=6)
+    v2 = write_doc([
+        ("para", long2),
+        ("media",),
+        ("field", "IF \x13DATE\x14x\x15 a b", "result kept"),
+        ("ftn", "cite 42"),
+        ("hdd", "header strip"),
+    ], table_stream="0Table")
+    return [v0, v1, v2]
+
+
+_DOC_VARIANT_DOCS = _doc_variant_docs()
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_doc_word.py over the same writer)
+_DOC_VARIANT_SPANS = [
+    [
+        ("title", "Quarterly Review", ""),
+        ("main",
+         "Revenue grew across all regions during the period under review.",
+         ""),
+        ("line", "region\ttotal", ""),
+        ("line", "north\t10", ""),
+        ("media", "", "embedded:obj0"),
+    ],
+    [
+        ("boilerplate", "short", ""),
+        ("main", "visible anchor text result here ok", ""),
+        ("heading", "Appendix", ""),
+        ("boilerplate", "日本語の本文確認テキスト", ""),
+    ],
+    [
+        ("main",
+         "Closing summary paragraph with more than enough characters.", ""),
+        ("media", "", "embedded:obj0"),
+        ("boilerplate", "result kept", ""),
+        ("boilerplate", "cite 42", ""),
+        ("boilerplate", "header strip", ""),
+    ],
+]
+
+
+def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 97 binary extraction end-to-end: three fixed variant
+    documents (CFB multi-stream container, FIB, compressed + UTF-16LE
+    piece table, PAPX table/heading properties, field-code strip,
+    footnote/header regions) flow through the shared extraction kernel
+    (fmt="doc"); the oracle states the expected ordered span sequences
+    as literals.  Same narrow mapInPandas + hash aggregate shape as
+    the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "doc", _DOC_VARIANT_DOCS[v]
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _doc_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_DOC_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -4727,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_windows": q_transcript_windows,
         "latex_extract": q_latex_extract,
         "tex_table_rules": q_tex_table_rules,
+        "doc_extract": q_doc_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -4900,6 +5048,7 @@ def oracle_sql() -> dict[str, str]:
     out["transcript_windows"] = _TRANSCRIPT_WINDOWS_SQL
     out["latex_extract"] = _latex_extract_oracle_sql()
     out["tex_table_rules"] = _html_table_rules_oracle_sql()
+    out["doc_extract"] = _doc_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -120,19 +120,77 @@ def read_stream(data: bytes, name: str) -> Optional[bytes]:
     return bytes(out[:size])
 
 
+def list_streams(data: bytes) -> List[str]:
+    """Names of all stream (type-2) directory entries in a CFB
+    container, in directory order; [] for non-CFB bytes.  Used by the
+    content sniffer to split the legacy-Office subtypes (.doc vs .xls
+    vs .ppt share one magic — the subtype lives in the stream names)."""
+    if not data.startswith(HDR_MAGIC):
+        return []
+    try:
+        sector_size = 1 << _u16(data, 30)
+        dir_start = _u32(data, 48)
+        n_fat = _u32(data, 44)
+        difat = [_u32(data, 76 + 4 * i) for i in range(109)]
+        fat_sectors = [
+            x for x in difat if x not in (FREESECT, ENDOFCHAIN)
+        ][:n_fat]
+        fat: List[int] = []
+        for fs in fat_sectors:
+            off = (fs + 1) * sector_size
+            s = data[off : off + sector_size]
+            fat.extend(_u32(s, 4 * i) for i in range(len(s) // 4))
+        names: List[str] = []
+        idx = dir_start
+        guard = 0
+        while idx not in (ENDOFCHAIN, FREESECT) and guard < len(fat) + 2:
+            off = (idx + 1) * sector_size
+            directory = data[off : off + sector_size]
+            for eoff in range(0, len(directory) - 127, 128):
+                entry = directory[eoff : eoff + 128]
+                name_len = _u16(entry, 64)
+                if name_len < 2 or entry[66] != 2:
+                    continue
+                names.append(
+                    entry[: name_len - 2].decode("utf-16le", "ignore")
+                )
+            idx = fat[idx] if idx < len(fat) else ENDOFCHAIN
+            guard += 1
+        return names
+    except Exception:
+        return []
+
+
 def write_single_stream(name: str, payload: bytes) -> bytes:
     """Build a CFB container holding one stream.  The payload is padded
     to ≥4096 bytes so it lives in regular sectors (no mini-FAT)."""
-    if len(payload) < MINI_CUTOFF:
-        payload = payload + b"\x00" * (MINI_CUTOFF - len(payload))
-    n_payload_sectors = (len(payload) + SECTOR - 1) // SECTOR
-    payload = payload.ljust(n_payload_sectors * SECTOR, b"\x00")
+    return write_streams({name: payload})
 
-    # layout: [FAT sectors][directory sector][payload sectors]
-    n_dir_sectors = 1
-    # smallest n_fat covering itself + directory + payload (the previous
-    # formulation recomputed n_fat from scratch each iteration, clobbering
-    # the increment and hanging on ~12%% of payload sizes)
+
+def write_streams(streams: Dict[str, bytes]) -> bytes:
+    """Build a CFB container holding the given streams (insertion
+    order preserved in the directory).  Every payload is padded to
+    ≥4096 bytes so all streams live in regular FAT sectors — no
+    mini-FAT — which keeps the writer tiny while staying spec-valid
+    (readers must honor per-entry sizes, and ours records the PADDED
+    size, which is what the fixture lanes' parsers tolerate)."""
+    if not streams:
+        raise ValueError("write_streams needs at least one stream")
+    payloads: Dict[str, bytes] = {}
+    for name, payload in streams.items():
+        if len(payload) < MINI_CUTOFF:
+            payload = payload + b"\x00" * (MINI_CUTOFF - len(payload))
+        n_sec = (len(payload) + SECTOR - 1) // SECTOR
+        payloads[name] = payload.ljust(n_sec * SECTOR, b"\x00")
+    n_payload_sectors = sum(len(p) // SECTOR for p in payloads.values())
+    n_entries = 1 + len(payloads)
+    n_dir_sectors = (n_entries * 128 + SECTOR - 1) // SECTOR
+
+    # layout: [FAT sectors][directory sectors][payload sectors, stream
+    # by stream].  Smallest n_fat covering itself + directory + payloads
+    # (the pre-refactor formulation recomputed n_fat from scratch each
+    # iteration, clobbering the increment and hanging on ~12% of
+    # payload sizes — keep the monotone loop).
     n_fat = 1
     while n_fat * (SECTOR // 4) < n_fat + n_dir_sectors + n_payload_sectors:
         n_fat += 1
@@ -142,8 +200,8 @@ def write_single_stream(name: str, payload: bytes) -> bytes:
         # fail loudly rather than produce a silently-truncated container
         raise ValueError(
             f"payload needs {n_fat} FAT sectors > 109 header DIFAT slots "
-            "(~6.9 MB max); the single-stream fixture writer does not "
-            "chain DIFAT sectors"
+            "(~6.9 MB max); the fixture writer does not chain DIFAT "
+            "sectors"
         )
     fat_ids = list(range(n_fat))
     dir_id = n_fat
@@ -152,10 +210,19 @@ def write_single_stream(name: str, payload: bytes) -> bytes:
     fat = [FREESECT] * (n_fat * (SECTOR // 4))
     for fid in fat_ids:
         fat[fid] = 0xFFFFFFFD  # FATSECT
-    fat[dir_id] = ENDOFCHAIN
-    for i in range(n_payload_sectors - 1):
-        fat[payload_start + i] = payload_start + i + 1
-    fat[payload_start + n_payload_sectors - 1] = ENDOFCHAIN
+    for d in range(n_dir_sectors):
+        fat[dir_id + d] = (
+            dir_id + d + 1 if d < n_dir_sectors - 1 else ENDOFCHAIN
+        )
+    starts: Dict[str, int] = {}
+    cursor = payload_start
+    for name, payload in payloads.items():
+        n_sec = len(payload) // SECTOR
+        starts[name] = cursor
+        for i in range(n_sec - 1):
+            fat[cursor + i] = cursor + i + 1
+        fat[cursor + n_sec - 1] = ENDOFCHAIN
+        cursor += n_sec
 
     def dir_entry(ename: str, etype: int, start: int, size: int,
                   color: int = 1, left: int = FREESECT, right: int = FREESECT,
@@ -173,12 +240,21 @@ def write_single_stream(name: str, payload: bytes) -> bytes:
         struct.pack_into("<I", e, 120, size)
         return bytes(e)
 
-    directory = (
-        dir_entry("Root Entry", 5, ENDOFCHAIN, 0, child=1)
-        + dir_entry(name, 2, payload_start, len(payload))
-        + dir_entry("", 0, FREESECT, 0, color=0)
-        + dir_entry("", 0, FREESECT, 0, color=0)
-    )
+    # directory: root (child → entry 1); stream entries chained as a
+    # degenerate red-black "tree" via right-sibling links, which every
+    # conformant reader walks (ours scans entries linearly anyway)
+    names = list(payloads)
+    entries = [dir_entry("Root Entry", 5, ENDOFCHAIN, 0, child=1)]
+    for i, name in enumerate(names):
+        entries.append(
+            dir_entry(
+                name, 2, starts[name], len(payloads[name]),
+                right=(i + 2) if i + 1 < len(names) else FREESECT,
+            )
+        )
+    while len(entries) % 4:
+        entries.append(dir_entry("", 0, FREESECT, 0, color=0))
+    directory = b"".join(entries)
 
     header = bytearray(SECTOR)
     header[:8] = HDR_MAGIC
@@ -206,6 +282,7 @@ def write_single_stream(name: str, payload: bytes) -> bytes:
         for i, v in enumerate(fat[chunk_start : chunk_start + SECTOR // 4]):
             struct.pack_into("<I", sec, 4 * i, v)
         out += sec
-    out += directory.ljust(SECTOR, b"\x00")
-    out += payload
+    out += directory.ljust(n_dir_sectors * SECTOR, b"\x00")
+    for name in names:
+        out += payloads[name]
     return bytes(out)

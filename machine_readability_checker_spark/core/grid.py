@@ -26,7 +26,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
-    "odt", "epub", "md", "ipynb", "srt", "vtt", "tex",
+    "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -167,6 +167,10 @@ def parse_document(
         from .docx import parse_docx
 
         return parse_docx(content)
+    if fmt == "doc":
+        from .doc import parse_doc
+
+        return parse_doc(content)
     if fmt == "pptx":
         from .pptx import parse_pptx
 

@@ -184,13 +184,62 @@ def refine_zip_subtypes(
     return rest.unionByName(refined)
 
 
+# legacy-Office CFB subtypes: the magic is shared, the subtype lives in
+# the directory stream names ([MS-CFB]; stream names per [MS-DOC]
+# "WordDocument", [MS-XLS] "Workbook"/"Book", [MS-PPT] "PowerPoint
+# Document")
+_CFB_STREAM_MIMES = [
+    ("WordDocument", "application/msword"),
+    ("Workbook", "application/vnd.ms-excel"),
+    ("Book", "application/vnd.ms-excel"),
+    ("PowerPoint Document", "application/vnd.ms-powerpoint"),
+]
+
+
+def refine_cfb_subtypes(
+    df: DataFrame, content_col: str = "content", mime_col: str = "mime"
+) -> DataFrame:
+    """Resolve ``application/x-cfb`` rows to .doc/.xls/.ppt by listing
+    the container's directory streams — same filter + union shape as
+    the zip refiner, so only the CFB sliver enters Python.  Unreadable
+    containers stay ``application/x-cfb``."""
+    cfbs = df.filter(F.col(mime_col).eqNullSafe("application/x-cfb"))
+    rest = df.filter(~F.col(mime_col).eqNullSafe("application/x-cfb"))
+    schema = df.schema
+    cols = df.columns
+    mime_idx = cols.index(mime_col)
+
+    def kernel(batches):
+        from ..core.cfb import list_streams
+
+        for pdf in batches:
+            mimes = []
+            for blob in pdf[content_col]:
+                raw = bytes(blob) if blob is not None else b""
+                names = set(list_streams(raw))
+                mime = "application/x-cfb"
+                for stream, m in _CFB_STREAM_MIMES:
+                    if stream in names:
+                        mime = m
+                        break
+                mimes.append(mime)
+            pdf = pdf.copy()
+            pdf[cols[mime_idx]] = mimes
+            yield pdf
+
+    refined = cfbs.mapInPandas(kernel, schema=schema)
+    return rest.unionByName(refined)
+
+
 def sniff_mime(
     df: DataFrame, content_col: str = "content", out_col: str = "mime",
     refine_zip: bool = True,
 ) -> DataFrame:
     """Attach a sniffed ``mime`` column: the JVM cascade for every row,
-    plus (by default) the zip-subtype kernel over the zip sliver."""
+    plus (by default) the zip- and CFB-subtype kernels over their
+    respective slivers."""
     out = df.withColumn(out_col, detect_mime(F.col(content_col)))
     if refine_zip:
         out = refine_zip_subtypes(out, content_col, out_col)
+        out = refine_cfb_subtypes(out, content_col, out_col)
     return out

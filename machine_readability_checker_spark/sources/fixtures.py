@@ -753,6 +753,39 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_doc(rng, i) -> Dict[str, Any]:
+    """Legacy Word 97 binary: heading styles (istd), long main prose in
+    split pieces (mid-word piece boundary), a hyperlink field whose code
+    must not leak, a real table (cell marks + TTP rows), an inline
+    object anchor and footnote/header boilerplate — exercises the .doc
+    piece-table + PAPX lane end-to-end.  Every 3rd document switches to
+    a UTF-16 piece via CJK text; every 4th uses the 0Table stream."""
+    from ..core.doc import write_doc
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(40))
+    blocks = [
+        ("heading", 1, f"Memo {i}"),
+        ("para", para),
+        ("field", 'HYPERLINK "http://example.com/%d"' % i,
+         f"linked source {i}"),
+        ("table", [["metric", "value"],
+                   ["count", str(int(rng.randint(0, 99)))]]),
+        ("media",),
+        ("ftn", f"footnote {i}"),
+        ("hdd", "running header"),
+    ]
+    if i % 3 == 0:
+        blocks.insert(2, ("para", f"日本語の補足段落 {i} を含む確認用の本文です"))
+    return _doc(
+        f"word{i:05d}", "doc",
+        write_doc(
+            blocks,
+            piece_split=8,
+            table_stream="0Table" if i % 4 == 0 else "1Table",
+        ),
+    )
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -789,6 +822,7 @@ FAMILIES = [
     ("ipynb_docs", fam_ipynb),
     ("subtitle_docs", fam_subtitles),
     ("latex_docs", fam_latex),
+    ("doc_docs", fam_doc),
 ]
 
 

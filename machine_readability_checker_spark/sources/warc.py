@@ -77,6 +77,7 @@ _MIME_FMT = {
     "application/vnd.oasis.opendocument.spreadsheet": "ods",
     "application/vnd.oasis.opendocument.text": "odt",
     "application/x-cfb": "xls",  # BIFF lane; non-Excel CFB quarantines inside
+    "application/msword": "doc",  # CFB-subtype-refined verdict
 }
 
 
