@@ -1608,6 +1608,47 @@ def q_md_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wiki_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encyclopedia-table machine-readability audit: the MediaWiki twin
+    of ``html_table_rules`` — each doc becomes an article whose
+    ``{| … |}`` wikitables densify to grids IDENTICAL to the HTML
+    variants' (colspan/rowspan attributes use the HTML vocabulary,
+    ``<br>`` the embedded newline, the full-width indent survives the
+    ASCII-only collapse), so the markup lanes share the hand-derived
+    verdict literals verbatim.  Same shape: two narrow mapInPandas
+    kernels + one hash aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            wiki_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        wiki_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    res = WT.wiki_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_tex_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paper-table machine-readability audit: the LaTeX twin of
     ``html_table_rules`` — each doc becomes a .tex fragment whose
@@ -3914,6 +3955,141 @@ def _doc_extract_oracle_sql() -> str:
     """
 
 
+_WIKI_VARIANT_DOCS = [
+    # v0: full article — template strip, bold lead + piped link + ref
+    # strip, section heading, image caption → media, category drop
+    (
+        "= Springfield =\n\n"
+        "{{Infobox settlement\n| name = Springfield\n"
+        "| pop = {{formatnum:30000}}\n}}\n"
+        "'''Springfield''' is a [[city]] in the [[United States|US]]."
+        "<ref>Census 2020</ref> It has a long recorded history.\n\n"
+        "== History ==\n"
+        "The town was founded in 1820 by settlers and grew quickly.\n\n"
+        "[[File:Skyline.jpg|thumb|right|250px|Downtown at dusk]]\n"
+        "[[Category:Cities]]\n"
+    ),
+    # v1: redirect page
+    "#REDIRECT [[Springfield]]\n",
+    # v2: math + code blocks, list items, external links, nowiki,
+    # magic word, heading promotion only for the LEADING heading
+    (
+        "= Equations =\n\n"
+        "__NOTOC__\n"
+        "<math>E = mc^2</math>\n\n"
+        "<syntaxhighlight lang=\"python\">print(42)</syntaxhighlight>\n\n"
+        "* alpha item\n"
+        "* beta item\n\n"
+        "== Links ==\n"
+        "See [https://example.com the site] for more details on this.\n\n"
+        "<nowiki>''literal''</nowiki> stays untouched in this sentence.\n"
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_wikitext.py over the same bytes)
+_WIKI_VARIANT_SPANS = [
+    [
+        ("title", "Springfield", ""),
+        ("main",
+         "Springfield is a city in the US. It has a long recorded "
+         "history.", ""),
+        ("heading", "History", ""),
+        ("main",
+         "The town was founded in 1820 by settlers and grew quickly.",
+         ""),
+        ("media", "Downtown at dusk", "File:Skyline.jpg"),
+    ],
+    [
+        ("boilerplate", "#REDIRECT Springfield", ""),
+    ],
+    [
+        ("title", "Equations", ""),
+        ("math", "E = mc^2", ""),
+        ("code", "print(42)", ""),
+        ("boilerplate", "alpha item", ""),
+        ("boilerplate", "beta item", ""),
+        ("heading", "Links", ""),
+        ("main", "See the site for more details on this.", ""),
+        ("main", "''literal'' stays untouched in this sentence.", ""),
+    ],
+]
+
+
+def q_wiki_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki wikitext extraction end-to-end: three fixed variant
+    articles (template strip, link/ref cleanup, image caption → media,
+    redirect handling, math/code blocks, nowiki protection) flow
+    through the shared extraction kernel (fmt="wiki"); the oracle
+    states the expected ordered span sequences as literals.  Same
+    narrow mapInPandas + hash aggregate shape as the other extraction
+    lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "wiki",
+                    _WIKI_VARIANT_DOCS[v].encode("utf-8"),
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _wiki_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_WIKI_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -4856,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
+        "wiki_table_rules": q_wiki_table_rules,
         "page_metadata": q_page_metadata,
         "feed_entries": q_feed_entries,
         "frontier_schedule": q_frontier_schedule,
@@ -4875,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latex_extract": q_latex_extract,
         "tex_table_rules": q_tex_table_rules,
         "doc_extract": q_doc_extract,
+        "wiki_extract": q_wiki_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5049,6 +5227,8 @@ def oracle_sql() -> dict[str, str]:
     out["latex_extract"] = _latex_extract_oracle_sql()
     out["tex_table_rules"] = _html_table_rules_oracle_sql()
     out["doc_extract"] = _doc_extract_oracle_sql()
+    out["wiki_extract"] = _wiki_extract_oracle_sql()
+    out["wiki_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

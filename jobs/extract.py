@@ -57,6 +57,13 @@ def main() -> None:
         "archive file = task granule; oversized/corrupt members "
         "quarantine)",
     )
+    ap.add_argument(
+        "--wikidump",
+        help="path/glob of MediaWiki pages-articles *.xml(.bz2) dump "
+        "parts to ingest instead of parquet (main-namespace pages "
+        "become docs_raw rows with fmt=wiki; dump part = task granule; "
+        "redirects skipped)",
+    )
     ap.add_argument("--gen", type=int, default=0, help="generate N fixture docs")
     ap.add_argument("--out", required=True)
     ap.add_argument("--splits", type=int, default=16)
@@ -102,10 +109,16 @@ def main() -> None:
         )
 
         raw = read_archives(spark, args.archive)
+    elif args.wikidump:
+        from machine_readability_checker_spark.sources.wikidump import (
+            read_wikidump,
+        )
+
+        raw = read_wikidump(spark, args.wikidump)
     elif args.gen:
         raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
     else:
-        ap.error("need --input, --warc, --archive or --gen")
+        ap.error("need --input, --warc, --archive, --wikidump or --gen")
         return
 
     store = ManifestStore(args.out)

@@ -26,7 +26,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
-    "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc",
+    "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -207,6 +207,10 @@ def parse_document(
         from .latex import parse_latex
 
         return parse_latex(content)
+    if fmt == "wiki":
+        from .wikitext import parse_wikitext
+
+        return parse_wikitext(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

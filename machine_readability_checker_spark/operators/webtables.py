@@ -546,6 +546,128 @@ def tex_variant_doc(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+# MediaWiki twins of VARIANT_TABLES: the wiki lane's dense grids equal
+# the HTML lane's EXACTLY (``colspan``/``rowspan`` cell attributes use
+# the HTML vocabulary and expand identically; ``<br>`` inside a cell is
+# the same in-cell hard break → embedded newline; the full-width-space
+# indent survives), so the rule-battery verdicts — and the driver
+# oracle's literals — are shared verbatim across the markup lanes.
+WIKI_VARIANT_TABLES = {
+    0: (
+        '{| class="wikitable"\n'
+        "! id !! name !! value\n"
+        "|-\n"
+        "| 1 || alpha || 10\n"
+        "|-\n"
+        "| 2 || beta || 20\n"
+        "|-\n"
+        "| 3 || gamma || 30\n"
+        "|}\n"
+    ),
+    1: (
+        '{| class="wikitable"\n'
+        "! id !! score !! tags !! memo\n"
+        "|-\n"
+        "| 1 || 10 || a、b || 済\n"
+        "|-\n"
+        "| 2 || - || c || 　字下げ\n"
+        "|-\n"
+        "| 3 || 30以上 || d || 済\n"
+        "|}\n"
+    ),
+    2: (
+        "{|\n"
+        "| home || about\n"
+        "|}\n"
+        "\n"
+        '{| class="wikitable"\n'
+        '| colspan="3" | 注: このデータは速報値\n'
+        "|-\n"
+        "! item !! q1 !! q2\n"
+        "|-\n"
+        "| ①新規 || 5 || 7\n"
+        "|-\n"
+        "| 継続<br>更新 || 6 || 8\n"
+        "|-\n"
+        '| rowspan="2" | 小計 || 11 || 15\n'
+        "|-\n"
+        "| 9 || 9\n"
+        "|}\n"
+    ),
+}
+
+
+def wiki_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic article: per-document prose around the
+    fixed per-variant wiki table(s) — the MediaWiki twin of
+    ``variant_page``."""
+    v = int(doc_id) % 3
+    prose = (
+        (text or "")
+        .replace("\n", " ").replace("|", " ").replace("[", " ")
+        .replace("]", " ").replace("{", " ").replace("}", " ")
+        .replace("=", " ").replace("'", " ")
+    )
+    return (
+        f"== page {doc_id} ==\n\n{prose}\n\n{WIKI_VARIANT_TABLES[v]}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
+def _wiki_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.wikitext import extract_wiki_tables
+
+    try:
+        return extract_wiki_tables(bytes(row.content)), None
+    except Exception as e:  # malformed wikitext must not kill the batch
+        return [], f"wiki table extract failed: {e}"
+
+
+def wiki_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=wikitext bytes) → one row per (table, rule).
+
+    The ``{| … |}`` twin of ``table_rule_results``: wiki grids are
+    rectangular by construction (colspan/rowspan span-expanded with
+    empty fillers, rows padded to the widest row,
+    ``core/wikitext.py``), and each data-shaped grid runs the full
+    rule battery through the same CSV ingest path — a table audits
+    identically whether it arrived as a CSV upload, an HTML
+    ``<table>``, a printed PDF page, a README pipe table, a paper's
+    ``tabular``, or an encyclopedia article's wikitable.  Same 100 TB
+    shape: one narrow Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _wiki_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 def variant_page(doc_id: int, text: str) -> bytes:
     """Deterministic synthetic crawled page: per-document prose (escaped
     corpus text) around the fixed per-variant table(s)."""

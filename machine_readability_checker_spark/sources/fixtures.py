@@ -753,6 +753,33 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_wiki(rng, i) -> Dict[str, Any]:
+    """Encyclopedia article in MediaWiki wikitext: infobox template
+    (stripped), bold lead with links and refs, sections, an image with
+    caption, a list, a wikitable and a category — drives the wiki
+    source lane end-to-end.  Every 5th article is a redirect."""
+    if i % 5 == 4:
+        return _doc(f"wk{i:05d}", "wiki",
+                    f"#REDIRECT [[Article {i - 1}]]".encode("utf-8"))
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(35))
+    art = (
+        f"= Article {i} =\n\n"
+        f"{{{{Infobox thing\n| name = Thing {i}\n| count = {i}\n}}}}\n"
+        f"'''Article {i}''' covers [[topic {i % 7}|a topic]]."
+        f"<ref>src {i}</ref> {para}\n\n"
+        f"== Details ==\n"
+        f"[[File:art{i % 3}.png|thumb|Figure for article {i}]]\n"
+        f"* first point\n* second point\n\n"
+        '{| class="wikitable"\n'
+        "! key !! val\n|-\n"
+        f"| a || {int(rng.randint(1, 99))}\n|-\n"
+        f"| b || {int(rng.randint(1, 99))}\n"
+        "|}\n\n"
+        f"[[Category:Fixtures]]\n"
+    )
+    return _doc(f"wk{i:05d}", "wiki", art.encode("utf-8"))
+
+
 def fam_doc(rng, i) -> Dict[str, Any]:
     """Legacy Word 97 binary: heading styles (istd), long main prose in
     split pieces (mid-word piece boundary), a hyperlink field whose code
@@ -823,6 +850,7 @@ FAMILIES = [
     ("subtitle_docs", fam_subtitles),
     ("latex_docs", fam_latex),
     ("doc_docs", fam_doc),
+    ("wiki_docs", fam_wiki),
 ]
 
 
