@@ -4090,6 +4090,206 @@ def _wiki_extract_oracle_sql() -> str:
     """
 
 
+def _hocr_variant_docs():
+    """Three fixed hOCR scans covering the lane's dispatch matrix:
+    header→title promotion + photo-region media ref + caption (v0);
+    entity-escaped words + a second page whose image name feeds the
+    media ref (v1); a line outside any paragraph + bare (unwrapped)
+    text inside a line (v2)."""
+    from machine_readability_checker_spark.core.hocr import write_hocr
+
+    v0 = write_hocr([{
+        "image": "scan_p1.png",
+        "blocks": [
+            ("heading", "Chapter One", (100, 80, 2300, 160), [96, 97]),
+            ("para",
+             "The quick brown fox jumps over the lazy dog near town.",
+             (100, 200, 2300, 400), [95] * 11),
+            ("photo", None, (100, 500, 1200, 1400), []),
+            ("caption", "Figure 1: a fox", (100, 1420, 1200, 1470),
+             [92, 90, 85, 88]),
+        ],
+    }])
+    v1 = write_hocr([
+        {"image": "a.png", "blocks": [
+            ("para", "Profit & loss <summary> follows below the fold.",
+             (10, 10, 500, 40), [90] * 8),
+        ]},
+        {"image": "b.png", "blocks": [
+            ("photo", None, (5, 5, 50, 50), []),
+            ("para", "tiny", (10, 60, 90, 80), [40]),
+        ]},
+    ])
+    v2 = (
+        "<html><body><div class='ocr_page' "
+        "title='image \"c.png\"; bbox 0 0 100 100'>"
+        "<span class='ocr_line' title='bbox 1 1 99 20'>"
+        "orphan line with bare unwrapped words standing alone here"
+        "</span></div></body></html>"
+    ).encode()
+    return [v0, v1, v2]
+
+
+_HOCR_VARIANT_DOCS = _hocr_variant_docs()
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_hocr.py over the same writer)
+_HOCR_VARIANT_SPANS = [
+    [
+        ("title", "Chapter One", ""),
+        ("main",
+         "The quick brown fox jumps over the lazy dog near town.", ""),
+        ("media", "", "scan_p1.png#bbox(100,500,1200,1400)"),
+        ("caption", "Figure 1: a fox", ""),
+    ],
+    [
+        ("main", "Profit & loss <summary> follows below the fold.", ""),
+        ("media", "", "b.png#bbox(5,5,50,50)"),
+        ("boilerplate", "tiny", ""),
+    ],
+    [
+        ("main",
+         "orphan line with bare unwrapped words standing alone here",
+         ""),
+    ],
+]
+
+
+def q_hocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hOCR (OCR output) extraction end-to-end: three fixed variant
+    scans (header/caption/photo roles, page-image media refs, entity
+    unescape, orphan lines) flow through the shared extraction kernel
+    (fmt="hocr"); the oracle states the expected ordered span
+    sequences as literals.  Same narrow mapInPandas + hash aggregate
+    shape as the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "hocr", _HOCR_VARIANT_DOCS[v]
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _hocr_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_HOCR_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def q_ocr_conf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR confidence signals with hand-derivable arithmetic: each doc
+    gets a one-page hOCR whose 4 word confidences are FORCED to
+    ``50 + (doc_id + 7j) % 50`` (j = word index), so the per-doc mean
+    confidence and low-confidence fraction (threshold 60) depend only
+    on ``doc_id % 50`` — the oracle recomputes both from pure
+    arithmetic while the hOCR writer, parser and the stats kernel all
+    have to be right for the 50 groups to land."""
+    from machine_readability_checker_spark.operators.ocrstats import (
+        ocr_conf_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.hocr import write_hocr
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                confs = [50 + (did + 7 * j) % 50 for j in range(4)]
+                ids.append(str(did))
+                blobs.append(write_hocr([{
+                    "image": "s.png",
+                    "blocks": [("para", "w0 w1 w2 w3",
+                                (0, 0, 10, 10), confs)],
+                }]))
+            yield _pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    stats = ocr_conf_stats(pages, low_conf=60.0)
+    return (
+        stats.withColumn("m", F.col("doc_id").cast("long") % 50)
+        .groupBy("m", "n_pages", "n_words", "mean_conf", "frac_low")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("m")
+    )
+
+
+def _ocr_conf_stats_oracle_sql() -> str:
+    return """
+    WITH counts AS (
+      SELECT doc_id % 50 AS m, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    ), expect AS (
+      SELECT g.m,
+             AVG(CAST(50 + (g.m + 7 * j.j) % 50 AS DOUBLE)) AS mean_conf,
+             AVG(CASE WHEN 50 + (g.m + 7 * j.j) % 50 < 60
+                 THEN 1.0 ELSE 0.0 END) AS frac_low
+      FROM (SELECT UNNEST(RANGE(50)) AS m) g,
+           (SELECT UNNEST(RANGE(4)) AS j) j
+      GROUP BY g.m
+    )
+    SELECT c.m, 1 AS n_pages, 4 AS n_words,
+           e.mean_conf, e.frac_low, c.n_docs
+    FROM counts c JOIN expect e ON e.m = c.m
+    ORDER BY c.m
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5053,6 +5253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tex_table_rules": q_tex_table_rules,
         "doc_extract": q_doc_extract,
         "wiki_extract": q_wiki_extract,
+        "hocr_extract": q_hocr_extract,
+        "ocr_conf_stats": q_ocr_conf_stats,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5229,6 +5431,8 @@ def oracle_sql() -> dict[str, str]:
     out["doc_extract"] = _doc_extract_oracle_sql()
     out["wiki_extract"] = _wiki_extract_oracle_sql()
     out["wiki_table_rules"] = _html_table_rules_oracle_sql()
+    out["hocr_extract"] = _hocr_extract_oracle_sql()
+    out["ocr_conf_stats"] = _ocr_conf_stats_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

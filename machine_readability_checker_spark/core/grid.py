@@ -27,6 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
+    "hocr",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -211,6 +212,10 @@ def parse_document(
         from .wikitext import parse_wikitext
 
         return parse_wikitext(content)
+    if fmt == "hocr":
+        from .hocr import parse_hocr
+
+        return parse_hocr(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

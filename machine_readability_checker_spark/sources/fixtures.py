@@ -753,6 +753,29 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_hocr(rng, i) -> Dict[str, Any]:
+    """OCR'd scan (hOCR microformat): header line, body paragraphs with
+    per-word confidences, a photo region with trailing caption and a
+    low-confidence smudge line — drives the hocr lane + the
+    ocr_conf_stats quality signal end-to-end."""
+    from ..core.hocr import write_hocr
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(20))
+    confs = [int(80 + rng.randint(0, 20)) for _ in range(20)]
+    blocks = [
+        ("heading", f"Scanned Chapter {i}", (100, 80, 2300, 160), [96, 97, 95]),
+        ("para", para, (100, 200, 2300, 600), confs),
+        ("photo", None, (100, 700, 1200, 1500), []),
+        ("caption", f"Plate {i}", (100, 1520, 1200, 1570), [90, 91]),
+        ("para", "smudge ink blot", (100, 1600, 900, 1650),
+         [30, 25, 40]),
+    ]
+    return _doc(
+        f"ocr{i:05d}", "hocr",
+        write_hocr([{"image": f"scan_{i}.png", "blocks": blocks}]),
+    )
+
+
 def fam_wiki(rng, i) -> Dict[str, Any]:
     """Encyclopedia article in MediaWiki wikitext: infobox template
     (stripped), bold lead with links and refs, sections, an image with
@@ -851,6 +874,7 @@ FAMILIES = [
     ("latex_docs", fam_latex),
     ("doc_docs", fam_doc),
     ("wiki_docs", fam_wiki),
+    ("hocr_docs", fam_hocr),
 ]
 
 
