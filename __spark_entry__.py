@@ -2425,6 +2425,7 @@ _MIME_EXPECT = [
     ("cfb", "application/x-cfb"),
     ("doc", "application/msword"),
     ("xls", "application/vnd.ms-excel"),
+    ("ppt", "application/vnd.ms-powerpoint"),
     ("warc", "application/warc"),
     ("empty", "application/x-empty"),
     ("binary", "application/octet-stream"),
@@ -2446,6 +2447,9 @@ def _mime_payloads() -> list:
     from machine_readability_checker_spark.core.jpeg import encode_jpeg
     from machine_readability_checker_spark.core.odf import write_ods
     from machine_readability_checker_spark.core.png import encode_png
+    from machine_readability_checker_spark.core.ppt import (
+        write_ppt as _write_ppt,
+    )
     from machine_readability_checker_spark.core.wav import encode_wav
     from machine_readability_checker_spark.core.xls import (
         write_xls as _write_xls,
@@ -2475,6 +2479,7 @@ def _mime_payloads() -> list:
         "cfb": b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 24,
         "doc": write_doc([("para", "legacy word binary payload")]),
         "xls": _write_xls([sheet]),
+        "ppt": _write_ppt([[("title", "deck"), ("body", "legacy slides")]]),
         "warc": b"WARC/1.0\r\nWARC-Type: response\r\n",
         "empty": b"",
         "binary": b"\xff\x00\xfe\x01garbage",
@@ -4290,6 +4295,126 @@ def _ocr_conf_stats_oracle_sql() -> str:
     """
 
 
+def _ppt_variant_docs():
+    """Three fixed PowerPoint-97 binary decks covering the lane's
+    dispatch matrix: title promotion + CR paragraph split + notes
+    (v0); UTF-16 TextCharsAtom path + second-slide heading (v1);
+    bytes/chars mixed in one deck + soft line break (v2)."""
+    from machine_readability_checker_spark.core.ppt import write_ppt
+
+    v0 = write_ppt([[
+        ("title", "Quarterly Results"),
+        ("body",
+         "Revenue grew in every region this quarter.\rMargins held."),
+        ("notes", "presenter note"),
+    ]])
+    v1 = write_ppt([
+        [("title", "概要"), ("body", "日本語の本文テキストがここに続きます確認のための十分な長さです")],
+        [("title", "Next"), ("other", "fin")],
+    ])
+    v2 = write_ppt([[
+        ("body", "soft\x0bbreak joins with a space and enough length."),
+        ("body", "tiny"),
+    ]])
+    return [v0, v1, v2]
+
+
+_PPT_VARIANT_DOCS = _ppt_variant_docs()
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_ppt_binary.py over the same writer)
+_PPT_VARIANT_SPANS = [
+    [
+        ("title", "Quarterly Results", ""),
+        ("main", "Revenue grew in every region this quarter.", ""),
+        ("boilerplate", "Margins held.", ""),
+        ("boilerplate", "presenter note", ""),
+    ],
+    [
+        ("title", "概要", ""),
+        ("main", "日本語の本文テキストがここに続きます確認のための十分な長さです", ""),
+        ("heading", "Next", ""),
+        ("boilerplate", "fin", ""),
+    ],
+    [
+        ("main", "soft break joins with a space and enough length.", ""),
+        ("boilerplate", "tiny", ""),
+    ],
+]
+
+
+def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PowerPoint 97 binary extraction end-to-end: three fixed variant
+    decks (CFB record walk, TextHeaderAtom typing, bytes vs UTF-16
+    text atoms, CR paragraph split) flow through the shared extraction
+    kernel (fmt="ppt"); the oracle states the expected ordered span
+    sequences as literals.  Same narrow mapInPandas + hash aggregate
+    shape as the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "ppt", _PPT_VARIANT_DOCS[v]
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _ppt_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_PPT_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5255,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_extract": q_wiki_extract,
         "hocr_extract": q_hocr_extract,
         "ocr_conf_stats": q_ocr_conf_stats,
+        "ppt_extract": q_ppt_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5433,6 +5559,7 @@ def oracle_sql() -> dict[str, str]:
     out["wiki_table_rules"] = _html_table_rules_oracle_sql()
     out["hocr_extract"] = _hocr_extract_oracle_sql()
     out["ocr_conf_stats"] = _ocr_conf_stats_oracle_sql()
+    out["ppt_extract"] = _ppt_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -27,7 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr",
+    "hocr", "ppt",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -216,6 +216,10 @@ def parse_document(
         from .hocr import parse_hocr
 
         return parse_hocr(content)
+    if fmt == "ppt":
+        from .ppt import parse_ppt
+
+        return parse_ppt(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

@@ -753,6 +753,25 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_ppt(rng, i) -> Dict[str, Any]:
+    """Legacy PowerPoint binary: two slides with title/body/notes text
+    through both TextBytesAtom (latin) and TextCharsAtom (UTF-16 via
+    CJK every 3rd deck) — drives the .ppt record-walk lane."""
+    from ..core.ppt import write_ppt
+
+    body = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(25))
+    second = (
+        f"日本語の要点 {i} を含む確認スライドの本文です"
+        if i % 3 == 0
+        else f"follow-up point {int(rng.randint(0, 99))} with detail"
+    )
+    slides = [
+        [("title", f"Deck {i}"), ("body", body), ("notes", "presenter note")],
+        [("title", "Next"), ("body", second), ("other", "fin")],
+    ]
+    return _doc(f"ppt{i:05d}", "ppt", write_ppt(slides))
+
+
 def fam_hocr(rng, i) -> Dict[str, Any]:
     """OCR'd scan (hOCR microformat): header line, body paragraphs with
     per-word confidences, a photo region with trailing caption and a
@@ -875,6 +894,7 @@ FAMILIES = [
     ("doc_docs", fam_doc),
     ("wiki_docs", fam_wiki),
     ("hocr_docs", fam_hocr),
+    ("ppt_docs", fam_ppt),
 ]
 
 

@@ -78,6 +78,7 @@ _MIME_FMT = {
     "application/vnd.oasis.opendocument.text": "odt",
     "application/x-cfb": "xls",  # BIFF lane; non-Excel CFB quarantines inside
     "application/msword": "doc",  # CFB-subtype-refined verdict
+    "application/vnd.ms-powerpoint": "ppt",
 }
 
 
