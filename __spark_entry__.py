@@ -4415,6 +4415,112 @@ def _ppt_extract_oracle_sql() -> str:
     """
 
 
+def _md_twin(spans):
+    """Driver-side twin of operators/render._md_block over pinned span
+    literals — produces the ORACLE's expected strings (the span
+    literals themselves are independently pinned, so this only restates
+    the rendering contract as data)."""
+    blocks = []
+    for kind, text, media in spans:
+        if kind == "title":
+            blocks.append(f"# {text}")
+        elif kind == "heading":
+            blocks.append(f"## {text}")
+        elif kind == "code":
+            blocks.append(f"```\n{text}\n```")
+        elif kind == "math":
+            blocks.append(f"$${text}$$")
+        elif kind == "caption":
+            blocks.append(f"*{text}*")
+        elif kind == "media":
+            blocks.append(f"![{text}]({media})")
+        elif kind in ("main", "line", "cell", "output"):
+            blocks.append(text)
+    return "\n\n".join(blocks)
+
+
+def _plain_twin(spans):
+    return " ".join(
+        t for k, t, _m in spans if k in ("cell", "main", "line") and t
+    )
+
+
+def q_render_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-array → training-text rendering end-to-end: the wiki
+    variant docs flow through the extraction kernel into REAL span
+    arrays, then ``render_training_text`` (the narrow JVM
+    filter/transform/array_join — the operator jobs/clean.py uses, no
+    explode/shuffle) produces both the plain funnel text and the
+    markdown corpus export; the oracle states the expected rendered
+    strings as literals derived from the independently pinned span
+    sequences."""
+    from machine_readability_checker_spark.operators.render import (
+        render_training_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "wiki",
+                    _WIKI_VARIANT_DOCS[v].encode("utf-8"),
+                )
+                rows.append((str(did), v, out["spans"]))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "variant", "spans"]
+            )
+
+    spans_df = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, spans "
+               "array<struct<kind:string,text:string,media_ref:string,"
+               "offset:int>>",
+    )
+    rendered = render_training_text(
+        render_training_text(spans_df, style="markdown", out_col="md"),
+        style="plain", out_col="plain",
+    )
+    return (
+        rendered.groupBy("variant", "plain", "md")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant")
+    )
+
+
+def _render_text_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {})".format(
+            v,
+            _sql_str(_plain_twin(_WIKI_VARIANT_SPANS[v])),
+            _sql_str(_md_twin(_WIKI_VARIANT_SPANS[v])),
+        )
+        for v in (0, 1, 2)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, plain, md) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant, e.plain, e.md,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5381,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hocr_extract": q_hocr_extract,
         "ocr_conf_stats": q_ocr_conf_stats,
         "ppt_extract": q_ppt_extract,
+        "render_text": q_render_text,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5560,6 +5667,7 @@ def oracle_sql() -> dict[str, str]:
     out["hocr_extract"] = _hocr_extract_oracle_sql()
     out["ocr_conf_stats"] = _ocr_conf_stats_oracle_sql()
     out["ppt_extract"] = _ppt_extract_oracle_sql()
+    out["render_text"] = _render_text_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -166,12 +166,19 @@ def main() -> None:
         ap.error("need --input or --gen")
         return
 
-    # boilerplate strip: main content = cell/main/line spans
+    # boilerplate strip: main content = cell/main/line spans.  One
+    # narrow array expression — the spans array is already in document
+    # order, so rendering must NOT round-trip through
+    # explode→groupBy→collect_list (that spelling shuffled the whole
+    # corpus to reassemble documents that were never apart, and
+    # collect_list after a shuffle has no ordering guarantee).
+    from machine_readability_checker_spark.operators.render import (
+        render_training_text,
+    )
+
     texts = (
-        extracted.select("doc_id", F.explode("spans").alias("s"))
-        .filter(F.col("s.kind").isin("cell", "main", "line"))
-        .groupBy("doc_id")
-        .agg(F.concat_ws(" ", F.collect_list("s.text")).alias("text"))
+        render_training_text(extracted, style="plain")
+        .select("doc_id", "text")
     ).persist()
 
     qmodel = None
