@@ -147,6 +147,13 @@ def main() -> None:
         "this (RPv2-style signal: templated/keyword-stuffed pages "
         "compress far below prose; ~0.3 is a conservative floor)",
     )
+    ap.add_argument(
+        "--export-jsonl", type=int, default=0, metavar="N_SHARDS",
+        help="additionally export the cleaned corpus as N deterministic "
+        "gzipped-JSONL shards under <out>/jsonl (the C4/Dolma/RedPajama "
+        "interchange shape; byte-reproducible) with a parquet manifest "
+        "under <out>/jsonl_manifest",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -290,6 +297,18 @@ def main() -> None:
     clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
     cleaned = D.dedup_keep_list(survivors, clusters)
     cleaned.write.mode("overwrite").parquet(os.path.join(args.out, "cleaned"))
+    if args.export_jsonl:
+        from machine_readability_checker_spark.operators.sampling import (
+            write_jsonl_shards,
+        )
+
+        write_jsonl_shards(
+            cleaned.select("doc_id", "text"),
+            os.path.join(args.out, "jsonl"),
+            n_shards=args.export_jsonl,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "jsonl_manifest")
+        )
 
     n_in = survivors.count()
     n_out = spark.read.parquet(os.path.join(args.out, "cleaned")).count()

@@ -10,7 +10,7 @@ expressions — sampling a 100 TB corpus is a narrow scan, no shuffle.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -442,6 +442,100 @@ def write_webdataset_shards(
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "position")
         .select(id_col, text_col, "shard", "position")
+        .mapInPandas(kernel, schema=schema)
+    )
+    return manifest
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Training-export sink: gzipped-JSONL shards
+    (``shard-00000.jsonl.gz``, one JSON object per document) — the
+    de-facto interchange format of published pre-training corpora
+    (C4/Dolma/RedPajama all ship jsonl.gz).  Same distributed shape,
+    determinism contract (md5-derived shard+order, ``sort_keys``,
+    gzip ``mtime=0`` so shard BYTES are reproducible), task-attempt
+    temp + atomic rename, and shared-filesystem requirement as
+    ``write_webdataset_shards`` (see that docstring).
+
+    ``columns``: the payload columns (default: every column except the
+    book-keeping shard/position); ``id_col`` is always included."""
+    import os
+
+    import pandas as pd
+
+    payload_cols = columns or [
+        c for c in df.columns if c not in ("shard", "position")
+    ]
+    if id_col not in payload_cols:
+        payload_cols = [id_col] + payload_cols
+
+    ordered = training_order(df, n_shards=n_shards, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    schema = "shard int, n_docs long, n_bytes long, path string"
+
+    def kernel(batches):
+        import gzip
+        import json
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        os.makedirs(path, exist_ok=True)
+        state = {}  # shard -> [gzipfile, count, final_path, tmp]
+
+        def gz_for(shard: int):
+            if shard not in state:
+                p = os.path.join(path, f"shard-{shard:05d}.jsonl.gz")
+                tmp = f"{p}.attempt-{attempt}"
+                raw = open(tmp, "wb")
+                # fileobj + empty filename: the gzip header carries NO
+                # FNAME (a path-derived name would leak the attempt
+                # suffix into the bytes) and mtime=0 pins the header —
+                # shard bytes stay reproducible run-to-run
+                f = gzip.GzipFile(
+                    filename="", fileobj=raw, mode="wb", mtime=0
+                )
+                state[shard] = [f, 0, p, tmp, raw]
+            return state[shard]
+
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                entry = gz_for(int(row.shard))
+                obj = {c: getattr(row, c) for c in payload_cols}
+                line = json.dumps(
+                    obj, ensure_ascii=False, sort_keys=True,
+                    separators=(",", ":"),
+                )
+                entry[0].write(line.encode("utf-8") + b"\n")
+                entry[1] += 1
+        rows = []
+        for shard, (f, count, p, tmp, raw) in sorted(state.items()):
+            f.close()
+            raw.close()
+            os.replace(tmp, p)
+            rows.append(
+                {
+                    "shard": shard,
+                    "n_docs": count,
+                    "n_bytes": os.path.getsize(p),
+                    "path": p,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_docs", "n_bytes", "path"]
+        )
+
+    manifest = (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .select(*payload_cols, "shard", "position")
         .mapInPandas(kernel, schema=schema)
     )
     return manifest

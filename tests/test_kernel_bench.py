@@ -229,3 +229,43 @@ def test_markdown_kernel_absolute_floor():
     for b in docs:
         extract_md_spans(b)
     assert len(docs) / (time.perf_counter() - t0) > 200
+
+
+def test_legacy_office_and_wiki_kernel_floors():
+    """The session-G parsers must stay linear: generous absolute floors
+    per format (measured: doc ~2000/s, ppt ~10000/s, wiki ~1500/s,
+    hocr ~1500/s single-core on the fixture shapes)."""
+    from machine_readability_checker_spark.core.doc import extract_doc_spans
+    from machine_readability_checker_spark.core.hocr import (
+        extract_hocr_spans,
+    )
+    from machine_readability_checker_spark.core.ppt import extract_ppt_spans
+    from machine_readability_checker_spark.core.wikitext import (
+        extract_wiki_spans,
+    )
+    from machine_readability_checker_spark.sources.fixtures import (
+        FAMILIES,
+        gen_doc,
+    )
+
+    n_fam = len(FAMILIES)
+    names = [n for n, _ in FAMILIES]
+    for fam, fn, floor in (
+        ("doc_docs", extract_doc_spans, 200),
+        ("ppt_docs", extract_ppt_spans, 400),
+        ("wiki_docs", extract_wiki_spans, 200),
+        ("hocr_docs", extract_hocr_spans, 200),
+    ):
+        fam_idx = names.index(fam)
+        docs = [
+            bytes(gen_doc(fam_idx + i * n_fam, whale_every=None)["content"])
+            for i in range(30)
+        ]
+        for b in docs[:5]:
+            spans, err = fn(b)
+            assert err is None, f"{fam}: warmup parse failed: {err}"
+        t0 = time.perf_counter()
+        for b in docs:
+            fn(b)
+        rate = len(docs) / (time.perf_counter() - t0)
+        assert rate > floor, f"{fam} kernel at {rate:.0f} docs/s < {floor}"

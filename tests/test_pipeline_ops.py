@@ -2377,3 +2377,51 @@ def test_pack_sequences_tiles_exactly(spark):
     repart = pack_sequences(docs.repartition(7), seq_len=32).collect()
     key = lambda rs: sorted((r["seq_id"], r["doc_id"], r["n_tokens"], r["doc_start"], r["seq_start"]) for r in rs)
     assert key(repart) == key(out)
+
+
+def test_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    """jsonl.gz shard export: every document lands in exactly one shard
+    as one compact JSON line, line order follows training_order, shard
+    BYTES are identical across writes (gzip mtime=0 + sort_keys), and
+    extra payload columns survive."""
+    import gzip
+    import json
+
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("lang_id"),
+    )
+    out = str(tmp_path / "jsonl")
+    manifest = {
+        r["shard"]: r
+        for r in sampling.write_jsonl_shards(
+            docs, out, n_shards=4
+        ).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(m["n_docs"] for m in manifest.values()) == 200
+
+    order = {
+        (r["shard"], r["position"]): r["doc_id"]
+        for r in sampling.training_order(docs, n_shards=4).collect()
+    }
+    for shard, m in manifest.items():
+        with gzip.open(m["path"], "rt", encoding="utf-8") as f:
+            lines = [json.loads(ln) for ln in f]
+        assert [o["doc_id"] for o in lines] == [
+            order[(shard, p)] for p in range(1, len(lines) + 1)
+        ]
+        for o in lines:
+            assert o["text"] == f"body {o['doc_id']}"
+            assert o["lang_id"] == int(o["doc_id"]) % 3
+
+    # byte determinism across a full rewrite
+    first_bytes = {
+        s: open(m["path"], "rb").read() for s, m in manifest.items()
+    }
+    sampling.write_jsonl_shards(docs, out, n_shards=4).collect()
+    for s, m in manifest.items():
+        assert open(m["path"], "rb").read() == first_bytes[s]
