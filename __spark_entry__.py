@@ -989,9 +989,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub lane: corpus unioned with 15 deterministic PII-bearing
-    documents (emails, phones, IPv4 — rebuilt identically in the DuckDB
-    oracle), redacted to typed placeholders with per-doc counts.  Pure
-    regexp codegen; counts taken on the original text."""
+    documents (emails, card shapes, SSNs, phones, IPv4, IPv6 — rebuilt
+    identically in the DuckDB oracle), redacted to typed placeholders
+    with per-doc counts.  Pure regexp codegen; counts taken on the
+    original text."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -1006,12 +1007,19 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").cast("string"),
             F.lit("@ex-host.com call 555-123-"),
             (F.col("id") + 4000).cast("string"),
+            F.lit(" card 4111-1111-2222-333"),
+            (F.col("id") % 10).cast("string"),
+            F.lit(" ssn 123-45-678"),
+            (F.col("id") % 10).cast("string"),
+            F.lit(" v6 2001:db8::8a2e:"),
+            (F.col("id") + 100).cast("string"),
             F.lit(" done"),
         ).alias("text"),
     )
     out = TS.redact_pii(docs.unionByName(pii))
     return out.select(
-        "doc_id", "n_emails", "n_phones", "n_ips", "text_redacted"
+        "doc_id", "n_emails", "n_ccs", "n_ssns", "n_phones", "n_ips",
+        "n_ipv6s", "text_redacted"
     ).orderBy("doc_id")
 
 
@@ -6285,14 +6293,22 @@ _REPETITION_SQL = f"""
 
 def _pii_redaction_sql() -> str:
     """Twin of q_pii_redaction: same union, same patterns (Java regex ∩
-    RE2 dialect), DuckDB's regexp_replace needs the explicit 'g' flag."""
+    RE2 dialect), same replacement ORDER, DuckDB's regexp_replace needs
+    the explicit 'g' flag."""
     from machine_readability_checker_spark.operators.textstats import (
-        PII_EMAIL_PATTERN,
-        PII_IPV4_PATTERN,
-        PII_PHONE_PATTERN,
+        PII_RULES,
     )
 
-    e, p, ip = PII_EMAIL_PATTERN, PII_PHONE_PATTERN, PII_IPV4_PATTERN
+    counts = ",\n      ".join(
+        "CAST(len(regexp_extract_all(text, '{}')) AS INT) AS {}".format(
+            pat,
+            {"ip": "n_ips", "ipv6": "n_ipv6s"}.get(name, f"n_{name}s"),
+        )
+        for name, pat, _repl in PII_RULES
+    )
+    redacted = "text"
+    for _name, pat, repl in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
     return f"""
     WITH docs AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
@@ -6300,18 +6316,15 @@ def _pii_redaction_sql() -> str:
       SELECT 'pii-' || lpad(CAST(i AS VARCHAR), 2, '0'),
              'ping 10.0.0.' || i || ' mail user' || i
                || '@ex-host.com call 555-123-' || CAST(i + 4000 AS VARCHAR)
+               || ' card 4111-1111-2222-333' || CAST(i % 10 AS VARCHAR)
+               || ' ssn 123-45-678' || CAST(i % 10 AS VARCHAR)
+               || ' v6 2001:db8::8a2e:' || CAST(i + 100 AS VARCHAR)
                || ' done'
       FROM range(15) t(i)
     )
     SELECT doc_id,
-      CAST(len(regexp_extract_all(text, '{e}')) AS INT) AS n_emails,
-      CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_phones,
-      CAST(len(regexp_extract_all(text, '{ip}')) AS INT) AS n_ips,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, '{e}', '<EMAIL>', 'g'),
-          '{p}', '<PHONE>', 'g'),
-        '{ip}', '<IP>', 'g') AS text_redacted
+      {counts},
+      {redacted} AS text_redacted
     FROM docs ORDER BY doc_id
     """
 

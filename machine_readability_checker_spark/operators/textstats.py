@@ -884,49 +884,57 @@ def c4_clean(
 PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_PHONE_PATTERN = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
 PII_IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# separator-grouped 16-digit card shapes only (a bare digit run is too
+# ambiguous to scrub); SSN is the fixed 3-2-4 dashed shape (the 2-digit
+# middle group cannot collide with the phone pattern's 3-4 digits)
+PII_CC_PATTERN = r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"
+PII_SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+# IPv6: full/near-full form (≥3 colon groups so clock times like
+# 12:30:45 never match — they only have 2) OR ::-compressed with at
+# least one leading group (misses the bare "::1" loopback — documented
+# subset; both Java regex and RE2 compile this identically)
+PII_IPV6_PATTERN = (
+    r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4}\b"
+)
 
+# replacement order matters only for overlap safety: cards/SSNs go
+# before phones so a partially-replaced long digit run can never
+# re-match as a phone
 PII_RULES = [
     ("email", PII_EMAIL_PATTERN, "<EMAIL>"),
+    ("cc", PII_CC_PATTERN, "<CC>"),
+    ("ssn", PII_SSN_PATTERN, "<SSN>"),
     ("phone", PII_PHONE_PATTERN, "<PHONE>"),
     ("ip", PII_IPV4_PATTERN, "<IP>"),
+    ("ipv6", PII_IPV6_PATTERN, "<IPV6>"),
 ]
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Replace emails / phone numbers / IPv4 addresses with typed
-    placeholder tokens and count each per document.
+    """Replace emails / card numbers / SSNs / phone numbers / IPv4 /
+    IPv6 addresses with typed placeholder tokens and count each per
+    document.
 
-    Pure codegen (three ``regexp_replace`` + three ``regexp_count``
-    expressions over one pass of the column) — zero shuffle, zero
-    Python; at 100 TB this is scan-bound.  Counts are taken on the
-    ORIGINAL text, before any replacement can overlap a later pattern.
-    → input columns + ``{text_col}_redacted, n_emails, n_phones,
-    n_ips``."""
+    Pure codegen (one ``regexp_replace`` + one ``regexp_count`` per
+    rule over one pass of the column) — zero shuffle, zero Python; at
+    100 TB this is scan-bound.  Counts are taken on the ORIGINAL text,
+    before any replacement can overlap a later pattern.
+    → input columns + ``{text_col}_redacted, n_emails, n_ccs, n_ssns,
+    n_phones, n_ips, n_ipv6s``."""
     out = df
     redacted = F.col(text_col)
     for _name, pat, repl in PII_RULES:
         redacted = F.regexp_replace(redacted, pat, repl)
-    return (
-        out.withColumn(
-            "n_emails",
-            F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_PATTERN)).cast(
-                "int"
-            ),
+    for name, pat, _repl in PII_RULES:
+        col = {"ip": "n_ips", "ipv6": "n_ipv6s"}.get(
+            name, f"n_{name}s"
         )
-        .withColumn(
-            "n_phones",
-            F.regexp_count(F.col(text_col), F.lit(PII_PHONE_PATTERN)).cast(
-                "int"
-            ),
+        out = out.withColumn(
+            col,
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"),
         )
-        .withColumn(
-            "n_ips",
-            F.regexp_count(F.col(text_col), F.lit(PII_IPV4_PATTERN)).cast(
-                "int"
-            ),
-        )
-        .withColumn(f"{text_col}_redacted", redacted)
-    )
+    return out.withColumn(f"{text_col}_redacted", redacted)
 
 
 def ngram_counts(

@@ -1268,6 +1268,33 @@ def test_pii_redaction_hand_computed(spark):
     assert c["text_redacted"] == c["text"]
 
 
+def test_pii_redaction_cc_ssn_ipv6(spark):
+    """Extended PII family: separator-grouped card shapes, 3-2-4 SSNs,
+    IPv6 (full and ::-compressed) — and the non-matches that keep the
+    patterns honest (bare 16-digit runs, clock times, MAC-ish pairs)."""
+    rows = [
+        ("cc", "pay 4111-1111-2222-3333 or 4111 1111 2222 3333 today"),
+        ("ccno", "order 4111111122223333 is a bare digit run"),
+        ("ssn", "ssn 123-45-6789 on file"),
+        ("v6", "host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up"),
+        ("v6c", "link fe80::1 and 2001:db8::8a2e:370:7334 both up"),
+        ("time", "meeting at 12:30:45 tomorrow"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out["cc"]["n_ccs"] == 2
+    assert out["cc"]["text_redacted"] == "pay <CC> or <CC> today"
+    assert out["ccno"]["n_ccs"] == 0
+    assert out["ssn"]["n_ssns"] == 1 and out["ssn"]["n_phones"] == 0
+    assert out["ssn"]["text_redacted"] == "ssn <SSN> on file"
+    assert out["v6"]["n_ipv6s"] == 1
+    assert out["v6"]["text_redacted"] == "host <IPV6> up"
+    assert out["v6c"]["n_ipv6s"] == 2
+    assert out["v6c"]["text_redacted"] == "link <IPV6> and <IPV6> both up"
+    assert out["time"]["n_ipv6s"] == 0
+    assert out["time"]["text_redacted"] == out["time"]["text"]
+
+
 # --- Product quantization (similarity.pq_*) ------------------------------
 
 
