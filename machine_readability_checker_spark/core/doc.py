@@ -69,6 +69,11 @@ _FC_MASK = 0x3FFFFFFF
 SPRM_PF_IN_TABLE = 0x2416
 SPRM_PF_TTP = 0x2417
 
+# fixture-writer FKP page capacity: 20 paragraphs costs ≤ 21·4 rgfc +
+# 20·13 bx = 344 bytes, leaving ample room for the (deduped) PAPX
+# payloads at the top of the page
+_FKP_CHUNK = 20
+
 
 def _u16(b: bytes, o: int) -> int:
     return struct.unpack_from("<H", b, o)[0]
@@ -486,8 +491,9 @@ def _papx_in_fkp(props: ParaProps) -> bytes:
 def _build_fkp(
     para_fcs: List[int], end_fc: int, props_list: List[ParaProps]
 ) -> bytes:
-    """One 512-byte PapxFkp page holding every fixture paragraph
-    (fixtures are small; the builder asserts it fits)."""
+    """One 512-byte PapxFkp page holding a CHUNK of paragraphs (the
+    writer splits into pages of ≤_FKP_CHUNK paragraphs like Word
+    does; the builder asserts each chunk fits)."""
     crun = len(props_list)
     page = bytearray(512)
     pos = 0
@@ -600,10 +606,19 @@ def write_doc(
         ) else 2
     )
 
+    # chunk paragraphs into FKP pages (rgfc + 13-byte bx entries + the
+    # PAPX payloads must all fit in one 512-byte page)
     while len(word) % 512:
         word.append(0)
-    fkp_pn = len(word) // 512
-    word += _build_fkp(para_starts, end_fc, props_list)
+    chunks: List[Tuple[List[int], int, List[ParaProps]]] = []
+    for c0 in range(0, len(para_starts), _FKP_CHUNK):
+        c1 = min(c0 + _FKP_CHUNK, len(para_starts))
+        chunk_end = para_starts[c1] if c1 < len(para_starts) else end_fc
+        chunks.append((para_starts[c0:c1], chunk_end, props_list[c0:c1]))
+    fkp_pns: List[int] = []
+    for starts_chunk, chunk_end, props_chunk in chunks:
+        fkp_pns.append(len(word) // 512)
+        word += _build_fkp(starts_chunk, chunk_end, props_chunk)
 
     # --- table stream: [CLX][PlcfBtePapx]
     pcds = bytearray()
@@ -615,9 +630,10 @@ def write_doc(
         pcds += struct.pack("<HIH", 0, raw_fc, 0)
     clx = b"\x02" + struct.pack("<I", len(pcds)) + bytes(pcds)
 
-    plcf_papx = (
-        struct.pack("<II", para_starts[0], end_fc)
-        + struct.pack("<I", fkp_pn)
+    plcf_papx = b"".join(
+        struct.pack("<I", c[0][0]) for c in chunks
+    ) + struct.pack("<I", end_fc) + b"".join(
+        struct.pack("<I", pn) for pn in fkp_pns
     )
     table = bytearray()
     fc_clx = 0

@@ -244,3 +244,130 @@ def test_markdown_pipe_table_roundtrip(rows):
     grids = extract_md_tables(md.encode("utf-8"))
     want = [[_inline(c)[0] for c in r] for r in rows]
     assert grids == [want]
+
+
+# ------------------------- session-G lanes: doc / ppt / wiki / hocr
+
+
+_para_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=0x3050,
+        exclude_characters="\x7f",
+    ),
+    min_size=1, max_size=60,
+).map(lambda s: " ".join(s.split())).filter(bool)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            _para_text.map(lambda t: ("para", t)),
+            st.tuples(st.integers(1, 9), _para_text).map(
+                lambda x: ("heading", x[0], x[1])
+            ),
+            st.lists(
+                st.lists(
+                    st.text(
+                        alphabet=st.characters(
+                            min_codepoint=32, max_codepoint=0x2FFF,
+                            exclude_characters="\t\x7f",
+                        ),
+                        max_size=10,
+                    ).map(lambda s: " ".join(s.split())),
+                    min_size=1, max_size=3,
+                ),
+                min_size=1, max_size=3,
+            ).map(lambda rows: ("table", rows)),
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.integers(0, 30),
+)
+@settings(max_examples=60, deadline=None)
+def test_doc_writer_reader_roundtrip_property(blocks, split):
+    """Arbitrary block mixes survive the .doc piece-table round trip:
+    no parse error, paragraph/heading texts come back whitespace-
+    normalized, every table row surfaces as a line span."""
+    from machine_readability_checker_spark.core.doc import (
+        extract_doc_spans,
+        write_doc,
+    )
+
+    data = write_doc(blocks, piece_split=split or None)
+    spans, err = extract_doc_spans(data)
+    assert err is None
+    got_lines = [s for s in spans if s[0] == "line"]
+    want_rows = [
+        row for b in blocks if b[0] == "table" for row in b[1]
+    ]
+    assert len(got_lines) == len(want_rows)
+    for (_k, text, _m), row in zip(got_lines, want_rows):
+        # strategy cells are pre-normalized, so they round-trip verbatim
+        assert text.split("\t") == [" ".join(c.split()) for c in row]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["title", "body", "notes", "other"]),
+                _para_text,
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=3,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_ppt_writer_reader_roundtrip_property(slides):
+    """Arbitrary decks survive the record-tree round trip: no parse
+    error, every text item's CR-paragraphs come back in order."""
+    from machine_readability_checker_spark.core.ppt import (
+        extract_ppt_spans,
+        write_ppt,
+    )
+
+    spans, err = extract_ppt_spans(write_ppt(slides))
+    assert err is None
+    want = [
+        " ".join(p.split())
+        for slide in slides
+        for _k, t in slide
+        for p in t.replace("\x0b", " ").split("\r")
+        if " ".join(p.split())
+    ]
+    assert [s[1] for s in spans] == want
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_wikitext_never_raises(text):
+    """Hostile wikitext (unbalanced braces/brackets/tables/tags) must
+    parse to SOME span list without error — the quarantine contract."""
+    from machine_readability_checker_spark.core.wikitext import (
+        extract_wiki_spans,
+        extract_wiki_tables,
+    )
+
+    spans, err = extract_wiki_spans(text.encode("utf-8"))
+    assert err is None or isinstance(err, str)
+    if err is None:
+        for kind, t, m in spans:
+            assert isinstance(t, str) and isinstance(m, str)
+    extract_wiki_tables(text.encode("utf-8"))
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_doc_ppt_hocr_quarantine_never_raise(data):
+    """Arbitrary bytes must quarantine, never raise, in every
+    session-G parser."""
+    from machine_readability_checker_spark.core.doc import extract_doc_spans
+    from machine_readability_checker_spark.core.hocr import (
+        extract_hocr_spans,
+    )
+    from machine_readability_checker_spark.core.ppt import extract_ppt_spans
+
+    for fn in (extract_doc_spans, extract_ppt_spans, extract_hocr_spans):
+        spans, err = fn(data)
+        assert isinstance(spans, list)
