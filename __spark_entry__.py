@@ -4529,6 +4529,68 @@ def _render_text_oracle_sql() -> str:
     """
 
 
+def q_wiki_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia-link-graph harvest: each doc becomes an article whose
+    wikilinks are doc_id arithmetic — a piped topic link ([[topic
+    {d%7}|a topic]] must normalize to 'Topic {d%7}'), an underscore +
+    fragment link (normalizes to the same spaced title, fragment
+    dropped), a DUPLICATE bare link (mention multiset keeps both), and
+    File/Category links that must NOT become edges.  The oracle
+    recomputes every (dst, anchor) count from doc_id alone."""
+    from machine_readability_checker_spark.operators.linkgraph import (
+        extract_wiki_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, titles, blobs = [], [], []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                art = (
+                    f"Lead about [[topic {did % 7}|a topic]] and "
+                    f"[[Shared_Page#history|see history]].\n\n"
+                    f"[[Common Target]] twice: [[Common Target]].\n"
+                    f"[[File:x{did}.png|thumb|cap]] [[Category:Z]]\n"
+                )
+                ids.append(str(did))
+                titles.append(f"Article {did}")
+                blobs.append(art.encode("utf-8"))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "title": titles, "content": blobs}
+            )
+
+    pages = docs.mapInPandas(
+        kernel, schema="doc_id string, title string, content binary"
+    )
+    edges = extract_wiki_edges(pages)
+    return (
+        edges.groupBy("dst", "anchor")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("dst", "anchor")
+    )
+
+
+def _wiki_links_oracle_sql() -> str:
+    return """
+    WITH n AS (SELECT COUNT(*) AS total FROM documents),
+    topic AS (
+      SELECT 'Topic ' || CAST(doc_id % 7 AS VARCHAR) AS dst,
+             'a topic' AS anchor, COUNT(*) AS n_mentions
+      FROM documents GROUP BY 1
+    )
+    SELECT dst, anchor, n_mentions FROM topic
+    UNION ALL
+    SELECT 'Shared Page', 'see history', total FROM n
+    UNION ALL
+    SELECT 'Common Target', 'Common Target', 2 * total FROM n
+    ORDER BY dst, anchor
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5496,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_conf_stats": q_ocr_conf_stats,
         "ppt_extract": q_ppt_extract,
         "render_text": q_render_text,
+        "wiki_links": q_wiki_links,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5676,6 +5739,7 @@ def oracle_sql() -> dict[str, str]:
     out["ocr_conf_stats"] = _ocr_conf_stats_oracle_sql()
     out["ppt_extract"] = _ppt_extract_oracle_sql()
     out["render_text"] = _render_text_oracle_sql()
+    out["wiki_links"] = _wiki_links_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -538,6 +538,57 @@ def extract_wiki_tables(content: bytes) -> List[List[List[str]]]:
     return grids
 
 
+def extract_wiki_links(content: bytes) -> List[Tuple[str, str]]:
+    """(target_title, anchor_text) per article-namespace wikilink, in
+    document order, duplicates kept (mention-multiset semantics, same
+    contract as the HTML lane's ``extract_links``).  File/Image/
+    Category links are media/taxonomy, not graph edges; section-only
+    links (``[[#anchor]]``) have no target page; targets normalize per
+    MediaWiki title rules (underscores = spaces, whitespace collapsed,
+    first letter case-insensitive → capitalized, fragment dropped)."""
+    text = content.decode("utf-8", "replace")
+    prot = _Protector()
+    text = _COMMENT_RE.sub("", text)
+    text = prot.shelter(text)
+    text = _REF_RE.sub("", text)
+    text = _strip_templates(text)
+    out: List[Tuple[str, str]] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        if not text.startswith("[[", i):
+            i += 1
+            continue
+        depth = 1
+        j = i + 2
+        while j < n and depth:
+            if text.startswith("[[", j):
+                depth += 1
+                j += 2
+            elif text.startswith("]]", j):
+                depth -= 1
+                j += 2
+            else:
+                j += 1
+        body = text[i + 2 : j - 2] if depth == 0 else text[i + 2 :]
+        i = j
+        params = _split_params(body)
+        target = params[0].split("#", 1)[0].strip()
+        low = target.lower()
+        if not target or low.startswith(
+            ("file:", "image:", "category:", "ファイル:")
+        ):
+            continue
+        # display label: the piped text, else the link AS WRITTEN
+        # (bare [[werewolf]] renders lowercase even though the target
+        # title capitalizes)
+        label = params[-1].strip() if len(params) > 1 else target
+        target = " ".join(target.replace("_", " ").split())
+        target = target[:1].upper() + target[1:]
+        out.append((target, _clean_inline(label)))
+    return out
+
+
 def parse_wikitext(content: bytes):
     """grid.parse_document adapter — layout-span ParsedDoc like the
     md/tex lanes."""

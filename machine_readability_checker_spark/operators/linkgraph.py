@@ -99,6 +99,42 @@ def graph_edges(
     return e.distinct()
 
 
+def extract_wiki_edges(
+    pages: DataFrame,
+    title_col: str = "title",
+    content_col: str = "content",
+) -> DataFrame:
+    """Wiki articles (title, wikitext bytes) → wikilink edge rows
+    (src, dst, anchor) — the Wikipedia-link-graph twin of
+    ``extract_edges``; the whole downstream family (build_graph /
+    degree_stats / pagerank / hits / anchor_texts) runs unchanged on
+    titles instead of URLs.  Same shape: one Arrow-batched kernel,
+    zero shuffles; duplicate mentions survive (anchor profiles want
+    them; graph builds dedup with one DISTINCT)."""
+    src = pages.select(
+        F.col(title_col).alias("title"),
+        F.col(content_col).alias("content"),
+    )
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.wikitext import (
+            extract_wiki_links,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                for dst, anchor in extract_wiki_links(content):
+                    rows.append((r.title, dst, anchor))
+            yield _pd.DataFrame(rows, columns=["src", "dst", "anchor"])
+
+    return src.mapInPandas(kernel, schema="src string, dst string, "
+                                          "anchor string")
+
+
 def degree_stats(graph: DataFrame) -> DataFrame:
     """(src, dst) graph → per-node (node, out_degree, in_degree).
 

@@ -217,3 +217,57 @@ def test_dump_source_spark(spark, tmp_path):
     raw2 = read_wikidump(spark, str(tmp_path / "bad.xml"))
     bad = raw2.collect()
     assert len(bad) == 1 and bad[0]["fmt"] == "__wikidump_error__"
+
+
+# ---------------------------------------------------------- link graph
+
+
+def test_extract_wiki_links_matrix():
+    from machine_readability_checker_spark.core.wikitext import (
+        extract_wiki_links,
+    )
+
+    art = (
+        "{{Infobox|of=[[Hidden In Template]]}}\n"
+        "'''X''' links [[alpha beta]] and [[Gamma_Delta#frag|the δs]] "
+        "and [[alpha beta]] again.<ref>[[In Ref]]</ref>\n"
+        "[[File:pic.png|thumb|[[Nested In Caption]]]]\n"
+        "[[Category:Things]] [[#section-only]] [[werewolf]]\n"
+    )
+    got = extract_wiki_links(art.encode())
+    assert got == [
+        ("Alpha beta", "alpha beta"),
+        ("Gamma Delta", "the δs"),          # underscores + fragment
+        ("Alpha beta", "alpha beta"),        # duplicate mention kept
+        ("Werewolf", "werewolf"),            # first-letter capitalized
+    ]
+
+
+def test_wiki_edges_feed_linkgraph_family(spark):
+    from pyspark.sql import types as T
+
+    from machine_readability_checker_spark.operators.linkgraph import (
+        degree_stats,
+        extract_wiki_edges,
+        graph_edges,
+    )
+
+    rows = [
+        ("A", "links to [[B]] and [[C|see]] and [[B]]".encode()),
+        ("B", "links to [[C]]".encode()),
+        ("C", "no links".encode()),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("title", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    edges = extract_wiki_edges(df)
+    assert edges.count() == 4  # duplicate A->B mention kept
+    graph = graph_edges(edges)
+    assert graph.count() == 3  # deduped
+    deg = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in degree_stats(graph).collect()}
+    assert deg["A"] == (2, 0) and deg["B"] == (1, 1) and deg["C"] == (0, 2)
