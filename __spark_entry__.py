@@ -4591,6 +4591,136 @@ def _wiki_links_oracle_sql() -> str:
     """
 
 
+def _eml_variant_docs():
+    """Three fixed messages covering the email lane's dispatch matrix:
+    plain multipart with quoted reply + signature + attachment (v0);
+    HTML-only body routed through the HTML lane (v1); non-ASCII
+    subject (RFC 2047) + CJK body (base64/qp transfer decode) (v2)."""
+    from machine_readability_checker_spark.core.eml import write_eml
+
+    v0 = write_eml(
+        "Quarterly numbers", "ana@example.com", "team@example.com",
+        plain=("Here are the figures we discussed on the call.\n\n"
+               "> did you include the split?\nYes, see attachment.\n\n"
+               "-- \nAna"),
+        attachments=[("figures.csv", b"a,b\n1,2\n")],
+    )
+    v1 = write_eml(
+        "HTML only", "bot@example.com", "team@example.com",
+        html=("<html><body><h1>Release</h1>"
+              "<p>The deploy finished without incident overnight.</p>"
+              "</body></html>"),
+    )
+    v2 = write_eml(
+        "結果の共有 — final", "kenji@example.com", "team@example.com",
+        plain="日本語の本文がそのまま転送符号化を通って届く確認です。",
+    )
+    return [v0, v1, v2]
+
+
+_EML_VARIANT_DOCS = _eml_variant_docs()
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_eml.py over the same writer)
+_EML_HDR = "From: {} | To: team@example.com | Date: " \
+           "Mon, 17 Aug 2026 10:00:00 +0000"
+_EML_VARIANT_SPANS = [
+    [
+        ("title", "Quarterly numbers", ""),
+        ("boilerplate", _EML_HDR.format("ana@example.com"), ""),
+        ("main", "Here are the figures we discussed on the call.", ""),
+        ("boilerplate", "did you include the split?", ""),
+        ("boilerplate", "Yes, see attachment.", ""),
+        ("boilerplate", "Ana", ""),
+        ("media", "", "attachment:figures.csv"),
+    ],
+    [
+        ("title", "HTML only", ""),
+        ("boilerplate", _EML_HDR.format("bot@example.com"), ""),
+        ("heading", "Release", ""),
+        ("main", "The deploy finished without incident overnight.", ""),
+    ],
+    [
+        ("title", "結果の共有 — final", ""),
+        ("boilerplate", _EML_HDR.format("kenji@example.com"), ""),
+        ("main", "日本語の本文がそのまま転送符号化を通って届く確認です。", ""),
+    ],
+]
+
+
+def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email extraction end-to-end: three fixed variant messages (MIME
+    multipart walk, transfer decoding, RFC 2047 headers, quote/
+    signature boilerplate, HTML-body routing, attachments → media)
+    flow through the shared extraction kernel (fmt="eml"); the oracle
+    states the expected ordered span sequences as literals.  Same
+    narrow mapInPandas + hash aggregate shape as the other extraction
+    lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "eml", _EML_VARIANT_DOCS[v]
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = docs.mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _eml_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_EML_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5559,6 +5689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppt_extract": q_ppt_extract,
         "render_text": q_render_text,
         "wiki_links": q_wiki_links,
+        "eml_extract": q_eml_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5740,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
     out["ppt_extract"] = _ppt_extract_oracle_sql()
     out["render_text"] = _render_text_oracle_sql()
     out["wiki_links"] = _wiki_links_oracle_sql()
+    out["eml_extract"] = _eml_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

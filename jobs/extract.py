@@ -58,6 +58,12 @@ def main() -> None:
         "quarantine)",
     )
     ap.add_argument(
+        "--mbox",
+        help="path/glob of mbox(.gz) mail archives to ingest instead of "
+        "parquet (RFC 4155 split + mboxrd unquoting; messages become "
+        "fmt=eml docs_raw rows; archive = task granule)",
+    )
+    ap.add_argument(
         "--wikidump",
         help="path/glob of MediaWiki pages-articles *.xml(.bz2) dump "
         "parts to ingest instead of parquet (main-namespace pages "
@@ -115,10 +121,18 @@ def main() -> None:
         )
 
         raw = read_wikidump(spark, args.wikidump)
+    elif args.mbox:
+        from machine_readability_checker_spark.sources.mailbox import (
+            read_mbox,
+        )
+
+        raw = read_mbox(spark, args.mbox)
     elif args.gen:
         raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
     else:
-        ap.error("need --input, --warc, --archive, --wikidump or --gen")
+        ap.error(
+            "need --input, --warc, --archive, --wikidump, --mbox or --gen"
+        )
         return
 
     store = ManifestStore(args.out)

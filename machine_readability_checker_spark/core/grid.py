@@ -27,7 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt",
+    "hocr", "ppt", "eml",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
 
@@ -220,6 +220,10 @@ def parse_document(
         from .ppt import parse_ppt
 
         return parse_ppt(content)
+    if fmt == "eml":
+        from .eml import parse_eml
+
+        return parse_eml(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

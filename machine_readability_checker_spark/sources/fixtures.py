@@ -753,6 +753,35 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_eml(rng, i) -> Dict[str, Any]:
+    """Mail-archive message: RFC 2047 subject, multipart/alternative
+    (plain preferred) with quoted-reply + signature boilerplate and an
+    attachment — drives the email lane end-to-end.  Every 3rd message
+    is HTML-only (body routes through the HTML lane)."""
+    from ..core.eml import write_eml
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    if i % 3 == 0:
+        return _doc(
+            f"ml{i:05d}", "eml",
+            write_eml(
+                f"Thread {i} (html)", f"u{i}@example.com",
+                "list@example.com",
+                html=(f"<html><body><h1>Update {i}</h1>"
+                      f"<p>{para}</p></body></html>"),
+            ),
+        )
+    return _doc(
+        f"ml{i:05d}", "eml",
+        write_eml(
+            f"Thread {i}", f"u{i}@example.com", "list@example.com",
+            plain=(f"{para}\n\n> quoted reply {i}\nACK.\n\n"
+                   f"-- \nuser {i}"),
+            attachments=[(f"patch{i}.diff", b"--- a\n+++ b\n")],
+        ),
+    )
+
+
 def fam_ppt(rng, i) -> Dict[str, Any]:
     """Legacy PowerPoint binary: two slides with title/body/notes text
     through both TextBytesAtom (latin) and TextCharsAtom (UTF-16 via
@@ -895,6 +924,7 @@ FAMILIES = [
     ("wiki_docs", fam_wiki),
     ("hocr_docs", fam_hocr),
     ("ppt_docs", fam_ppt),
+    ("eml_docs", fam_eml),
 ]
 
 
