@@ -35,6 +35,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small control table across the cluster before per-row
+    Python kernel work.  The sf* ``documents`` parquet is ONE ~600 KB
+    file → Spark scans it as ONE partition, which serializes every
+    downstream Arrow kernel onto a single core (measured: the
+    table-rule lanes ran 25× below their kernel throughput).  One
+    round-robin exchange of tiny rows buys full parallelism — the
+    same reason jobs/extract.py salts docs_raw before its kernel.  At
+    real corpus scale inputs arrive in many files and this exchange
+    stays proportionally free (rows are ids/text, never media
+    bytes)."""
+    return df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+
+
 # ----------------------------------------------------------------------
 # documents.text → deterministic per-document CSV bytes (5 columns of
 # whitespace tokens, last row padded with 'pad'), entirely in native
@@ -1274,7 +1290,7 @@ def _variant_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    return _fan(spark, docs).mapInPandas(kernel, schema="doc_id string, content binary")
 
 
 def q_html_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,7 +1440,7 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((str(did), url, xml.encode("utf-8")))
             yield _pd.DataFrame(rows, columns=["doc_id", "url", "content"])
 
-    feeds = docs.mapInPandas(
+    feeds = _fan(spark, docs).mapInPandas(
         kernel, schema="doc_id string, url string, content binary"
     )
     out = feed_entries(feeds)
@@ -1537,7 +1553,7 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "url", "content"]
             )
 
-    pages = docs.mapInPandas(
+    pages = _fan(spark, docs).mapInPandas(
         kernel, schema="doc_id string, url string, content binary"
     )
     meta = page_metadata(pages)
@@ -1606,7 +1622,7 @@ def q_md_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    pages = _fan(spark, docs).mapInPandas(kernel, schema="doc_id string, content binary")
     res = WT.md_table_rule_results(pages)
     return (
         res.withColumn("variant", F.col("doc_id").cast("long") % 3)
@@ -1647,7 +1663,7 @@ def q_wiki_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    pages = _fan(spark, docs).mapInPandas(kernel, schema="doc_id string, content binary")
     res = WT.wiki_table_rule_results(pages)
     return (
         res.withColumn("variant", F.col("doc_id").cast("long") % 3)
@@ -1688,7 +1704,7 @@ def q_tex_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    pages = _fan(spark, docs).mapInPandas(kernel, schema="doc_id string, content binary")
     res = WT.tex_table_rule_results(pages)
     return (
         res.withColumn("variant", F.col("doc_id").cast("long") % 3)
@@ -1738,7 +1754,7 @@ def _variant_pdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    return _fan(spark, docs).mapInPandas(kernel, schema="doc_id string, content binary")
 
 
 def q_pdf_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1901,7 +1917,7 @@ def q_pdf_columns_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "variant", "idx", "kind", "text"]
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, text string",
     )
@@ -1946,7 +1962,7 @@ def q_pdf_cjk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "variant", "kind", "text"]
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel, schema="doc_id string, variant long, kind string, text string"
     )
     return (
@@ -2102,7 +2118,7 @@ def q_odf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -2141,7 +2157,7 @@ def q_odf_rule_results(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "variant", "rule_id", "passed"]
             )
 
-    rules = docs.mapInPandas(
+    rules = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, rule_id string, "
                "passed boolean",
@@ -2589,7 +2605,7 @@ def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "content": blobs}
             )
 
-    imgs = docs.mapInPandas(build, schema="doc_id long, content binary")
+    imgs = _fan(spark, docs).mapInPandas(build, schema="doc_id long, content binary")
     pairs = image_near_dups(
         imgs, content_col="content", id_col="doc_id", max_hamming=2
     )
@@ -2657,7 +2673,7 @@ def q_video_fold_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "media_type": "video"}
             )
 
-    vids = docs.mapInPandas(
+    vids = _fan(spark, docs).mapInPandas(
         build, schema="doc_id long, content binary, media_type string"
     )
     hashed = media_fingerprints(vids).select("doc_id", "fingerprint")
@@ -2736,7 +2752,7 @@ def q_exif_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(insert_app1(base, app1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
-    media = docs.mapInPandas(build, schema="doc_id long, content binary")
+    media = _fan(spark, docs).mapInPandas(build, schema="doc_id long, content binary")
     scanned = scan_exif(media)
     rescan = scan_exif(
         strip_metadata(media), id_cols=("doc_id", "bytes_removed")
@@ -2808,7 +2824,7 @@ def q_auto_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "content": blobs}
             )
 
-    media = docs.mapInPandas(
+    media = _fan(spark, docs).mapInPandas(
         build, schema="doc_id long, media_ref string, content binary"
     )
     oriented = auto_orient_images(media)
@@ -3168,7 +3184,7 @@ def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -3280,7 +3296,7 @@ def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -3451,7 +3467,7 @@ def q_ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -3563,7 +3579,7 @@ def q_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -3647,7 +3663,7 @@ def q_transcript_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from machine_readability_checker_spark.model import SPANS_SCHEMA
 
-    spans_df = docs.mapInPandas(kernel, schema=SPANS_SCHEMA)
+    spans_df = _fan(spark, docs).mapInPandas(kernel, schema=SPANS_SCHEMA)
     win = transcript_windows(spans_df, window_ms=20_000)
     return (
         win.withColumn(
@@ -3795,7 +3811,7 @@ def q_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -3933,7 +3949,7 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -4068,7 +4084,7 @@ def q_wiki_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -4205,7 +4221,7 @@ def q_hocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -4272,7 +4288,7 @@ def q_ocr_conf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }]))
             yield _pd.DataFrame({"doc_id": ids, "content": blobs})
 
-    pages = docs.mapInPandas(kernel, schema="doc_id string, content binary")
+    pages = _fan(spark, docs).mapInPandas(kernel, schema="doc_id string, content binary")
     stats = ocr_conf_stats(pages, low_conf=60.0)
     return (
         stats.withColumn("m", F.col("doc_id").cast("long") % 50)
@@ -4388,7 +4404,7 @@ def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
@@ -4489,7 +4505,7 @@ def q_render_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "variant", "spans"]
             )
 
-    spans_df = docs.mapInPandas(
+    spans_df = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, spans "
                "array<struct<kind:string,text:string,media_ref:string,"
@@ -4563,7 +4579,7 @@ def q_wiki_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "title": titles, "content": blobs}
             )
 
-    pages = docs.mapInPandas(
+    pages = _fan(spark, docs).mapInPandas(
         kernel, schema="doc_id string, title string, content binary"
     )
     edges = extract_wiki_edges(pages)
@@ -4686,7 +4702,7 @@ def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "media_ref"],
             )
 
-    spans = docs.mapInPandas(
+    spans = _fan(spark, docs).mapInPandas(
         kernel,
         schema="doc_id string, variant long, idx int, kind string, "
                "text string, media_ref string",
