@@ -1261,7 +1261,11 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "url", "charset", "title", "body_ok"],
             )
 
-    return with_url.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+    return (
+        _fan(spark, with_url)
+        .mapInPandas(kernel, schema=schema)
+        .orderBy("doc_id")
+    )
 
 
 def _variant_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
