@@ -5549,8 +5549,15 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     readability struct — vowel-group syllables with the silent-e
     discount, sentence splitting, both formulas — against a DuckDB
     oracle that recomputes every term with list functions."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = TS.tokens(F.col("text"))
+    # materialize the token array BEFORE the transform lambda: Catalyst
+    # re-evaluates non-argument expressions inside HOF lambdas per
+    # element, so an inline tokens(text) would re-tokenize the whole
+    # document once per 10-token slice — O(n²) on whales (the same trap
+    # the ngram_lm lane hit; SCALE.md "HOF lambda re-evaluation")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", TS.tokens(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     ns = F.ceil(n / F.lit(10.0)).cast("int")
     sent_text = F.when(
