@@ -196,6 +196,8 @@ class _PapxIndex:
     def __init__(self, word_stream: bytes, table_stream: bytes,
                  fc: int, lcb: int) -> None:
         self._entries: List[Tuple[int, int, ParaProps]] = []
+        self._los: List[int] = []
+        self._sorted = False
         if lcb < 4:
             return
         plc = table_stream[fc : fc + lcb]
@@ -227,7 +229,19 @@ class _PapxIndex:
                 self._entries.append((rgfc[i], rgfc[i + 1], props))
 
     def lookup(self, fc: int) -> ParaProps:
-        for lo, hi, props in self._entries:
+        # entries are FC-ordered (FKP pages cover ascending ranges in
+        # every real file and in the fixture writer); bisect keeps the
+        # per-paragraph lookup O(log n) — a linear scan would make a
+        # 10k-paragraph document O(n²)
+        import bisect
+
+        if not self._sorted:
+            self._entries.sort(key=lambda e: e[0])
+            self._los = [e[0] for e in self._entries]
+            self._sorted = True
+        i = bisect.bisect_right(self._los, fc) - 1
+        if i >= 0:
+            lo, hi, props = self._entries[i]
             if lo <= fc < hi:
                 return props
         return ParaProps()
