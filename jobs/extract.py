@@ -70,6 +70,14 @@ def main() -> None:
         "become docs_raw rows with fmt=wiki; dump part = task granule; "
         "redirects skipped)",
     )
+    ap.add_argument(
+        "--render", choices=["plain", "markdown"],
+        help="additionally write a rendered per-document `text` column "
+        "(ordered span array -> one string; plain = content spans "
+        "space-joined, markdown = layout-aware corpus export) so the "
+        "output parquet is directly consumable by the cleaning/"
+        "tokenizer stages without a second pass",
+    )
     ap.add_argument("--gen", type=int, default=0, help="generate N fixture docs")
     ap.add_argument("--out", required=True)
     ap.add_argument("--splits", type=int, default=16)
@@ -140,6 +148,13 @@ def main() -> None:
     def transform(wave_df: DataFrame) -> DataFrame:
         balanced = salted_repartition(wave_df, n_parts)
         out = extract(balanced)
+        if args.render:
+            from machine_readability_checker_spark.operators.render import (
+                render_training_text,
+            )
+
+            # narrow JVM expression — adds zero exchanges to the wave
+            out = render_training_text(out, style=args.render)
         # split is re-derived (deterministic) so the write can partition on it
         return out.withColumn("split", split_id("doc_id", args.splits))
 
