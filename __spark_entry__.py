@@ -2454,6 +2454,7 @@ _MIME_EXPECT = [
     ("doc", "application/msword"),
     ("xls", "application/vnd.ms-excel"),
     ("ppt", "application/vnd.ms-powerpoint"),
+    ("eml", "message/rfc822"),
     ("warc", "application/warc"),
     ("empty", "application/x-empty"),
     ("binary", "application/octet-stream"),
@@ -2470,6 +2471,9 @@ def _mime_payloads() -> list:
     from machine_readability_checker_spark.core.bmp import encode_bmp
     from machine_readability_checker_spark.core.doc import write_doc
     from machine_readability_checker_spark.core.docx import write_docx
+    from machine_readability_checker_spark.core.eml import (
+        write_eml as _write_eml,
+    )
     from machine_readability_checker_spark.core.epub import write_epub
     from machine_readability_checker_spark.core.gif import encode_gif
     from machine_readability_checker_spark.core.jpeg import encode_jpeg
@@ -2508,6 +2512,10 @@ def _mime_payloads() -> list:
         "doc": write_doc([("para", "legacy word binary payload")]),
         "xls": _write_xls([sheet]),
         "ppt": _write_ppt([[("title", "deck"), ("body", "legacy slides")]]),
+        "eml": _write_eml(
+            "sniff me", "a@example.com", "b@example.com",
+            plain="a message body",
+        ),
         "warc": b"WARC/1.0\r\nWARC-Type: response\r\n",
         "empty": b"",
         "binary": b"\xff\x00\xfe\x01garbage",

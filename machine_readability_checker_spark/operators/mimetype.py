@@ -108,6 +108,23 @@ def detect_mime(col: Column) -> Column:
         F.lit("text/html"),
     )
     out = out.when(s.startswith("<?xml"), F.lit("application/xml"))
+    # RFC 822 message: no magic bytes exist, but a real message opens
+    # with one of the canonical trace/originator headers AND carries a
+    # second well-known header within the head — two independent hits
+    # keep "Subject: meeting notes" prose from matching.  Case-blind,
+    # evaluated on the (lenient) string cast before the text/plain
+    # fallback claims the row.
+    raw_s = col.cast("string")
+    head = F.substring(raw_s, 1, 2048)
+    opens_hdr = raw_s.rlike(
+        "^(?i)(Return-Path|Received|Delivered-To|From|Subject|"
+        "Message-ID|Date|MIME-Version): "
+    )
+    second_hdr = head.rlike(
+        "(?i)\n(From|To|Subject|Date|Message-ID|MIME-Version|"
+        "Content-Type): "
+    )
+    out = out.when(opens_hdr & second_hdr, F.lit("message/rfc822"))
     out = out.when(
         F.coalesce(F.length(col), F.lit(0)) == 0, F.lit("application/x-empty")
     )

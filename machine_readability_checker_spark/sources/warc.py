@@ -79,6 +79,7 @@ _MIME_FMT = {
     "application/x-cfb": "xls",  # BIFF lane; non-Excel CFB quarantines inside
     "application/msword": "doc",  # CFB-subtype-refined verdict
     "application/vnd.ms-powerpoint": "ppt",
+    "message/rfc822": "eml",
 }
 
 

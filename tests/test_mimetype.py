@@ -199,3 +199,33 @@ def test_mislabeled_payload_is_caught(spark):
     )
     out = M.sniff_mime(df, "content").head()
     assert out.mime == "text/html"
+
+
+def test_rfc822_detection(spark):
+    """Email payloads type message/rfc822 (two independent well-known
+    header hits); 'Subject: meeting' prose stays text/plain."""
+    from pyspark.sql import types as T
+
+    from machine_readability_checker_spark.core.eml import write_eml
+
+    rows = [
+        ("msg", write_eml("S", "a@b.c", "d@e.f", plain="body")),
+        ("prose", b"Subject: meeting notes\nwe should talk tomorrow"),
+        ("plain", b"ordinary text with no headers at all"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("tag", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    got = {
+        r["tag"]: r["mime"]
+        for r in M.sniff_mime(df, "content").collect()
+    }
+    assert got == {
+        "msg": "message/rfc822",
+        "prose": "text/plain",
+        "plain": "text/plain",
+    }
