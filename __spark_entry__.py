@@ -4749,6 +4749,93 @@ def _eml_extract_oracle_sql() -> str:
     """
 
 
+_DIALECT_VARIANT_DOCS = [
+    ("tsv", "k\tv\nalpha\t1\nbeta\t2\n"),
+    ("csv", "k;v\nalpha;1\nbeta;2\n"),      # semicolon sniffs
+    ("csv", "k|v\nalpha|1\nbeta|2\n"),      # pipe sniffs
+]
+
+# hand-derived expected span sequences (grid lane: header row then one
+# cell span per data row, cells tab-joined) — identical across all
+# three dialects BY CONSTRUCTION, which is the lane's point
+_DIALECT_VARIANT_SPANS = [
+    ("header", "k", ""),
+    ("header", "v", ""),
+    ("cell", "alpha\t1", ""),
+    ("cell", "beta\t2", ""),
+]
+
+
+def q_dialect_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter-dialect ingest: the SAME logical table as true TSV, a
+    semicolon .csv and a pipe .csv must extract identical span
+    sequences (the sniffer only ever fires on comma-free samples, so
+    reference comma parity is untouched — every other csv lane pins
+    that side).  Same narrow mapInPandas + hash aggregate shape."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                fmt, body = _DIALECT_VARIANT_DOCS[v]
+                out = extract_document(str(did), fmt, body.encode())
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = _fan(spark, docs).mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _dialect_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_DIALECT_VARIANT_SPANS)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5725,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_text": q_render_text,
         "wiki_links": q_wiki_links,
         "eml_extract": q_eml_extract,
+        "dialect_extract": q_dialect_extract,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -5907,6 +5995,7 @@ def oracle_sql() -> dict[str, str]:
     out["render_text"] = _render_text_oracle_sql()
     out["wiki_links"] = _wiki_links_oracle_sql()
     out["eml_extract"] = _eml_extract_oracle_sql()
+    out["dialect_extract"] = _dialect_extract_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

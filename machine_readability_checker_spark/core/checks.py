@@ -161,6 +161,11 @@ def check_valid_file_format(doc: ParsedDoc, ctx, body) -> CheckResult:
             True,
             "OpenDocument表計算（.ods）形式です。xlsx相当のチェックを実施します",
         )
+    if doc.fmt == "tsv":
+        return (
+            True,
+            "タブ区切り（.tsv）形式です。csv相当のチェックを実施します",
+        )
     if doc.fmt not in {"csv", "xlsx", "xls"}:
         return False, f"サポート外のファイル形式です: .{doc.fmt}"
     if doc.fmt == "xls":
@@ -173,7 +178,7 @@ def check_valid_file_format(doc: ParsedDoc, ctx, body) -> CheckResult:
 
 
 def check_no_images_or_objects(doc: ParsedDoc, ctx, body) -> CheckResult:
-    if doc.fmt == "csv":
+    if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのためオブジェクトチェック不要"
     if doc.fmt == "xls":
         return (
@@ -212,7 +217,7 @@ def check_one_table_per_sheet(
 def check_no_hidden_rows_or_columns(
     doc: ParsedDoc, ctx: ZoneContext, body, sheet_idx: int = 0
 ) -> CheckResult:
-    if doc.fmt == "csv":
+    if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのため非表示行・列の概念はありません"
     if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods"):
         return True, "サポート外形式のため非表示行・列チェックをスキップします"
@@ -277,7 +282,7 @@ def check_no_notes_outside_table(
 def check_no_merged_cells(
     doc: ParsedDoc, ctx: ZoneContext, body, sheet_idx: int = 0
 ) -> CheckResult:
-    if doc.fmt == "csv":
+    if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのため結合セルは存在しません"
     if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods"):
         return True, "サポート外形式のため結合セルチェックをスキップします"
@@ -330,7 +335,7 @@ def check_no_format_based_semantics(
             "旧Excel（.xls）形式のため、書式（文字色や太字など）の自動判定が"
             "不正確な場合があります。必要に応じて目視でご確認ください。",
         )
-    if doc.fmt == "csv":
+    if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのため書式装飾チェックは対象外です"
     if doc.fmt not in ("xlsx", "ods") or doc.workbook is None:
         return True, "サポート外形式のため書式装飾チェックをスキップします"
@@ -553,7 +558,7 @@ def check_handling_of_missing_values(
 def check_csv_single_line_per_data(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame
 ) -> CheckResult:
-    if doc.fmt != "csv":
+    if doc.fmt not in ("csv", "tsv"):
         return True, "CSVファイルではないためチェック対象外"
     problem_cells: List[str] = []
     ridx = body.index

@@ -27,9 +27,9 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt", "eml",
+    "hocr", "ppt", "eml", "tsv",
 }
-GRID_FORMATS = {"csv", "xlsx", "xls", "ods"}
+GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv"}
 
 
 @dataclass
@@ -57,8 +57,31 @@ def _df_to_rows(df: pd.DataFrame) -> List[List[Any]]:
     return df.values.tolist()
 
 
-def parse_csv(content: bytes) -> ParsedDoc:
-    doc = ParsedDoc(fmt="csv")
+def _sniff_delimiter(text: str) -> str:
+    """European/exported tabular files arrive semicolon-, tab- or
+    pipe-separated under a .csv extension.  PARITY GUARD: the comma
+    path must stay bit-identical to the reference (pandas default), so
+    an alternative delimiter is chosen ONLY when the sample contains
+    NO commas at all — any comma keeps the reference behavior.  Among
+    the alternatives the most frequent wins (count over the first 10
+    lines, quoted regions excluded)."""
+    lines = text.split("\n")[:10]
+    counts = {",": 0, ";": 0, "\t": 0, "|": 0}
+    for line in lines:
+        in_q = False
+        for ch in line:
+            if ch == '"':
+                in_q = not in_q
+            elif not in_q and ch in counts:
+                counts[ch] += 1
+    if counts[","] > 0:
+        return ","
+    best = max((";", "\t", "|"), key=lambda d: counts[d])
+    return best if counts[best] > 0 else ","
+
+
+def parse_csv(content: bytes, fmt: str = "csv") -> ParsedDoc:
+    doc = ParsedDoc(fmt=fmt)
     text: Optional[str] = None
     try:
         text = content.decode("utf-8")
@@ -71,8 +94,12 @@ def parse_csv(content: bytes) -> ParsedDoc:
             doc.parse_error = "csv decode failed (utf-8, shift_jis)"
             return doc
     doc.raw_text = text
+    sep = "\t" if fmt == "tsv" else _sniff_delimiter(text)
     try:
-        df = pd.read_csv(io.StringIO(text), header=None, skip_blank_lines=False)
+        df = pd.read_csv(
+            io.StringIO(text), header=None, skip_blank_lines=False,
+            sep=sep,
+        )
     except pd.errors.EmptyDataError:
         doc.parse_error = "empty csv"
         return doc
@@ -150,8 +177,8 @@ def parse_document(
             content += d.flush()
         except zlib.error as e:
             return ParsedDoc(fmt=fmt, parse_error=f"gzip decompress failed: {e}")
-    if fmt == "csv":
-        return parse_csv(content)
+    if fmt in ("csv", "tsv"):
+        return parse_csv(content, fmt)
     if fmt == "xlsx":
         return parse_xlsx(content)
     if fmt == "xls":

@@ -753,6 +753,23 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_dialect(rng, i) -> Dict[str, Any]:
+    """Delimiter-dialect tabular files: alternating true TSV (.tsv) and
+    semicolon-separated .csv exports (the European spreadsheet
+    default) — drives the dialect sniffer (comma files are already
+    every other csv family, pinning the parity guard)."""
+    rows = [["id", "name", "score"]]
+    for r in range(4):
+        rows.append([str(r + 1),
+                     WORDS[rng.randint(0, len(WORDS))],
+                     str(int(rng.randint(0, 99)))])
+    if i % 2 == 0:
+        body = "\n".join("\t".join(r) for r in rows) + "\n"
+        return _doc(f"dl{i:05d}", "tsv", body.encode("utf-8"))
+    body = "\n".join(";".join(r) for r in rows) + "\n"
+    return _doc(f"dl{i:05d}", "csv", body.encode("utf-8"))
+
+
 def fam_eml(rng, i) -> Dict[str, Any]:
     """Mail-archive message: RFC 2047 subject, multipart/alternative
     (plain preferred) with quoted-reply + signature boilerplate and an
@@ -925,6 +942,7 @@ FAMILIES = [
     ("hocr_docs", fam_hocr),
     ("ppt_docs", fam_ppt),
     ("eml_docs", fam_eml),
+    ("dialect_docs", fam_dialect),
 ]
 
 

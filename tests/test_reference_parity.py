@@ -115,7 +115,16 @@ def _reference_results(loader, checker, rules, path: str):
 def test_csv_rule_results_match_reference(ref, tmp_path):
     loader, checker, rules = ref
     corpus = gen_corpus(120)
-    csv_docs = corpus[corpus["fmt"] == "csv"]
+    csv_docs = corpus[
+        (corpus["fmt"] == "csv")
+        # the dialect family's semicolon files are a documented
+        # EXTENSION: the reference (pandas comma default) parses them
+        # as one garbage column, so bit-parity is defined only over
+        # the comma shapes the reference's own corpus contains — the
+        # comma guard in core/grid._sniff_delimiter keeps every one of
+        # those bit-identical (pinned by test_dialects.py)
+        & ~corpus["doc_id"].str.contains("_dl")
+    ]
     assert len(csv_docs) >= 20
 
     compared = 0
@@ -154,7 +163,16 @@ def test_csv_span_sequence_matches_reference_zones(ref, tmp_path):
 
     loader, checker, rules = ref
     corpus = gen_corpus(120)
-    csv_docs = corpus[corpus["fmt"] == "csv"]
+    csv_docs = corpus[
+        (corpus["fmt"] == "csv")
+        # the dialect family's semicolon files are a documented
+        # EXTENSION: the reference (pandas comma default) parses them
+        # as one garbage column, so bit-parity is defined only over
+        # the comma shapes the reference's own corpus contains — the
+        # comma guard in core/grid._sniff_delimiter keeps every one of
+        # those bit-identical (pinned by test_dialects.py)
+        & ~corpus["doc_id"].str.contains("_dl")
+    ]
 
     for _, row in csv_docs.iterrows():
         path = tmp_path / f"{row['doc_id']}.csv"
