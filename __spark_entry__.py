@@ -4452,27 +4452,38 @@ def _ppt_extract_oracle_sql() -> str:
 
 
 def _md_twin(spans):
-    """Driver-side twin of operators/render._md_block over pinned span
-    literals — produces the ORACLE's expected strings (the span
+    """Driver-side twin of operators/render.markdown_text over pinned
+    span literals — produces the ORACLE's expected strings (the span
     literals themselves are independently pinned, so this only restates
-    the rendering contract as data)."""
-    blocks = []
+    the rendering contract as data).  Consecutive table ``line`` rows
+    join with a single newline (their adjacency IS the table); all
+    other block boundaries get a blank line."""
+    out = []
+    last_kind = ""
     for kind, text, media in spans:
         if kind == "title":
-            blocks.append(f"# {text}")
+            block = f"# {text}"
         elif kind == "heading":
-            blocks.append(f"## {text}")
+            block = f"## {text}"
         elif kind == "code":
-            blocks.append(f"```\n{text}\n```")
+            block = f"```\n{text}\n```"
         elif kind == "math":
-            blocks.append(f"$${text}$$")
+            block = f"$${text}$$"
         elif kind == "caption":
-            blocks.append(f"*{text}*")
+            block = f"*{text}*"
         elif kind == "media":
-            blocks.append(f"![{text}]({media})")
+            block = f"![{text}]({media})"
         elif kind in ("main", "line", "cell", "output"):
-            blocks.append(text)
-    return "\n\n".join(blocks)
+            block = text
+        else:
+            continue
+        if out:
+            out.append(
+                "\n" if kind == "line" and last_kind == "line" else "\n\n"
+            )
+        out.append(block)
+        last_kind = kind
+    return "".join(out)
 
 
 def _plain_twin(spans):

@@ -87,15 +87,37 @@ def _md_block(s: Column) -> Column:
 def markdown_text(
     spans_col: str = "spans", kinds: Sequence[str] = MARKDOWN_KINDS
 ) -> Column:
-    """Layout-aware markdown rendering of the span array.  Consecutive
-    table ``line`` rows stay adjacent (their natural order IS the
-    table); all blocks join with blank lines."""
+    """Layout-aware markdown rendering of the span array.  Blocks join
+    with blank lines, EXCEPT consecutive table ``line`` rows, which
+    join with a single newline — their adjacency IS the table.  One
+    ``aggregate`` fold (the lambda references only its arguments, so
+    the SCALE.md HOF re-evaluation trap does not apply)."""
     kept = F.filter(
         F.col(spans_col),
         lambda s: s["kind"].isin(*kinds)
         & (s["text"].isNotNull() | (s["kind"] == "media")),
     )
-    return F.array_join(F.transform(kept, _md_block), "\n\n")
+    folded = F.aggregate(
+        kept,
+        F.struct(
+            F.lit("").alias("txt"), F.lit("").alias("last_kind")
+        ),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["txt"],
+                F.when(acc["txt"] == "", F.lit(""))
+                .when(
+                    (s["kind"] == "line")
+                    & (acc["last_kind"] == "line"),
+                    F.lit("\n"),
+                )
+                .otherwise(F.lit("\n\n")),
+                _md_block(s),
+            ).alias("txt"),
+            s["kind"].alias("last_kind"),
+        ),
+    )
+    return folded["txt"]
 
 
 def render_training_text(

@@ -71,6 +71,20 @@ def test_markdown_block_mapping(spark):
     )
 
 
+def test_markdown_consecutive_table_rows_stay_adjacent(spark):
+    spans = [
+        ("main", "intro", ""),
+        ("line", "h1\th2", ""),
+        ("line", "a\t1", ""),
+        ("line", "b\t2", ""),
+        ("main", "outro", ""),
+    ]
+    out = render_training_text(_df(spark, spans), style="markdown")
+    assert out.first()["text"] == (
+        "intro\n\nh1\th2\na\t1\nb\t2\n\noutro"
+    )
+
+
 def test_media_with_null_text_renders_empty_alt(spark):
     spans = [("media", None, "x.png"), ("main", "body", "")]
     out = render_training_text(_df(spark, spans), style="markdown")
