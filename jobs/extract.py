@@ -71,6 +71,14 @@ def main() -> None:
         "redirects skipped)",
     )
     ap.add_argument(
+        "--min-ocr-conf", type=float, default=None, metavar="PCT",
+        help="drop hOCR documents whose mean word confidence falls "
+        "below this (0-100) BEFORE span extraction — garbage scans "
+        "never reach the corpus; dropped count reported as "
+        "ocr_dropped.  Non-hocr rows are untouched (filter + union, "
+        "the confidence kernel only ever sees the hocr sliver)",
+    )
+    ap.add_argument(
         "--render", choices=["plain", "markdown"],
         help="additionally write a rendered per-document `text` column "
         "(ordered span array -> one string; plain = content spans "
@@ -158,6 +166,27 @@ def main() -> None:
         # split is re-derived (deterministic) so the write can partition on it
         return out.withColumn("split", split_id("doc_id", args.splits))
 
+    ocr_dropped = 0
+    if args.min_ocr_conf is not None:
+        from pyspark.sql import functions as F
+
+        from machine_readability_checker_spark.operators.ocrstats import (
+            ocr_conf_stats,
+        )
+
+        hocr = raw.filter(F.col("fmt") == "hocr")
+        rest = raw.filter(F.col("fmt") != "hocr")
+        stats_df = ocr_conf_stats(hocr.select("doc_id", "content"))
+        keep_ids = stats_df.filter(
+            F.col("mean_conf").isNull()
+            | (F.col("mean_conf") >= args.min_ocr_conf)
+        ).select("doc_id")
+        n_hocr = hocr.count()
+        kept = hocr.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+        n_kept = kept.count()
+        ocr_dropped = n_hocr - n_kept
+        raw = rest.unionByName(kept)
+
     waves_done = {"n": 0}
 
     def on_wave_done(wave):
@@ -194,6 +223,7 @@ def main() -> None:
                 "docs_per_sec": round(stats["docs_processed"] / wall, 1)
                 if wall > 0
                 else None,
+                "ocr_dropped": ocr_dropped,
                 "cores": args.cores,
             }
         )
