@@ -371,3 +371,23 @@ def test_doc_ppt_hocr_quarantine_never_raise(data):
     for fn in (extract_doc_spans, extract_ppt_spans, extract_hocr_spans):
         spans, err = fn(data)
         assert isinstance(spans, list)
+
+
+@given(st.binary(max_size=400), st.sampled_from(
+    sorted(__import__(
+        "machine_readability_checker_spark.core.grid",
+        fromlist=["ALLOWED_FORMATS"],
+    ).ALLOWED_FORMATS)
+))
+@settings(max_examples=200, deadline=None)
+def test_every_format_quarantines_never_raises(data, fmt):
+    """The whole extension gate under fuzz: arbitrary bytes through
+    EVERY supported format must produce a well-formed result row
+    (spans list + metrics), never an exception — the per-task
+    quarantine contract that keeps one hostile document from killing
+    a 1000-executor wave."""
+    out = extract_document("fz", fmt, data)
+    assert isinstance(out["spans"], list)
+    assert out["metrics"]["parse_errors"] in (0, 1)
+    if out["parse_error"] is not None:
+        assert out["spans"] == [] and out["metrics"]["spans_out"] == 0
