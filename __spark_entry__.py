@@ -4847,6 +4847,187 @@ def _dialect_extract_oracle_sql() -> str:
     """
 
 
+_RST_VARIANT_DOCS = [
+    # v0: over+under title, inline cleanup, figure caption→media pair,
+    # code-block directive, unknown-directive drop
+    (
+        "=============\nProject Alpha\n=============\n\n"
+        "An opening paragraph with **bold** and a "
+        "`link <https://example.com>`_ kept by label.\n\n"
+        ".. figure:: img/a.png\n   :alt: alt text\n\n"
+        "   Figure 1: a trend.\n\n"
+        ".. code-block:: python\n\n   print(1)\n\n"
+        ".. note::\n   admonition body must not leak\n"
+    ),
+    # v1: underline-only heading, list items, literal block via ::,
+    # simple table, comment drop
+    (
+        "Usage\n-----\n\n"
+        "* install the package first\n"
+        "* then run it with default settings enabled\n\n"
+        "Example follows::\n\n   raw block\n\n"
+        ".. a comment\n   with body\n\n"
+        "====  ====\nk     v\n====  ====\nx     1\n====  ====\n"
+    ),
+    # v2: math directive, image without alt, grid table with a
+    # multi-line cell
+    (
+        "Results\n=======\n\n"
+        ".. math::\n\n   e = m c^2\n\n"
+        ".. image:: img/b.png\n\n"
+        "+------+------+\n| name | qty  |\n+======+======+\n"
+        "| two  | 5    |\n| line |      |\n+------+------+\n"
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_rst.py over the same bytes)
+_RST_VARIANT_SPANS = [
+    [
+        ("title", "Project Alpha", ""),
+        ("main",
+         "An opening paragraph with bold and a link kept by label.",
+         ""),
+        ("media", "alt text", "img/a.png"),
+        ("caption", "Figure 1: a trend.", "img/a.png"),
+        ("code", "print(1)", ""),
+    ],
+    [
+        ("title", "Usage", ""),
+        ("main", "install the package first", ""),
+        ("main", "then run it with default settings enabled", ""),
+        ("boilerplate", "Example follows:", ""),
+        ("code", "raw block", ""),
+        ("line", "k\tv", ""),
+        ("line", "x\t1", ""),
+    ],
+    [
+        ("title", "Results", ""),
+        ("math", "e = m c^2", ""),
+        ("media", "", "img/b.png"),
+        ("line", "name\tqty", ""),
+        ("line", "two\nline\t5", ""),
+    ],
+]
+
+
+def q_rst_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reStructuredText extraction end-to-end: three fixed variant
+    pages (adornment titles, inline cleanup, figure caption→media
+    alignment, code/math directives, literal blocks, comment and
+    admonition drops, simple + grid tables) flow through the shared
+    extraction kernel (fmt="rst"); the oracle states the expected
+    ordered span sequences as literals.  Same narrow mapInPandas +
+    hash aggregate shape as the other extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "rst",
+                    _RST_VARIANT_DOCS[v].encode("utf-8"),
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = _fan(spark, docs).mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _rst_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_RST_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def q_rst_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs-site-table machine-readability audit: the reStructuredText
+    twin of ``html_table_rules`` — each doc becomes a Sphinx page
+    whose grid tables' CORNER GEOMETRY expresses the same col/row
+    spans, in-cell line breaks and full-width indents as the HTML
+    variants, so the corner-walk parser must densify to byte-identical
+    grids and the markup lanes share the hand-derived verdict literals
+    verbatim.  Same shape: two narrow mapInPandas kernels + one hash
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            rst_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        rst_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = _fan(spark, docs).mapInPandas(
+        kernel, schema="doc_id string, content binary"
+    )
+    res = WT.rst_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -5824,6 +6005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_links": q_wiki_links,
         "eml_extract": q_eml_extract,
         "dialect_extract": q_dialect_extract,
+        "rst_extract": q_rst_extract,
+        "rst_table_rules": q_rst_table_rules,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -6007,6 +6190,8 @@ def oracle_sql() -> dict[str, str]:
     out["wiki_links"] = _wiki_links_oracle_sql()
     out["eml_extract"] = _eml_extract_oracle_sql()
     out["dialect_extract"] = _dialect_extract_oracle_sql()
+    out["rst_extract"] = _rst_extract_oracle_sql()
+    out["rst_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -27,7 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt", "eml", "tsv",
+    "hocr", "ppt", "eml", "tsv", "rst",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv"}
 
@@ -251,6 +251,10 @@ def parse_document(
         from .eml import parse_eml
 
         return parse_eml(content)
+    if fmt == "rst":
+        from .rst import parse_rst
+
+        return parse_rst(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

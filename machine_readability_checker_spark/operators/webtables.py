@@ -668,6 +668,186 @@ def wiki_table_rule_results(
     return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+# reStructuredText twins of VARIANT_TABLES: grid tables whose corner
+# geometry expresses the SAME col/row spans, multi-line cells and
+# full-width indents as the HTML variants, so the corner-walk parser
+# (`core/rst.py`) must densify to byte-identical grids and the verdict
+# literals are shared verbatim.  Built by a tiny renderer (character
+# widths, not display widths — the parser is offset-based).
+
+
+def _rst_grid_table(rows) -> str:
+    """rows: list of rows; each row a list of cells; a cell is text or
+    (text, colspan) — text may hold newlines; a trailing row may start
+    with the ROWSPAN sentinel ("", ...) meaning the cell above
+    continues (single-column rowspan, the variant-2 shape)."""
+    n_cols = max(
+        sum(c[1] if isinstance(c, tuple) else 1 for c in row)
+        for row in rows
+    )
+    # column widths from single-column cells
+    w = [1] * n_cols
+    for row in rows:
+        c = 0
+        for cell in row:
+            text, span = (cell if isinstance(cell, tuple) else (cell, 1))
+            if span == 1:
+                for ln in str(text).split("\n"):
+                    w[c] = max(w[c], len(ln) + 2)
+            c += span
+    lines = []
+
+    def border(row_idx: int) -> str:
+        # '-' at internal joints covered by the row below's colspans
+        out = ["+"]
+        if row_idx < len(rows):
+            spans = []
+            c = 0
+            for cell in rows[row_idx]:
+                _t, span = (
+                    cell if isinstance(cell, tuple) else (cell, 1)
+                )
+                spans.append((c, c + span))
+                c += span
+        else:
+            spans = [(i, i + 1) for i in range(n_cols)]
+        for c in range(n_cols):
+            out.append("-" * w[c])
+            internal = any(a < c + 1 < b for a, b in spans)
+            out.append("-" if internal and c + 1 < n_cols else "+")
+        return "".join(out)
+
+    for ri, row in enumerate(rows):
+        rowspan_cont = (
+            isinstance(row[0], str) and row[0] == "" and ri > 0
+            and len(row) == n_cols
+        )
+        b = border(ri)
+        if rowspan_cont:
+            # the border ABOVE a continuation band opens over the
+            # spanned first column: '+' corners survive, the dashes
+            # between them become spaces
+            b = "+" + " " * w[0] + b[w[0] + 1:]
+        lines.append(b)
+        # content lines
+        cell_lines = []
+        c = 0
+        for cell in row:
+            text, span = (cell if isinstance(cell, tuple) else (cell, 1))
+            width = sum(w[c : c + span]) + (span - 1)
+            cell_lines.append((str(text).split("\n"), width))
+            c += span
+        height = max(len(ls) for ls, _ in cell_lines)
+        for li in range(height):
+            parts = ["|"]
+            for ls, width in cell_lines:
+                body = ls[li] if li < len(ls) else ""
+                parts.append(" " + body.ljust(width - 1))
+                parts.append("|")
+            lines.append("".join(parts))
+        if rowspan_cont:
+            # blank the edge between the continuing cell's bands
+            pass
+    lines.append(border(len(rows)))
+    return "\n".join(lines) + "\n"
+
+
+RST_VARIANT_TABLES = {
+    0: _rst_grid_table([
+        ["id", "name", "value"],
+        ["1", "alpha", "10"],
+        ["2", "beta", "20"],
+        ["3", "gamma", "30"],
+    ]),
+    1: _rst_grid_table([
+        ["id", "score", "tags", "memo"],
+        ["1", "10", "a、b", "済"],
+        ["2", "-", "c", "　字下げ"],
+        ["3", "30以上", "d", "済"],
+    ]),
+    2: (
+        _rst_grid_table([["home", "about"]])
+        + "\n"
+        + _rst_grid_table([
+            [("注: このデータは速報値", 3)],
+            ["item", "q1", "q2"],
+            ["①新規", "5", "7"],
+            ["継続\n更新", "6", "8"],
+            ["小計", "11", "15"],
+            ["", "9", "9"],       # rowspan continuation of 小計
+        ])
+    ),
+}
+
+
+def rst_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic Sphinx page: per-document prose around
+    the fixed per-variant grid table(s) — the RST twin of
+    ``variant_page``."""
+    v = int(doc_id) % 3
+    prose = " ".join(
+        (text or "")
+        .replace("*", " ").replace("`", " ").replace("|", " ")
+        .replace("+", " ").replace(":", " ").replace(".", " ")
+        .split()
+    )
+    return (
+        f"page {doc_id}\n===========\n\n{prose or 'prose'}\n\n"
+        f"{RST_VARIANT_TABLES[v]}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
+def _rst_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.rst import extract_rst_tables
+
+    try:
+        return extract_rst_tables(bytes(row.content)), None
+    except Exception as e:  # malformed rst must not kill the batch
+        return [], f"rst table extract failed: {e}"
+
+
+def rst_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=rst bytes) → one row per (table, rule).
+
+    The grid-table twin of ``table_rule_results``: RST grids are
+    rectangular by the corner-walk construction (spans expand to empty
+    filler), and each data-shaped grid runs the full rule battery
+    through the same CSV ingest path.  Same 100 TB shape: one narrow
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _rst_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 def variant_page(doc_id: int, text: str) -> bytes:
     """Deterministic synthetic crawled page: per-document prose (escaped
     corpus text) around the fixed per-variant table(s)."""

@@ -753,6 +753,35 @@ def fam_latex(rng, i) -> Dict[str, Any]:
     return _doc(f"tx{i:05d}", "tex", tex.encode("utf-8"))
 
 
+def fam_rst(rng, i) -> Dict[str, Any]:
+    """Sphinx-style .rst page: over/underlined title, section, inline
+    markup + hyperlink, bullet list, figure with caption, code-block,
+    literal block and a grid table — drives the RST lane end-to-end."""
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    a, b = int(rng.randint(1, 99)), int(rng.randint(1, 99))
+    body = (
+        f"{'=' * 14}\nRelease {i:05d}\n{'=' * 14}\n\n"
+        f"{para} with a `link <https://example.com/{i}>`_ inline.\n\n"
+        f"Changes\n-------\n\n"
+        f"- first change entry\n- second change entry\n\n"
+        f".. figure:: plots/fig{i % 3}.png\n"
+        f"   :alt: trend art\n\n"
+        f"   Figure {i}: the trend.\n\n"
+        f".. code-block:: python\n\n"
+        f"   run(seed={i})\n\n"
+        f"Metrics follow::\n\n"
+        f"   raw {i}\n\n"
+        f"+------+------+\n"
+        f"| key  | val  |\n"
+        f"+======+======+\n"
+        f"| a    | {a:<4} |\n"
+        f"+------+------+\n"
+        f"| b    | {b:<4} |\n"
+        f"+------+------+\n"
+    )
+    return _doc(f"rs{i:05d}", "rst", body.encode("utf-8"))
+
+
 def fam_dialect(rng, i) -> Dict[str, Any]:
     """Delimiter-dialect tabular files: alternating true TSV (.tsv) and
     semicolon-separated .csv exports (the European spreadsheet
@@ -943,6 +972,7 @@ FAMILIES = [
     ("ppt_docs", fam_ppt),
     ("eml_docs", fam_eml),
     ("dialect_docs", fam_dialect),
+    ("rst_docs", fam_rst),
 ]
 
 
