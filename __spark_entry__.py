@@ -2525,7 +2525,7 @@ def _mime_payloads() -> list:
 
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type sniffing at corpus scale: every document carries
-    one of 22 real payloads (doc_id arithmetic picks the variant), the
+    one of 24 real payloads (doc_id arithmetic picks the variant), the
     JVM magic-byte cascade types each row, and the zip + CFB slivers
     resolve their subtypes through the Arrow kernels (.docx vs .doc vs
     bare CFB all land differently).  Output: per-variant verdict
