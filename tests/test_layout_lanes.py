@@ -386,9 +386,12 @@ def test_docx_distributed_matches_oracle(spark):
     )
     from machine_readability_checker_spark.model import RAW_SCHEMA
     from machine_readability_checker_spark.operators.extract import extract
-    from machine_readability_checker_spark.sources.fixtures import gen_corpus
+    from machine_readability_checker_spark.sources.fixtures import (
+            FAMILIES,
+            gen_corpus,
+        )
 
-    corpus = gen_corpus(64)
+    corpus = gen_corpus(2 * len(FAMILIES) + 1)
     docx_rows = corpus[corpus["fmt"] == "docx"]
     assert len(docx_rows) >= 2  # family present in the cycle
     df = spark.createDataFrame(docx_rows, schema=RAW_SCHEMA)
