@@ -5028,6 +5028,57 @@ def q_rst_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Crawl-delay politeness: every doc contributes a
+    robots body for domain d{doc_id%5} covering the precedence matrix
+    (specific agent beats *, unparseable → default, hostile day-long
+    delay clamps to 3600, no-delay domains emit no row); the oracle
+    states the expected per-domain delay and recomputes the doc counts
+    from doc_id arithmetic."""
+    from machine_readability_checker_spark.operators.robots import (
+        crawl_delays,
+        robots_rules,
+    )
+
+    bodies = [
+        "User-agent: *\nCrawl-delay: 2\n"
+        "User-agent: mybot\nCrawl-delay: 0.5\nDisallow: /x\n",
+        "User-agent: *\nCrawl-delay: 10\n",
+        "User-agent: *\nCrawl-delay: oops\n",
+        "User-agent: *\nCrawl-delay: 86400\n",
+        "User-agent: *\nDisallow: /z\n",
+    ]
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com")).alias("domain"),
+        F.element_at(
+            F.array(*[F.lit(b.encode()) for b in bodies]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("content"),
+    )
+    delays = crawl_delays(robots_rules(docs), agent="MyBot")
+    counts = docs.groupBy("domain").agg(F.count("*").alias("n_docs"))
+    return (
+        delays.join(counts, "domain").orderBy("domain")
+    )
+
+
+def _crawl_delays_oracle_sql() -> str:
+    return """
+    WITH counts AS (
+      SELECT 'd' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    ), expect(domain, crawl_delay_s) AS (VALUES
+      ('d0.com', CAST(0.5 AS DOUBLE)), ('d1.com', CAST(10.0 AS DOUBLE)),
+      ('d2.com', CAST(1.0 AS DOUBLE)), ('d3.com', CAST(3600.0 AS DOUBLE))
+    )
+    SELECT e.domain, e.crawl_delay_s, c.n_docs
+    FROM expect e JOIN counts c ON c.domain = e.domain
+    ORDER BY e.domain
+    """
+
+
 def q_ngram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal end-to-end on the documents table:
     train a trigram Stupid Backoff model over the corpus (one explode +
@@ -6007,6 +6058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialect_extract": q_dialect_extract,
         "rst_extract": q_rst_extract,
         "rst_table_rules": q_rst_table_rules,
+        "crawl_delays": q_crawl_delays,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -6192,6 +6244,7 @@ def oracle_sql() -> dict[str, str]:
     out["dialect_extract"] = _dialect_extract_oracle_sql()
     out["rst_extract"] = _rst_extract_oracle_sql()
     out["rst_table_rules"] = _html_table_rules_oracle_sql()
+    out["crawl_delays"] = _crawl_delays_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -31,21 +31,30 @@ def schedule_frontier(
     url_col: str = "url",
     slots_per_wave: int = 1,
     delay_s: float = 1.0,
+    delay_col: str = None,
 ) -> DataFrame:
     """frontier(domain, url, priority) → + (host_rank, fetch_wave,
     eta_s): host_rank is the URL's 0-based position within its domain
     (priority desc, url as the deterministic tiebreak), fetch_wave =
-    host_rank // slots_per_wave, eta_s = fetch_wave × delay_s."""
+    host_rank // slots_per_wave, eta_s = fetch_wave × the per-host
+    delay — ``delay_col`` (e.g. robots.txt ``crawl_delays`` joined on
+    domain, NULLs falling back to ``delay_s``) when given, else the
+    scalar ``delay_s``."""
     if slots_per_wave < 1:
         raise ValueError("slots_per_wave must be >= 1")
     w = Window.partitionBy(domain_col).orderBy(
         F.col(priority_col).desc(), F.col(url_col)
     )
     out = urls.withColumn("host_rank", F.row_number().over(w) - 1)
+    per_host = (
+        F.coalesce(F.col(delay_col), F.lit(float(delay_s)))
+        if delay_col
+        else F.lit(float(delay_s))
+    )
     return out.withColumn(
         "fetch_wave", (F.col("host_rank") / slots_per_wave).cast("int")
     ).withColumn(
-        "eta_s", F.col("fetch_wave").cast("double") * float(delay_s)
+        "eta_s", F.col("fetch_wave").cast("double") * per_host
     )
 
 

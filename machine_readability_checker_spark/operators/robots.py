@@ -61,9 +61,48 @@ def parse_robots_txt(text: str) -> List[Tuple[str, str, str]]:
                 rules.append((a, key, val))
         elif key == "sitemap":
             rules.append(("", "sitemap", val))
+        elif key == "crawl-delay":
+            # de-facto standard (not in RFC 9309 but honored by most
+            # crawlers): group-scoped like allow/disallow
+            group_open = False
+            for a in agents or ["*"]:
+                rules.append((a, "crawl-delay", val))
         else:
-            group_open = False  # crawl-delay etc. close the UA run
+            group_open = False  # unknown keys close the UA run
     return rules
+
+
+def crawl_delays(
+    rules: DataFrame, agent: str = "*", default_s: float = 1.0
+) -> DataFrame:
+    """rules(domain, agent, rule_type, path) → (domain,
+    crawl_delay_s): the politeness interval ``schedule_frontier``
+    should use per host.  Precedence mirrors rule-group matching: a
+    group naming THIS agent beats the ``*`` group; unparseable values
+    fall back to ``default_s``; delays clamp to [0, 3600] (a hostile
+    86400 must not park the crawler for a day).  One aggregate over
+    the (tiny) rule table — the frontier joins it broadcast."""
+    a = F.lower(F.col("agent"))
+    mine = (a == agent.lower()) & (a != "*")
+    d = rules.filter(F.col("rule_type") == "crawl-delay").groupBy(
+        "domain"
+    ).agg(
+        F.max(F.when(mine, F.col("path"))).alias("_mine"),
+        F.max(F.when(a == "*", F.col("path"))).alias("_star"),
+    )
+    # try_cast: a malformed value ("Crawl-delay: oops") is NULL, not a
+    # task failure (ANSI mode makes plain cast throw)
+    val = F.coalesce(
+        F.col("_mine").try_cast("double"),
+        F.col("_star").try_cast("double"),
+        F.lit(float(default_s)),
+    )
+    return d.select(
+        "domain",
+        F.least(F.greatest(val, F.lit(0.0)), F.lit(3600.0)).alias(
+            "crawl_delay_s"
+        ),
+    )
 
 
 def robots_rules(

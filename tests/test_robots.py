@@ -44,11 +44,12 @@ def test_parse_groups_comments_sitemap():
     # empty Disallow is a no-op; directives are case-insensitive
     more = parse_robots_txt("USER-AGENT: A\nDISALLOW:\nDisAllow: /x\n")
     assert more == [("a", "disallow", "/x")]
-    # a non-rule directive closes the UA run: the next UA starts fresh
+    # a directive closes the UA run (the next UA starts fresh);
+    # crawl-delay is additionally RECORDED, scoped to its group
     two = parse_robots_txt(
         "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /y\n"
     )
-    assert two == [("b", "disallow", "/y")]
+    assert two == [("a", "crawl-delay", "1"), ("b", "disallow", "/y")]
 
 
 @pytest.mark.parametrize("pattern,path,expected", [
@@ -179,3 +180,49 @@ def test_evaluation_plan_is_jvm_only(spark, rules):
     # (rules come pre-parsed/cached here, so no Python remains)
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_crawl_delays_precedence_and_clamps(spark):
+    from machine_readability_checker_spark.operators.frontier import (
+        schedule_frontier,
+    )
+    from machine_readability_checker_spark.operators.robots import (
+        crawl_delays,
+        robots_rules,
+    )
+
+    bodies = [
+        ("a.com", "User-agent: *\nCrawl-delay: 2\n"
+                  "User-agent: mybot\nCrawl-delay: 0.5\nDisallow: /x\n"),
+        ("b.com", "User-agent: *\nCrawl-delay: 10\n"),
+        ("c.com", "User-agent: *\nCrawl-delay: oops\n"),
+        ("d.com", "User-agent: *\nCrawl-delay: 86400\n"),
+        ("e.com", "User-agent: *\nDisallow: /z\n"),   # no delay rows
+    ]
+    df = spark.createDataFrame(
+        [(d, b.encode()) for d, b in bodies], ["domain", "content"]
+    )
+    rules = robots_rules(df)
+    got = {
+        r["domain"]: r["crawl_delay_s"]
+        for r in crawl_delays(rules, agent="MyBot").collect()
+    }
+    assert got["a.com"] == 0.5      # specific agent beats *
+    assert got["b.com"] == 10.0
+    assert got["c.com"] == 1.0      # unparseable -> default
+    assert got["d.com"] == 3600.0   # hostile day-long delay clamps
+    assert "e.com" not in got       # no delay rows -> no row (join LEFT)
+
+    # frontier uses the per-host delay when joined on
+    urls = spark.createDataFrame(
+        [("a.com", f"https://a.com/{i}", 1.0) for i in range(3)]
+        + [("b.com", f"https://b.com/{i}", 1.0) for i in range(3)],
+        ["domain", "url", "priority"],
+    ).join(crawl_delays(rules, agent="MyBot"), "domain", "left")
+    sched = schedule_frontier(urls, delay_col="crawl_delay_s")
+    etas = {
+        (r["domain"], r["host_rank"]): r["eta_s"]
+        for r in sched.collect()
+    }
+    assert etas[("a.com", 2)] == 1.0    # 2 waves * 0.5 s
+    assert etas[("b.com", 2)] == 20.0   # 2 waves * 10 s
