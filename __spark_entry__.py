@@ -5056,7 +5056,7 @@ def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 5 + 1).cast("int"),
         ).alias("content"),
     )
-    delays = crawl_delays(robots_rules(docs), agent="MyBot")
+    delays = crawl_delays(robots_rules(_fan(spark, docs)), agent="MyBot")
     counts = docs.groupBy("domain").agg(F.count("*").alias("n_docs"))
     return (
         delays.join(counts, "domain").orderBy("domain")
