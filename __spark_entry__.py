@@ -5028,6 +5028,177 @@ def q_rst_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADOC_VARIANT_DOCS = [
+    # v0: title, inline cleanup, captioned image, source listing,
+    # comment/attribute drops
+    (
+        "= Admin Guide\n\n"
+        "An opening paragraph with *strong* text and a "
+        "link:https://example.com[label] kept inline here.\n\n"
+        "// a comment\n:toc: left\n\n"
+        ".Topology\nimage::figs/net.png[net alt]\n\n"
+        "[source,sh]\n----\nrun --fast\n----\n"
+    ),
+    # v1: section heading, list items, literal block, psv table
+    (
+        "== Install\n\n"
+        "* unpack the archive first\n"
+        "* then run the installer with defaults accepted\n\n"
+        "....\nraw literal\n....\n\n"
+        "|===\n| k | v\n\n| x | 1\n|===\n"
+    ),
+    # v2: stem math, span table with continuation-line cell
+    (
+        "= Results\n\n"
+        "[stem]\n++++\ne = mc^2\n++++\n\n"
+        "|===\n2+|wide\n\n| a | b\n\n| two\nline | 3\n|===\n"
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_adoc.py over the same bytes)
+_ADOC_VARIANT_SPANS = [
+    [
+        ("title", "Admin Guide", ""),
+        ("main",
+         "An opening paragraph with strong text and a label kept "
+         "inline here.", ""),
+        ("media", "net alt", "figs/net.png"),
+        ("caption", "Topology", "figs/net.png"),
+        ("code", "run --fast", ""),
+    ],
+    [
+        ("title", "Install", ""),
+        ("boilerplate", "unpack the archive first", ""),
+        ("main", "then run the installer with defaults accepted", ""),
+        ("code", "raw literal", ""),
+        ("line", "k\tv", ""),
+        ("line", "x\t1", ""),
+    ],
+    [
+        ("title", "Results", ""),
+        ("math", "e = mc^2", ""),
+        ("line", "wide\t", ""),
+        ("line", "a\tb", ""),
+        ("line", "two\nline\t3", ""),
+    ],
+]
+
+
+def q_adoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsciiDoc extraction end-to-end: three fixed variant pages
+    (title/heading levels, inline cleanup, captioned images, source/
+    literal/stem blocks, psv tables with span specs and continuation
+    cells) flow through the shared extraction kernel (fmt="adoc"); the
+    oracle states the expected ordered span sequences as literals.
+    Same narrow mapInPandas + hash aggregate shape as the other
+    extraction lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "adoc",
+                    _ADOC_VARIANT_DOCS[v].encode("utf-8"),
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, s in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, s["kind"], s["text"],
+                                 s["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = _fan(spark, docs).mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _adoc_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_ADOC_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def q_adoc_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual-page-table audit: the AsciiDoc twin of
+    ``html_table_rules`` — psv cell specs (``3+|``, ``.2+|``) and
+    continuation lines express the same spans and in-cell breaks as
+    the HTML variants, so the lanes share the hand-derived verdict
+    literals verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            adoc_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        adoc_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = _fan(spark, docs).mapInPandas(
+        kernel, schema="doc_id string, content binary"
+    )
+    res = WT.adoc_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt Crawl-delay politeness: every doc contributes a
     robots body for domain d{doc_id%5} covering the precedence matrix
@@ -6059,6 +6230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rst_extract": q_rst_extract,
         "rst_table_rules": q_rst_table_rules,
         "crawl_delays": q_crawl_delays,
+        "adoc_extract": q_adoc_extract,
+        "adoc_table_rules": q_adoc_table_rules,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -6245,6 +6418,8 @@ def oracle_sql() -> dict[str, str]:
     out["rst_extract"] = _rst_extract_oracle_sql()
     out["rst_table_rules"] = _html_table_rules_oracle_sql()
     out["crawl_delays"] = _crawl_delays_oracle_sql()
+    out["adoc_extract"] = _adoc_extract_oracle_sql()
+    out["adoc_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -27,7 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt", "eml", "tsv", "rst",
+    "hocr", "ppt", "eml", "tsv", "rst", "adoc",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv"}
 
@@ -255,6 +255,10 @@ def parse_document(
         from .rst import parse_rst
 
         return parse_rst(content)
+    if fmt == "adoc":
+        from .adoc import parse_adoc
+
+        return parse_adoc(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

@@ -848,6 +848,97 @@ def rst_table_rule_results(
     return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+# AsciiDoc twins of VARIANT_TABLES: psv tables whose cell specs
+# (``3+|`` colspan, ``.2+|`` rowspan) and continuation lines express
+# the same spans and in-cell line breaks as the HTML variants, so the
+# adoc parser must densify to byte-identical grids and the verdict
+# literals are shared verbatim.
+ADOC_VARIANT_TABLES = {
+    0: (
+        "|===\n| id | name | value\n\n| 1 | alpha | 10\n\n"
+        "| 2 | beta | 20\n\n| 3 | gamma | 30\n|===\n"
+    ),
+    1: (
+        "|===\n| id | score | tags | memo\n\n"
+        "| 1 | 10 | a、b | 済\n\n"
+        "| 2 | - | c | 　字下げ\n\n"
+        "| 3 | 30以上 | d | 済\n|===\n"
+    ),
+    2: (
+        "|===\n| home | about\n|===\n"
+        "\n"
+        "|===\n3+|注: このデータは速報値\n\n"
+        "| item | q1 | q2\n\n"
+        "| ①新規 | 5 | 7\n\n"
+        "| 継続\n更新 | 6 | 8\n\n"
+        ".2+| 小計 | 11 | 15\n| 9 | 9\n|===\n"
+    ),
+}
+
+
+def adoc_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic manual page: per-document prose around
+    the fixed per-variant psv table(s) — the AsciiDoc twin of
+    ``variant_page``."""
+    v = int(doc_id) % 3
+    prose = " ".join(
+        (text or "")
+        .replace("|", " ").replace("*", " ").replace("`", " ")
+        .replace("=", " ").replace("_", " ").replace(".", " ")
+        .split()
+    )
+    return (
+        f"= page {doc_id}\n\n{prose or 'prose'}\n\n"
+        f"{ADOC_VARIANT_TABLES[v]}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
+def _adoc_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.adoc import extract_adoc_tables
+
+    try:
+        return extract_adoc_tables(bytes(row.content)), None
+    except Exception as e:  # malformed adoc must not kill the batch
+        return [], f"adoc table extract failed: {e}"
+
+
+def adoc_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=adoc bytes) → one row per (table, rule) —
+    the psv twin of ``table_rule_results``, same 100 TB shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _adoc_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 def variant_page(doc_id: int, text: str) -> bytes:
     """Deterministic synthetic crawled page: per-document prose (escaped
     corpus text) around the fixed per-variant table(s)."""

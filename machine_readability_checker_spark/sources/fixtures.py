@@ -782,6 +782,25 @@ def fam_rst(rng, i) -> Dict[str, Any]:
     return _doc(f"rs{i:05d}", "rst", body.encode("utf-8"))
 
 
+def fam_adoc(rng, i) -> Dict[str, Any]:
+    """AsciiDoc manual page: doc title, section, inline markup + link,
+    list, captioned image, source listing and a psv table — drives the
+    adoc lane end-to-end."""
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    a, b = int(rng.randint(1, 99)), int(rng.randint(1, 99))
+    body = (
+        f"= Guide {i:05d}\n\n"
+        f"{para} with link:https://example.com/{i}[a label] inline.\n\n"
+        f"== Steps\n\n"
+        f"* first step entry\n* second step entry\n\n"
+        f".Diagram {i}\n"
+        f"image::figs/d{i % 3}.png[diagram alt]\n\n"
+        f"[source,sh]\n----\nrun --seed {i}\n----\n\n"
+        f"|===\n| key | val\n\n| a | {a}\n\n| b | {b}\n|===\n"
+    )
+    return _doc(f"ad{i:05d}", "adoc", body.encode("utf-8"))
+
+
 def fam_dialect(rng, i) -> Dict[str, Any]:
     """Delimiter-dialect tabular files: alternating true TSV (.tsv) and
     semicolon-separated .csv exports (the European spreadsheet
@@ -973,6 +992,7 @@ FAMILIES = [
     ("eml_docs", fam_eml),
     ("dialect_docs", fam_dialect),
     ("rst_docs", fam_rst),
+    ("adoc_docs", fam_adoc),
 ]
 
 
