@@ -5199,6 +5199,47 @@ def q_adoc_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-97-report-table audit: the binary-.doc twin of
+    ``html_table_rules`` — (text, colspan, rowspan) cell specs
+    serialize to TC80 merge flags in each row's sprmTDefTable, and the
+    parser's TAP densification must reproduce the HTML lane's
+    empty-filler grids byte-for-byte, so the lanes share the
+    hand-derived verdict literals verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            doc_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        doc_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = _fan(spark, docs).mapInPandas(
+        kernel, schema="doc_id string, content binary"
+    )
+    res = WT.doc_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt Crawl-delay politeness: every doc contributes a
     robots body for domain d{doc_id%5} covering the precedence matrix
@@ -6232,6 +6273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delays": q_crawl_delays,
         "adoc_extract": q_adoc_extract,
         "adoc_table_rules": q_adoc_table_rules,
+        "doc_table_rules": q_doc_table_rules,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -6420,6 +6462,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_delays"] = _crawl_delays_oracle_sql()
     out["adoc_extract"] = _adoc_extract_oracle_sql()
     out["adoc_table_rules"] = _html_table_rules_oracle_sql()
+    out["doc_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

@@ -22,7 +22,15 @@ operators stay format-agnostic):
 - body paragraphs → ``main`` / ``boilerplate`` by the shared length
   threshold
 - table rows (cell marks 0x07 under sprmPFInTable, row ended by the
-  sprmPFTtp paragraph) → ``line`` with tab-joined cells
+  sprmPFTtp paragraph) → ``line`` with tab-joined cells; the row-end
+  paragraph's sprmTDefTable (0xD608) carries the TAP — per-cell TC80
+  structures whose tcgrf flags express merges ([MS-DOC] §2.9.317:
+  fFirstMerged 0x0001 / fMerged 0x0002 horizontally, fVertMerge
+  0x0020 / fVertRestart 0x0040 vertically) — so
+  ``extract_doc_tables`` densifies rows into rectangular grids with
+  merge-covered cells as empty filler, byte-identical to the HTML
+  lane's colspan/rowspan expansion (merged cells drop from the
+  tab-joined ``line`` text too)
 - inline picture / drawn-object anchors (0x01 / 0x08) → ``media``
 - footnote and header/footer text (the ccpFtn / ccpHdd CP regions
   after the main document) → ``boilerplate``
@@ -43,6 +51,7 @@ geometry) independently of the reader.
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple, Union
@@ -68,10 +77,18 @@ _FC_MASK = 0x3FFFFFFF
 
 SPRM_PF_IN_TABLE = 0x2416
 SPRM_PF_TTP = 0x2417
+SPRM_T_DEF_TABLE = 0xD608
 
-# fixture-writer FKP page capacity: 20 paragraphs costs ≤ 21·4 rgfc +
-# 20·13 bx = 344 bytes, leaving ample room for the (deduped) PAPX
-# payloads at the top of the page
+# TC80 tcgrf flag bits ([MS-DOC] §2.9.317 / Word 97 TC definition)
+TC_FIRST_MERGED = 0x0001   # first cell of a horizontal merge run
+TC_MERGED = 0x0002         # horizontally merged into the run
+TC_VERT_MERGE = 0x0020     # part of a vertical merge run
+TC_VERT_RESTART = 0x0040   # first (content) cell of a vertical run
+
+# fixture-writer FKP page cap: at most 20 paragraphs per page (like
+# Word); the writer additionally packs greedily by SIZE — TAP-bearing
+# row-end PAPX payloads run ~80 bytes each, so a page holds however
+# many paragraphs actually fit (_fkp_fits simulates _build_fkp)
 _FKP_CHUNK = 20
 
 
@@ -154,6 +171,7 @@ class ParaProps:
     istd: int = 0
     in_table: bool = False
     ttp: bool = False
+    tap: Optional[Tuple[int, ...]] = None  # tcgrf per cell (TTP rows)
 
 
 def _sprm_operand_size(sprm: int, grpprl: bytes, pos: int) -> int:
@@ -187,6 +205,17 @@ def _scan_grpprl(grpprl: bytes, props: ParaProps) -> None:
         elif sprm == SPRM_PF_TTP and operand[:1] == b"\x01":
             props.ttp = True
             props.in_table = True
+        elif sprm == SPRM_T_DEF_TABLE and len(operand) >= 3:
+            # TDefTableOperand: cb(u16) itcMac(u8) rgdxaCenter
+            # ((itcMac+1)×i16) rgTc80 (itcMac × 20 bytes, may be
+            # truncated in real files → missing TC80s default to 0)
+            itc = operand[2]
+            base = 3 + 2 * (itc + 1)
+            flags = []
+            for i in range(itc):
+                o = base + 20 * i
+                flags.append(_u16(operand, o) if o + 2 <= len(operand) else 0)
+            props.tap = tuple(flags)
         pos += size
 
 
@@ -256,21 +285,81 @@ def _norm(text: str) -> str:
     return " ".join(text.split())
 
 
+# grid-cell normalization — byte-identical to the HTML table lane
+# (core/html.py:_tbl_close_cell): ASCII whitespace collapses to one
+# space, ASCII-space trim only (U+3000 survives as content), and the
+# in-cell break sentinel becomes "\n" absorbing one adjacent space each
+# side.  The .doc in-cell break is the vertical tab 0x0b.
+_CELL_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_CELL_BR_RE = re.compile(r" ?\x00 ?")
+
+
+def _cell_norm(raw: str) -> str:
+    raw = raw.replace("\x0b", "\x00")
+    t = _CELL_WS_RE.sub(" ", raw).strip(" ")
+    return _CELL_BR_RE.sub("\n", t)
+
+
+def _tc_covered(g: int) -> bool:
+    """True when a TC80's tcgrf marks the cell as merge-covered filler
+    (horizontally merged into a run it does not start, or a vertical
+    continuation)."""
+    return bool(
+        ((g & TC_MERGED) and not (g & TC_FIRST_MERGED))
+        or ((g & TC_VERT_MERGE) and not (g & TC_VERT_RESTART))
+    )
+
+
+def _densify_doc_table(
+    rows: List[Tuple[List[str], Optional[Tuple[int, ...]]]],
+) -> List[List[str]]:
+    """TTP rows (grid cells + tcgrf flags) → dense rectangular grid:
+    merge-covered cells become empty filler and ragged rows pad to the
+    table's max width — the same shape the HTML lane's colspan/rowspan
+    expansion produces."""
+    grid: List[List[str]] = []
+    for cells, tap in rows:
+        out = []
+        for i, cell in enumerate(cells):
+            g = tap[i] if tap is not None and i < len(tap) else 0
+            out.append("" if _tc_covered(g) else cell)
+        grid.append(out)
+    width = max(len(r) for r in grid) if grid else 0
+    for r in grid:
+        r.extend([""] * (width - len(r)))
+    return grid
+
+
 def extract_doc_spans(content: bytes) -> Tuple[List[Span], Optional[str]]:
     """Parse a binary .doc; returns (spans, parse_error)."""
+    spans, _tables, err = _extract_doc(content)
+    return spans, err
+
+
+def extract_doc_tables(content: bytes) -> List[List[List[str]]]:
+    """Parse a binary .doc; returns its tables as dense rectangular
+    grids (TAP merge flags expand to empty filler like HTML spans).
+    Malformed input → empty list, never an exception."""
+    _spans, tables, _err = _extract_doc(content)
+    return tables
+
+
+def _extract_doc(
+    content: bytes,
+) -> Tuple[List[Span], List[List[List[str]]], Optional[str]]:
     try:
         word = read_stream(content, "WordDocument")
         if word is None or len(word) < 0x200:
-            return [], "doc parse failed: no WordDocument stream"
+            return [], [], "doc parse failed: no WordDocument stream"
         if _u16(word, 0) != FIB_MAGIC:
-            return [], "doc parse failed: bad FIB magic"
+            return [], [], "doc parse failed: bad FIB magic"
         flags = _u16(word, _OFF_FLAGS)
         if flags & (_F_ENCRYPTED | _F_OBFUSCATED):
-            return [], "encrypted .doc quarantined"
+            return [], [], "encrypted .doc quarantined"
         table_name = "1Table" if flags & _F_WHICH_TBL else "0Table"
         table = read_stream(content, table_name)
         if table is None:
-            return [], f"doc parse failed: missing {table_name} stream"
+            return [], [], f"doc parse failed: missing {table_name} stream"
 
         ccp_text = _u32(word, _OFF_CCP_TEXT)
         ccp_ftn = _u32(word, _OFF_CCP_FTN)
@@ -278,7 +367,7 @@ def extract_doc_spans(content: bytes) -> Tuple[List[Span], Optional[str]]:
         fc_clx = _u32(word, _OFF_FCLCB + 8 * _IDX_CLX)
         lcb_clx = _u32(word, _OFF_FCLCB + 8 * _IDX_CLX + 4)
         if lcb_clx == 0:
-            return [], "doc parse failed: empty CLX"
+            return [], [], "doc parse failed: empty CLX"
         pieces = _parse_clx(table[fc_clx : fc_clx + lcb_clx])
 
         fc_papx = _u32(word, _OFF_FCLCB + 8 * _IDX_PLCFBTEPAPX)
@@ -295,45 +384,70 @@ def extract_doc_spans(content: bytes) -> Tuple[List[Span], Optional[str]]:
                 chars.append(ch)
                 fcs.append(p.byte_of_cp(p.cp_start + j))
 
-        return _spans_from_chars(
+        spans, tables = _spans_from_chars(
             chars, fcs, papx, ccp_text, ccp_ftn, ccp_hdd
-        ), None
+        )
+        return spans, tables, None
     except Exception as e:  # malformed container → quarantine
-        return [], f"doc parse failed: {e}"
+        return [], [], f"doc parse failed: {e}"
 
 
 def _spans_from_chars(
     chars: List[str], fcs: List[int], papx: _PapxIndex,
     ccp_text: int, ccp_ftn: int, ccp_hdd: int,
-) -> List[Span]:
+) -> Tuple[List[Span], List[List[List[str]]]]:
     spans: List[Span] = []
+    tables: List[List[List[str]]] = []
     media_n = 0
     saw_lead = False      # has a non-empty span been emitted yet
     row_cells: List[str] = []
+    row_grid: List[str] = []      # grid-normalized twin of row_cells
+    tbl_rows: List[Tuple[List[str], Optional[Tuple[int, ...]]]] = []
 
     buf: List[str] = []
     field_depth = 0       # >0: inside a field CODE (skip until 0x14)
     pending_media: List[Tuple[str, str]] = []
 
+    def close_table() -> None:
+        nonlocal tbl_rows
+        if tbl_rows:
+            tables.append(_densify_doc_table(tbl_rows))
+            tbl_rows = []
+
     def flush_para(end_cp: int, region: str) -> None:
-        nonlocal saw_lead, media_n, row_cells
-        text = _norm("".join(buf))
+        nonlocal saw_lead, media_n, row_cells, row_grid
+        raw = "".join(buf)
+        text = _norm(raw)
         buf.clear()
         props = papx.lookup(fcs[end_cp]) if end_cp < len(fcs) else ParaProps()
         is_cell_mark = end_cp < len(chars) and chars[end_cp] == "\x07"
         if region == "main" and props.in_table and is_cell_mark:
             if props.ttp:
                 if row_cells:
-                    spans.append(("line", "\t".join(row_cells), ""))
-                    saw_lead = True
+                    # merge-covered cells drop from the visible row text
+                    tap = props.tap
+                    kept = [
+                        c for i, c in enumerate(row_cells)
+                        if not (tap is not None and i < len(tap)
+                                and _tc_covered(tap[i]))
+                    ]
+                    if kept:
+                        spans.append(("line", "\t".join(kept), ""))
+                        saw_lead = True
+                    tbl_rows.append((row_grid, tap))
                 row_cells = []
+                row_grid = []
             else:
                 row_cells.append(text)
+                row_grid.append(_cell_norm(raw))
             _flush_media()
             return
         if row_cells:  # table ended without a TTP mark (malformed): keep row
             spans.append(("line", "\t".join(row_cells), ""))
+            tbl_rows.append((row_grid, None))
             row_cells = []
+            row_grid = []
+        close_table()
         if text:
             if region != "main":
                 spans.append(("boilerplate", text, ""))
@@ -389,7 +503,7 @@ def _spans_from_chars(
             media_n += 1
             continue
         if ch == "\x0b":          # vertical tab = in-paragraph line break
-            buf.append(" ")
+            buf.append("\x0b")      # whitespace for spans; "\\n" in grids
             continue
         if ch == "\x1e":          # non-breaking hyphen
             buf.append("-")
@@ -402,7 +516,8 @@ def _spans_from_chars(
         buf.append(ch)
     if buf or row_cells or pending_media:
         flush_para(n, region_of(max(n - 1, 0)))
-    return spans
+    close_table()
+    return spans, tables
 
 
 # ------------------------------------------------------------- fixtures
@@ -412,12 +527,59 @@ def _spans_from_chars(
 # formats:
 #   ("heading", level, text)      → paragraph with istd=level
 #   ("para", text)                → plain paragraph
-#   ("table", [[c, …], …])        → table (cell marks + TTP rows)
+#   ("table", [[c, …], …])        → table (cell marks + TTP rows);
+#       a cell is a str or (text, colspan, rowspan) — spans become
+#       TC80 merge flags in the row's sprmTDefTable exactly as Word
+#       writes them (fFirstMerged/fMerged horizontally, continuation
+#       cells with fVertMerge injected in the rows below), mirroring
+#       the HTML fixture semantics so twin documents densify to
+#       byte-identical grids
 #   ("field", code, result)       → field; only result must survive
 #   ("media",)                    → inline picture anchor (0x01)
 #   ("ftn", text) / ("hdd", text) → footnote / header region paragraph
 
 Block = Tuple
+
+Cell = Union[str, Tuple[str, int, int]]
+
+
+def _expand_table(rows: Sequence[Sequence[Cell]]) -> List[List[Tuple[str, int]]]:
+    """Authored rows → physical rows of (cell text, tcgrf), replicating
+    the HTML lane's span bookkeeping (core/html.py _tbl_* lifecycle) so
+    a .doc twin of an HTML table produces the same dense grid: colspan
+    runs become fFirstMerged + fMerged cells, rowspans inject empty
+    fVertMerge continuation cells in the rows below."""
+    phys_rows: List[List[Tuple[str, int]]] = []
+    pending: Dict[int, int] = {}  # col → occupied rows incl. current
+    for row in rows:
+        phys: List[Tuple[str, int]] = []
+
+        def skip_occupied() -> None:
+            while pending.get(len(phys), 0) > 0:
+                phys.append(("", TC_VERT_MERGE))
+
+        for cell in row:
+            skip_occupied()
+            if isinstance(cell, tuple):
+                text, cs, rs = cell
+                cs, rs = max(1, int(cs)), max(1, int(rs))
+            else:
+                text, cs, rs = cell, 1, 1
+            col0 = len(phys)
+            for k in range(cs):
+                g = 0
+                if cs > 1:
+                    g |= TC_FIRST_MERGED if k == 0 else TC_MERGED
+                if rs > 1:
+                    g |= TC_VERT_RESTART | TC_VERT_MERGE
+                phys.append((text if k == 0 else "", g))
+            if rs > 1:
+                for c in range(col0, col0 + cs):
+                    pending[c] = max(pending.get(c, 0), rs)
+        skip_occupied()
+        phys_rows.append(phys)
+        pending = {c: n - 1 for c, n in pending.items() if n > 1}
+    return phys_rows
 
 
 def _encode_stream_text(
@@ -444,9 +606,9 @@ def _encode_stream_text(
         elif kind == "media":
             emit(main, "\x01")
         elif kind == "table":
-            for row in block[1]:
-                for cell in row:
-                    emit(main, cell, mark="\x07")
+            for phys in _expand_table(block[1]):
+                for text, _g in phys:
+                    emit(main, text, mark="\x07")
                 emit(main, "", mark="\x07")
         elif kind == "ftn":
             emit(ftn, block[1])
@@ -481,10 +643,13 @@ def _props_in_order(blocks: Sequence[Block]):
             elif kind in ("para", "field", "media", "ftn", "hdd"):
                 yield ParaProps()
             elif kind == "table":
-                for row in block[1]:
-                    for _ in row:
+                for phys in _expand_table(block[1]):
+                    for _ in phys:
                         yield ParaProps(in_table=True)
-                    yield ParaProps(in_table=True, ttp=True)
+                    yield ParaProps(
+                        in_table=True, ttp=True,
+                        tap=tuple(g for _t, g in phys),
+                    )
 
 
 def _papx_in_fkp(props: ParaProps) -> bytes:
@@ -492,6 +657,19 @@ def _papx_in_fkp(props: ParaProps) -> bytes:
     if props.ttp:
         grpprl += struct.pack("<H", SPRM_PF_TTP) + b"\x01"
         grpprl += struct.pack("<H", SPRM_PF_IN_TABLE) + b"\x01"
+        if props.tap is not None:
+            # TDefTableOperand: cb(u16, counts the operand minus 1)
+            # itcMac rgdxaCenter rgTc80 (tcgrf + wWidth + 4 empty BRCs)
+            itc = len(props.tap)
+            payload = bytes([itc])
+            payload += b"".join(
+                struct.pack("<h", 1440 * i) for i in range(itc + 1)
+            )
+            for g in props.tap:
+                payload += struct.pack("<HH", g, 1440) + b"\x00" * 16
+            grpprl += struct.pack(
+                "<HH", SPRM_T_DEF_TABLE, len(payload) + 1
+            ) + payload
     elif props.in_table:
         grpprl += struct.pack("<H", SPRM_PF_IN_TABLE) + b"\x01"
     body = struct.pack("<H", props.istd) + grpprl
@@ -621,14 +799,35 @@ def write_doc(
     )
 
     # chunk paragraphs into FKP pages (rgfc + 13-byte bx entries + the
-    # PAPX payloads must all fit in one 512-byte page)
+    # PAPX payloads must all fit in one 512-byte page): greedy by fit
     while len(word) % 512:
         word.append(0)
+
+    def _fkp_fits(props_chunk: List[ParaProps]) -> bool:
+        crun = len(props_chunk)
+        if crun == 0 or crun > _FKP_CHUNK:
+            return False
+        top = 511
+        placed: set = set()
+        for blob in (_papx_in_fkp(pp) for pp in props_chunk):
+            if blob in placed:
+                continue
+            top -= len(blob) + (len(blob) % 2)
+            top = top // 2 * 2
+            placed.add(blob)
+        return 4 * (crun + 1) + 13 * crun <= top
+
     chunks: List[Tuple[List[int], int, List[ParaProps]]] = []
-    for c0 in range(0, len(para_starts), _FKP_CHUNK):
-        c1 = min(c0 + _FKP_CHUNK, len(para_starts))
-        chunk_end = para_starts[c1] if c1 < len(para_starts) else end_fc
-        chunks.append((para_starts[c0:c1], chunk_end, props_list[c0:c1]))
+    i = 0
+    while i < len(para_starts):
+        j = i + 1
+        if not _fkp_fits(props_list[i:j]):
+            raise ValueError("PAPX too large for a single PapxFkp page")
+        while j < len(para_starts) and _fkp_fits(props_list[i : j + 1]):
+            j += 1
+        chunk_end = para_starts[j] if j < len(para_starts) else end_fc
+        chunks.append((para_starts[i:j], chunk_end, props_list[i:j]))
+        i = j
     fkp_pns: List[int] = []
     for starts_chunk, chunk_end, props_chunk in chunks:
         fkp_pns.append(len(word) // 512)

@@ -939,6 +939,113 @@ def adoc_table_rule_results(
     return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+# Word-97 twins of VARIANT_TABLES: authored with the .doc fixture
+# writer's (text, colspan, rowspan) cell specs, which serialize to TC80
+# merge flags in each row's sprmTDefTable — so the binary-Word parser
+# must walk the piece table, FKP pages AND the TAP to densify to the
+# byte-identical grids, and the verdict literals are shared verbatim
+# with the HTML lane.  In-cell hard breaks are the vertical tab 0x0b
+# (Word's Shift+Enter), which grid cells render as "\n" like <br>.
+DOC_VARIANT_BLOCKS = {
+    0: [
+        ("table", [
+            ["id", "name", "value"],
+            ["1", "alpha", "10"],
+            ["2", "beta", "20"],
+            ["3", "gamma", "30"],
+        ]),
+    ],
+    1: [
+        ("table", [
+            ["id", "score", "tags", "memo"],
+            ["1", "10", "a、b", "済"],
+            ["2", "-", "c", "　字下げ"],
+            ["3", "30以上", "d", "済"],
+        ]),
+    ],
+    2: [
+        ("table", [["home", "about"]]),
+        ("para", "navigation strip above; data table follows"),
+        ("table", [
+            [("注: このデータは速報値", 3, 1)],
+            ["item", "q1", "q2"],
+            ["①新規", "5", "7"],
+            ["継続\x0b更新", "6", "8"],
+            [("小計", 1, 2), "11", "15"],
+            ["9", "9"],
+        ]),
+    ],
+}
+
+
+def doc_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic Word-97 report: per-document prose
+    around the fixed per-variant table(s) — the binary-.doc twin of
+    ``variant_page``."""
+    from ..core.doc import write_doc
+
+    v = int(doc_id) % 3
+    prose = " ".join(
+        "".join(ch for ch in (text or "") if ch >= " ").split()
+    )
+    blocks = [
+        ("heading", 1, f"page {doc_id}"),
+        ("para", prose or "prose"),
+        *DOC_VARIANT_BLOCKS[v],
+        ("para", "generated fixture page"),
+    ]
+    return write_doc(blocks)
+
+
+def _doc_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.doc import extract_doc_tables
+
+    try:
+        return extract_doc_tables(bytes(row.content)), None
+    except Exception as e:  # malformed doc must not kill the batch
+        return [], f"doc table extract failed: {e}"
+
+
+def doc_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=.doc bytes) → one row per (table, rule) —
+    the binary-Word twin of ``table_rule_results``: TAP merge flags
+    densify to the same empty-filler grids as HTML colspan/rowspan, so
+    a table audits identically whether it arrived as a CSV upload, a
+    crawled ``<table>``, or a Word 97 report.  Same 100 TB shape: one
+    narrow Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _doc_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 def variant_page(doc_id: int, text: str) -> bytes:
     """Deterministic synthetic crawled page: per-document prose (escaped
     corpus text) around the fixed per-variant table(s)."""

@@ -266,3 +266,147 @@ def test_cfb_subtype_sniffing(spark):
         "xls": "application/vnd.ms-excel",
         "cfb": "application/x-cfb",
     }
+
+
+# --------------------------------------------------------- TAP (tables)
+
+
+def _ttp_papx_blobs(doc: bytes):
+    """All PAPX payload bodies (istd + grpprl) from every FKP page,
+    located by raw struct walking — no reader involved."""
+    word = read_stream(doc, "WordDocument")
+    table = read_stream(doc, "1Table") or read_stream(doc, "0Table")
+    fc_papx = struct.unpack_from("<I", word, 0x9A + 8 * 13)[0]
+    lcb = struct.unpack_from("<I", word, 0x9A + 8 * 13 + 4)[0]
+    plc = table[fc_papx : fc_papx + lcb]
+    n = (lcb - 4) // 8
+    bodies = []
+    for i in range(n):
+        pn = struct.unpack_from("<I", plc, 4 * (n + 1) + 4 * i)[0] & 0x3FFFFF
+        page = word[pn * 512 : (pn + 1) * 512]
+        crun = page[511]
+        for k in range(crun):
+            b_off = page[4 * (crun + 1) + 13 * k]
+            if not b_off:
+                continue
+            papx_off = 2 * b_off
+            cb = page[papx_off]
+            if cb == 0:
+                size = 2 * page[papx_off + 1]
+                bodies.append(bytes(page[papx_off + 2 : papx_off + 2 + size]))
+            else:
+                size = 2 * cb - 1
+                bodies.append(bytes(page[papx_off + 1 : papx_off + 1 + size]))
+    return bodies
+
+
+def test_tap_raw_layout_matches_spec():
+    """sprmTDefTable byte layout pinned independently of the reader:
+    opcode 0xD608, u16 cb counting the operand minus 1, itcMac,
+    (itcMac+1) rgdxaCenter boundaries, then 20-byte TC80s whose first
+    u16 carries the merge flags ([MS-DOC] §2.9.317)."""
+    doc = write_doc([("table", [[("wide", 2, 1), "x"], ["a", "b", "c"]])])
+    ttp_bodies = []
+    for body in _ttp_papx_blobs(doc):
+        # grpprl after istd: look for sprmPFTtp 0x2417
+        if b"\x17\x24\x01" in body:
+            ttp_bodies.append(body)
+    assert ttp_bodies, "no TTP PAPX found"
+    body = ttp_bodies[0]
+    i = body.find(b"\x08\xd6")  # sprmTDefTable little-endian
+    assert i > 0, "no sprmTDefTable in TTP grpprl"
+    cb = struct.unpack_from("<H", body, i + 2)[0]
+    itc = body[i + 4]
+    assert itc == 3  # colspan-2 run expands to 2 physical cells + "x"
+    # operand byte count = cb + 1 (cb counts the operand minus 1)
+    payload_len = 1 + 2 * (itc + 1) + 20 * itc
+    assert cb == payload_len + 1
+    # rgdxaCenter ascending
+    bounds = struct.unpack_from(f"<{itc + 1}h", body, i + 5)
+    assert list(bounds) == sorted(bounds)
+    # TC80 flags: first cell fFirstMerged, second fMerged, third none
+    tc_base = i + 5 + 2 * (itc + 1)
+    flags = [
+        struct.unpack_from("<H", body, tc_base + 20 * k)[0]
+        for k in range(itc)
+    ]
+    assert flags[0] & 0x0001 and not flags[0] & 0x0002
+    assert flags[1] & 0x0002 and not flags[1] & 0x0001
+    assert flags[2] == 0
+
+
+def test_doc_grids_match_html_variants():
+    """The Word-97 variant fixtures densify to grids byte-identical to
+    the HTML variant tables — the property that lets doc_table_rules
+    share the HTML lane's verdict literals."""
+    from machine_readability_checker_spark.core.doc import extract_doc_tables
+    from machine_readability_checker_spark.core.html import extract_html_tables
+    from machine_readability_checker_spark.operators.webtables import (
+        doc_variant_doc,
+        variant_page,
+    )
+
+    for v in range(3):
+        dg = extract_doc_tables(doc_variant_doc(v, "prose for page"))
+        hg, _ = extract_html_tables(variant_page(v, "different prose"))
+        assert dg == hg, f"variant {v} grids differ"
+
+
+def test_merged_cells_drop_from_line_spans():
+    doc = write_doc([
+        ("table", [
+            [("span3", 3, 1)],
+            ["a", "b", "c"],
+            [("tall", 1, 2), "1", "2"],
+            ["3", "4"],
+        ]),
+    ])
+    spans, err = extract_doc_spans(doc)
+    assert err is None
+    lines = [t for k, t, _ in spans if k == "line"]
+    assert lines == ["span3", "a\tb\tc", "tall\t1\t2", "3\t4"]
+
+
+def test_rowspan_colspan_combined_densify():
+    from machine_readability_checker_spark.core.doc import extract_doc_tables
+
+    doc = write_doc([
+        ("table", [
+            [("big", 2, 2), "r1"],
+            ["r2"],
+            ["x", "y", "z"],
+        ]),
+    ])
+    (grid,) = extract_doc_tables(doc)
+    assert grid == [["big", "", "r1"], ["", "", "r2"], ["x", "y", "z"]]
+
+
+def test_tap_tables_span_multiple_fkp_pages():
+    """Many rows with large TAP payloads force the greedy FKP packer
+    past one 512-byte page; round-trip must be lossless."""
+    from machine_readability_checker_spark.core.doc import extract_doc_tables
+
+    rows = [[f"r{i}c0", f"r{i}c1", f"r{i}c2", f"r{i}c3"] for i in range(40)]
+    doc = write_doc([("para", LONG), ("table", rows), ("para", LONG)])
+    spans, err = extract_doc_spans(doc)
+    assert err is None
+    lines = [t for k, t, _ in spans if k == "line"]
+    assert lines == ["\t".join(r) for r in rows]
+    (grid,) = extract_doc_tables(doc)
+    assert grid == rows
+
+
+def test_truncated_tap_does_not_crash():
+    """A TAP whose TC80 array is cut short (real fast-saved files do
+    this) degrades to flag-0 cells, never an exception."""
+    from machine_readability_checker_spark.core.doc import (
+        ParaProps,
+        _scan_grpprl,
+    )
+
+    # sprmTDefTable claiming 2 cells but carrying only the boundaries
+    payload = bytes([2]) + struct.pack("<3h", 0, 100, 200)
+    grpprl = struct.pack("<HH", 0xD608, len(payload) + 1) + payload
+    props = ParaProps()
+    _scan_grpprl(grpprl, props)
+    assert props.tap == (0, 0)
