@@ -5199,6 +5199,182 @@ def q_adoc_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORG_VARIANT_DOCS = [
+    # v0: title keyword, inline cleanup, captioned image, src block,
+    # comment/keyword drops
+    (
+        "#+TITLE: Admin Guide\n\n"
+        "An opening paragraph with *strong* text and a "
+        "[[https://example.com][label]] kept inline here.\n\n"
+        "# a comment\n#+OPTIONS: toc:nil\n\n"
+        "#+CAPTION: Topology\n"
+        "[[file:figs/net.png][net alt]]\n\n"
+        "#+BEGIN_SRC sh\nrun --fast\n#+END_SRC\n"
+    ),
+    # v1: headline with TODO/priority/tags stripping, list items,
+    # fixed-width code, simple table
+    (
+        "* TODO [#A] Install :ops:\n\n"
+        "- unpack the archive first\n"
+        "- then run the installer with defaults accepted\n\n"
+        ": raw fixed width\n\n"
+        "| k | v |\n|---+---|\n| x | 1 |\n"
+    ),
+    # v2: LaTeX environment math, drawer drop, table with rule row and
+    # a forced-line-break cell
+    (
+        "* Results\n\n"
+        ":PROPERTIES:\n:ID: abc\n:END:\n\n"
+        "\\begin{equation}\ne = mc^2\n\\end{equation}\n\n"
+        "| wide | |\n|------+---|\n| a | b |\n| two \\\\ line | 3 |\n"
+    ),
+]
+
+# hand-derived expected span sequences per variant (pinned independently
+# by tests/test_org.py over the same bytes)
+_ORG_VARIANT_SPANS = [
+    [
+        ("title", "Admin Guide", ""),
+        ("main",
+         "An opening paragraph with strong text and a label kept "
+         "inline here.", ""),
+        ("media", "net alt", "figs/net.png"),
+        ("caption", "Topology", "figs/net.png"),
+        ("code", "run --fast", ""),
+    ],
+    [
+        ("title", "Install", ""),
+        ("boilerplate", "unpack the archive first", ""),
+        ("main", "then run the installer with defaults accepted", ""),
+        ("code", "raw fixed width", ""),
+        ("line", "k\tv", ""),
+        ("line", "x\t1", ""),
+    ],
+    [
+        ("title", "Results", ""),
+        ("math", "e = mc^2", ""),
+        ("line", "wide\t", ""),
+        ("line", "a\tb", ""),
+        ("line", "two\nline\t3", ""),
+    ],
+]
+
+
+def q_org_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-mode extraction end-to-end: three fixed variant pages
+    (#+TITLE keyword, headline TODO/priority/tag stripping, inline
+    cleanup, captioned images, src/fixed-width blocks, LaTeX-fragment
+    math, drawer drops, tables with rule rows and forced-break cells)
+    flow through the shared extraction kernel (fmt="org"); the oracle
+    states the expected ordered span sequences as literals.  Same
+    narrow mapInPandas + hash aggregate shape as the other extraction
+    lanes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "org",
+                    _ORG_VARIANT_DOCS[v].encode("utf-8"),
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, sp in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, sp["kind"], sp["text"],
+                                 sp["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = _fan(spark, docs).mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _org_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_ORG_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+def q_org_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-notes-table audit: the Org-mode twin of ``html_table_rules``
+    — spans authored as explicit filler cells (Org tables cannot merge)
+    and forced-break cells densify to the HTML variants' grids
+    byte-for-byte, so the lanes share the hand-derived verdict literals
+    verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            org_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        org_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = _fan(spark, docs).mapInPandas(
+        kernel, schema="doc_id string, content binary"
+    )
+    res = WT.org_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_doc_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-97-report-table audit: the binary-.doc twin of
     ``html_table_rules`` — (text, colspan, rowspan) cell specs
@@ -6274,6 +6450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adoc_extract": q_adoc_extract,
         "adoc_table_rules": q_adoc_table_rules,
         "doc_table_rules": q_doc_table_rules,
+        "org_extract": q_org_extract,
+        "org_table_rules": q_org_table_rules,
         "bm25_topk": q_bm25_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
@@ -6463,6 +6641,8 @@ def oracle_sql() -> dict[str, str]:
     out["adoc_extract"] = _adoc_extract_oracle_sql()
     out["adoc_table_rules"] = _html_table_rules_oracle_sql()
     out["doc_table_rules"] = _html_table_rules_oracle_sql()
+    out["org_extract"] = _org_extract_oracle_sql()
+    out["org_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()

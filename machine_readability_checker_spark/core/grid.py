@@ -27,7 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt", "eml", "tsv", "rst", "adoc",
+    "hocr", "ppt", "eml", "tsv", "rst", "adoc", "org",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv"}
 
@@ -259,6 +259,10 @@ def parse_document(
         from .adoc import parse_adoc
 
         return parse_adoc(content)
+    if fmt == "org":
+        from .org import parse_org
+
+        return parse_org(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

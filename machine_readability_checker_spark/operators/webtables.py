@@ -939,6 +939,106 @@ def adoc_table_rule_results(
     return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+# Org-mode twins of VARIANT_TABLES.  Org tables cannot express
+# col/row spans, so — exactly like the GFM pipe-table twins — merged
+# regions are authored as explicit empty filler cells; the in-cell
+# hard break is Org's forced-line-break markup ``\\\\`` which the
+# parser renders as an embedded newline like <br>.  Grids densify
+# byte-identically to the HTML variants, so the verdict literals are
+# shared verbatim.
+ORG_VARIANT_TABLES = {
+    0: (
+        "| id | name | value |\n"
+        "|----+------+-------|\n"
+        "| 1 | alpha | 10 |\n"
+        "| 2 | beta | 20 |\n"
+        "| 3 | gamma | 30 |\n"
+    ),
+    1: (
+        "| id | score | tags | memo |\n"
+        "|----+-------+------+------|\n"
+        "| 1 | 10 | a、b | 済 |\n"
+        "| 2 | - | c | 　字下げ |\n"
+        "| 3 | 30以上 | d | 済 |\n"
+    ),
+    2: (
+        "| home | about |\n"
+        "\n"
+        "| 注: このデータは速報値 | | |\n"
+        "|------+----+----|\n"
+        "| item | q1 | q2 |\n"
+        "| ①新規 | 5 | 7 |\n"
+        "| 継続 \\\\ 更新 | 6 | 8 |\n"
+        "| 小計 | 11 | 15 |\n"
+        "| | 9 | 9 |\n"
+    ),
+}
+
+
+def org_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic Org page: per-document prose around the
+    fixed per-variant table(s) — the Org-mode twin of ``variant_page``."""
+    v = int(doc_id) % 3
+    prose = " ".join(
+        (text or "")
+        .replace("|", " ").replace("*", " ").replace("/", " ")
+        .replace("=", " ").replace("~", " ").replace("[", " ")
+        .replace("]", " ").replace("#", " ").replace(":", " ")
+        .split()
+    )
+    return (
+        f"#+TITLE: page {doc_id}\n\n{prose or 'prose'}\n\n"
+        f"{ORG_VARIANT_TABLES[v]}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
+def _org_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.org import extract_org_tables
+
+    try:
+        return extract_org_tables(bytes(row.content)), None
+    except Exception as e:  # malformed org must not kill the batch
+        return [], f"org table extract failed: {e}"
+
+
+def org_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=org bytes) → one row per (table, rule) —
+    the Org-mode twin of ``table_rule_results``, same 100 TB shape:
+    one narrow Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _org_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 # Word-97 twins of VARIANT_TABLES: authored with the .doc fixture
 # writer's (text, colspan, rowspan) cell specs, which serialize to TC80
 # merge flags in each row's sprmTDefTable — so the binary-Word parser

@@ -949,6 +949,25 @@ def fam_doc(rng, i) -> Dict[str, Any]:
     )
 
 
+def fam_org(rng, i) -> Dict[str, Any]:
+    """Org-mode notes page: #+TITLE keyword, headline with TODO/tags,
+    inline markup + link, list, src block, captioned image and a table
+    with a rule row — drives the org lane end-to-end."""
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    a, b = int(rng.randint(1, 99)), int(rng.randint(1, 99))
+    body = (
+        f"#+TITLE: Notes {i:05d}\n\n"
+        f"{para} with a [[https://example.com/{i}][label]] inline.\n\n"
+        f"* TODO Steps :build:\n\n"
+        f"- first step entry\n- second step entry\n\n"
+        f"#+BEGIN_SRC sh\nrun --seed {i}\n#+END_SRC\n\n"
+        f"#+CAPTION: Diagram {i}\n"
+        f"[[file:figs/d{i % 3}.png][diagram alt]]\n\n"
+        f"| key | val |\n|-----+-----|\n| a | {a} |\n| b | {b} |\n"
+    )
+    return _doc(f"og{i:05d}", "org", body.encode("utf-8"))
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -993,6 +1012,7 @@ FAMILIES = [
     ("dialect_docs", fam_dialect),
     ("rst_docs", fam_rst),
     ("adoc_docs", fam_adoc),
+    ("org_docs", fam_org),
 ]
 
 
