@@ -2435,6 +2435,7 @@ _MIME_EXPECT = [
     ("jpeg", "image/jpeg"),
     ("gif", "image/gif"),
     ("bmp", "image/bmp"),
+    ("tiff", "image/tiff"),
     ("wav", "audio/x-wav"),
     ("avi", "video/x-msvideo"),
     ("pdf", "application/pdf"),
@@ -2482,6 +2483,7 @@ def _mime_payloads() -> list:
     from machine_readability_checker_spark.core.ppt import (
         write_ppt as _write_ppt,
     )
+    from machine_readability_checker_spark.core.tiff import encode_tiff
     from machine_readability_checker_spark.core.wav import encode_wav
     from machine_readability_checker_spark.core.xls import (
         write_xls as _write_xls,
@@ -2496,6 +2498,7 @@ def _mime_payloads() -> list:
         "jpeg": jpg,
         "gif": encode_gif(2, 2, 1, px),
         "bmp": encode_bmp(2, 2, 1, px),
+        "tiff": encode_tiff(2, 2, 1, px, "lzw", ">"),
         "wav": encode_wav(8000, 1, 16, b"\x00\x01" * 8),
         "avi": encode_avi(2, 2, 5.0, [jpg]),
         "pdf": b"%PDF-1.4\n1 0 obj\n<<>>\nendobj\n",
@@ -2525,7 +2528,7 @@ def _mime_payloads() -> list:
 
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type sniffing at corpus scale: every document carries
-    one of 24 real payloads (doc_id arithmetic picks the variant), the
+    one of 25 real payloads (doc_id arithmetic picks the variant), the
     JVM magic-byte cascade types each row, and the zip + CFB slivers
     resolve their subtypes through the Arrow kernels (.docx vs .doc vs
     bare CFB all land differently).  Output: per-variant verdict

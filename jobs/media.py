@@ -45,13 +45,14 @@ from machine_readability_checker_spark.session import get_spark  # noqa: E402
 def _gen_interleaved(spark, n_docs: int):
     """Deterministic interleaved corpus + media store with REAL
     containers: every doc carries one JPEG, every 3rd a WAV, every 5th
-    an MJPEG AVI, referenced from its spans."""
+    an MJPEG AVI, every 6th a TIFF scan, referenced from its spans."""
     import numpy as np
 
     from machine_readability_checker_spark.core.avi import encode_avi
     from machine_readability_checker_spark.core.bmp import encode_bmp
     from machine_readability_checker_spark.core.gif import encode_gif
     from machine_readability_checker_spark.core.jpeg import encode_jpeg
+    from machine_readability_checker_spark.core.tiff import encode_tiff
     from machine_readability_checker_spark.core.wav import encode_wav
 
     spans_rows = []
@@ -96,6 +97,17 @@ def _gen_interleaved(spark, n_docs: int):
             media_rows.append(
                 (doc, "m.gif", "image",
                  bytearray(encode_gif(16, 16, 3, rgb.tobytes())))
+            )
+        if i % 6 == 2:
+            # scanned-page TIFF, cycling compression and byte order
+            comp = ("none", "packbits", "lzw")[i % 3]
+            spans.append({"kind": "media", "text": "", "media_ref": "m.tif", "offset": 6})
+            media_rows.append(
+                (doc, "m.tif", "image",
+                 bytearray(encode_tiff(
+                     16, 16, 3, rgb.tobytes(), comp,
+                     "<" if i % 2 == 0 else ">",
+                 )))
             )
         if i % 7 == 0:
             spans.append({"kind": "media", "text": "", "media_ref": "m.bmp", "offset": 5})

@@ -36,6 +36,8 @@ _MAGIC = [
     ("image/jpeg", 1, b"\xff\xd8\xff"),
     ("image/gif", 1, b"GIF87a"),
     ("image/gif", 1, b"GIF89a"),
+    ("image/tiff", 1, b"II*\x00"),
+    ("image/tiff", 1, b"MM\x00*"),
     ("application/pdf", 1, b"%PDF-"),
     ("application/gzip", 1, b"\x1f\x8b"),
     ("application/x-cfb", 1, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"),

@@ -58,7 +58,7 @@ def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
 
 
 class DecodedImage(NamedTuple):
-    container: str  # "png" | "fake"
+    container: str  # "png" | "jpeg" | "gif" | "bmp" | "tiff" | "fake"
     width: int
     height: int
     channels: int
@@ -87,6 +87,11 @@ def decode_image(content: bytes) -> DecodedImage:
 
         w, h, ch, px = decode_bmp(content)
         return DecodedImage("bmp", w, h, ch, px)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..core.tiff import decode_tiff
+
+        w, h, ch, px = decode_tiff(content)
+        return DecodedImage("tiff", w, h, ch, px)
     if content.startswith(FAKE_MAGIC):
         w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
         return DecodedImage(
@@ -114,6 +119,13 @@ def encode_image(img: DecodedImage) -> bytes:
         from ..core.bmp import encode_bmp
 
         return encode_bmp(img.width, img.height, img.channels, img.pixels)
+    if img.container == "tiff":
+        from ..core.tiff import encode_tiff
+
+        return encode_tiff(
+            img.width, img.height, img.channels, img.pixels,
+            compression="lzw",
+        )
     if img.container == "fake":
         if img.channels != 1:
             raise ValueError("fake container is single-channel")
@@ -206,6 +218,20 @@ def decode_video_frames(content: bytes) -> list:
 
         sw, sh, canvases, _metas = decode_gif_frames(content)
         return [encode_bmp(sw, sh, 3, c) for c in canvases]
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        # multi-page scanned TIFF: one frame per page, re-encoded as
+        # lossless BMP so each flows through the image kernels
+        from ..core.bmp import encode_bmp
+        from ..core.tiff import decode_tiff_pages
+
+        frames = []
+        for w, h, ch, px in decode_tiff_pages(content):
+            if ch == 1:
+                px = bytes(
+                    b for v in px for b in (v, v, v)
+                )
+            frames.append(encode_bmp(w, h, 3, px))
+        return frames
     return _decode_fake_frames(content)
 
 
