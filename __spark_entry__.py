@@ -5378,6 +5378,56 @@ def q_org_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words page gate as a cross-engine regex check: each doc's
+    text gains a deterministic suffix (doc_id arithmetic — a true hit,
+    an UPPER-CASE hit, a word-boundary trap ``notspamword``, or a clean
+    tail), ``textstats.blocklist_hit`` evaluates the chunked
+    whole-word alternation on Spark's Java regex, and the oracle runs
+    the IDENTICAL pattern through DuckDB's RE2 — two independent regex
+    engines must agree on every boundary case for the counts to land."""
+    from machine_readability_checker_spark.operators.textstats import (
+        blocklist_hit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" buy spamword now"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(" SCAM Alert!"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(" notspamword here"))
+        .otherwise(F.lit(" clean tail"))
+    )
+    t = F.concat(F.col("text"), suffix)
+    return (
+        docs.select(
+            (F.col("doc_id") % 105).alias("variant"),
+            blocklist_hit(t, ["spamword", "scam alert"]).alias("blocked"),
+        )
+        .groupBy("variant", "blocked")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "blocked")
+    )
+
+
+def _badwords_oracle_sql() -> str:
+    # the SAME chunked pattern blocklist_hit compiles (one chunk here)
+    pat = "(?is)(^|[^\\p{L}\\p{N}])(spamword|scam\\ alert)($|[^\\p{L}\\p{N}])"
+    return f"""
+    WITH t AS (
+      SELECT doc_id % 105 AS variant,
+             text || CASE
+               WHEN doc_id % 3 = 0 THEN ' buy spamword now'
+               WHEN doc_id % 5 = 0 THEN ' SCAM Alert!'
+               WHEN doc_id % 7 = 0 THEN ' notspamword here'
+               ELSE ' clean tail' END AS t
+      FROM documents
+    )
+    SELECT variant, regexp_matches(t, '{pat}') AS blocked,
+           COUNT(*) AS n_docs
+    FROM t GROUP BY 1, 2 ORDER BY variant, blocked
+    """
+
+
 def q_doc_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-97-report-table audit: the binary-.doc twin of
     ``html_table_rules`` — (text, colspan, rowspan) cell specs
@@ -6453,6 +6503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adoc_extract": q_adoc_extract,
         "adoc_table_rules": q_adoc_table_rules,
         "doc_table_rules": q_doc_table_rules,
+        "badwords_filter": q_badwords_filter,
         "org_extract": q_org_extract,
         "org_table_rules": q_org_table_rules,
         "bm25_topk": q_bm25_topk,
@@ -6644,6 +6695,7 @@ def oracle_sql() -> dict[str, str]:
     out["adoc_extract"] = _adoc_extract_oracle_sql()
     out["adoc_table_rules"] = _html_table_rules_oracle_sql()
     out["doc_table_rules"] = _html_table_rules_oracle_sql()
+    out["badwords_filter"] = _badwords_oracle_sql()
     out["org_extract"] = _org_extract_oracle_sql()
     out["org_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL

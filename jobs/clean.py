@@ -74,6 +74,13 @@ def main() -> None:
         "(same caveat as --require-known-lang)",
     )
     ap.add_argument(
+        "--badwords", metavar="FILE",
+        help="add the C4 bad-words page gate: drop any page containing "
+        "a whole-word (case-insensitive) match of a phrase from FILE "
+        "(one per line, # comments); the conventional source is the "
+        "public LDNOOBW word list — the repo ships none",
+    )
+    ap.add_argument(
         "--drop-repetitive", action="store_true",
         help="add the Gopher-style repetition stage to the funnel "
         "(dup-token / looping-bigram flags)",
@@ -247,8 +254,17 @@ def main() -> None:
     # materialized survivors — stats can never describe a corpus that was
     # not actually built, and the dedup window shuffles run exactly once
     # (the old per-stage recount re-executed stages 1..k-1 for stage k)
+    badwords = None
+    if args.badwords:
+        with open(args.badwords, encoding="utf-8") as fh:
+            badwords = [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            ]
+
     labeled = TS.label_drop_stage(
         texts,
+        badwords=badwords,
         require_known_lang=args.require_known_lang,
         drop_repetitive=args.drop_repetitive,
         quality_model=qmodel,
@@ -262,6 +278,7 @@ def main() -> None:
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,
+        badwords=badwords is not None,
         require_known_lang=args.require_known_lang,
         drop_repetitive=args.drop_repetitive,
         model_quality=qmodel is not None,

@@ -530,6 +530,32 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def blocklist_hit(col: Column, words) -> Column:
+    """True when the text contains any blocklist phrase as a whole
+    word (case-insensitive) — the C4 §2.2 "bad words" page gate
+    (Raffel et al. 2020 filtered pages matching the public LDNOOBW
+    list; the list itself is user-supplied, the repo ships none).
+
+    Pure JVM: phrases compile into alternation regexes CHUNKED at 100
+    per pattern (a single 400-way alternation blows codegen compile
+    time), each anchored to non-letter/digit context on both sides so
+    ``notspamword`` never matches ``spamword``.  No lookarounds — the
+    same pattern runs verbatim on DuckDB's RE2 in the oracle."""
+    import re as _re
+
+    ws = [w.strip().lower() for w in words if w and w.strip()]
+    if not ws:
+        return F.lit(False)
+    hit = F.lit(False)
+    for i in range(0, len(ws), 100):
+        alt = "|".join(_re.escape(w) for w in ws[i : i + 100])
+        pat = (
+            "(?is)(^|[^\\p{L}\\p{N}])(" + alt + ")($|[^\\p{L}\\p{N}])"
+        )
+        hit = hit | col.rlike(pat)
+    return hit
+
+
 def stage_names(
     require_known_lang: bool = True,
     drop_repetitive: bool = False,
@@ -537,12 +563,15 @@ def stage_names(
     lm_ppl: bool = False,
     compression: bool = False,
     c4_lines: bool = False,
+    badwords: bool = False,
 ) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
     names = ["raw", "exact_dedup", "normalized_dedup", "min_tokens"]
     if c4_lines:
         names.append("c4_lines")
+    if badwords:
+        names.append("badwords_ok")
     if drop_repetitive:
         names.append("repetition_ok")
     if compression:
@@ -570,6 +599,7 @@ def label_drop_stage(
     ppl_threshold: float = None,
     min_compression_ratio: float = None,
     c4_lines: bool = False,
+    badwords=None,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -674,6 +704,14 @@ def label_drop_stage(
             ~F.coalesce(F.col("c4_keep"), F.lit(False)), F.lit(stage)
         )
         stage += 1
+    if badwords:
+        # C4 badwords page gate: the REWRITTEN text is what gets
+        # matched when c4_lines is also on (same as the paper's order)
+        drop = drop.when(
+            F.coalesce(blocklist_hit(c, badwords), F.lit(False)),
+            F.lit(stage),
+        )
+        stage += 1
     if drop_repetitive:
         rep_bad = F.col("repetition_flag.too_many_dup_tokens") | F.col(
             "repetition_flag.looping_bigram"
@@ -738,13 +776,14 @@ def funnel_from_labels(
     lm_ppl: bool = False,
     compression: bool = False,
     c4_lines: bool = False,
+    badwords: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
     names = stage_names(
         require_known_lang, drop_repetitive, model_quality, lm_ppl,
-        compression, c4_lines,
+        compression, c4_lines, badwords,
     )
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0

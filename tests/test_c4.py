@@ -105,3 +105,92 @@ def test_funnel_stage_and_rewrite(spark):
         "raw": 3, "exact_dedup": 2, "normalized_dedup": 2,
         "min_tokens": 2, "c4_lines": 1,
     }
+
+
+# ------------------------------------------------------ badwords gate
+
+
+def test_blocklist_hit_word_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators.textstats import (
+        blocklist_hit,
+    )
+
+    rows = [
+        (1, "this has SPAMWORD inside", True),
+        (2, "notspamword is different", False),
+        (3, "spamword", True),
+        (4, "a scam ALERT today", True),
+        (5, "scamalert fused", False),
+        (6, "clean text only", False),
+        (7, "edge spamword, punctuation", True),
+        (9, "multi\nline spamword\nhere", True),
+        (10, "日本語のspamword混在", True),  # CJK context is non-letter? NO
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["hit"]
+        for r in df.select(
+            "id",
+            blocklist_hit(
+                F.col("text"), ["spamword", "scam alert"]
+            ).alias("hit"),
+        ).collect()
+    }
+    for i, _, want in rows:
+        if i == 10:
+            continue  # asserted separately below
+        assert got[i] is want, (i, got[i])
+    # \p{L} covers CJK: embedded in Japanese LETTERS is still inside a
+    # "word", so the boundary rule does NOT fire — same as RE2
+    assert got[10] is False
+
+
+def test_blocklist_chunking_past_100(spark):
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators.textstats import (
+        blocklist_hit,
+    )
+
+    words = [f"w{i}x" for i in range(250)] + ["needle"]
+    df = spark.createDataFrame(
+        [(1, "hay hay needle hay"), (2, "hay only"), (3, "w137x here")],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["hit"]
+        for r in df.select(
+            "id", blocklist_hit(F.col("text"), words).alias("hit")
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_badwords_funnel_stage(spark):
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators import textstats as TS
+
+    rows = [(i, t) for i, t in enumerate([
+        "this is a clean document with enough tokens to survive here",
+        "this one mentions spamword among its many other normal tokens",
+        "another clean document with plenty of words to pass the floor",
+        "the scam alert phrase appears in this otherwise fine document",
+        "notspamword should never trigger the gate in this document",
+    ])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lab = TS.label_drop_stage(
+        df, id_col="doc_id", require_known_lang=False,
+        badwords=["spamword", "scam alert"],
+    )
+    f = TS.funnel_from_labels(lab, require_known_lang=False, badwords=True)
+    out = [(r["stage_idx"], r["stage"], r["n_docs"]) for r in f.collect()]
+    assert out[-1] == (4, "badwords_ok", 3), out
+    survivors = sorted(
+        r["doc_id"] for r in lab.filter(F.col("_drop").isNull()).collect()
+    )
+    assert survivors == [0, 2, 4]
