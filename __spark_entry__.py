@@ -5378,6 +5378,210 @@ def q_org_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TXT_VARIANT_DOCS = [
+    # v0: prose + aligned table + ruler + footer
+    (
+        "quarterly report\n\n"
+        "An opening paragraph long enough to classify as main content "
+        "for the plain-text lane.\n\n"
+        "id  name   value\n"
+        "--  -----  -----\n"
+        "1   alpha  10\n"
+        "2   beta   20\n\n"
+        "short footer\n"
+    ),
+    # v1: CJK-wide alignment + tab expansion
+    (
+        "wide-character table\n\n"
+        "item       q1  q2\n"
+        "①新規      5   7\n"
+        "継続 更新  6   8\n\n"
+        "a closing paragraph with enough characters to be main prose.\n"
+    ),
+    # v2: prose-only page — a two-line paragraph whose stray double
+    # space past the short line's end must NOT table (the guard)
+    (
+        "short line\n"
+        "a much longer continuation line of prose  with a double space "
+        "far beyond the first line's end\n"
+    ),
+]
+
+_TXT_VARIANT_SPANS = [
+    [
+        ("boilerplate", "quarterly report", ""),
+        ("main",
+         "An opening paragraph long enough to classify as main content "
+         "for the plain-text lane.", ""),
+        ("line", "id\tname\tvalue", ""),
+        ("line", "1\talpha\t10", ""),
+        ("line", "2\tbeta\t20", ""),
+        ("boilerplate", "short footer", ""),
+    ],
+    [
+        ("boilerplate", "wide-character table", ""),
+        ("line", "item\tq1\tq2", ""),
+        ("line", "①新規\t5\t7", ""),
+        ("line", "継続 更新\t6\t8", ""),
+        ("main",
+         "a closing paragraph with enough characters to be main prose.",
+         ""),
+    ],
+    [
+        ("main",
+         "short line a much longer continuation line of prose with a "
+         "double space far beyond the first line's end", ""),
+    ],
+]
+
+
+def q_txt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text extraction end-to-end: three fixed variant pages
+    (aligned table with ruler, CJK-wide gutters, and the prose
+    false-positive guard) flow through the shared extraction kernel
+    (fmt="txt"); the oracle states the expected ordered span sequences
+    as literals."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.core.extract import (
+            extract_document,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                v = did % 3
+                out = extract_document(
+                    str(did), "txt",
+                    _TXT_VARIANT_DOCS[v].encode("utf-8"),
+                )
+                if out["parse_error"] is not None:
+                    rows.append((str(did), v, -1, "error",
+                                 out["parse_error"], ""))
+                    continue
+                for idx, sp in enumerate(out["spans"]):
+                    rows.append((str(did), v, idx, sp["kind"], sp["text"],
+                                 sp["media_ref"]))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "idx", "kind", "text",
+                         "media_ref"],
+            )
+
+    spans = _fan(spark, docs).mapInPandas(
+        kernel,
+        schema="doc_id string, variant long, idx int, kind string, "
+               "text string, media_ref string",
+    )
+    return (
+        spans.groupBy("variant", "idx", "kind", "text", "media_ref")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("variant", "idx")
+    )
+
+
+def _txt_extract_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, {}, {}, {}, {})".format(
+            v, idx, _sql_str(kind), _sql_str(text), _sql_str(media)
+        )
+        for v in (0, 1, 2)
+        for idx, (kind, text, media) in enumerate(_TXT_VARIANT_SPANS[v])
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, idx, kind, text, media_ref) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant,
+           CAST(e.idx AS INT) AS idx, e.kind, e.text, e.media_ref,
+           c.n AS n_docs
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, idx
+    """
+
+
+# Fixed-width plain-text twin: variants 0/1 densify byte-equal to the
+# HTML grids so their verdicts are the shared literals verbatim;
+# variant 2's single-line form of the in-cell-break cell drops the two
+# newline rules (L1-07 embedded newline, L1-14 multi-line cell) from
+# the HTML fail set — tests/test_fwtext.py re-derives all three
+# verdict sets through the battery and pins them against these.
+_FW_WT_FAILS = {
+    0: {"X-04", "X-05", "X-06", "X-07"},
+    1: {"L1-06", "L1-09", "X-03", "X-04", "X-05", "X-06", "X-07"},
+    2: {
+        "L1-05", "L1-08", "X-01", "X-03",
+        "X-04", "X-05", "X-06", "X-07",
+    },
+}
+
+
+def _fw_table_rules_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        f"({v}, '{r}', {'FALSE' if r in _FW_WT_FAILS[v] else 'TRUE'})"
+        for v in (0, 1, 2)
+        for r in _WT_RULE_IDS
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id % 3 AS variant, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ), expect(variant, rule_id, passed) AS (VALUES
+      {vals}
+    )
+    SELECT CAST(e.variant AS BIGINT) AS variant, e.rule_id, e.passed,
+           c.n AS n_tables
+    FROM expect e JOIN counts c ON c.variant = e.variant
+    ORDER BY variant, rule_id, passed
+    """
+
+
+def q_fw_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-dump-table audit: the fixed-width plain-text twin of
+    ``html_table_rules`` — display-cell-aware gutter detection must
+    recover the authored grids (CJK-wide alignment included) for the
+    verdict counts to land."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        from machine_readability_checker_spark.operators.webtables import (
+            fw_variant_doc,
+        )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": [
+                        str(r.doc_id) for r in pdf.itertuples(index=False)
+                    ],
+                    "content": [
+                        fw_variant_doc(int(r.doc_id), r.text)
+                        for r in pdf.itertuples(index=False)
+                    ],
+                }
+            )
+
+    pages = _fan(spark, docs).mapInPandas(
+        kernel, schema="doc_id string, content binary"
+    )
+    res = WT.fwtext_table_rule_results(pages)
+    return (
+        res.withColumn("variant", F.col("doc_id").cast("long") % 3)
+        .groupBy("variant", "rule_id", "passed")
+        .agg(F.count("*").alias("n_tables"))
+        .orderBy("variant", "rule_id", "passed")
+    )
+
+
 def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 bad-words page gate as a cross-engine regex check: each doc's
     text gains a deterministic suffix (doc_id arithmetic — a true hit,
@@ -6504,6 +6708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adoc_table_rules": q_adoc_table_rules,
         "doc_table_rules": q_doc_table_rules,
         "badwords_filter": q_badwords_filter,
+        "fw_table_rules": q_fw_table_rules,
+        "txt_extract": q_txt_extract,
         "org_extract": q_org_extract,
         "org_table_rules": q_org_table_rules,
         "bm25_topk": q_bm25_topk,
@@ -6696,6 +6902,8 @@ def oracle_sql() -> dict[str, str]:
     out["adoc_table_rules"] = _html_table_rules_oracle_sql()
     out["doc_table_rules"] = _html_table_rules_oracle_sql()
     out["badwords_filter"] = _badwords_oracle_sql()
+    out["fw_table_rules"] = _fw_table_rules_oracle_sql()
+    out["txt_extract"] = _txt_extract_oracle_sql()
     out["org_extract"] = _org_extract_oracle_sql()
     out["org_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL

@@ -85,7 +85,7 @@ def extract_document(
     if doc.parse_error is None and doc.fmt in (
         "html", "pdf", "docx", "pptx", "rtf", "odt", "epub", "md",
         "ipynb", "srt", "vtt", "tex", "doc", "wiki", "hocr", "ppt",
-        "eml", "rst", "adoc", "org",
+        "eml", "rst", "adoc", "org", "txt",
     ):
         layout_triples = getattr(doc, "html_spans", None) or getattr(
             doc, "layout_spans", []

@@ -27,7 +27,7 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt", "eml", "tsv", "rst", "adoc", "org",
+    "hocr", "ppt", "eml", "tsv", "rst", "adoc", "org", "txt",
 }
 GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv"}
 
@@ -263,6 +263,10 @@ def parse_document(
         from .org import parse_org
 
         return parse_org(content)
+    if fmt == "txt":
+        from .fwtext import parse_txt
+
+        return parse_txt(content)
     from .html import parse_html  # local import to keep grid lane light
 
     return parse_html(content, charset_hint)

@@ -939,6 +939,100 @@ def adoc_table_rule_results(
     return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
 
 
+# Fixed-width plain-text twins of VARIANT_TABLES, authored as grids
+# and rendered by core/fwtext.render_fw_table (display-cell-aware
+# space alignment + a dashed ruler).  Fixed width cannot express
+# col/row spans or in-cell breaks: merged regions are empty filler
+# cells and the in-cell-break cell uses its single-line form
+# ("継続 更新" with a space) — so variants 0/1 densify byte-equal to
+# the HTML grids while variant 2's verdicts are pinned separately
+# (one-cell difference; tests/test_fwtext.py re-derives them through
+# the battery).
+FW_VARIANT_GRIDS = {
+    0: [
+        ["id", "name", "value"],
+        ["1", "alpha", "10"],
+        ["2", "beta", "20"],
+        ["3", "gamma", "30"],
+    ],
+    1: [
+        ["id", "score", "tags", "memo"],
+        ["1", "10", "a、b", "済"],
+        ["2", "-", "c", "　字下げ"],
+        ["3", "30以上", "d", "済"],
+    ],
+    2: [
+        ["注: このデータは速報値", "", ""],
+        ["item", "q1", "q2"],
+        ["①新規", "5", "7"],
+        ["継続 更新", "6", "8"],
+        ["小計", "11", "15"],
+        ["", "9", "9"],
+    ],
+}
+
+
+def fw_variant_doc(doc_id: int, text: str) -> bytes:
+    """Deterministic synthetic terminal-dump page: per-document prose
+    around the fixed per-variant aligned table — the plain-text twin of
+    ``variant_page``."""
+    from ..core.fwtext import render_fw_table
+
+    v = int(doc_id) % 3
+    prose = " ".join((text or "").split()) or "prose"
+    return (
+        f"report page {doc_id}\n\n{prose}\n\n"
+        f"{render_fw_table(FW_VARIANT_GRIDS[v])}\n"
+        "generated fixture page\n"
+    ).encode("utf-8")
+
+
+def _fw_grids(row) -> Tuple[List[List[List[str]]], Optional[str]]:
+    from ..core.fwtext import extract_fw_tables
+
+    try:
+        return extract_fw_tables(bytes(row.content)), None
+    except Exception as e:  # malformed text must not kill the batch
+        return [], f"fw table extract failed: {e}"
+
+
+def fwtext_table_rule_results(
+    df_docs: DataFrame,
+    min_rows: int = DEFAULT_MIN_ROWS,
+    min_cols: int = DEFAULT_MIN_COLS,
+) -> DataFrame:
+    """docs(doc_id, content=plain-text bytes) → one row per (table,
+    rule) — the fixed-width twin of ``table_rule_results``, same 100 TB
+    shape: one narrow Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "table_idx", "n_rows", "n_cols",
+            "rule_id", "passed", "message",
+        ]
+        for batch in batches:
+            out = []
+            for row in batch.itertuples(index=False):
+                grids, err = _fw_grids(row)
+                did = str(row.doc_id)
+                if err is not None:
+                    out.append((did, -1, 0, 0, "PARSE", False, err))
+                    continue
+                kept = [
+                    g for g in grids
+                    if len(g) >= min_rows and len(g[0]) >= min_cols
+                ]
+                for ti, g in enumerate(kept):
+                    for rule_id, passed, msg in _grid_rules(g):
+                        out.append(
+                            (did, ti, len(g), len(g[0]),
+                             rule_id, bool(passed), msg)
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df_docs.mapInPandas(kernel, schema=TABLE_RULES_SCHEMA)
+
+
 # Org-mode twins of VARIANT_TABLES.  Org tables cannot express
 # col/row spans, so — exactly like the GFM pipe-table twins — merged
 # regions are authored as explicit empty filler cells; the in-cell

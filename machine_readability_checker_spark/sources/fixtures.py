@@ -968,6 +968,23 @@ def fam_org(rng, i) -> Dict[str, Any]:
     return _doc(f"og{i:05d}", "org", body.encode("utf-8"))
 
 
+def fam_txt(rng, i) -> Dict[str, Any]:
+    """Plain-text report: prose paragraphs around a space-aligned
+    fixed-width table with a dashed ruler — drives the txt lane's
+    gutter detection end-to-end."""
+    from ..core.fwtext import render_fw_table
+
+    para = " ".join(WORDS[rng.randint(0, len(WORDS))] for _ in range(30))
+    a, b = int(rng.randint(1, 99)), int(rng.randint(1, 99))
+    grid = [["key", "val"], ["a", str(a)], ["b", str(b)]]
+    body = (
+        f"report {i:05d}\n\n{para}\n\n"
+        f"{render_fw_table(grid)}\n"
+        f"short footer note\n"
+    )
+    return _doc(f"tx{i:05d}", "txt", body.encode("utf-8"))
+
+
 FAMILIES = [
     ("plain_single_header", fam_plain),
     ("multirow_header", fam_multirow_header),
@@ -1013,6 +1030,7 @@ FAMILIES = [
     ("rst_docs", fam_rst),
     ("adoc_docs", fam_adoc),
     ("org_docs", fam_org),
+    ("txt_docs", fam_txt),
 ]
 
 
