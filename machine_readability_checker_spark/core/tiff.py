@@ -308,6 +308,8 @@ def _decode_page(
 
 
 def _byte_order(data: bytes) -> str:
+    if len(data) < 8:
+        raise ValueError("tiff: header truncated")
     if data[:4] == TIFF_MAGIC_LE:
         return "<"
     if data[:4] == TIFF_MAGIC_BE:

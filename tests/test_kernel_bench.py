@@ -269,3 +269,71 @@ def test_legacy_office_and_wiki_kernel_floors():
             fn(b)
         rate = len(docs) / (time.perf_counter() - t0)
         assert rate > floor, f"{fam} kernel at {rate:.0f} docs/s < {floor}"
+
+
+def test_session_h_kernel_floors():
+    """Session-H parsers stay linear: generous absolute floors per
+    format (measured single-core on the fixture shapes: org ~4000/s,
+    txt ~9000/s, doc-tables ~2500/s, tiff-lzw ~700 decodes/s)."""
+    from machine_readability_checker_spark.core.doc import (
+        extract_doc_tables,
+    )
+    from machine_readability_checker_spark.core.fwtext import (
+        extract_txt_spans,
+    )
+    from machine_readability_checker_spark.core.org import extract_org_spans
+    from machine_readability_checker_spark.sources.fixtures import (
+        FAMILIES,
+        gen_doc,
+    )
+
+    n_fam = len(FAMILIES)
+    names = [n for n, _ in FAMILIES]
+    for fam, fn, floor in (
+        ("org_docs", extract_org_spans, 400),
+        ("txt_docs", extract_txt_spans, 800),
+    ):
+        fam_idx = names.index(fam)
+        docs = [
+            bytes(gen_doc(fam_idx + i * n_fam, whale_every=None)["content"])
+            for i in range(30)
+        ]
+        for b in docs[:5]:
+            spans, err = fn(b)
+            assert err is None, f"{fam}: warmup parse failed: {err}"
+        t0 = time.perf_counter()
+        for b in docs:
+            fn(b)
+        rate = len(docs) / (time.perf_counter() - t0)
+        assert rate > floor, f"{fam} kernel at {rate:.0f} docs/s < {floor}"
+
+    # TAP grid extraction over the merged-span variant doc
+    from machine_readability_checker_spark.operators.webtables import (
+        doc_variant_doc,
+    )
+
+    blobs = [doc_variant_doc(i, "prose text for the page") for i in range(12)]
+    for b in blobs[:3]:
+        assert extract_doc_tables(b)
+    t0 = time.perf_counter()
+    for b in blobs:
+        extract_doc_tables(b)
+    rate = len(blobs) / (time.perf_counter() - t0)
+    assert rate > 100, f"doc TAP grids at {rate:.0f} docs/s < 100"
+
+    # TIFF LZW decode (the slowest pure-Python path of the codec)
+    import numpy as np
+
+    from machine_readability_checker_spark.core.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rgb = np.random.RandomState(9).randint(0, 256, (32, 32, 3), np.uint8)
+    blob = encode_tiff(32, 32, 3, rgb.tobytes(), "lzw")
+    decode_tiff(blob)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        decode_tiff(blob)
+    rate = 20 / (time.perf_counter() - t0)
+    assert rate > 60, f"tiff lzw decode at {rate:.0f}/s < 60"

@@ -391,3 +391,60 @@ def test_every_format_quarantines_never_raises(data, fmt):
     assert out["metrics"]["parse_errors"] in (0, 1)
     if out["parse_error"] is not None:
         assert out["spans"] == [] and out["metrics"]["spans_out"] == 0
+
+
+@given(st.text(max_size=3000))
+@settings(max_examples=150, deadline=None)
+def test_org_never_raises_and_spans_well_formed(text):
+    """Any unicode input parses through the org scanner: no exception,
+    well-formed triples, rectangular grids."""
+    from machine_readability_checker_spark.core.org import (
+        extract_org_spans,
+        extract_org_tables,
+    )
+
+    spans, err = extract_org_spans(text.encode("utf-8"))
+    assert err is None
+    for kind, body, ref in spans:
+        assert kind in {
+            "title", "heading", "main", "boilerplate", "code", "math",
+            "media", "caption", "line",
+        }
+    for grid in extract_org_tables(text.encode("utf-8")):
+        assert grid and all(len(r) == len(grid[0]) for r in grid)
+
+
+@given(st.text(max_size=3000))
+@settings(max_examples=150, deadline=None)
+def test_fwtext_never_raises_and_grids_rectangular(text):
+    from machine_readability_checker_spark.core.fwtext import (
+        extract_fw_tables,
+        extract_txt_spans,
+    )
+
+    spans, err = extract_txt_spans(text.encode("utf-8"))
+    assert err is None
+    for kind, body, ref in spans:
+        assert kind in {"main", "boilerplate", "line"}
+        assert ref == ""
+    for grid in extract_fw_tables(text.encode("utf-8")):
+        assert grid and all(len(r) == len(grid[0]) for r in grid)
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_tiff_decode_never_hangs_or_segfaults(data):
+    """Arbitrary bytes through the TIFF decoder either decode or raise
+    ValueError — never any other exception, never a hang (the IFD
+    walker bounds chains and strip reads)."""
+    from machine_readability_checker_spark.core.tiff import (
+        decode_tiff_pages,
+    )
+
+    for blob in (data, b"II*\x00" + data, b"MM\x00*" + data):
+        try:
+            pages = decode_tiff_pages(blob)
+            for w, h, ch, px in pages:
+                assert len(px) == w * h * ch
+        except ValueError:
+            pass
