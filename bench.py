@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "c4_line_filter",
     "structured_data",
     "exif_scan",
+    "doc_table_rules",
+    "org_extract",
+    "fw_table_rules",
+    "badwords_filter",
+    "semantic_dedup",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the
