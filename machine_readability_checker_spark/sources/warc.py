@@ -80,6 +80,9 @@ _MIME_FMT = {
     "application/msword": "doc",  # CFB-subtype-refined verdict
     "application/vnd.ms-powerpoint": "ppt",
     "message/rfc822": "eml",
+    # plain text routes to the fixed-width/paragraph lane (fmt=txt)
+    # instead of quarantining — the single most common long-tail type
+    "text/plain": "txt",
 }
 
 
@@ -133,7 +136,8 @@ def warc_to_docs_raw(records: DataFrame, sniff: bool = False) -> DataFrame:
     (JVM cascade; zip subtypes through the Arrow sliver kernel) and the
     sniffed verdict overrides the header whenever it identifies a
     concrete container.  The header only survives where bytes cannot
-    decide — ``text/plain`` (CSV vs prose is a semantic call) and
+    decide — ``text/plain`` (CSV vs prose vs fixed-width is a header
+    call) and
     ``application/octet-stream`` (no signature matched).  Mislabeled
     payloads (an HTML error page served as ``application/pdf``) route
     to the lane that can actually parse them."""
