@@ -1268,6 +1268,105 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wet_dir(kind: str, sf_dir: str) -> str:
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"mrc_driver_{kind}_{base}")
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round trip (sources/warcsink.py): the corpus is
+    written as Common-Crawl-layout ``*.warc.wet.gz`` shards (one gzip
+    member per ``conversion`` record, warcinfo-led, mod-8 arithmetic
+    sharding so the oracle can regenerate the assignment), read back
+    through ``read_wet``, and joined to the originals.  Per shard:
+    ``n_docs`` (every doc landed), ``n_text_ok``/``n_url_ok`` (every
+    field byte-exact through the codec), ``chars_total`` (content
+    volume pins the payload sizing).  Any encoder/decoder/sharding
+    drift breaks the hash."""
+    from machine_readability_checker_spark.sources.warc import read_wet
+    from machine_readability_checker_spark.sources.warcsink import write_wet
+
+    n_shards = 8
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"), "text"
+    )
+    path = _wet_dir("wet", sf_dir)
+    write_wet(docs, path, n_shards=n_shards, shard_by="mod").collect()
+    back = read_wet(spark, os.path.join(path, "*.warc.wet.gz")).select(
+        F.regexp_extract("doc_id", r"wet-(\d+)", 1).cast("long").alias(
+            "orig_id"
+        ),
+        F.col("url").alias("got_url"),
+        F.col("text").alias("got_text"),
+    )
+    joined = back.join(
+        docs.select(
+            F.col("doc_id").alias("orig_id"),
+            F.col("url").alias("want_url"),
+            F.coalesce("text", F.lit("")).alias("want_text"),
+        ),
+        "orig_id",
+    )
+    return (
+        joined.groupBy(
+            F.pmod(F.col("orig_id"), F.lit(n_shards)).cast("int").alias(
+                "shard"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("got_text") == F.col("want_text")).cast("long")
+            ).alias("n_text_ok"),
+            F.sum((F.col("got_url") == F.col("want_url")).cast("long")).alias(
+                "n_url_ok"
+            ),
+            F.sum(F.length("got_text")).alias("chars_total"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_cdxj_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-audit of a CDXJ web-archive index: WET shards are
+    indexed member-by-member (``build_cdxj`` records each record's
+    gzip-member (offset, length) byte span + payload sha256), then
+    EVERY capture is range-read back out of its archive via that span
+    and checked for URI and digest agreement (``audit_cdxj`` — the
+    pywb/warcio access pattern: slice one document out of a petabyte
+    archive without scanning it).  Per shard, all three counters must
+    equal the arithmetic document count; a single wrong offset, length,
+    or digest breaks the hash."""
+    from machine_readability_checker_spark.sources.warcsink import (
+        audit_cdxj,
+        build_cdxj,
+        write_wet,
+    )
+
+    n_shards = 8
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"), "text"
+    )
+    path = _wet_dir("cdxj", sf_dir)
+    write_wet(docs, path, n_shards=n_shards, shard_by="mod").collect()
+    glob = os.path.join(path, "*.warc.wet.gz")
+    idx = build_cdxj(spark, glob)
+    return (
+        audit_cdxj(spark, idx, glob)
+        .select(
+            F.regexp_extract("filename", r"shard-(\d+)", 1)
+            .cast("int")
+            .alias("shard"),
+            "n_captures",
+            "n_uri_ok",
+            "n_digest_ok",
+        )
+        .orderBy("shard")
+    )
+
+
 def _variant_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → deterministic synthetic crawled HTML pages: per-doc
     prose wrapped around a FIXED per-variant (doc_id % 3) ``<table>``
@@ -6671,6 +6770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "url_quality": q_url_quality,
         "warc_extract": q_warc_extract,
+        "wet_roundtrip": q_wet_roundtrip,
+        "cdxj_audit": q_cdxj_audit,
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
         "wiki_table_rules": q_wiki_table_rules,
@@ -6864,6 +6965,8 @@ def oracle_sql() -> dict[str, str]:
     out["domain_cap"] = _DOMAIN_CAP_SQL
     out["url_quality"] = _URL_QUALITY_SQL
     out["warc_extract"] = _WARC_EXTRACT_SQL
+    out["wet_roundtrip"] = _WET_ROUNDTRIP_SQL
+    out["cdxj_audit"] = _CDXJ_AUDIT_SQL
     out["html_table_rules"] = _html_table_rules_oracle_sql()
     # md grids == html grids by construction → identical verdict matrix
     out["md_table_rules"] = _html_table_rules_oracle_sql()
@@ -7794,6 +7897,32 @@ _WARC_EXTRACT_SQL = """
       'doc ' || CAST(doc_id AS VARCHAR) AS title,
       TRUE AS body_ok
     FROM documents ORDER BY doc_id
+"""
+
+
+# mirrors q_wet_roundtrip: mod-8 sharding is arithmetic and the WET
+# write/read is byte-exact, so every per-shard counter is the plain
+# document count and chars_total is the corpus text volume — computed
+# THROUGH the gzip-member codec on the Spark side, from first
+# principles here
+_WET_ROUNDTRIP_SQL = """
+    SELECT CAST(doc_id % 8 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           COUNT(*) AS n_text_ok,
+           COUNT(*) AS n_url_ok,
+           CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS chars_total
+    FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+# mirrors q_cdxj_audit: a correct index range-reads every capture back
+# with matching URI + payload digest, so all three audit counters per
+# shard equal the arithmetic document count
+_CDXJ_AUDIT_SQL = """
+    SELECT CAST(doc_id % 8 AS INT) AS shard,
+           COUNT(*) AS n_captures,
+           COUNT(*) AS n_uri_ok,
+           COUNT(*) AS n_digest_ok
+    FROM documents GROUP BY 1 ORDER BY 1
 """
 
 

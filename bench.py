@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "fw_table_rules",
     "badwords_filter",
     "semantic_dedup",
+    "wet_roundtrip",
+    "cdxj_audit",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -161,6 +161,13 @@ def main() -> None:
         "interchange shape; byte-reproducible) with a parquet manifest "
         "under <out>/jsonl_manifest",
     )
+    ap.add_argument(
+        "--export-wet", type=int, default=0, metavar="N_SHARDS",
+        help="additionally export the cleaned corpus as N WET shards "
+        "(*.warc.wet.gz, one gzip member per conversion record — the "
+        "Common Crawl interchange format; byte-reproducible) under "
+        "<out>/wet with a parquet manifest under <out>/wet_manifest",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -325,6 +332,27 @@ def main() -> None:
             n_shards=args.export_jsonl,
         ).write.mode("overwrite").parquet(
             os.path.join(args.out, "jsonl_manifest")
+        )
+    if args.export_wet:
+        from machine_readability_checker_spark.sources.warcsink import (
+            write_wet,
+        )
+
+        # cleaned carries no URL at this stage; a URN target URI keeps
+        # the records self-identifying (WET readers join on the
+        # record-id-embedded doc id anyway)
+        write_wet(
+            cleaned.select(
+                "doc_id",
+                F.concat(F.lit("urn:mrc:doc/"), F.col("doc_id")).alias(
+                    "url"
+                ),
+                "text",
+            ),
+            os.path.join(args.out, "wet"),
+            n_shards=args.export_wet,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "wet_manifest")
         )
 
     n_in = survivors.count()

@@ -93,16 +93,124 @@ def encode_warc_record(
 def encode_http_response(
     body: bytes, content_type: str = "text/html; charset=utf-8",
     status: int = 200,
+    content_encoding: str = "",
+    chunked: bool = False,
+    chunk_size: int = 256,
 ) -> bytes:
-    """Build the HTTP response payload a ``response`` record carries."""
+    """Build the HTTP response payload a ``response`` record carries.
+
+    ``content_encoding``/``chunked`` produce the wire shapes real
+    crawls archive (Heritrix and wget store the response AS SENT, so
+    gzip/deflate bodies and chunked framing survive into the WARC):
+
+    - ``"gzip"`` — gzip-wrapped body (mtime pinned for determinism)
+    - ``"deflate"`` — zlib-wrapped per RFC 9110
+    - ``"deflate-raw"`` — RAW deflate but LABELED ``deflate``: the
+      notorious IE-era server bug; the decoder must cope
+    - ``chunked=True`` — Transfer-Encoding chunked framing with
+      ``chunk_size``-byte chunks, a chunk extension on the first chunk
+      (decoders must ignore them) and no HTTP Content-Length
+    """
     reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
         status, "OK"
     )
-    return (
-        f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode("ascii") + body
+    hdrs = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    if content_encoding:
+        label = (
+            "deflate" if content_encoding == "deflate-raw"
+            else content_encoding
+        )
+        hdrs.append(f"Content-Encoding: {label}")
+        if content_encoding in ("gzip", "x-gzip"):
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(body)
+            body = buf.getvalue()
+        elif content_encoding == "deflate":
+            body = zlib.compress(body)
+        elif content_encoding == "deflate-raw":
+            co = zlib.compressobj(wbits=-15)
+            body = co.compress(body) + co.flush()
+        else:
+            raise ValueError(
+                f"encoder supports gzip/deflate[-raw]: {content_encoding}"
+            )
+    if chunked:
+        hdrs.append("Transfer-Encoding: chunked")
+        out = []
+        for i in range(0, len(body), chunk_size) or [0]:
+            chunk = body[i : i + chunk_size]
+            ext = b";x=1" if i == 0 else b""
+            out.append(
+                format(len(chunk), "x").encode("ascii") + ext + CRLF
+                + chunk + CRLF
+            )
+        out.append(b"0" + CRLF + CRLF)
+        body = b"".join(out)
+    else:
+        hdrs.append(f"Content-Length: {len(body)}")
+    return ("\r\n".join(hdrs) + "\r\n\r\n").encode("ascii") + body
+
+
+def _dechunk(data: bytes) -> Tuple[bytes, str]:
+    """Undo Transfer-Encoding chunked framing: ``(body, error)``.
+    Chunk extensions (``;name=val``) are ignored per RFC 9112 §7.1.1,
+    trailer fields after the 0-chunk are dropped.  Malformed framing
+    returns the raw bytes with an error string — fail-soft."""
+    out = []
+    pos = 0
+    total = 0
+    while True:
+        eol = data.find(CRLF, pos)
+        if eol < 0:
+            return data, "malformed chunked framing: no size line"
+        size_tok = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return data, (
+                "malformed chunked framing: bad size "
+                f"{size_tok[:16]!r}"
+            )
+        if size == 0:
+            return b"".join(out), ""
+        start = eol + 2
+        end = start + size
+        if end + 2 > len(data) or data[end : end + 2] != CRLF:
+            return data, "malformed chunked framing: truncated chunk"
+        total += size
+        if total > MAX_RECORD_BYTES:
+            return data, (
+                f"chunked body exceeds cap ({MAX_RECORD_BYTES} bytes)"
+            )
+        out.append(data[start:end])
+        pos = end + 2
+
+
+def _decode_content_encoding(data: bytes, ce: str) -> Tuple[bytes, str]:
+    """Undo HTTP ``Content-Encoding``: ``(body, error)``.  gzip accepts
+    zlib-or-gzip wrapping (wbits 47) with a raw-deflate fallback, and
+    ``deflate`` accepts both the RFC zlib form and the legacy raw form
+    — the real-world server-bug matrix.  Unsupported codings (br, zstd
+    — no stdlib decoder) return an error so the record quarantines
+    instead of feeding compressed bytes to the text lanes."""
+    if ce in ("gzip", "x-gzip", "deflate"):
+        for wbits in ((47, -15) if ce != "deflate" else (15, -15)):
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                body = d.decompress(data, MAX_RECORD_BYTES)
+                if d.unconsumed_tail:
+                    return data, (
+                        f"{ce} body exceeds decompression cap "
+                        f"({MAX_RECORD_BYTES} bytes) — bomb guard"
+                    )
+                body += d.flush()
+            except zlib.error:
+                continue
+            if d.eof:  # complete stream (truncated → try next / error)
+                return body, ""
+        return data, f"undecodable {ce} body"
+    return data, f"unsupported content-encoding: {ce}"
 
 
 def encode_warc_gz(records: List[bytes]) -> bytes:
@@ -121,6 +229,55 @@ def encode_warc_gz(records: List[bytes]) -> bytes:
 # ---------------------------------------------------------------- decode
 
 _CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)\"?", re.I)
+
+
+def decode_warc_members(
+    data: bytes,
+) -> Iterator[Tuple[int, int, WarcRecord]]:
+    """``(offset, compressed_length, record)`` per gzip member of a
+    ``.warc.gz`` — the member walk behind :func:`decode_warc`, exposed
+    with byte spans because they are what a CDX index records: with
+    per-record gzip members, ``data[offset : offset + length]`` is a
+    standalone gzip stream holding exactly one record, so an index
+    consumer can range-read a single document out of a petabyte
+    archive (the Common Crawl / pywb access pattern).
+
+    Error records (corrupt/truncated/bomb members) carry ``length 0``
+    and the walk stops at them, mirroring ``decode_warc``'s fail-soft
+    contract."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            raw = d.decompress(data[pos:], MAX_RECORD_BYTES)
+            if d.unconsumed_tail:
+                yield pos, 0, WarcRecord(
+                    warc_type="", uri="", record_id="", date="",
+                    error=(
+                        "record exceeds decompression cap "
+                        f"({MAX_RECORD_BYTES} bytes) — bomb guard"
+                    ),
+                )
+                return
+            raw += d.flush()
+        except zlib.error as e:
+            yield pos, 0, WarcRecord(
+                warc_type="", uri="", record_id="", date="",
+                error=f"gzip member decode failed: {e}",
+            )
+            return
+        if not d.eof:
+            yield pos, 0, WarcRecord(
+                warc_type="", uri="", record_id="", date="",
+                error="truncated gzip member at end of file",
+            )
+            return
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # defensive: no forward progress
+            yield pos, 0, _parse_record(raw)
+            return
+        yield pos, consumed, _parse_record(raw)
+        pos += consumed
 
 
 def _parse_headers(block: bytes) -> Tuple[dict, str]:
@@ -184,6 +341,27 @@ def _parse_record(raw: bytes) -> WarcRecord:
         m = _CHARSET_RE.search(rec.http_content_type)
         rec.charset = m.group(1).lower() if m else ""
         rec.body = payload[hsep + 4 :]
+        # real crawls archive the response AS SENT: undo the transfer
+        # framing first (outermost), then the content coding.  Both
+        # fail soft — the raw bytes stay on the record and the error
+        # string routes it to quarantine instead of feeding compressed
+        # bytes to the text lanes.
+        te = http_hdrs.get("transfer-encoding", "").lower()
+        if "chunked" in te:
+            rec.body, err = _dechunk(rec.body)
+            if err:
+                rec.error = err
+                return rec
+        ce = http_hdrs.get("content-encoding", "").strip().lower()
+        codings = [
+            c.strip() for c in ce.split(",") if c.strip()
+            and c.strip() != "identity"
+        ]
+        for coding in reversed(codings):  # applied last → undone first
+            rec.body, err = _decode_content_encoding(rec.body, coding)
+            if err:
+                rec.error = err
+                return rec
     else:
         rec.body = payload
         m = _CHARSET_RE.search(hdrs.get("content-type", ""))
@@ -201,38 +379,8 @@ def decode_warc(data: bytes) -> Iterator[WarcRecord]:
     error record and decoding stops at it (everything before is kept —
     fail-soft, quarantine-friendly)."""
     if data[:2] == _GZIP_MAGIC:
-        pos = 0
-        while pos < len(data):
-            d = zlib.decompressobj(wbits=31)
-            try:
-                raw = d.decompress(data[pos:], MAX_RECORD_BYTES)
-                if d.unconsumed_tail:
-                    yield WarcRecord(
-                        warc_type="", uri="", record_id="", date="",
-                        error=(
-                            "record exceeds decompression cap "
-                            f"({MAX_RECORD_BYTES} bytes) — bomb guard"
-                        ),
-                    )
-                    return
-                raw += d.flush()
-            except zlib.error as e:
-                yield WarcRecord(
-                    warc_type="", uri="", record_id="", date="",
-                    error=f"gzip member decode failed: {e}",
-                )
-                return
-            if not d.eof:
-                yield WarcRecord(
-                    warc_type="", uri="", record_id="", date="",
-                    error="truncated gzip member at end of file",
-                )
-                return
-            yield _parse_record(raw)
-            consumed = len(data) - pos - len(d.unused_data)
-            if consumed <= 0:  # defensive: no forward progress
-                return
-            pos += consumed
+        for _off, _length, rec in decode_warc_members(data):
+            yield rec
     else:
         # uncompressed .warc: records are self-delimiting via
         # Content-Length + the CRLF CRLF trailer

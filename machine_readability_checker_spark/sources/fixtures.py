@@ -1181,13 +1181,24 @@ def gen_crawl_warc_files(
             f'<p><a rel="nofollow" href="http://ads.example.net/c">ad'
             f"</a></p>{sd_body}</body></html>"
         ).encode("utf-8")
+        # wire-shape matrix: real crawls archive responses AS SENT, so
+        # a fifth each arrive gzip'd, zlib-deflated, chunked, and
+        # chunked-over-gzip — the decoder must restore identical bytes
+        # for the downstream counts to reconcile at all
+        wire = [
+            {},
+            {"content_encoding": "gzip"},
+            {"content_encoding": "deflate"},
+            {"chunked": True},
+            {"content_encoding": "gzip", "chunked": True},
+        ][i % 5]
         records.append(
             encode_warc_record(
                 "response",
                 _url(i),
                 f"<urn:uuid:page-{i}>",
                 "2026-01-01T00:00:01Z",
-                encode_http_response(html),
+                encode_http_response(html, **wire),
             )
         )
         expected["pages"] += 1
@@ -1203,7 +1214,10 @@ def gen_crawl_warc_files(
                     messy,
                     f"<urn:uuid:page-{i}-dup>",
                     "2026-01-01T00:00:02Z",
-                    encode_http_response(html),
+                    # the IE-era server bug: raw deflate labeled deflate
+                    encode_http_response(
+                        html, content_encoding="deflate-raw"
+                    ),
                 )
             )
             expected["pages"] += 1

@@ -220,3 +220,162 @@ def test_read_wet_spark(spark, warc_file):
     assert len(wet) == 1
     assert wet[0]["text"] == "pre-extracted text body"
     assert wet[0]["n_chars"] == len("pre-extracted text body")
+
+
+# ------------------------- HTTP wire encodings (chunked / gzip / deflate)
+
+
+def _wire_record(body: bytes, **wire):
+    return encode_warc_record(
+        "response",
+        "https://example.com/wire",
+        "<urn:uuid:wire-1>",
+        _DATE,
+        encode_http_response(body, **wire),
+    )
+
+
+@pytest.mark.parametrize(
+    "wire",
+    [
+        {"content_encoding": "gzip"},
+        {"content_encoding": "x-gzip"},
+        {"content_encoding": "deflate"},
+        {"content_encoding": "deflate-raw"},  # raw labeled "deflate"
+        {"chunked": True},
+        {"chunked": True, "chunk_size": 7},
+        {"content_encoding": "gzip", "chunked": True},
+        {"content_encoding": "deflate", "chunked": True, "chunk_size": 11},
+    ],
+    ids=lambda w: "+".join(
+        f"{k}={v}" for k, v in w.items()
+    ),
+)
+def test_http_wire_encodings_restore_bytes(wire):
+    body = ("wire body é 日本 " * 40).encode("utf-8")
+    rec = next(iter(decode_warc(_wire_record(body, **wire))))
+    assert rec.error == ""
+    assert rec.http_status == 200
+    assert rec.body == body
+    assert rec.charset == "utf-8"
+
+
+def test_identity_and_header_case_insensitive():
+    body = b"<html>plain</html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nCONTENT-ENCODING: identity\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    rec = next(
+        iter(
+            decode_warc(
+                encode_warc_record(
+                    "response", "https://e.com/x", "<urn:uuid:i>",
+                    _DATE, payload,
+                )
+            )
+        )
+    )
+    assert rec.error == "" and rec.body == body
+
+
+def test_unsupported_content_coding_quarantines():
+    body = b"\x0b\x02\x80hello\x03"  # pretend-brotli
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+        b"Content-Type: text/html\r\n\r\n" + body
+    )
+    rec = next(
+        iter(
+            decode_warc(
+                encode_warc_record(
+                    "response", "https://e.com/br", "<urn:uuid:br>",
+                    _DATE, payload,
+                )
+            )
+        )
+    )
+    assert "unsupported content-encoding: br" in rec.error
+    assert rec.body == body  # raw bytes preserved for forensics
+
+
+def test_malformed_chunked_framing_quarantines():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/html\r\n\r\nZZZ\r\nnot chunks"
+    )
+    rec = next(
+        iter(
+            decode_warc(
+                encode_warc_record(
+                    "response", "https://e.com/chz", "<urn:uuid:chz>",
+                    _DATE, payload,
+                )
+            )
+        )
+    )
+    assert "malformed chunked framing" in rec.error
+
+
+def test_truncated_gzip_body_quarantines():
+    import io as _io
+
+    buf = _io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(b"x" * 500)
+    cut = buf.getvalue()[:-8]  # drop CRC/ISIZE trailer + tail
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(cut)).encode() + b"\r\n\r\n" + cut
+    )
+    rec = next(
+        iter(
+            decode_warc(
+                encode_warc_record(
+                    "response", "https://e.com/tg", "<urn:uuid:tg>",
+                    _DATE, payload,
+                )
+            )
+        )
+    )
+    assert "undecodable gzip body" in rec.error
+
+
+def test_wire_encoded_pages_flow_through_extraction(spark, tmp_path):
+    """Spark-level: gzip/chunked/deflate pages extract identically to
+    their identity twins — the wire shape must be invisible."""
+    from machine_readability_checker_spark.operators.extract import extract
+    from machine_readability_checker_spark.sources.warc import (
+        warc_to_docs_raw,
+    )
+
+    wires = [
+        {},
+        {"content_encoding": "gzip"},
+        {"content_encoding": "deflate"},
+        {"chunked": True, "chunk_size": 13},
+        {"content_encoding": "gzip", "chunked": True},
+    ]
+    recs = []
+    for i, wire in enumerate(wires):
+        recs.append(
+            encode_warc_record(
+                "response",
+                f"https://example.com/w/{i}",
+                f"<urn:uuid:wire-{i}>",
+                _DATE,
+                encode_http_response(HTML_BODY, **wire),
+            )
+        )
+    p = tmp_path / "wire-00000.warc.gz"
+    p.write_bytes(encode_warc_gz(recs))
+    raw = warc_to_docs_raw(read_warc(spark, str(p)))
+    out = extract(raw).collect()
+    assert len(out) == len(wires)
+    span_seqs = {
+        tuple((s["kind"], s["text"]) for s in r["spans"]) for r in out
+    }
+    assert len(span_seqs) == 1  # all five wire shapes → identical spans
+    assert all(r["metrics"]["parse_errors"] == 0 for r in out)
