@@ -1367,6 +1367,36 @@ def q_cdxj_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP redirect-chain resolution (operators/redirects.py): a
+    deterministic alias graph over the documents table — every doc_id
+    not divisible by 4 redirects to doc_id+1 (wrapping to 0), except
+    doc_id % 16 == 10 redirects BACK to doc_id-1, planting a 2-cycle
+    (9↔10 per 16-block).  ``resolve_redirect_map`` follows each chain
+    to its terminal with hop counting and loop flagging; the DuckDB
+    oracle walks the same successor function with a recursive CTE.
+    Chains, hop counts, terminals and cycle flags must all agree."""
+    from machine_readability_checker_spark.operators.redirects import (
+        resolve_redirect_map,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def u(col):
+        return F.concat(F.lit("https://r.test/"), col.cast("string"))
+
+    succ = (
+        F.when(F.col("doc_id") % 16 == 10, F.col("doc_id") - 1)
+        .when(F.col("doc_id") + 1 >= n, F.lit(0))
+        .otherwise(F.col("doc_id") + 1)
+    )
+    edges = docs.filter(F.col("doc_id") % 4 != 0).select(
+        u(F.col("doc_id")).alias("src"), u(succ).alias("dst")
+    )
+    return resolve_redirect_map(edges, max_hops=6).orderBy("src")
+
+
 def _variant_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → deterministic synthetic crawled HTML pages: per-doc
     prose wrapped around a FIXED per-variant (doc_id % 3) ``<table>``
@@ -6772,6 +6802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "wet_roundtrip": q_wet_roundtrip,
         "cdxj_audit": q_cdxj_audit,
+        "redirect_map": q_redirect_map,
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
         "wiki_table_rules": q_wiki_table_rules,
@@ -6967,6 +6998,7 @@ def oracle_sql() -> dict[str, str]:
     out["warc_extract"] = _WARC_EXTRACT_SQL
     out["wet_roundtrip"] = _WET_ROUNDTRIP_SQL
     out["cdxj_audit"] = _CDXJ_AUDIT_SQL
+    out["redirect_map"] = _REDIRECT_MAP_SQL
     out["html_table_rules"] = _html_table_rules_oracle_sql()
     # md grids == html grids by construction → identical verdict matrix
     out["md_table_rules"] = _html_table_rules_oracle_sql()
@@ -7923,6 +7955,36 @@ _CDXJ_AUDIT_SQL = """
            COUNT(*) AS n_uri_ok,
            COUNT(*) AS n_digest_ok
     FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# mirrors q_redirect_map: the oracle iterates the same single-successor
+# function with a recursive CTE (hop-capped at 6); a src is cyclic iff
+# it is still on a node with a successor at the cap
+_REDIRECT_MAP_SQL = """
+    WITH RECURSIVE e AS (
+      SELECT 'https://r.test/' || CAST(doc_id AS VARCHAR) AS src,
+             'https://r.test/' || CAST(
+               CASE WHEN doc_id % 16 = 10 THEN doc_id - 1
+                    WHEN doc_id + 1 >= (SELECT COUNT(*) FROM documents)
+                         THEN 0
+                    ELSE doc_id + 1 END AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 4 <> 0
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.cur
+      WHERE w.hops < 6
+    ),
+    last AS (SELECT src, MAX(hops) AS hops FROM walk GROUP BY src)
+    SELECT w.src,
+           w.cur AS final,
+           w.hops,
+           (w.hops = 6 AND w.cur IN (SELECT src FROM e)) AS cyclic
+    FROM walk w JOIN last l ON l.src = w.src AND l.hops = w.hops
+    ORDER BY w.src
 """
 
 

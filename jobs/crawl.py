@@ -196,6 +196,10 @@ def main() -> None:
         ).count(),
         "edges": graph.count(),
         "nodes": ranks.count(),
+        "redirects_resolved": out["redirects"].filter(
+            ~F.col("cyclic")
+        ).count(),
+        "redirect_loops": out["redirects"].filter(F.col("cyclic")).count(),
         "rank_mass": round(
             ranks.agg(F.sum("rank")).first()[0] or 0.0, 6
         ),
@@ -215,6 +219,8 @@ def main() -> None:
             expected["kept"] == n_pages
             and expected["blocked"] == n_blocked
             and expected["dups"] == n_dups
+            and expected.get("redirects", stats["redirects_resolved"])
+            == stats["redirects_resolved"]
             and (
                 not args.structured_data
                 or (

@@ -60,6 +60,7 @@ class WarcRecord:
     headers: dict = field(default_factory=dict)
     http_status: Optional[int] = None
     http_content_type: str = ""
+    http_location: str = ""
     charset: str = ""
     body: bytes = b""
     error: str = ""
@@ -338,6 +339,7 @@ def _parse_record(raw: bytes) -> WarcRecord:
         except (IndexError, ValueError):
             rec.http_status = None
         rec.http_content_type = http_hdrs.get("content-type", "")
+        rec.http_location = http_hdrs.get("location", "")
         m = _CHARSET_RE.search(rec.http_content_type)
         rec.charset = m.group(1).lower() if m else ""
         rec.body = payload[hsep + 4 :]

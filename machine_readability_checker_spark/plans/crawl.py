@@ -173,6 +173,16 @@ def crawl_curate(
         "anchor",
         "nofollow",
     )
+    # redirect resolution: the crawl's own 3xx records become an alias
+    # map (Location resolved + canonicalized, chains followed to their
+    # terminal, loops flagged) and edge DESTINATIONS rewrite through it
+    # — rank mass lands on the page that actually has content instead
+    # of stranding on moved URLs.  Alias-table-sized work; the corpus
+    # frames are untouched.
+    from ..operators import redirects as RD
+
+    redirect_map = RD.resolve_redirect_map(RD.redirect_edges(records))
+    edges_canon = RD.rewrite_edges_dst(edges_canon, redirect_map)
     graph = LG.graph_edges(edges_canon)
     deg = LG.degree_stats(graph)
     ranks = LG.pagerank(graph, n_iter=pr_iters)
@@ -208,6 +218,7 @@ def crawl_curate(
         "ranks": ranks,
         "blocked": blocked,
         "dups": dups,
+        "redirects": redirect_map,
         "noindex": noindex,
         "structdata": structdata,
     }

@@ -1147,8 +1147,32 @@ def gen_crawl_warc_files(
 
     expected = {
         "robots": n_domains, "pages": 0, "dups": 0, "blocked": 0,
-        "sd_jsonld": 0, "sd_microdata": 0,
+        "sd_jsonld": 0, "sd_microdata": 0, "redirects": 0,
     }
+
+    def _redirect_record(src: str, location: str, tag: str, status=301):
+        reason = {301: "Moved Permanently", 302: "Found"}[status]
+        payload = (
+            f"HTTP/1.1 {status} {reason}\r\nLocation: {location}\r\n"
+            "Content-Length: 0\r\n\r\n"
+        ).encode("ascii")
+        return encode_warc_record(
+            "response", src, f"<urn:uuid:redir-{tag}>",
+            "2026-01-01T00:00:00Z", payload,
+        )
+
+    # a redirect LOOP (the real-web staple): resolution must flag it
+    # cyclic and leave it out of the rewrite
+    records.append(
+        _redirect_record(
+            "http://site0.example.com/loop/a", "/loop/b", "loop-a"
+        )
+    )
+    records.append(
+        _redirect_record(
+            "http://site0.example.com/loop/b", "/loop/a", "loop-b"
+        )
+    )
     for i in range(n_pages):
         j1, j2 = (7 * i + 3) % n_pages, (13 * i + 5) % n_pages
         # schema.org annotations for the --structured-data surface:
@@ -1172,12 +1196,36 @@ def gen_crawl_warc_files(
                 expected["sd_jsonld"] += 2
             if i % 4 == 0:
                 expected["sd_microdata"] += 2
+        # every 13th page also answers under a moved URL: a 301 from
+        # /old/<i> (relative path-absolute Location — resolution is
+        # exercised), every 26th behind a 2-hop chain /older → /old →
+        # real.  Pages LINK to the /old alias when the target has one,
+        # so the link graph only reconciles if redirect resolution
+        # rewrites the alias back onto the canonical node.
+        if i % 13 == 7:
+            records.append(
+                _redirect_record(
+                    f"http://{_host(i)}/old/{i}", _path(i), f"{i}"
+                )
+            )
+            expected["redirects"] += 1
+        if i % 26 == 7:
+            records.append(
+                _redirect_record(
+                    f"http://{_host(i)}/older/{i}", f"/old/{i}",
+                    f"{i}-chain", status=302,
+                )
+            )
+            expected["redirects"] += 1
+        j2_href = (
+            f"http://{_host(j2)}/old/{j2}" if j2 % 13 == 7 else _url(j2)
+        )
         html = (
             f"<html><head><title>page {i}</title>{sd_head}</head><body>"
             f"<p>Deterministic prose for page {i} with enough words to "
             f"classify as main content under the density rule.</p>"
             f'<p>Related: <a href="{_url(j1)}">read {j1 % 11}</a> and '
-            f'<a href="{_url(j2)}">see {j2 % 11}</a>.</p>'
+            f'<a href="{j2_href}">see {j2 % 11}</a>.</p>'
             f'<p><a rel="nofollow" href="http://ads.example.net/c">ad'
             f"</a></p>{sd_body}</body></html>"
         ).encode("utf-8")

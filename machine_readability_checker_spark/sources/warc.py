@@ -39,6 +39,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), True),
         T.StructField("warc_type", T.StringType(), True),
         T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("http_location", T.StringType(), True),
         T.StructField("content_type", T.StringType(), True),
         T.StructField("charset", T.StringType(), True),
         T.StructField("content", T.BinaryType(), True),
@@ -101,6 +102,7 @@ def _records_kernel(
                         rec.uri or None,
                         rec.warc_type or None,
                         rec.http_status,
+                        rec.http_location or None,
                         rec.http_content_type or None,
                         rec.charset or None,
                         bytearray(rec.body) if rec.body else None,

@@ -111,13 +111,13 @@ def test_honor_canonical_collapses_declared_duplicates(spark):
         ).encode()
 
     rows = [
-        ("d0", "http://s.example/article?page=1", "response", 200,
+        ("d0", "http://s.example/article?page=1", "response", 200, None,
          "text/html", "utf-8", bytearray(page("http://s.example/article")),
          10, "f", None),
-        ("d1", "http://s.example/article/amp", "response", 200,
+        ("d1", "http://s.example/article/amp", "response", 200, None,
          "text/html", "utf-8", bytearray(page("http://s.example/article")),
          10, "f", None),
-        ("d2", "http://s.example/other", "response", 200,
+        ("d2", "http://s.example/other", "response", 200, None,
          "text/html", "utf-8", bytearray(page(None)), 10, "f", None),
     ]
     records = spark.createDataFrame(rows, WARC_SCHEMA)
@@ -158,10 +158,10 @@ def test_honor_noindex_drops_corpus_but_keeps_links(spark):
         ).encode()
 
     rows = [
-        ("d0", "http://s.example/keep", "response", 200, "text/html",
+        ("d0", "http://s.example/keep", "response", 200, None, "text/html",
          "utf-8", bytearray(page(None, "http://s.example/target")),
          10, "f", None),
-        ("d1", "http://s.example/hidden", "response", 200, "text/html",
+        ("d1", "http://s.example/hidden", "response", 200, None, "text/html",
          "utf-8", bytearray(page("noindex", "http://s.example/secret-dst")),
          10, "f", None),
     ]
