@@ -196,7 +196,10 @@ def _decode_content_encoding(data: bytes, ce: str) -> Tuple[bytes, str]:
     — no stdlib decoder) return an error so the record quarantines
     instead of feeding compressed bytes to the text lanes."""
     if ce in ("gzip", "x-gzip", "deflate"):
-        for wbits in ((47, -15) if ce != "deflate" else (15, -15)):
+        # label-vs-reality matrix of real servers: gzip may be raw
+        # deflate; "deflate" may be zlib (RFC), raw (IE-era bug), or
+        # even gzip — try the labeled form first, then the impostors
+        for wbits in ((47, -15) if ce != "deflate" else (15, -15, 47)):
             d = zlib.decompressobj(wbits=wbits)
             try:
                 body = d.decompress(data, MAX_RECORD_BYTES)

@@ -353,3 +353,54 @@ def test_dsir_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redirect_rewrite_broadcasts_alias_map(spark):
+    """Edge rewrite must broadcast the (small) resolved map — a
+    shuffle join keyed on the corpus-sized edge table's dst would add
+    two full exchanges at 100 TB."""
+    from machine_readability_checker_spark.operators.redirects import (
+        resolve_redirect_map,
+        rewrite_edges_dst,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    graph = spark.createDataFrame(
+        [("p", "a"), ("q", "x")], "src string, dst string"
+    )
+    plan = _plan(rewrite_edges_dst(graph, resolve_redirect_map(edges)))
+    assert "BroadcastHashJoin" in plan
+    # the graph side must not be exchanged for the rewrite
+    assert "CartesianProduct" not in plan
+
+
+def test_wet_write_single_exchange(spark):
+    """The WET sink is one explicit shard exchange + in-partition sort
+    feeding the streaming writer kernel — nothing else may shuffle."""
+    from machine_readability_checker_spark.sources.warcsink import (
+        _shard_writer_kernel,
+        _with_shards,
+        _MANIFEST_SCHEMA,
+    )
+
+    docs = spark.range(0, 64).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("u"), F.col("id")).alias("rurl"),
+        F.concat(F.lit("t"), F.col("id")).alias("rtext"),
+    )
+    sharded = _with_shards(docs, 4, "rid", "mod")
+    staged = sharded.repartition(4, F.col("shard")).sortWithinPartitions(
+        "shard", "position"
+    )
+    plan = _plan(
+        staged.mapInPandas(
+            _shard_writer_kernel("/tmp/_plan_probe", "x.gz", lambda r: b"",
+                                 "2026-01-01T00:00:00Z"),
+            schema=_MANIFEST_SCHEMA,
+        )
+    )
+    assert plan.count("Exchange") == 1
+    # in-partition sort only — a global Sort would serialize the write
+    assert "rangepartitioning" not in plan.lower()

@@ -379,3 +379,31 @@ def test_wire_encoded_pages_flow_through_extraction(spark, tmp_path):
     }
     assert len(span_seqs) == 1  # all five wire shapes → identical spans
     assert all(r["metrics"]["parse_errors"] == 0 for r in out)
+
+
+def test_gzip_body_mislabeled_deflate():
+    """The third real-server bug: a gzip stream under Content-Encoding:
+    deflate — zlib(15) and raw(-15) fail, the 47 fallback decodes it."""
+    import io as _io
+
+    body = ("mislabeled " * 30).encode()
+    buf = _io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(body)
+    wire = buf.getvalue()
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(wire)).encode() + b"\r\n\r\n" + wire
+    )
+    rec = next(
+        iter(
+            decode_warc(
+                encode_warc_record(
+                    "response", "https://e.com/md", "<urn:uuid:md>",
+                    _DATE, payload,
+                )
+            )
+        )
+    )
+    assert rec.error == "" and rec.body == body

@@ -69,7 +69,11 @@ def run_job(cores: int, input_path: str, out_dir: str, pyfiles: str) -> dict:
         "--input", input_path,
         "--out", out_dir,
         "--splits", "16",
-        "--wave", "4",
+        # SCALE_WAVE=0 → single wave: at seconds-long waves the per-wave
+        # scheduler fixed cost (~0.5-1 s) eats the 4N side and understates
+        # the ratio (session-H analysis in BENCH/BASELINE.md); 4 is the
+        # legacy resume-granularity setting
+        "--wave", os.environ.get("SCALE_WAVE", "4"),
         "--cores", str(cores),
         "--partitions", str(max(8, cores * 2)),
     ]
