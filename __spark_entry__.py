@@ -1367,6 +1367,69 @@ def q_cdxj_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven partial fetch (sources/warc.read_captures): WET
+    shards are indexed member-by-member, ONE THIRD of the captures are
+    selected from the index (doc_id % 3 == 0 via the URL), and only
+    those byte spans are range-read back out of the archives — the
+    read-1%-of-a-petabyte pattern a CDX index exists for.  Per shard,
+    the fetched doc count and byte-exact text matches must equal the
+    arithmetic selection; a wrong offset/length or a fetch of an
+    unselected record breaks the counts."""
+    from machine_readability_checker_spark.sources.warc import (
+        read_captures,
+    )
+    from machine_readability_checker_spark.sources.warcsink import (
+        build_cdxj,
+        write_wet,
+    )
+
+    n_shards = 8
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://r.test/"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    path = _wet_dir("rangefetch", sf_dir)
+    write_wet(docs, path, n_shards=n_shards, shard_by="mod").collect()
+    idx = build_cdxj(spark, os.path.join(path, "*.warc.wet.gz"))
+    sel = idx.filter(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long") % 3 == 0
+    )
+    recs = read_captures(spark, sel, path)
+    fetched = recs.select(
+        F.regexp_extract("doc_id", r"wet-(\d+)", 1).cast("long").alias(
+            "orig_id"
+        ),
+        # empty-text docs land with NULL content (empty body) — they
+        # still round-trip as ''
+        F.coalesce(F.decode(F.col("content"), "utf-8"), F.lit("")).alias(
+            "got_text"
+        ),
+    )
+    joined = fetched.join(
+        docs.select(
+            F.col("doc_id").alias("orig_id"),
+            F.coalesce("text", F.lit("")).alias("want_text"),
+        ),
+        "orig_id",
+    )
+    return (
+        joined.groupBy(
+            F.pmod(F.col("orig_id"), F.lit(n_shards)).cast("int").alias(
+                "shard"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("got_text") == F.col("want_text")).cast("long")
+            ).alias("n_text_ok"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP redirect-chain resolution (operators/redirects.py): a
     deterministic alias graph over the documents table — every doc_id
@@ -6803,6 +6866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "cdxj_audit": q_cdxj_audit,
         "redirect_map": q_redirect_map,
+        "cdx_range_fetch": q_cdx_range_fetch,
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
         "wiki_table_rules": q_wiki_table_rules,
@@ -6999,6 +7063,7 @@ def oracle_sql() -> dict[str, str]:
     out["wet_roundtrip"] = _WET_ROUNDTRIP_SQL
     out["cdxj_audit"] = _CDXJ_AUDIT_SQL
     out["redirect_map"] = _REDIRECT_MAP_SQL
+    out["cdx_range_fetch"] = _CDX_RANGE_FETCH_SQL
     out["html_table_rules"] = _html_table_rules_oracle_sql()
     # md grids == html grids by construction → identical verdict matrix
     out["md_table_rules"] = _html_table_rules_oracle_sql()
@@ -7955,6 +8020,18 @@ _CDXJ_AUDIT_SQL = """
            COUNT(*) AS n_uri_ok,
            COUNT(*) AS n_digest_ok
     FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# mirrors q_cdx_range_fetch: mod-8 sharding and the %3 selection are
+# arithmetic; a correct index + range reader fetches exactly the
+# selected docs with byte-exact text
+_CDX_RANGE_FETCH_SQL = """
+    SELECT CAST(doc_id % 8 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           COUNT(*) AS n_text_ok
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY 1 ORDER BY 1
 """
 
 

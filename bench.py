@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "wet_roundtrip",
     "cdxj_audit",
+    "cdx_range_fetch",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -331,3 +331,54 @@ def test_cdxj_skips_response_bookkeeping(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].status == 200 and rows[0].mime == "text/html"
     assert rows[0].ts == "20260102030405"
+
+
+# -------------------------------------------------- range-read source
+
+
+def test_read_captures_matches_full_read(spark, wet_dir):
+    from machine_readability_checker_spark.sources.warc import (
+        read_captures,
+    )
+
+    d, _ = wet_dir
+    idx = build_cdxj(spark, _glob(d))
+    got = read_captures(spark, idx, d)
+    full = read_wet(spark, _glob(d))
+    a = {
+        (r.doc_id, bytes(r.content or b""))
+        for r in got.filter(F.col("error").isNull()).collect()
+    }
+    b = {
+        (r.doc_id, (r.text or "").encode("utf-8"))
+        for r in full.collect()
+    }
+    assert a == b and len(a) == N_DOCS
+
+
+def test_read_captures_fetches_only_selection(spark, wet_dir):
+    from machine_readability_checker_spark.sources.warc import (
+        read_captures,
+    )
+
+    d, _ = wet_dir
+    idx = build_cdxj(spark, _glob(d))
+    sel = idx.filter(F.col("surt").endswith("/3"))
+    rows = read_captures(spark, sel, d).collect()
+    assert len(rows) == 1
+    assert rows[0].url == "https://Example.com/p/3"
+    assert rows[0].error is None
+
+
+def test_read_captures_missing_archive_fail_soft(spark, wet_dir):
+    from machine_readability_checker_spark.sources.warc import (
+        read_captures,
+    )
+
+    d, _ = wet_dir
+    idx = build_cdxj(spark, _glob(d)).withColumn(
+        "filename", F.lit("does-not-exist.warc.gz")
+    )
+    rows = read_captures(spark, idx.limit(3), d).collect()
+    assert len(rows) == 1  # one quarantine row per unreadable archive
+    assert "archive open failed" in rows[0].error
