@@ -75,6 +75,14 @@ def main() -> None:
         "from the kept pages into --out/structdata (one row per "
         "entity property)",
     )
+    ap.add_argument(
+        "--export-wet", type=int, default=0, metavar="N_SHARDS",
+        help="additionally export the curated corpus as N WET shards "
+        "(rendered main text, *.warc.wet.gz) under --out/wet, write a "
+        "sorted CDXJ index of them under --out/cdxj, and range-read "
+        "AUDIT every indexed capture (URI + sha256); the stats line "
+        "reconciles wet/cdx counts against docs_extracted",
+    )
     ap.add_argument("--splits", type=int, default=16)
     ap.add_argument("--wave", type=int, default=0)
     ap.add_argument(
@@ -166,6 +174,57 @@ def main() -> None:
     out["pages"].write.mode("overwrite").parquet(
         os.path.join(args.out, "pages")
     )
+    wet_stats = {}
+    if args.export_wet:
+        from machine_readability_checker_spark.operators.render import (
+            render_training_text,
+        )
+        from machine_readability_checker_spark.sources.cdx import (
+            read_cdxj,
+        )
+        from machine_readability_checker_spark.sources.warcsink import (
+            audit_cdxj,
+            build_cdxj,
+            format_cdxj,
+            write_wet,
+        )
+
+        texts = render_training_text(
+            spark.read.parquet(spans_path), style="plain"
+        ).select("doc_id", "text")
+        urls = spark.read.parquet(os.path.join(args.out, "pages")).select(
+            "doc_id", "url"
+        )
+        wet_dir = os.path.join(args.out, "wet")
+        manifest = write_wet(
+            texts.join(urls, "doc_id"), wet_dir, n_shards=args.export_wet
+        )
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(args.out, "wet_manifest")
+        )
+        wet_glob = os.path.join(wet_dir, "*.warc.wet.gz")
+        # index → serialized CDXJ → parse back → audit: the audit runs
+        # over the index AS A CONSUMER WOULD READ IT, so the round trip
+        # through the wire format is part of what reconciles
+        format_cdxj(build_cdxj(spark, wet_glob)).sort("value").coalesce(
+            1
+        ).write.mode("overwrite").text(os.path.join(args.out, "cdxj"))
+        idx = read_cdxj(spark, os.path.join(args.out, "cdxj"))
+        audit = audit_cdxj(spark, idx, wet_glob).agg(
+            F.sum("n_captures").alias("c"),
+            F.sum("n_uri_ok").alias("u"),
+            F.sum("n_digest_ok").alias("d"),
+        ).first()
+        n_wet = spark.read.parquet(
+            os.path.join(args.out, "wet_manifest")
+        ).agg(F.sum("n_docs")).first()[0]
+        wet_stats = {
+            "wet_docs": int(n_wet or 0),
+            "cdx_captures": int(audit["c"] or 0),
+            "cdx_digest_ok": int(audit["d"] or 0),
+            "cdx_uri_ok": int(audit["u"] or 0),
+        }
+
     sd_stats = {}
     if out.get("structdata") is not None:
         out["structdata"].write.mode("overwrite").parquet(
@@ -209,6 +268,19 @@ def main() -> None:
             if out.get("noindex") is not None else {}
         ),
         **sd_stats,
+        **wet_stats,
+        **(
+            {
+                "wet_matches": (
+                    wet_stats["wet_docs"]
+                    == wet_stats["cdx_captures"]
+                    == wet_stats["cdx_digest_ok"]
+                    == wet_stats["cdx_uri_ok"]
+                    == spans_tbl.count()
+                )
+            }
+            if wet_stats else {}
+        ),
         "wall_sec": round(time.time() - t0, 3),
         "cores": args.cores,
         **resume_stats,
