@@ -162,6 +162,13 @@ def main() -> None:
         "tag cannot be double-applied) under --out/oriented",
     )
     ap.add_argument(
+        "--export-warc", type=int, default=0, metavar="N_SHARDS",
+        help="archive the media store as N shards of WARC resource "
+        "records (one gzip member per blob, sniffed Content-Type, "
+        "CDX-indexable so single blobs range-read out of the archive); "
+        "stats reconcile store size vs indexed vs digest-verified",
+    )
+    ap.add_argument(
         "--strip-exif", action="store_true",
         help="write a metadata-scrubbed copy of the store (JPEG "
         "APP1/APP2/APP13/COM segments and PNG text/eXIf/tIME chunks "
@@ -303,6 +310,35 @@ def main() -> None:
             "quarantined": ob.filter(
                 F.col("decode_error").isNotNull()
             ).count(),
+        }
+
+    if args.export_warc:
+        from machine_readability_checker_spark.sources.warcsink import (
+            audit_cdxj,
+            build_cdxj,
+            write_warc_resources,
+        )
+
+        warc_dir = os.path.join(args.out, "media_warc")
+        write_warc_resources(
+            joined.select("doc_id", "media_ref", "content"),
+            warc_dir,
+            n_shards=args.export_warc,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "media_warc_manifest")
+        )
+        glob = os.path.join(warc_dir, "*.warc.gz")
+        idx = build_cdxj(spark, glob)
+        audit = audit_cdxj(spark, idx, glob).agg(
+            F.sum("n_captures").alias("c"),
+            F.sum("n_digest_ok").alias("d"),
+        ).collect()[0]
+        n_store = joined.count()
+        extra["media_warc"] = {
+            "blobs": n_store,
+            "cdx_captures": int(audit["c"] or 0),
+            "cdx_digest_ok": int(audit["d"] or 0),
+            "matches": n_store == (audit["c"] or 0) == (audit["d"] or 0),
         }
 
     if args.strip_exif:

@@ -95,7 +95,12 @@ def _record_row(rec, rid_fallback: str, path: str) -> tuple:
         rec.warc_type or None,
         rec.http_status,
         rec.http_location or None,
-        rec.http_content_type or None,
+        # response records: the HTTP header; resource/conversion
+        # records: the record-level Content-Type (how media blobs
+        # carry their sniffed type through the archive)
+        rec.http_content_type
+        or rec.headers.get("content-type")
+        or None,
         rec.charset or None,
         bytearray(rec.body) if rec.body else None,
         len(rec.body),

@@ -297,6 +297,69 @@ def write_wat(
     )
 
 
+def resource_record(
+    doc_id: str,
+    media_ref: str,
+    content: bytes,
+    content_type: str,
+    date: str = DEFAULT_WARC_DATE,
+) -> bytes:
+    """One ``resource`` record holding a media blob — how web archives
+    store non-HTTP-captured binary objects (ISO 28500 §6.4).  The URI
+    is a URN carrying the (doc, ref) identity so an interleaved corpus
+    round-trips: span ``media_ref`` → archive URI → range-read."""
+    return encode_warc_record(
+        "resource",
+        f"urn:mrc:media/{doc_id}/{media_ref}",
+        f"<urn:uuid:res-{doc_id}-{media_ref}>",
+        date,
+        content,
+        content_type=content_type or "application/octet-stream",
+    )
+
+
+def write_warc_resources(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    date: str = DEFAULT_WARC_DATE,
+    shard_by: str = "hash",
+) -> DataFrame:
+    """Media store rows ``(doc_id, media_ref, content)`` → sharded
+    ``*.warc.gz`` of ``resource`` records (one gzip member each, so
+    ``build_cdxj``/``read_captures`` range-read single blobs out of the
+    archive).  Content types come from the magic-byte sniffer — the
+    record must describe the BYTES, not whatever label rode in.
+    Returns the usual shard manifest."""
+    from ..operators.mimetype import sniff_mime
+
+    sel = sniff_mime(
+        df.select(
+            F.concat_ws("#", "doc_id", "media_ref").alias("rid"),
+            F.col("doc_id").cast("string").alias("rdoc"),
+            F.col("media_ref").alias("rref"),
+            "content",
+        ),
+        "content",
+        out_col="rtype",
+    )
+    sharded = _with_shards(sel, n_shards, "rid", shard_by)
+
+    def rec(row) -> bytes:
+        return resource_record(
+            row.rdoc, row.rref, bytes(row.content), row.rtype, date
+        )
+
+    return (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .mapInPandas(
+            _shard_writer_kernel(path, "warc.gz", rec, date),
+            schema=_MANIFEST_SCHEMA,
+        )
+    )
+
+
 def read_wat(spark: SparkSession, path: str) -> DataFrame:
     """WAT shards → ``(doc_id, url, title, links)`` — the JSON envelope
     parsed back JVM-side (``from_json``; the Python kernel only splits

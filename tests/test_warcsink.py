@@ -382,3 +382,49 @@ def test_read_captures_missing_archive_fail_soft(spark, wet_dir):
     rows = read_captures(spark, idx.limit(3), d).collect()
     assert len(rows) == 1  # one quarantine row per unreadable archive
     assert "archive open failed" in rows[0].error
+
+
+# -------------------------------------------- media resource archives
+
+
+def test_warc_resources_roundtrip(spark, tmp_path):
+    from machine_readability_checker_spark.sources.warc import read_warc
+    from machine_readability_checker_spark.sources.warcsink import (
+        write_warc_resources,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    pdf = b"%PDF-1.7\n" + b"obj " * 16
+    blob = b"\x81\x83\x85\x87" * 20  # invalid UTF-8, no known magic
+    df = spark.createDataFrame(
+        [("d1", "m1.png", bytearray(png)),
+         ("d2", "m2.pdf", bytearray(pdf)),
+         ("d2", "m3.bin", bytearray(blob))],
+        "doc_id string, media_ref string, content binary",
+    )
+    d = str(tmp_path / "media_warc")
+    manifest = write_warc_resources(df, d, n_shards=2).collect()
+    assert sum(r.n_docs for r in manifest) == 3
+
+    back = {
+        r.url: r
+        for r in read_warc(
+            spark, os.path.join(d, "*.warc.gz")
+        ).filter(F.col("warc_type") == "resource").collect()
+    }
+    assert len(back) == 3
+    r1 = back["urn:mrc:media/d1/m1.png"]
+    assert bytes(r1.content) == png and r1.content_type == "image/png"
+    assert (
+        back["urn:mrc:media/d2/m2.pdf"].content_type == "application/pdf"
+    )
+    assert (
+        back["urn:mrc:media/d2/m3.bin"].content_type
+        == "application/octet-stream"
+    )
+
+    # the archive is range-readable: index + audit all green
+    idx = build_cdxj(spark, os.path.join(d, "*.warc.gz"))
+    audit = audit_cdxj(spark, idx, os.path.join(d, "*.warc.gz")).collect()
+    assert sum(r.n_captures for r in audit) == 3
+    assert all(r.n_digest_ok == r.n_captures for r in audit)
