@@ -1430,6 +1430,75 @@ def q_cdx_range_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated web archive via WARC revisit records
+    (sources/warcsink.py): every doc contributes one media blob whose
+    payload depends only on ``doc_id % 7``, so each of the 7 payloads
+    is STORED once (a full ``resource`` record) and every repeat is
+    archived as a ``revisit`` record carrying the declared payload
+    digest (identical-payload-digest profile — Common Crawl's storage
+    dedup).  The CDXJ index then resolves each revisit to the byte span
+    of its stored original (``resolve_revisits``) and range-reads the
+    bytes back (``read_captures``).  Per payload group: the index must
+    hold every capture, exactly ``n-1`` revisits, and every fetch —
+    original or revisit — must return the group's exact bytes.  A wrong
+    digest, a missed revisit, or a misresolved span breaks the counts."""
+    from machine_readability_checker_spark.sources.warc import (
+        read_captures,
+    )
+    from machine_readability_checker_spark.sources.warcsink import (
+        build_cdxj,
+        resolve_revisits,
+        write_warc_resources,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("m0.bin").alias("media_ref"),
+        F.encode(
+            F.concat(
+                F.lit("%PDF-1.7 revisit-payload-"),
+                F.pmod("doc_id", F.lit(7)),
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    path = _wet_dir("revisit", sf_dir)
+    write_warc_resources(media, path, n_shards=8, dedup=True).collect()
+    idx = build_cdxj(spark, os.path.join(path, "*.warc.gz"))
+    indexed = idx.groupBy(
+        F.pmod(
+            F.regexp_extract("url", r"media/(\d+)/", 1).cast("long"),
+            F.lit(7),
+        ).cast("int").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum(
+            (F.col("mime") == "warc/revisit").cast("long")
+        ).alias("n_revisits"),
+    )
+    want = F.concat(
+        F.lit("%PDF-1.7 revisit-payload-"), F.col("grp").cast("string")
+    )
+    fetched = (
+        read_captures(spark, resolve_revisits(idx), path)
+        .filter(F.col("error").isNull())
+        .select(
+            F.decode("content", "utf-8").alias("body"),
+        )
+        .withColumn(
+            "grp",
+            F.regexp_extract("body", r"payload-(\d+)$", 1).cast("int"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.sum((F.col("body") == want).cast("long")).alias("n_body_ok"),
+        )
+    )
+    return indexed.join(fetched, "grp").orderBy("grp")
+
+
 def q_redirect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP redirect-chain resolution (operators/redirects.py): a
     deterministic alias graph over the documents table — every doc_id
@@ -6867,6 +6936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_audit": q_cdxj_audit,
         "redirect_map": q_redirect_map,
         "cdx_range_fetch": q_cdx_range_fetch,
+        "warc_revisit_dedup": q_warc_revisit_dedup,
         "html_table_rules": q_html_table_rules,
         "md_table_rules": q_md_table_rules,
         "wiki_table_rules": q_wiki_table_rules,
@@ -7064,6 +7134,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdxj_audit"] = _CDXJ_AUDIT_SQL
     out["redirect_map"] = _REDIRECT_MAP_SQL
     out["cdx_range_fetch"] = _CDX_RANGE_FETCH_SQL
+    out["warc_revisit_dedup"] = _WARC_REVISIT_DEDUP_SQL
     out["html_table_rules"] = _html_table_rules_oracle_sql()
     # md grids == html grids by construction → identical verdict matrix
     out["md_table_rules"] = _html_table_rules_oracle_sql()
@@ -8032,6 +8103,19 @@ _CDX_RANGE_FETCH_SQL = """
            COUNT(*) AS n_text_ok
     FROM documents WHERE doc_id % 3 = 0
     GROUP BY 1 ORDER BY 1
+"""
+
+
+# mirrors q_warc_revisit_dedup: the payload depends only on doc_id % 7,
+# so per group a correct dedup stores exactly one full record, archives
+# n-1 revisits, and every resolved range-read returns the group bytes
+_WARC_REVISIT_DEDUP_SQL = """
+    SELECT CAST(doc_id % 7 AS INT) AS grp,
+           COUNT(*) AS n_captures,
+           COUNT(*) - 1 AS n_revisits,
+           COUNT(*) AS n_fetched,
+           COUNT(*) AS n_body_ok
+    FROM documents GROUP BY 1 ORDER BY 1
 """
 
 

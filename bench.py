@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "wet_roundtrip",
     "cdxj_audit",
     "cdx_range_fetch",
+    "warc_revisit_dedup",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

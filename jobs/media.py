@@ -169,6 +169,13 @@ def main() -> None:
         "stats reconcile store size vs indexed vs digest-verified",
     )
     ap.add_argument(
+        "--dedup-archive", action="store_true",
+        help="with --export-warc: store each distinct payload once and "
+        "archive repeats as WARC revisit records (identical-payload-"
+        "digest profile); stats gain the revisit count and the audit "
+        "covers declared digests",
+    )
+    ap.add_argument(
         "--strip-exif", action="store_true",
         help="write a metadata-scrubbed copy of the store (JPEG "
         "APP1/APP2/APP13/COM segments and PNG text/eXIf/tIME chunks "
@@ -324,6 +331,7 @@ def main() -> None:
             joined.select("doc_id", "media_ref", "content"),
             warc_dir,
             n_shards=args.export_warc,
+            dedup=args.dedup_archive,
         ).write.mode("overwrite").parquet(
             os.path.join(args.out, "media_warc_manifest")
         )
@@ -340,6 +348,20 @@ def main() -> None:
             "cdx_digest_ok": int(audit["d"] or 0),
             "matches": n_store == (audit["c"] or 0) == (audit["d"] or 0),
         }
+        if args.dedup_archive:
+            from machine_readability_checker_spark.sources.warcsink import (
+                resolve_revisits,
+            )
+
+            n_rev = idx.filter(F.col("mime") == "warc/revisit").count()
+            n_dangling = (
+                resolve_revisits(idx)
+                .filter(F.col("filename").isNull())
+                .count()
+            )
+            extra["media_warc"]["revisits"] = n_rev
+            extra["media_warc"]["stored_once"] = n_store - n_rev
+            extra["media_warc"]["dangling_revisits"] = n_dangling
 
     if args.strip_exif:
         from machine_readability_checker_spark.operators.exifscan import (

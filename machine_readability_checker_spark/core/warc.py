@@ -76,8 +76,12 @@ def encode_warc_record(
     date: str,
     payload: bytes,
     content_type: str = "application/http; msgtype=response",
+    extra_headers: Optional[dict] = None,
 ) -> bytes:
-    """Serialize one WARC/1.0 record (uncompressed)."""
+    """Serialize one WARC/1.0 record (uncompressed).  ``extra_headers``
+    adds named WARC headers verbatim (``WARC-Payload-Digest``,
+    ``WARC-Refers-To``, ``WARC-Profile`` — the revisit-record
+    vocabulary)."""
     head = [
         b"WARC/1.0",
         b"WARC-Type: " + warc_type.encode("ascii"),
@@ -86,6 +90,8 @@ def encode_warc_record(
     ]
     if uri:
         head.append(b"WARC-Target-URI: " + uri.encode("ascii"))
+    for k, v in (extra_headers or {}).items():
+        head.append(f"{k}: {v}".encode("ascii"))
     head.append(b"Content-Type: " + content_type.encode("ascii"))
     head.append(b"Content-Length: " + str(len(payload)).encode("ascii"))
     return CRLF.join(head) + CRLF + CRLF + payload + CRLF + CRLF
@@ -329,7 +335,10 @@ def _parse_record(raw: bytes) -> WarcRecord:
         )
         rec.body = payload
         return rec
-    if rec.warc_type == "response" and payload[:5] in (b"HTTP/",):
+    if (
+        rec.warc_type in ("response", "revisit")
+        and payload[:5] in (b"HTTP/",)
+    ):
         hsep = payload.find(CRLF + CRLF)
         if hsep < 0:
             rec.error = "malformed HTTP response: no header terminator"
@@ -350,7 +359,11 @@ def _parse_record(raw: bytes) -> WarcRecord:
         # framing first (outermost), then the content coding.  Both
         # fail soft — the raw bytes stay on the record and the error
         # string routes it to quarantine instead of feeding compressed
-        # bytes to the text lanes.
+        # bytes to the text lanes.  Revisit records carry the response
+        # HEADERS only (ISO 28500 §6.7.2) — their body is empty by
+        # definition, so the wire codings are not undone.
+        if rec.warc_type == "revisit":
+            return rec
         te = http_hdrs.get("transfer-encoding", "").lower()
         if "chunked" in te:
             rec.body, err = _dechunk(rec.body)

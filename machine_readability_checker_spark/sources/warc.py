@@ -46,6 +46,9 @@ WARC_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("src_file", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
+        # declared WARC-Payload-Digest (revisit records reference their
+        # original capture by this; responses may carry it too)
+        T.StructField("payload_digest", T.StringType(), True),
     ]
 )
 
@@ -106,6 +109,7 @@ def _record_row(rec, rid_fallback: str, path: str) -> tuple:
         len(rec.body),
         path,
         rec.error or None,
+        (rec.headers.get("warc-payload-digest") or "").lower() or None,
     )
 
 

@@ -318,19 +318,73 @@ def resource_record(
     )
 
 
+#: the WARC 1.0 revisit profile for "same bytes as an earlier capture"
+#: — the vocabulary Heritrix/Common Crawl use for archive-level dedup.
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def revisit_record(
+    uri: str,
+    record_id: str,
+    refers_to_id: str,
+    refers_to_uri: str,
+    refers_to_date: str,
+    payload_digest: str,
+    date: str = DEFAULT_WARC_DATE,
+    payload: bytes = b"",
+    content_type: str = "application/octet-stream",
+) -> bytes:
+    """One ``revisit`` record (ISO 28500 §6.7.2, identical-payload-
+    digest profile): the capture whose payload bytes already live in an
+    earlier record.  The payload is NOT stored again — the record
+    carries only the declared ``WARC-Payload-Digest`` plus the
+    ``WARC-Refers-To*`` pointers a reader resolves through the CDX
+    index.  For revisits of HTTP responses pass the response header
+    block as ``payload`` (the spec keeps headers, drops the body)."""
+    return encode_warc_record(
+        "revisit",
+        uri,
+        record_id,
+        date,
+        payload,
+        content_type=content_type,
+        extra_headers={
+            "WARC-Profile": REVISIT_PROFILE,
+            "WARC-Refers-To": refers_to_id,
+            "WARC-Refers-To-Target-URI": refers_to_uri,
+            "WARC-Refers-To-Date": refers_to_date,
+            "WARC-Payload-Digest": payload_digest,
+        },
+    )
+
+
 def write_warc_resources(
     df: DataFrame,
     path: str,
     n_shards: int = 16,
     date: str = DEFAULT_WARC_DATE,
     shard_by: str = "hash",
+    dedup: bool = False,
 ) -> DataFrame:
     """Media store rows ``(doc_id, media_ref, content)`` → sharded
     ``*.warc.gz`` of ``resource`` records (one gzip member each, so
     ``build_cdxj``/``read_captures`` range-read single blobs out of the
     archive).  Content types come from the magic-byte sniffer — the
     record must describe the BYTES, not whatever label rode in.
-    Returns the usual shard manifest."""
+    Returns the usual shard manifest.
+
+    ``dedup=True`` is the Common Crawl storage dedup: per distinct
+    payload sha256, the FIRST row (by rid — deterministic) is stored as
+    a full ``resource`` record and every other row becomes a
+    ``revisit`` record pointing at it (identical-payload-digest
+    profile).  A web corpus repeats the same logo/tracking-pixel bytes
+    millions of times; at 100 TB this is the difference between
+    archiving unique bytes and archiving the crawl.  Cost: one extra
+    shuffle, on the digest (high-cardinality, skew-free by
+    construction).  Readers resolve revisits via
+    :func:`resolve_revisits` over the CDX index."""
     from ..operators.mimetype import sniff_mime
 
     sel = sniff_mime(
@@ -343,11 +397,45 @@ def write_warc_resources(
         "content",
         out_col="rtype",
     )
+    if dedup:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("digest").orderBy("rid")
+        sel = (
+            sel.withColumn(
+                "digest", F.concat(F.lit("sha256:"), F.sha2("content", 256))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("odoc", F.first("rdoc").over(w))
+            .withColumn("oref", F.first("rref").over(w))
+            .withColumn(
+                "content",
+                F.when(F.col("rn") == 1, F.col("content")),
+            )
+        )
+    else:
+        sel = (
+            sel.withColumn("digest", F.lit(None).cast("string"))
+            .withColumn("rn", F.lit(1))
+            .withColumn("odoc", F.lit(None).cast("string"))
+            .withColumn("oref", F.lit(None).cast("string"))
+        )
     sharded = _with_shards(sel, n_shards, "rid", shard_by)
 
     def rec(row) -> bytes:
-        return resource_record(
-            row.rdoc, row.rref, bytes(row.content), row.rtype, date
+        if row.rn == 1:
+            return resource_record(
+                row.rdoc, row.rref, bytes(row.content), row.rtype, date
+            )
+        return revisit_record(
+            f"urn:mrc:media/{row.rdoc}/{row.rref}",
+            f"<urn:uuid:res-{row.rdoc}-{row.rref}>",
+            f"<urn:uuid:res-{row.odoc}-{row.oref}>",
+            f"urn:mrc:media/{row.odoc}/{row.oref}",
+            date,
+            row.digest,
+            date,
+            content_type=row.rtype or "application/octet-stream",
         )
 
     return (
@@ -358,6 +446,41 @@ def write_warc_resources(
             schema=_MANIFEST_SCHEMA,
         )
     )
+
+
+def resolve_revisits(index_df: DataFrame) -> DataFrame:
+    """Resolve ``revisit`` captures in a CDX index to the byte span of
+    the record that actually holds their payload — the wayback-style
+    read path for a deduplicated archive.  Concrete captures pass
+    through unchanged; each revisit row keeps its own identity columns
+    (``surt``/``ts``/``url``) but takes ``(filename, offset, length)``
+    from the earliest concrete capture with the same payload digest, so
+    :func:`~..sources.warc.read_captures` fetches the stored bytes.
+
+    Plan: both sides are index rows (~0.1% of archive bytes); the
+    originals side is ONE aggregate per digest and the join shuffles on
+    the digest — never the archives themselves.  A revisit whose digest
+    has no concrete capture anywhere (stale index, partial sync) comes
+    back with a NULL filename so callers can quarantine it instead of
+    silently dropping the capture."""
+    cols = index_df.columns
+    revisits = index_df.filter(F.col("mime") == "warc/revisit")
+    concrete = index_df.filter(
+        (F.col("mime") != "warc/revisit") | F.col("mime").isNull()
+    )
+    originals = concrete.groupBy(F.col("digest").alias("o_digest")).agg(
+        F.min(F.struct("filename", "offset", "length")).alias("o_span")
+    )
+    resolved = (
+        revisits.join(
+            originals, F.col("digest") == F.col("o_digest"), "left"
+        )
+        .withColumn("filename", F.col("o_span.filename"))
+        .withColumn("offset", F.col("o_span.offset"))
+        .withColumn("length", F.col("o_span.length"))
+        .select(*cols)
+    )
+    return concrete.unionByName(resolved)
 
 
 def read_wat(spark: SparkSession, path: str) -> DataFrame:
@@ -392,8 +515,11 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
 _TS_DIGITS = re.compile(r"\D")
 
 #: record types a CDX index covers (warcinfo/request/metadata rows are
-#: bookkeeping, not captures)
-_INDEXED_TYPES = ("response", "conversion", "resource")
+#: bookkeeping, not captures).  Revisit records ARE captures — wayback
+#: convention indexes them as mime ``warc/revisit`` with the DECLARED
+#: payload digest (their stored body is empty by design), which is
+#: exactly what lets ``resolve_revisits`` find the stored bytes.
+_INDEXED_TYPES = ("response", "conversion", "resource", "revisit")
 
 
 def _capture_rows(data: bytes, filename: str) -> List[tuple]:
@@ -401,11 +527,17 @@ def _capture_rows(data: bytes, filename: str) -> List[tuple]:
     for offset, length, rec in decode_warc_members(data):
         if rec.error or rec.warc_type not in _INDEXED_TYPES:
             continue
-        if rec.warc_type == "response":
+        if rec.warc_type == "revisit":
+            mime = "warc/revisit"
+            digest = (
+                rec.headers.get("warc-payload-digest", "").lower() or None
+            )
+        elif rec.warc_type == "response":
             mime = (
                 rec.http_content_type.split(";", 1)[0].strip().lower()
                 or None
             )
+            digest = "sha256:" + hashlib.sha256(rec.body).hexdigest()
         else:
             mime = (
                 rec.headers.get("content-type", "")
@@ -414,13 +546,14 @@ def _capture_rows(data: bytes, filename: str) -> List[tuple]:
                 .lower()
                 or None
             )
+            digest = "sha256:" + hashlib.sha256(rec.body).hexdigest()
         rows.append(
             (
                 rec.uri or None,
                 _TS_DIGITS.sub("", rec.date)[:14] or None,
                 mime,
                 rec.http_status,
-                "sha256:" + hashlib.sha256(rec.body).hexdigest(),
+                digest,
                 length,
                 offset,
                 filename,
@@ -536,7 +669,17 @@ def audit_cdxj(
                     )
                     if not rec.error and rec.uri == cap["url"]:
                         uri_ok += 1
-                    got = "sha256:" + hashlib.sha256(rec.body).hexdigest()
+                    if rec.warc_type == "revisit":
+                        # revisit bodies are empty by design: the
+                        # auditable claim is the DECLARED digest
+                        got = rec.headers.get(
+                            "warc-payload-digest", ""
+                        ).lower()
+                    else:
+                        got = (
+                            "sha256:"
+                            + hashlib.sha256(rec.body).hexdigest()
+                        )
                     if not rec.error and got == cap["digest"]:
                         digest_ok += 1
                 rows.append((fname, n, uri_ok, digest_ok))

@@ -428,3 +428,181 @@ def test_warc_resources_roundtrip(spark, tmp_path):
     audit = audit_cdxj(spark, idx, os.path.join(d, "*.warc.gz")).collect()
     assert sum(r.n_captures for r in audit) == 3
     assert all(r.n_digest_ok == r.n_captures for r in audit)
+
+
+# ------------------------------------------------------- revisit records
+
+
+def _dup_media(spark):
+    """9 blobs over 3 distinct payloads: group g = id % 3, so each
+    payload is stored once and revisited twice."""
+    return spark.range(0, 9).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("m0.bin").alias("media_ref"),
+        F.encode(
+            F.concat(F.lit("%PDF-1.7 payload-"), F.pmod("id", F.lit(3))),
+            "utf-8",
+        ).alias("content"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dedup_dir(spark, tmp_path_factory):
+    from machine_readability_checker_spark.sources.warcsink import (
+        write_warc_resources,
+    )
+
+    d = str(tmp_path_factory.mktemp("dedup_warc"))
+    manifest = write_warc_resources(
+        _dup_media(spark), d, n_shards=2, dedup=True
+    ).collect()
+    return d, manifest
+
+
+def test_revisit_record_parse():
+    from machine_readability_checker_spark.sources.warcsink import (
+        REVISIT_PROFILE,
+        revisit_record,
+    )
+
+    raw = revisit_record(
+        "urn:mrc:media/d5/m0.bin",
+        "<urn:uuid:res-d5-m0.bin>",
+        "<urn:uuid:res-d2-m0.bin>",
+        "urn:mrc:media/d2/m0.bin",
+        "2026-01-01T00:00:00Z",
+        "sha256:" + "0" * 64,
+    )
+    rec = next(decode_warc(raw))
+    assert rec.warc_type == "revisit" and not rec.error
+    assert rec.body == b""
+    assert rec.headers["warc-profile"] == REVISIT_PROFILE
+    assert rec.headers["warc-refers-to"] == "<urn:uuid:res-d2-m0.bin>"
+    assert (
+        rec.headers["warc-refers-to-target-uri"]
+        == "urn:mrc:media/d2/m0.bin"
+    )
+    assert rec.headers["warc-payload-digest"] == "sha256:" + "0" * 64
+
+
+def test_revisit_of_http_response_keeps_headers_only():
+    from machine_readability_checker_spark.sources.warcsink import (
+        revisit_record,
+    )
+
+    http_heads = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+    )
+    raw = revisit_record(
+        "https://example.com/",
+        "<urn:uuid:rv-1>",
+        "<urn:uuid:orig-1>",
+        "https://example.com/",
+        "2026-01-01T00:00:00Z",
+        "sha256:" + "f" * 64,
+        payload=http_heads,
+        content_type="application/http; msgtype=response",
+    )
+    rec = next(decode_warc(raw))
+    # the HTTP block parses (status, type, charset) but the empty body
+    # must NOT be fed to the gzip decoder
+    assert rec.warc_type == "revisit" and not rec.error
+    assert rec.http_status == 200 and rec.charset == "utf-8"
+    assert rec.body == b""
+
+
+def test_dedup_archive_stores_each_payload_once(spark, dedup_dir):
+    from machine_readability_checker_spark.sources.warc import read_warc
+
+    d, manifest = dedup_dir
+    assert sum(r.n_docs for r in manifest) == 9
+    recs = read_warc(spark, os.path.join(d, "*.warc.gz")).filter(
+        F.col("warc_type").isin("resource", "revisit")
+    ).collect()
+    full = [r for r in recs if r.warc_type == "resource"]
+    revs = [r for r in recs if r.warc_type == "revisit"]
+    assert len(full) == 3 and len(revs) == 6
+    # originals are the first rid per payload group (deterministic)
+    assert sorted(r.url for r in full) == [
+        "urn:mrc:media/d0/m0.bin",
+        "urn:mrc:media/d1/m0.bin",
+        "urn:mrc:media/d2/m0.bin",
+    ]
+    by_digest = {
+        "sha256:" + hashlib.sha256(bytes(r.content)).hexdigest(): r
+        for r in full
+    }
+    for r in revs:
+        assert not bytes(r.content or b"")
+        assert r.payload_digest in by_digest
+
+
+def test_dedup_index_audit_and_resolution(spark, dedup_dir):
+    from machine_readability_checker_spark.sources.warc import (
+        read_captures,
+    )
+    from machine_readability_checker_spark.sources.warcsink import (
+        resolve_revisits,
+    )
+
+    d, _ = dedup_dir
+    glob = os.path.join(d, "*.warc.gz")
+    idx = build_cdxj(spark, glob)
+    rows = idx.collect()
+    assert len(rows) == 9
+    revs = [r for r in rows if r.mime == "warc/revisit"]
+    assert len(revs) == 6
+    # declared digests ride into the index, so resolution can join
+    digests = {r.digest for r in rows if r.mime != "warc/revisit"}
+    assert {r.digest for r in revs} == digests
+
+    audit = audit_cdxj(spark, idx, glob).collect()
+    assert sum(r.n_captures for r in audit) == 9
+    assert all(
+        r.n_digest_ok == r.n_uri_ok == r.n_captures for r in audit
+    )
+
+    resolved = resolve_revisits(idx)
+    assert resolved.count() == 9
+    # every resolved span now yields the stored payload bytes
+    got = read_captures(spark, resolved, d).filter(
+        F.col("error").isNull()
+    ).collect()
+    assert len(got) == 9
+    for r in got:
+        body = bytes(r.content or b"")
+        assert body.startswith(b"%PDF-1.7 payload-")
+        assert (
+            "sha256:" + hashlib.sha256(body).hexdigest()
+            in digests
+        )
+    # exactly 3 distinct payloads, each fetched 3 times
+    from collections import Counter
+
+    counts = Counter(bytes(r.content) for r in got)
+    assert sorted(counts.values()) == [3, 3, 3]
+
+
+def test_resolve_revisits_dangling_digest_is_null_span(spark, dedup_dir):
+    from machine_readability_checker_spark.sources.warcsink import (
+        resolve_revisits,
+    )
+
+    d, _ = dedup_dir
+    idx = build_cdxj(spark, os.path.join(d, "*.warc.gz"))
+    # orphan one revisit: rewrite its digest to something never stored
+    orphaned = idx.withColumn(
+        "digest",
+        F.when(
+            (F.col("mime") == "warc/revisit")
+            & (F.col("url") == "urn:mrc:media/d3/m0.bin"),
+            F.lit("sha256:" + "d" * 64),
+        ).otherwise(F.col("digest")),
+    )
+    bad = (
+        resolve_revisits(orphaned)
+        .filter(F.col("filename").isNull())
+        .collect()
+    )
+    assert [r.url for r in bad] == ["urn:mrc:media/d3/m0.bin"]
