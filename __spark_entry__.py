@@ -6311,6 +6311,59 @@ def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_context_pairs(nested, window=3).orderBy("doc_id", "offset")
 
 
+def q_interleaved_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMC4/OBELICS export shape over the interleaved span table:
+    the same deterministic interleaved corpus as ``media_context_pairs``
+    (token at offset % 7 == 3 → media span carrying ``alt <tok>``; every
+    offset % 11 == 5 → an empty text span that must drop) assembled by
+    ``interleaved_segments`` — runs of consecutive kept text spans merge
+    into ONE text segment (blank-line joined), each media span is its
+    own segment with alt text + media_ref, segment order is span order.
+    Flattened to (doc_id, seg_idx, seg_type, seg_text, media_ref) for
+    the oracle compare.  The fold is a narrow JVM expression — zero
+    exchange, zero Python (pinned in tests/test_interleave.py)."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TS.tokens(F.col("text"))).alias("off", "tok")
+    )
+    is_media = F.col("off") % 7 == 3
+    is_blank = F.col("off") % 11 == 5
+    span = F.struct(
+        F.when(is_media, F.lit("media")).otherwise(F.lit("main")).alias("kind"),
+        F.when(is_media, F.concat(F.lit("alt "), F.col("tok")))
+        .when(is_blank, F.lit(""))
+        .otherwise(F.col("tok"))
+        .alias("text"),
+        F.when(
+            is_media, F.concat(F.lit("img_"), F.col("doc_id"), F.lit("_"), F.col("off"))
+        )
+        .otherwise(F.lit(""))
+        .alias("media_ref"),
+        F.col("off").cast("int").alias("offset"),
+    )
+    nested = toks.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(span), lambda a, b: a["offset"] - b["offset"]
+        ).alias("spans")
+    )
+    seg = interleaved_segments(nested)
+    return (
+        seg.select("doc_id", F.posexplode("segments").alias("seg_idx", "s"))
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.col("s.type").alias("seg_type"),
+            F.col("s.text").alias("seg_text"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
 def _first_embedding(emb: DataFrame) -> list[float]:
     return [
         float(x)
@@ -7006,6 +7059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_index_query": q_ivfpq_index_query,
         "ivfpq_refined_topk": q_ivfpq_refined_topk,
         "media_context_pairs": q_media_context_pairs,
+        "interleaved_segments": q_interleaved_segments,
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
@@ -7200,6 +7254,7 @@ def oracle_sql() -> dict[str, str]:
     out["ivfpq_index_query"] = _IVFPQ_SQL
     out["ivfpq_refined_topk"] = _IVFPQ_REFINED_SQL
     out["media_context_pairs"] = _MEDIA_CONTEXT_SQL
+    out["interleaved_segments"] = _INTERLEAVED_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
@@ -8704,6 +8759,49 @@ _MEDIA_CONTEXT_SQL = f"""
            coalesce(context_before, '') AS context_before,
            coalesce(context_after, '') AS context_after
     FROM c WHERE kind = 'media' ORDER BY doc_id, off
+"""
+
+
+# Interleaved segment assembly: same synthetic span corpus, then
+# gaps-and-islands — a span's chunk index k = number of media spans
+# strictly before it; text chunk k renders before media k, so sorting
+# segments by (k, text-before-media) reproduces span order.
+_INTERLEAVED_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), p AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks))) AS off FROM t
+    ), s AS (
+      SELECT doc_id, CAST(off AS INTEGER) AS off,
+             CASE WHEN off % 7 = 3 THEN 'media' ELSE 'main' END AS kind,
+             CASE WHEN off % 7 = 3 THEN 'alt ' || toks[off + 1]
+                  WHEN off % 11 = 5 THEN ''
+                  ELSE toks[off + 1] END AS txt,
+             CASE WHEN off % 7 = 3 THEN 'img_' || doc_id || '_' || off
+                  ELSE '' END AS media_ref
+      FROM p
+    ), kept AS (
+      SELECT * FROM s WHERE kind = 'media' OR txt <> ''
+    ), chunked AS (
+      SELECT *, count(CASE WHEN kind = 'media' THEN 1 END) OVER (
+               PARTITION BY doc_id ORDER BY off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS k
+      FROM kept
+    ), segs AS (
+      SELECT doc_id, k, 1 AS ord, 'text' AS seg_type,
+             string_agg(txt, chr(10) || chr(10) ORDER BY off) AS seg_text,
+             '' AS media_ref
+      FROM chunked WHERE kind <> 'media' GROUP BY doc_id, k
+      UNION ALL
+      SELECT doc_id, k, 2 AS ord, 'media' AS seg_type, txt AS seg_text,
+             media_ref
+      FROM chunked WHERE kind = 'media'
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k, ord)
+                - 1 AS INTEGER) AS seg_idx,
+           seg_type, seg_text, media_ref
+    FROM segs ORDER BY doc_id, seg_idx
 """
 
 

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "quantized_topk",
     "media_decode",
     "media_context_pairs",
+    "interleaved_segments",
     "events_asof",
     "odf_extract",
     "epub_extract",

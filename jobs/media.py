@@ -176,6 +176,14 @@ def main() -> None:
         "covers declared digests",
     )
     ap.add_argument(
+        "--export-interleaved", type=int, default=0, metavar="N_SHARDS",
+        help="export the corpus as N gzipped-JSONL shards of interleaved "
+        "text+media segment sequences (MMC4/OBELICS shape) plus a "
+        "revisit-deduplicated WARC resource sidecar holding the media "
+        "bytes, CDX-indexed; stats reconcile docs vs jsonl lines and "
+        "media segments vs sidecar captures",
+    )
+    ap.add_argument(
         "--strip-exif", action="store_true",
         help="write a metadata-scrubbed copy of the store (JPEG "
         "APP1/APP2/APP13/COM segments and PNG text/eXIf/tIME chunks "
@@ -362,6 +370,68 @@ def main() -> None:
             extra["media_warc"]["revisits"] = n_rev
             extra["media_warc"]["stored_once"] = n_store - n_rev
             extra["media_warc"]["dangling_revisits"] = n_dangling
+
+    if args.export_interleaved:
+        from machine_readability_checker_spark.operators.interleave import (
+            interleaved_segments,
+            media_refs,
+            write_interleaved_shards,
+        )
+        from machine_readability_checker_spark.sources.warcsink import (
+            audit_cdxj,
+            build_cdxj,
+            write_warc_resources,
+        )
+
+        seg = interleaved_segments(spans_df).select(
+            "doc_id", "segments"
+        ).persist()
+        il_dir = os.path.join(args.out, "interleaved")
+        write_interleaved_shards(
+            seg, il_dir, n_shards=args.export_interleaved
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "interleaved_manifest")
+        )
+        man = spark.read.parquet(
+            os.path.join(args.out, "interleaved_manifest")
+        ).agg(F.sum("n_docs").alias("lines")).collect()[0]
+        n_docs = seg.count()
+
+        # media bytes referenced by the segments ride a revisit-
+        # deduplicated WARC resource sidecar, CDX-indexed so a loader
+        # range-reads single blobs
+        refs = seg.select(
+            "doc_id", F.explode(media_refs()).alias("media_ref")
+        )
+        n_media_segs = refs.count()
+        distinct_refs = refs.distinct()
+        sidecar = distinct_refs.join(store, ["doc_id", "media_ref"]).select(
+            "doc_id", "media_ref", "content"
+        )
+        warc_dir = os.path.join(args.out, "interleaved_warc")
+        write_warc_resources(
+            sidecar, warc_dir, n_shards=args.export_interleaved, dedup=True
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "interleaved_warc_manifest")
+        )
+        glob = os.path.join(warc_dir, "*.warc.gz")
+        idx = build_cdxj(spark, glob)
+        audit = audit_cdxj(spark, idx, glob).agg(
+            F.sum("n_captures").alias("c"),
+            F.sum("n_digest_ok").alias("d"),
+        ).collect()[0]
+        n_refs = distinct_refs.count()
+        seg.unpersist()
+        extra["interleaved"] = {
+            "docs": n_docs,
+            "jsonl_lines": int(man["lines"] or 0),
+            "media_segments": n_media_segs,
+            "distinct_media_refs": n_refs,
+            "cdx_captures": int(audit["c"] or 0),
+            "cdx_digest_ok": int(audit["d"] or 0),
+            "matches": n_docs == (man["lines"] or 0)
+            and n_refs == (audit["c"] or 0) == (audit["d"] or 0),
+        }
 
     if args.strip_exif:
         from machine_readability_checker_spark.operators.exifscan import (

@@ -1,0 +1,224 @@
+"""Interleaved text+media sequence assembly (the MMC4/OBELICS shape).
+
+Multimodal pre-training corpora (MMC4, OBELICS) ship documents as an
+ORDERED sequence of typed segments — text blocks interleaved with
+image references — rather than one flat string.  This module projects
+the extraction output (ordered ``(kind, text, media_ref, offset)``
+span arrays) into that shape:
+
+    segments: array<struct<type: "text"|"media", text, media_ref>>
+
+where consecutive kept text spans merge into ONE text segment (joined
+with a blank line) and every media span becomes its own segment
+carrying the alt/caption text and the ``media_ref`` that resolves
+against the media store / WARC resource sidecar.
+
+Plan discipline: the whole projection is a NARROW JVM expression over
+the span array — zero exchange, zero Python, document order preserved
+by construction (same contract as ``operators/render.py``).  The fold
+is LINEAR in the number of spans: media positions are computed once,
+and each inter-media text chunk is one ``slice`` + ``array_join``.
+An accumulator-array ``F.aggregate`` spelling would copy the growing
+segment array per span (O(n²) — the HOF re-evaluation family of traps
+documented in SCALE.md); intermediates are materialized as columns so
+no lambda recomputes a derived array per element.
+
+No counterpart in the reference repo (single-process, text-only
+output); the segment shape follows the published MMC4/OBELICS dataset
+formats.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: span kinds that contribute text to interleaved segments — the
+#: layout-aware export set (render.MARKDOWN_KINDS minus media, which
+#: becomes its own segment type)
+TEXT_KINDS = (
+    "title", "heading", "main", "line", "cell", "code", "math",
+    "caption", "output",
+)
+
+_SEG_TYPE = "array<struct<type:string,text:string,media_ref:string>>"
+
+
+def _text_seg(texts: Column, joiner: str) -> Column:
+    return F.struct(
+        F.lit("text").alias("type"),
+        F.array_join(texts, joiner).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+
+def _media_seg(span: Column) -> Column:
+    return F.struct(
+        F.lit("media").alias("type"),
+        span["text"].alias("text"),
+        span["media_ref"].alias("media_ref"),
+    )
+
+
+def interleaved_segments(
+    df: DataFrame,
+    spans_col: str = "spans",
+    out_col: str = "segments",
+    text_kinds: Sequence[str] = TEXT_KINDS,
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Attach the interleaved segment array.
+
+    Kept spans are the media spans plus the non-empty ``text_kinds``
+    spans; runs of consecutive text spans collapse into one ``text``
+    segment (``joiner``-joined), each media span is one ``media``
+    segment, and segment order is span order."""
+    kept = F.filter(
+        F.col(spans_col),
+        lambda s: (s["kind"] == "media")
+        | (
+            s["kind"].isin(*text_kinds)
+            & s["text"].isNotNull()
+            & (s["text"] != "")
+        ),
+    )
+    df = df.withColumn("_il_kept", kept)
+    # 0-based positions of the media spans within the kept array
+    pos = F.filter(
+        F.transform(
+            F.col("_il_kept"),
+            lambda s, i: F.when(s["kind"] == "media", i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    df = df.withColumn("_il_pos", pos)
+    # sentinel boundaries: -1, each media position, size(kept) — the
+    # k-th text chunk is the kept spans strictly between bnd[k] and
+    # bnd[k+1]
+    bnd = F.concat(
+        F.array(F.lit(-1)),
+        F.col("_il_pos"),
+        F.array(F.size(F.col("_il_kept"))),
+    )
+    df = df.withColumn("_il_bnd", bnd)
+
+    kept_c = F.col("_il_kept")
+    pos_c = F.col("_il_pos")
+    bnd_c = F.col("_il_bnd")
+    empty = F.array().cast(_SEG_TYPE)
+
+    def chunk(k: Column) -> Column:
+        lo = F.element_at(bnd_c, k + 1)  # bnd[k], element_at is 1-based
+        hi = F.element_at(bnd_c, k + 2)  # bnd[k+1]
+        n_text = hi - lo - 1
+        texts = F.transform(
+            F.slice(kept_c, lo + 2, n_text), lambda s: s["text"]
+        )
+        text_part = F.when(
+            n_text > 0, F.array(_text_seg(texts, joiner))
+        ).otherwise(empty)
+        media_part = F.when(
+            k < F.size(pos_c),
+            F.array(
+                _media_seg(
+                    F.element_at(kept_c, F.element_at(pos_c, k + 1) + 1)
+                )
+            ),
+        ).otherwise(empty)
+        return F.concat(text_part, media_part)
+
+    segs = F.flatten(
+        F.transform(F.sequence(F.lit(0), F.size(pos_c)), chunk)
+    )
+    return df.withColumn(out_col, segs).drop(
+        "_il_kept", "_il_pos", "_il_bnd"
+    )
+
+
+def media_refs(segments_col: str = "segments") -> Column:
+    """The ordered media_refs of a segment array — the join key list
+    against the media store / WARC resource sidecar."""
+    return F.transform(
+        F.filter(F.col(segments_col), lambda s: s["type"] == "media"),
+        lambda s: s["media_ref"],
+    )
+
+
+def write_interleaved_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    segments_col: str = "segments",
+) -> DataFrame:
+    """Export ``(doc_id, segments)`` as gzipped-JSONL shards — one JSON
+    object per document holding the ordered segment sequence, the
+    published interchange shape of interleaved multimodal corpora.
+    Media segments carry ``media_ref`` only; the bytes live in the
+    (revisit-deduplicated) WARC resource sidecar and resolve via its
+    CDXJ index.
+
+    The JSON line is serialized JVM-SIDE (``to_json``), so the Python
+    kernel only streams finished bytes; shard assignment/order is the
+    md5-deterministic ``training_order`` and shard bytes are
+    reproducible run-to-run (gzip mtime=0, no FNAME, atomic rename) —
+    the same determinism contract as ``write_jsonl_shards``."""
+    import os
+
+    import pandas as pd
+
+    from .sampling import training_order
+
+    payload = df.select(
+        F.col(id_col),
+        F.to_json(
+            F.struct(F.col(id_col), F.col(segments_col).alias("segments"))
+        ).alias("il_line"),
+    )
+    ordered = training_order(payload, n_shards=n_shards, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    schema = "shard int, n_docs long, n_bytes long, path string"
+
+    def kernel(batches):
+        import gzip
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        os.makedirs(path, exist_ok=True)
+        state = {}  # shard -> [gz, count, final, tmp, raw]
+
+        def gz_for(shard: int):
+            if shard not in state:
+                p = os.path.join(path, f"shard-{shard:05d}.jsonl.gz")
+                tmp = f"{p}.attempt-{attempt}"
+                raw = open(tmp, "wb")
+                f = gzip.GzipFile(
+                    filename="", fileobj=raw, mode="wb", mtime=0
+                )
+                state[shard] = [f, 0, p, tmp, raw]
+            return state[shard]
+
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                entry = gz_for(int(row.shard))
+                entry[0].write(row.il_line.encode("utf-8") + b"\n")
+                entry[1] += 1
+        rows = []
+        for shard, (f, count, p, tmp, raw) in sorted(state.items()):
+            f.close()
+            raw.close()
+            os.replace(tmp, p)
+            rows.append((shard, count, os.path.getsize(p), p))
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_docs", "n_bytes", "path"]
+        )
+
+    return (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .select(F.col("il_line"), "shard", "position")
+        .mapInPandas(kernel, schema=schema)
+    )
