@@ -6364,6 +6364,55 @@ def q_interleaved_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleaved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved export ROUND TRIP: the q_interleaved_segments corpus
+    is written as gzipped-JSONL shards (``write_interleaved_shards``)
+    and loaded back through the zero-Python JVM reader
+    (``read_interleaved_shards``), then flattened to the identical
+    output shape — so the oracle is the same gaps-and-islands SQL and
+    any writer/reader/sharding drift (JSON escaping, gzip framing,
+    shard assignment, null handling of text-segment media_ref) breaks
+    the value hash."""
+    from machine_readability_checker_spark.operators.interleave import (
+        read_interleaved_shards,
+        write_interleaved_shards,
+    )
+
+    flat = q_interleaved_segments(spark, sf_dir)
+    nested = flat.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("seg_idx", F.struct(
+                    F.col("seg_type").alias("type"),
+                    F.col("seg_text").alias("text"),
+                    F.when(F.col("seg_type") == "media", F.col("media_ref"))
+                    .alias("media_ref"),
+                ).alias("s"))
+            ),
+            lambda a, b: a["seg_idx"] - b["seg_idx"],
+        ).alias("_ordered")
+    ).select(
+        "doc_id",
+        F.transform(F.col("_ordered"), lambda x: x["s"]).alias("segments"),
+    )
+    path = _wet_dir("interleaved", sf_dir)
+    write_interleaved_shards(nested, path, n_shards=8).collect()
+    back = read_interleaved_shards(spark, os.path.join(path, "*.jsonl.gz"))
+    return (
+        back.select("doc_id", F.posexplode("segments").alias("seg_idx", "s"))
+        .select(
+            # the generic loader schema reads ids as string; this corpus
+            # carries int64 ids, so restore the type for the oracle
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.col("s.type").alias("seg_type"),
+            F.col("s.text").alias("seg_text"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
 def _first_embedding(emb: DataFrame) -> list[float]:
     return [
         float(x)
@@ -7060,6 +7109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_refined_topk": q_ivfpq_refined_topk,
         "media_context_pairs": q_media_context_pairs,
         "interleaved_segments": q_interleaved_segments,
+        "interleaved_roundtrip": q_interleaved_roundtrip,
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
@@ -7255,6 +7305,7 @@ def oracle_sql() -> dict[str, str]:
     out["ivfpq_refined_topk"] = _IVFPQ_REFINED_SQL
     out["media_context_pairs"] = _MEDIA_CONTEXT_SQL
     out["interleaved_segments"] = _INTERLEAVED_SQL
+    out["interleaved_roundtrip"] = _INTERLEAVED_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "media_decode",
     "media_context_pairs",
     "interleaved_segments",
+    "interleaved_roundtrip",
     "events_asof",
     "odf_extract",
     "epub_extract",

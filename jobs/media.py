@@ -375,6 +375,8 @@ def main() -> None:
         from machine_readability_checker_spark.operators.interleave import (
             interleaved_segments,
             media_refs,
+            read_interleaved_shards,
+            resolve_media_segments,
             write_interleaved_shards,
         )
         from machine_readability_checker_spark.sources.warcsink import (
@@ -421,6 +423,26 @@ def main() -> None:
             F.sum("n_digest_ok").alias("d"),
         ).collect()[0]
         n_refs = distinct_refs.count()
+
+        # consumer-path audit: load the shards back through the JVM
+        # reader, resolve every media segment out of the sidecar, and
+        # verify the fetched bytes equal the store's
+        back = read_interleaved_shards(
+            spark, os.path.join(il_dir, "*.jsonl.gz")
+        )
+        resolved = resolve_media_segments(spark, back, idx, warc_dir)
+        loaded_ok = (
+            resolved.filter(F.col("error").isNull())
+            .join(
+                store.select(
+                    "doc_id", "media_ref",
+                    F.col("content").alias("_want"),
+                ),
+                ["doc_id", "media_ref"],
+            )
+            .filter(F.col("content") == F.col("_want"))
+            .count()
+        )
         seg.unpersist()
         extra["interleaved"] = {
             "docs": n_docs,
@@ -429,8 +451,12 @@ def main() -> None:
             "distinct_media_refs": n_refs,
             "cdx_captures": int(audit["c"] or 0),
             "cdx_digest_ok": int(audit["d"] or 0),
+            "loaded_byte_ok": loaded_ok,
             "matches": n_docs == (man["lines"] or 0)
-            and n_refs == (audit["c"] or 0) == (audit["d"] or 0),
+            and n_refs
+            == (audit["c"] or 0)
+            == (audit["d"] or 0)
+            == loaded_ok,
         }
 
     if args.strip_exif:

@@ -145,6 +145,105 @@ def media_refs(segments_col: str = "segments") -> Column:
     )
 
 
+#: URN scheme the WARC resource sidecar keys media blobs by (matches
+#: sources/warcsink.write_warc_resources); doc_ids must not contain "/"
+MEDIA_URN_PREFIX = "urn:mrc:media/"
+
+SEGMENTS_DDL = (
+    "doc_id string, segments array<struct"
+    "<type:string,text:string,media_ref:string>>"
+)
+
+
+def media_urn(doc: Column, ref: Column) -> Column:
+    return F.concat(F.lit(MEDIA_URN_PREFIX), doc, F.lit("/"), ref)
+
+
+def read_interleaved_shards(spark, path_glob: str) -> DataFrame:
+    """Load exported interleaved shards back to ``(doc_id, segments)``.
+
+    The parse is JVM-native end to end: ``spark.read.json`` handles the
+    ``.gz`` extension and the schema projection, so the loader path has
+    zero Python.  Text segments come back with ``media_ref`` NULL
+    (``to_json`` drops null fields on write) — byte-identical semantics
+    to the pre-export frame.  Each shard file is one input split (gzip
+    is not splittable), which matches the shard-per-loader-worker
+    consumption pattern the export exists for."""
+    return spark.read.schema(SEGMENTS_DDL).json(path_glob)
+
+
+def resolve_media_segments(
+    spark,
+    seg_df: DataFrame,
+    index_df: DataFrame,
+    archive_dir: str,
+    segments_col: str = "segments",
+) -> DataFrame:
+    """The loader's media path: every media segment's ``(doc_id,
+    media_ref)`` → payload bytes, range-read out of the WARC resource
+    sidecar via its CDX index.  Returns ``(doc_id, media_ref,
+    content_type, content, error)`` — error rows (ref missing from the
+    index, or an indexed payload that failed to fetch/verify) come back
+    explicitly instead of dropping silently.
+
+    Storage-deduplicated archives (``write_warc_resources(dedup=True)``)
+    resolve by construction: requested refs map to payloads by DIGEST,
+    so a revisit capture and its concrete original land on the same
+    fetched bytes, and the digest join doubles as an integrity check
+    (bytes that do not hash to the indexed digest never attach).
+
+    Plan: the index side is ~0.1% of archive bytes; spans fetch one
+    task per archive file in offset order (ranged GETs on object
+    storage); each distinct payload is read and hashed ONCE however
+    many refs share it; the segments frame itself never reshuffles."""
+    from ..sources.warc import read_captures
+
+    refs = (
+        seg_df.select(
+            "doc_id", F.explode(media_refs(segments_col)).alias("media_ref")
+        )
+        .distinct()
+    )
+    idx = index_df.select("url", "mime", "digest", "filename", "offset", "length")
+    wanted = refs.join(
+        idx.select("url", "digest"),
+        media_urn(F.col("doc_id"), F.col("media_ref")) == F.col("url"),
+        "left",
+    ).select("doc_id", "media_ref", "digest")
+
+    # fetch each needed digest once, from a concrete (non-revisit)
+    # capture — left_semi prunes to the requested subset, so loading
+    # 1% of the corpus reads 1% of the archive spans
+    spans = (
+        idx.filter(F.col("mime") != "warc/revisit")
+        .join(
+            wanted.select("digest").distinct(), "digest", "left_semi"
+        )
+        .select("filename", "offset", "length")
+        .distinct()
+    )
+    fetched = read_captures(spark, spans, archive_dir)
+    payloads = (
+        fetched.filter(F.col("error").isNull() & F.col("content").isNotNull())
+        .select(
+            F.concat(F.lit("sha256:"), F.sha2("content", 256)).alias("digest"),
+            "content_type",
+            "content",
+        )
+        .dropDuplicates(["digest"])
+    )
+    out = wanted.join(payloads, "digest", "left")
+    return out.select(
+        "doc_id",
+        "media_ref",
+        "content_type",
+        "content",
+        F.when(F.col("digest").isNull(), "not in sidecar index")
+        .when(F.col("content").isNull(), "indexed payload not fetched")
+        .alias("error"),
+    )
+
+
 def write_interleaved_shards(
     df: DataFrame,
     path: str,

@@ -19,6 +19,8 @@ from machine_readability_checker_spark.model import SPAN_STRUCT
 from machine_readability_checker_spark.operators.interleave import (
     interleaved_segments,
     media_refs,
+    read_interleaved_shards,
+    resolve_media_segments,
     write_interleaved_shards,
 )
 
@@ -162,3 +164,82 @@ def test_shard_writer_byte_deterministic(spark, tmp_path):
                 if s["type"] == "media":
                     assert s["media_ref"].endswith(".png")
     assert len(seen) == 40
+
+
+# ------------------------------------------------- loader (read side)
+
+
+def test_shards_round_trip_through_jvm_json_read(spark, tmp_path):
+    rows = [
+        (
+            f"doc{i:03d}",
+            _mk(
+                [
+                    ("main", f"text {i}\nwith newline", ""),
+                    ("media", f"alt {i}", f"m{i}.png"),
+                    ("main", 'quote " and \\ backslash', ""),
+                ]
+            ),
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, SPANS_T)
+    seg = interleaved_segments(df).select("doc_id", "segments")
+    write_interleaved_shards(seg, str(tmp_path), n_shards=3).collect()
+    back = read_interleaved_shards(
+        spark, os.path.join(str(tmp_path), "*.jsonl.gz")
+    )
+    # the loader plan is JVM-only: no Python eval in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    want = {r["doc_id"]: r["segments"] for r in seg.collect()}
+    got = {r["doc_id"]: r["segments"] for r in back.collect()}
+    assert got == want
+
+
+def test_resolve_media_from_deduplicated_sidecar(spark, tmp_path):
+    from machine_readability_checker_spark.sources.warcsink import (
+        build_cdxj,
+        write_warc_resources,
+    )
+
+    # 6 docs; docs 0/2/4 share one payload (revisit-deduplicated in
+    # the sidecar), 1/3/5 have distinct payloads; doc 5's second ref
+    # is absent from the store → must quarantine, not drop
+    blob_shared = b"\x89PNG\r\n\x1a\nshared-bytes"
+    store_rows = []
+    span_rows = []
+    for i in range(6):
+        doc = f"d{i}"
+        content = blob_shared if i % 2 == 0 else f"payload-{i}".encode()
+        store_rows.append((doc, "m.bin", bytearray(content)))
+        spans = [("main", f"txt {i}", ""), ("media", "", "m.bin")]
+        if i == 5:
+            spans.append(("media", "", "ghost.bin"))
+        span_rows.append((doc, _mk(spans)))
+    store = spark.createDataFrame(
+        store_rows, "doc_id string, media_ref string, content binary"
+    )
+    seg = interleaved_segments(
+        spark.createDataFrame(span_rows, SPANS_T)
+    ).select("doc_id", "segments")
+
+    warc_dir = str(tmp_path / "sidecar")
+    man = write_warc_resources(
+        store, warc_dir, n_shards=2, dedup=True
+    ).collect()
+    assert sum(m["n_docs"] for m in man) == 6
+    idx = build_cdxj(spark, os.path.join(warc_dir, "*.warc.gz"))
+    assert idx.filter(F.col("mime") == "warc/revisit").count() == 2
+
+    got = resolve_media_segments(spark, seg, idx, warc_dir)
+    rows = {(r["doc_id"], r["media_ref"]): r for r in got.collect()}
+    assert len(rows) == 7  # 6 store refs + the ghost
+    for i in range(6):
+        r = rows[(f"d{i}", "m.bin")]
+        assert r["error"] is None
+        want = blob_shared if i % 2 == 0 else f"payload-{i}".encode()
+        assert bytes(r["content"]) == want
+    ghost = rows[("d5", "ghost.bin")]
+    assert ghost["content"] is None
+    assert ghost["error"] == "not in sidecar index"
