@@ -6311,21 +6311,12 @@ def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_context_pairs(nested, window=3).orderBy("doc_id", "offset")
 
 
-def q_interleaved_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MMC4/OBELICS export shape over the interleaved span table:
-    the same deterministic interleaved corpus as ``media_context_pairs``
-    (token at offset % 7 == 3 → media span carrying ``alt <tok>``; every
-    offset % 11 == 5 → an empty text span that must drop) assembled by
-    ``interleaved_segments`` — runs of consecutive kept text spans merge
-    into ONE text segment (blank-line joined), each media span is its
-    own segment with alt text + media_ref, segment order is span order.
-    Flattened to (doc_id, seg_idx, seg_type, seg_text, media_ref) for
-    the oracle compare.  The fold is a narrow JVM expression — zero
-    exchange, zero Python (pinned in tests/test_interleave.py)."""
-    from machine_readability_checker_spark.operators.interleave import (
-        interleaved_segments,
-    )
-
+def _synth_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic interleaved span corpus the interleaved_*
+    lanes share (same arithmetic as ``media_context_pairs``): token at
+    offset % 7 == 3 → media span carrying ``alt <tok>`` and ref
+    ``img_<doc>_<off>``; offset % 11 == 5 → an empty ``main`` span
+    (must drop); everything else a one-token ``main`` span."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(TS.tokens(F.col("text"))).alias("off", "tok")
@@ -6345,12 +6336,29 @@ def q_interleaved_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_ref"),
         F.col("off").cast("int").alias("offset"),
     )
-    nested = toks.groupBy("doc_id").agg(
+    return toks.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(span), lambda a, b: a["offset"] - b["offset"]
         ).alias("spans")
     )
-    seg = interleaved_segments(nested)
+
+
+def q_interleaved_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMC4/OBELICS export shape over the interleaved span table:
+    the same deterministic interleaved corpus as ``media_context_pairs``
+    (token at offset % 7 == 3 → media span carrying ``alt <tok>``; every
+    offset % 11 == 5 → an empty text span that must drop) assembled by
+    ``interleaved_segments`` — runs of consecutive kept text spans merge
+    into ONE text segment (blank-line joined), each media span is its
+    own segment with alt text + media_ref, segment order is span order.
+    Flattened to (doc_id, seg_idx, seg_type, seg_text, media_ref) for
+    the oracle compare.  The fold is a narrow JVM expression — zero
+    exchange, zero Python (pinned in tests/test_interleave.py)."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_segments,
+    )
+
+    seg = interleaved_segments(_synth_interleaved(spark, sf_dir))
     return (
         seg.select("doc_id", F.posexplode("segments").alias("seg_idx", "s"))
         .select(
@@ -6411,6 +6419,41 @@ def q_interleaved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "seg_idx")
     )
+
+
+def q_interleaved_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level quality statistics + MMC4/OBELICS-style filter flags
+    over the interleaved segment shape: segment counts by type, text
+    volume, repeated-image share, longest consecutive-media run, media
+    fraction, and the keep/drop booleans (image cap, media-fraction
+    cap, run cap, must-have-text, dup-image cap).  The whole battery is
+    a zero-exchange JVM fold per document (pinned in
+    tests/test_interleave.py); the oracle recomputes every column
+    including the run length via gaps-and-islands SQL."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_filter,
+        interleaved_segments,
+    )
+
+    seg = interleaved_segments(_synth_interleaved(spark, sf_dir))
+    out = interleaved_filter(seg)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_media_segments",
+        "n_text_segments",
+        "text_chars",
+        "distinct_media_refs",
+        "dup_media_refs",
+        "max_media_run",
+        "media_frac",
+        "il_images_ok",
+        "il_media_frac_ok",
+        "il_media_run_ok",
+        "il_text_ok",
+        "il_dup_media_ok",
+        "il_keep",
+    ).orderBy("doc_id")
 
 
 def _first_embedding(emb: DataFrame) -> list[float]:
@@ -7110,6 +7153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_context_pairs": q_media_context_pairs,
         "interleaved_segments": q_interleaved_segments,
         "interleaved_roundtrip": q_interleaved_roundtrip,
+        "interleaved_doc_stats": q_interleaved_doc_stats,
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
@@ -7306,6 +7350,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_context_pairs"] = _MEDIA_CONTEXT_SQL
     out["interleaved_segments"] = _INTERLEAVED_SQL
     out["interleaved_roundtrip"] = _INTERLEAVED_SQL
+    out["interleaved_doc_stats"] = _INTERLEAVED_STATS_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
@@ -8853,6 +8898,61 @@ _INTERLEAVED_SQL = f"""
                 - 1 AS INTEGER) AS seg_idx,
            seg_type, seg_text, media_ref
     FROM segs ORDER BY doc_id, seg_idx
+"""
+
+
+# Doc-level interleaved quality stats: aggregate the flat segment CTE
+# per doc; max_media_run is a second gaps-and-islands pass (seg_idx −
+# row_number over the media segments groups consecutive runs); flags
+# mirror operators/interleave.py's interleaved_filter defaults.
+_INTERLEAVED_STATS_SQL = f"""
+    WITH flat AS ({_INTERLEAVED_SQL.replace("ORDER BY doc_id, seg_idx", "")}
+    ), runs AS (
+      SELECT doc_id,
+             seg_idx - row_number() OVER (
+               PARTITION BY doc_id ORDER BY seg_idx) AS grp
+      FROM flat WHERE seg_type = 'media'
+    ), runlen AS (
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS rl
+      FROM runs GROUP BY doc_id, grp
+    ), maxrun AS (
+      SELECT doc_id, max(rl) AS max_media_run FROM runlen GROUP BY doc_id
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS INTEGER) AS n_segments,
+             CAST(count(CASE WHEN seg_type = 'media' THEN 1 END)
+                  AS INTEGER) AS n_media_segments,
+             CAST(count(CASE WHEN seg_type = 'text' THEN 1 END)
+                  AS INTEGER) AS n_text_segments,
+             CAST(coalesce(sum(CASE WHEN seg_type = 'text'
+                                    THEN length(seg_text) END), 0)
+                  AS BIGINT) AS text_chars,
+             CAST(count(DISTINCT CASE WHEN seg_type = 'media'
+                                      THEN media_ref END)
+                  AS INTEGER) AS distinct_media_refs
+      FROM flat GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_segments, a.n_media_segments, a.n_text_segments,
+           a.text_chars, a.distinct_media_refs,
+           a.n_media_segments - a.distinct_media_refs AS dup_media_refs,
+           coalesce(m.max_media_run, 0) AS max_media_run,
+           round(a.n_media_segments::DOUBLE / a.n_segments, 6)
+             AS media_frac,
+           a.n_media_segments <= 30 AS il_images_ok,
+           round(a.n_media_segments::DOUBLE / a.n_segments, 6) <= 0.5
+             AS il_media_frac_ok,
+           coalesce(m.max_media_run, 0) <= 8 AS il_media_run_ok,
+           a.text_chars >= 1 AS il_text_ok,
+           a.n_media_segments - a.distinct_media_refs <= 2
+             AS il_dup_media_ok,
+           (a.n_media_segments <= 30
+            AND round(a.n_media_segments::DOUBLE / a.n_segments, 6) <= 0.5
+            AND coalesce(m.max_media_run, 0) <= 8
+            AND a.text_chars >= 1
+            AND a.n_media_segments - a.distinct_media_refs <= 2)
+             AS il_keep
+    FROM agg a LEFT JOIN maxrun m USING (doc_id)
+    ORDER BY a.doc_id
 """
 
 

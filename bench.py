@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "media_context_pairs",
     "interleaved_segments",
     "interleaved_roundtrip",
+    "interleaved_doc_stats",
     "events_asof",
     "odf_extract",
     "epub_extract",

@@ -145,6 +145,106 @@ def media_refs(segments_col: str = "segments") -> Column:
     )
 
 
+def interleaved_stats(
+    df: DataFrame, segments_col: str = "segments"
+) -> DataFrame:
+    """Per-document shape statistics of an interleaved segment array —
+    the doc-level signals the published interleaved-corpus pipelines
+    (MMC4, OBELICS) filter on: segment counts by type, text volume,
+    repeated-image share, the longest run of consecutive media
+    segments, and the media fraction.
+
+    All columns are narrow JVM expressions over the array — zero
+    exchange, zero Python.  The run-length fold's accumulator is a
+    3-field scalar struct (prev, run, best), so it is LINEAR (the O(n²)
+    HOF trap only bites when the accumulator itself is a growing
+    array).  Lambdas reference only their own arguments, so nothing
+    re-evaluates per element."""
+    segs = F.col(segments_col)
+    n_seg = F.size(segs)
+    media = F.filter(segs, lambda s: s["type"] == "media")
+    n_media = F.size(media)
+    refs = F.transform(media, lambda s: s["media_ref"])
+    text_chars = F.aggregate(
+        F.transform(
+            F.filter(segs, lambda s: s["type"] == "text"),
+            lambda s: F.length(s["text"]).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pos = F.filter(
+        F.transform(
+            segs, lambda s, i: F.when(s["type"] == "media", i)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    zero = F.lit(0).cast("int")
+    acc0 = F.struct(
+        F.lit(-2).cast("int").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        run = F.when(x == a["prev"] + 1, a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.cast("int").alias("prev"),
+            run.cast("int").alias("run"),
+            F.greatest(a["best"], run).cast("int").alias("best"),
+        )
+
+    max_run = F.aggregate(pos, acc0, step, lambda a: a["best"])
+    return (
+        df.withColumn("n_segments", n_seg)
+        .withColumn("n_media_segments", n_media)
+        .withColumn("n_text_segments", n_seg - n_media)
+        .withColumn("text_chars", text_chars)
+        .withColumn("distinct_media_refs", F.size(F.array_distinct(refs)))
+        .withColumn(
+            "dup_media_refs", n_media - F.size(F.array_distinct(refs))
+        )
+        .withColumn("max_media_run", max_run)
+        .withColumn(
+            "media_frac",
+            F.when(
+                n_seg > 0,
+                F.round(n_media.cast("double") / n_seg, 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def interleaved_filter(
+    df: DataFrame,
+    segments_col: str = "segments",
+    max_images: int = 30,
+    max_media_frac: float = 0.5,
+    max_media_run: int = 8,
+    min_text_chars: int = 1,
+    max_dup_media_refs: int = 2,
+) -> DataFrame:
+    """Doc-level keep/drop flags in the style of the published
+    interleaved-corpus filters (MMC4 caps images per document and drops
+    image-free/text-free docs; OBELICS removes image-dominated and
+    repeated-image spam pages).  Adds one boolean per rule plus
+    ``il_keep`` (AND of all); callers drop or route on it.  Pure
+    column logic over :func:`interleaved_stats` — still zero exchange."""
+    out = interleaved_stats(df, segments_col=segments_col)
+    rules = {
+        "il_images_ok": F.col("n_media_segments") <= max_images,
+        "il_media_frac_ok": F.col("media_frac") <= max_media_frac,
+        "il_media_run_ok": F.col("max_media_run") <= max_media_run,
+        "il_text_ok": F.col("text_chars") >= min_text_chars,
+        "il_dup_media_ok": F.col("dup_media_refs") <= max_dup_media_refs,
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("il_keep", keep)
+
+
 #: URN scheme the WARC resource sidecar keys media blobs by (matches
 #: sources/warcsink.write_warc_resources); doc_ids must not contain "/"
 MEDIA_URN_PREFIX = "urn:mrc:media/"

@@ -243,3 +243,88 @@ def test_resolve_media_from_deduplicated_sidecar(spark, tmp_path):
     ghost = rows[("d5", "ghost.bin")]
     assert ghost["content"] is None
     assert ghost["error"] == "not in sidecar index"
+
+
+# --------------------------------------------- doc-level quality stats
+
+
+def test_interleaved_stats_counts_and_runs(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_stats,
+    )
+
+    spans = [
+        ("main", "abcde", ""),        # text seg "abcde" (5 chars)
+        ("media", "", "a.png"),
+        ("media", "", "b.png"),
+        ("media", "", "a.png"),       # dup ref, run of 3
+        ("main", "xy", ""),           # text seg "xy" (2 chars)
+        ("media", "", "c.png"),
+    ]
+    r = interleaved_stats(
+        interleaved_segments(_df(spark, spans))
+    ).first()
+    assert r["n_segments"] == 6
+    assert r["n_media_segments"] == 4
+    assert r["n_text_segments"] == 2
+    assert r["text_chars"] == 7
+    assert r["distinct_media_refs"] == 3
+    assert r["dup_media_refs"] == 1
+    assert r["max_media_run"] == 3
+    assert r["media_frac"] == round(4 / 6, 6)
+
+
+def test_interleaved_stats_empty_and_no_media(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_stats,
+    )
+
+    r = interleaved_stats(interleaved_segments(_df(spark, []))).first()
+    assert (
+        r["n_segments"], r["n_media_segments"], r["text_chars"],
+        r["max_media_run"], r["media_frac"],
+    ) == (0, 0, 0, 0, 0.0)
+    r2 = interleaved_stats(
+        interleaved_segments(_df(spark, [("main", "hi", "")]))
+    ).first()
+    assert r2["max_media_run"] == 0 and r2["media_frac"] == 0.0
+
+
+def test_interleaved_filter_flags(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_filter,
+    )
+
+    rows = [
+        # healthy: text + 1 image
+        ("ok", _mk([("main", "body text", ""), ("media", "", "m.png")])),
+        # image-only page (no text)
+        ("notext", _mk([("media", "", "x.png"), ("media", "", "y.png")])),
+        # repeated-image spam
+        ("spam", _mk(
+            [("main", "t", "")]
+            + [("media", "", "same.png")] * 5
+        )),
+    ]
+    df = interleaved_filter(
+        interleaved_segments(spark.createDataFrame(rows, SPANS_T))
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got["ok"]["il_keep"] is True
+    assert got["notext"]["il_text_ok"] is False
+    assert got["notext"]["il_media_frac_ok"] is False
+    assert got["notext"]["il_keep"] is False
+    assert got["spam"]["il_dup_media_ok"] is False
+    assert got["spam"]["il_keep"] is False
+
+
+def test_interleaved_stats_zero_exchange(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_filter,
+    )
+
+    df = interleaved_filter(
+        interleaved_segments(_df(spark, [("main", "a", "")]))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
