@@ -184,6 +184,15 @@ def main() -> None:
         "media segments vs sidecar captures",
     )
     ap.add_argument(
+        "--export-webdataset", type=int, default=0, metavar="N_SHARDS",
+        help="export the corpus as N WebDataset tar shards — per doc a "
+        "{key}.json segment-sequence member plus {key}.{j}.{ext} "
+        "members holding each media segment's bytes (ext from the "
+        "magic-byte sniffer) — the sample-group layout multimodal "
+        "training loaders consume; stats reconcile docs and media "
+        "member counts",
+    )
+    ap.add_argument(
         "--strip-exif", action="store_true",
         help="write a metadata-scrubbed copy of the store (JPEG "
         "APP1/APP2/APP13/COM segments and PNG text/eXIf/tIME chunks "
@@ -457,6 +466,40 @@ def main() -> None:
             == (audit["c"] or 0)
             == (audit["d"] or 0)
             == loaded_ok,
+        }
+
+    if args.export_webdataset:
+        from machine_readability_checker_spark.operators.interleave import (
+            interleaved_segments as _il_segments,
+            media_refs as _il_media_refs,
+            write_interleaved_webdataset,
+        )
+
+        seg = _il_segments(spans_df).select("doc_id", "segments")
+        write_interleaved_webdataset(
+            seg,
+            store.select("doc_id", "media_ref", "content"),
+            os.path.join(args.out, "webdataset"),
+            n_shards=args.export_webdataset,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "webdataset_manifest")
+        )
+        wm = spark.read.parquet(
+            os.path.join(args.out, "webdataset_manifest")
+        ).agg(
+            F.sum("n_docs").alias("d"), F.sum("n_media").alias("m")
+        ).collect()[0]
+        n_docs = seg.count()
+        n_media_segs = seg.select(
+            F.explode(_il_media_refs()).alias("r")
+        ).count()
+        extra["webdataset"] = {
+            "docs": n_docs,
+            "tar_docs": int(wm["d"] or 0),
+            "media_segments": n_media_segs,
+            "tar_media_members": int(wm["m"] or 0),
+            "matches": n_docs == (wm["d"] or 0)
+            and n_media_segs == (wm["m"] or 0),
         }
 
     if args.strip_exif:

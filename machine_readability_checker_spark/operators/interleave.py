@@ -344,6 +344,156 @@ def resolve_media_segments(
     )
 
 
+#: sniffed content-type → WebDataset member extension (anything else
+#: ships as .bin; loaders key decode on the extension)
+_WDS_EXT = {
+    "image/png": "png",
+    "image/jpeg": "jpg",
+    "image/gif": "gif",
+    "image/bmp": "bmp",
+    "image/tiff": "tif",
+    "audio/x-wav": "wav",
+    "audio/wav": "wav",
+    "video/x-msvideo": "avi",
+}
+
+
+def write_interleaved_webdataset(
+    df: DataFrame,
+    media_df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    segments_col: str = "segments",
+) -> DataFrame:
+    """Interleaved docs + their media bytes → WebDataset tar shards:
+    per document one ``{key}.json`` member (the ordered segment
+    sequence, doc_id inside) followed by ``{key}.{j}.{ext}`` members —
+    the j-th media segment's bytes under the j-th suffix — which is the
+    sample-group layout multimodal training loaders consume (members
+    sharing a key prefix form one sample; on-disk order IS consumption
+    order).  ``media_df`` needs ``(doc_id, media_ref, content)``; the
+    member extension comes from the magic-byte sniffer so it describes
+    the bytes.  A ref with no media row ships as a 0-byte ``.missing``
+    member — visible to the loader, never silently dropped.
+
+    Distributed shape: the per-doc blob list is ONE aggregate keyed by
+    doc (memory bounded by one document's media), the join to segments
+    is key-partitioned, and the tar write is the deterministic
+    one-task-per-shard streaming kernel shared with the text
+    WebDataset sink (md5 training order, mtime=0, task-attempt temp +
+    atomic rename, shared-filesystem requirement as documented on
+    ``sampling.write_webdataset_shards``)."""
+    import os
+
+    import pandas as pd
+
+    from ..operators.mimetype import sniff_mime
+    from .sampling import training_order
+
+    media = sniff_mime(
+        media_df.select(id_col, "media_ref", "content"),
+        "content",
+        out_col="_ct",
+    )
+    ext_map = F.create_map(
+        *[F.lit(x) for kv in _WDS_EXT.items() for x in kv]
+    )
+    media = media.select(
+        id_col,
+        "media_ref",
+        "content",
+        F.coalesce(ext_map[F.col("_ct")], F.lit("bin")).alias("ext"),
+    )
+    refs = df.select(
+        F.col(id_col),
+        F.posexplode(media_refs(segments_col)).alias("j", "media_ref"),
+    )
+    blobs = (
+        refs.join(media, [id_col, "media_ref"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("j").cast("int").alias("j"),
+                        F.coalesce("ext", F.lit("missing")).alias("ext"),
+                        F.col("content").alias("content"),
+                    )
+                )
+            ).alias("blobs")
+        )
+    )
+    payload = df.select(
+        F.col(id_col),
+        F.to_json(
+            F.struct(F.col(id_col), F.col(segments_col).alias("segments"))
+        ).alias("il_line"),
+    ).join(blobs, id_col, "left")
+    ordered = training_order(payload, n_shards=n_shards, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    schema = "shard int, n_docs long, n_media long, n_bytes long, path string"
+
+    def kernel(batches):
+        import io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        os.makedirs(path, exist_ok=True)
+        state = {}  # shard -> [tar, fileobj, n_docs, n_media, final, tmp]
+
+        def tar_for(shard: int):
+            if shard not in state:
+                p = os.path.join(path, f"shard-{shard:05d}.tar")
+                tmp = f"{p}.attempt-{attempt}"
+                f = open(tmp, "wb")
+                state[shard] = [
+                    tarfile.open(fileobj=f, mode="w"), f, 0, 0, p, tmp,
+                ]
+            return state[shard]
+
+        def add(tf, name: str, data: bytes) -> None:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0  # deterministic bytes
+            tf.addfile(info, io.BytesIO(data))
+
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                entry = tar_for(int(row.shard))
+                # globally-unique sample key: shard + in-shard position
+                key = f"{int(row.shard):05d}-{int(row.position):09d}"
+                add(entry[0], f"{key}.json", row.il_line.encode("utf-8"))
+                entry[2] += 1
+                for b in row.blobs if row.blobs is not None else []:
+                    data = (
+                        bytes(b["content"])
+                        if b["content"] is not None
+                        else b""
+                    )
+                    add(entry[0], f"{key}.{int(b['j'])}.{b['ext']}", data)
+                    entry[3] += 1
+        rows = []
+        for shard, (tf, f, nd, nm, p, tmp) in sorted(state.items()):
+            tf.close()
+            f.close()
+            os.replace(tmp, p)
+            rows.append((shard, nd, nm, os.path.getsize(p), p))
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_docs", "n_media", "n_bytes", "path"]
+        )
+
+    return (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .select("il_line", "blobs", "shard", "position")
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
 def write_interleaved_shards(
     df: DataFrame,
     path: str,

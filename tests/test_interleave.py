@@ -328,3 +328,71 @@ def test_interleaved_stats_zero_exchange(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ------------------------------------------ multimodal WebDataset sink
+
+
+def test_interleaved_webdataset_layout_and_determinism(spark, tmp_path):
+    import tarfile
+
+    from machine_readability_checker_spark.operators.interleave import (
+        write_interleaved_webdataset,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"px"  # sniffs image/png
+    rows, media = [], []
+    for i in range(12):
+        doc = f"d{i:02d}"
+        spans = [("main", f"text {i}", ""), ("media", "alt", "a.png")]
+        media.append((doc, "a.png", bytearray(png + str(i).encode())))
+        if i == 3:  # second media whose bytes are missing from the store
+            spans.append(("media", "", "lost.bin"))
+        rows.append((doc, _mk(spans)))
+    seg = interleaved_segments(
+        spark.createDataFrame(rows, SPANS_T)
+    ).select("doc_id", "segments")
+    store = spark.createDataFrame(
+        media, "doc_id string, media_ref string, content binary"
+    )
+
+    def run(p):
+        man = write_interleaved_webdataset(
+            seg, store, str(p), n_shards=2
+        ).collect()
+        files = sorted(glob.glob(os.path.join(str(p), "*.tar")))
+        return man, [open(f, "rb").read() for f in files]
+
+    man1, b1 = run(tmp_path / "a")
+    man2, b2 = run(tmp_path / "b")
+    assert b1 == b2 and len(b1) == 2
+    assert sum(m["n_docs"] for m in man1) == 12
+    assert sum(m["n_media"] for m in man1) == 13  # 12 pngs + 1 missing
+
+    # member layout: {key}.json then {key}.{j}.{ext}, grouped by key,
+    # bytes equal the store's, missing ref ships as a 0-byte .missing
+    samples = {}
+    for blob in b1:
+        with tarfile.open(fileobj=__import__("io").BytesIO(blob)) as tf:
+            names = tf.getnames()
+            for n in names:
+                key = n.split(".", 1)[0]
+                samples.setdefault(key, []).append(
+                    (n, tf.extractfile(n).read())
+                )
+    assert len(samples) == 12
+    for key, members in samples.items():
+        assert members[0][0] == f"{key}.json"  # json leads its group
+        d = json.loads(members[0][1])
+        n_media = sum(1 for s in d["segments"] if s["type"] == "media")
+        assert len(members) == 1 + n_media
+        if d["doc_id"] == "d03":
+            exts = sorted(m[0].rsplit(".", 1)[1] for m in members[1:])
+            assert exts == ["missing", "png"]
+            lost = [m for m in members if m[0].endswith(".missing")][0]
+            assert lost[1] == b""
+        png_member = [m for m in members if m[0].endswith(".png")][0]
+        i = int(d["doc_id"][1:])
+        assert png_member[1] == png + str(i).encode()
+        # the j suffix is the media position among the doc's media segs
+        assert png_member[0].split(".")[1] == "0"
