@@ -6456,6 +6456,25 @@ def q_interleaved_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_interleaved_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal token budget + packing over the interleaved corpus:
+    per doc the text-token count (whitespace), the media patch cost
+    (576/image — ViT-L/14 @ 336px), and the shard assignment from the
+    exclusive prefix sum of the total in global id order (the
+    ``pack_shards`` protocol with the multimodal cost model).  The
+    prefix sum is the two-phase parallel form — no single-task stage;
+    the oracle recomputes it with one window."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_segments,
+        pack_interleaved,
+    )
+
+    seg = interleaved_segments(_synth_interleaved(spark, sf_dir))
+    return pack_interleaved(
+        seg, budget_tokens=50_000, tokens_per_image=576
+    ).orderBy("doc_id")
+
+
 def _first_embedding(emb: DataFrame) -> list[float]:
     return [
         float(x)
@@ -7154,6 +7173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_segments": q_interleaved_segments,
         "interleaved_roundtrip": q_interleaved_roundtrip,
         "interleaved_doc_stats": q_interleaved_doc_stats,
+        "interleaved_token_budget": q_interleaved_token_budget,
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
@@ -7351,6 +7371,7 @@ def oracle_sql() -> dict[str, str]:
     out["interleaved_segments"] = _INTERLEAVED_SQL
     out["interleaved_roundtrip"] = _INTERLEAVED_SQL
     out["interleaved_doc_stats"] = _INTERLEAVED_STATS_SQL
+    out["interleaved_token_budget"] = _INTERLEAVED_BUDGET_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
@@ -8953,6 +8974,31 @@ _INTERLEAVED_STATS_SQL = f"""
              AS il_keep
     FROM agg a LEFT JOIN maxrun m USING (doc_id)
     ORDER BY a.doc_id
+"""
+
+
+# Multimodal token budget: text tokens re-tokenized from the flat
+# segment CTE (regex whitespace — segment text embeds the \n\n
+# joiner), 576-token image cost, pack_shards prefix-sum protocol.
+_INTERLEAVED_BUDGET_SQL = f"""
+    WITH flat AS ({_INTERLEAVED_SQL.replace("ORDER BY doc_id, seg_idx", "")}
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN seg_type = 'text' THEN
+               len(list_filter(regexp_split_to_array(seg_text, '\\s+'),
+                               x -> x != '')) END), 0) AS BIGINT)
+               AS text_tokens,
+             CAST(count(CASE WHEN seg_type = 'media' THEN 1 END) * 576
+               AS BIGINT) AS media_tokens
+      FROM flat GROUP BY doc_id
+    )
+    SELECT doc_id, text_tokens, media_tokens,
+           text_tokens + media_tokens AS total_tokens,
+           CAST(floor(coalesce(SUM(text_tokens + media_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 50000.0) AS INTEGER) AS shard
+    FROM per_doc ORDER BY doc_id
 """
 
 

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "interleaved_segments",
     "interleaved_roundtrip",
     "interleaved_doc_stats",
+    "interleaved_token_budget",
     "events_asof",
     "odf_extract",
     "epub_extract",

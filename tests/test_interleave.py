@@ -396,3 +396,94 @@ def test_interleaved_webdataset_layout_and_determinism(spark, tmp_path):
         assert png_member[1] == png + str(i).encode()
         # the j suffix is the media position among the doc's media segs
         assert png_member[0].split(".")[1] == "0"
+
+
+# --------------------------------------------- multimodal token budget
+
+
+def test_interleaved_token_counts(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_token_counts,
+    )
+
+    spans = [
+        ("main", "three word text", ""),
+        ("media", "alt text ignored for text count", "a.png"),
+        ("main", "two\nmore", ""),   # \n is a token boundary
+    ]
+    r = interleaved_token_counts(
+        interleaved_segments(_df(spark, spans)), tokens_per_image=100
+    ).first()
+    assert r["text_tokens"] == 5
+    assert r["media_tokens"] == 100
+    assert r["total_tokens"] == 105
+
+
+def test_pack_interleaved_prefix_budget(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        pack_interleaved,
+    )
+
+    # 10 docs, each 2 text tokens + 1 image at 8 tokens = 10 total;
+    # budget 25 → shards of floor(prefix/25): docs 0-2 shard 0, ...
+    rows = [
+        (f"d{i}", _mk([("main", "a b", ""), ("media", "", "m.png")]))
+        for i in range(10)
+    ]
+    seg = interleaved_segments(spark.createDataFrame(rows, SPANS_T))
+    out = pack_interleaved(
+        seg, budget_tokens=25, tokens_per_image=8
+    ).orderBy("doc_id").collect()
+    assert [r["total_tokens"] for r in out] == [10] * 10
+    assert [r["shard"] for r in out] == [
+        (i * 10) // 25 for i in range(10)
+    ]
+
+
+# ----------------------------------------------------- streaming twin
+
+
+def test_stream_interleaved_segments_matches_batch(spark, tmp_path):
+    """interleaved_segments is a stateless narrow projection, so it
+    rides Structured Streaming unchanged — the streaming output must
+    equal the batch output row-for-row."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_stats,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (
+            f"doc{i:03d}",
+            _mk(
+                [("main", f"text {i}", ""), ("media", "alt", "m.png")]
+                * (1 + i % 2)
+            ),
+        )
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, SPANS_T).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(SPANS_T).parquet(in_dir)
+    q = (
+        interleaved_stats(interleaved_segments(stream))
+        .drop("spans")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        interleaved_stats(
+            interleaved_segments(spark.read.schema(SPANS_T).parquet(in_dir))
+        )
+        .drop("spans")
+    )
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out_dir).collect()}
+    want = {r["doc_id"]: r.asDict() for r in batch.collect()}
+    assert got == want and len(got) == 30
