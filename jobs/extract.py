@@ -106,6 +106,15 @@ def main() -> None:
         "--max-waves", type=int, default=0,
         help="stop after N waves (kill/resume testing)",
     )
+    ap.add_argument(
+        "--iceberg", action="store_true",
+        help="commit each completed wave as an Iceberg-layout table "
+        "snapshot (sources/iceberg_table.py shim: versioned snapshot "
+        "files + atomic current pointer over the same split manifests), "
+        "so the output supports time travel and incremental reads; "
+        "stats gain the snapshot count and a current-snapshot read-back "
+        "audit",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -188,9 +197,23 @@ def main() -> None:
         raw = rest.unionByName(kept)
 
     waves_done = {"n": 0}
+    iceberg_table = None
+    if args.iceberg:
+        from machine_readability_checker_spark.sources.iceberg_table import (
+            IcebergLayoutTable,
+        )
+
+        iceberg_table = IcebergLayoutTable(args.out)
 
     def on_wave_done(wave):
         waves_done["n"] += 1
+        if iceberg_table is not None:
+            # one snapshot per wave — the Iceberg commit protocol the
+            # manifest runner mirrors (plans/manifest.py docstring);
+            # resume = snapshot diff, time travel = read(version)
+            iceberg_table.commit_snapshot(
+                partition_spec={"kind": "split", "n": args.splits}
+            )
         if args.max_waves and waves_done["n"] >= args.max_waves:
             print(json.dumps({"stopped_after_waves": waves_done["n"]}))
             spark.stop()
@@ -214,10 +237,24 @@ def main() -> None:
     )
 
     total_docs = out_df.count()
+    iceberg_stats = {}
+    if iceberg_table is not None:
+        snap = iceberg_table.current_snapshot() or {}
+        cur = int(snap.get("version", 0))
+        table_docs = (
+            iceberg_table.read(spark, version=cur).count() if cur else 0
+        )
+        iceberg_stats["iceberg"] = {
+            "snapshots": cur,
+            "current_splits": len(snap.get("splits", [])),
+            "table_docs": table_docs,
+            "matches": table_docs == total_docs,
+        }
     print(
         json.dumps(
             {
                 **stats,
+                **iceberg_stats,
                 "wall_sec": round(wall, 3),
                 "docs_total": total_docs,
                 "docs_per_sec": round(stats["docs_processed"] / wall, 1)

@@ -126,3 +126,44 @@ def test_mismatched_prebucketed_split_rejected(spark, tmp_path):
             lambda d: extract(d).withColumn("split", split_id("doc_id", 16)),
             n_splits=16, wave_size=4,
         )
+
+
+def test_snapshot_per_wave_time_travel(spark, tmp_path):
+    """The jobs/extract.py --iceberg integration: committing an
+    Iceberg-layout snapshot after each wave gives time travel over the
+    extraction output — version k sees exactly the waves 1..k
+    committed, and the current snapshot sees the whole table."""
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        IcebergLayoutTable,
+    )
+
+    corpus = gen_corpus(N_DOCS)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    out_dir = str(tmp_path / "table")
+    store = ManifestStore(out_dir)
+    table = IcebergLayoutTable(out_dir)
+
+    def on_wave_done(wave):
+        table.commit_snapshot(
+            partition_spec={"kind": "split", "n": N_SPLITS}
+        )
+
+    stats = run_resumable(
+        raw, store, _transform, n_splits=N_SPLITS, wave_size=4,
+        on_wave_done=on_wave_done,
+    )
+    assert stats["docs_processed"] == N_DOCS
+    snap = table.current_snapshot()
+    assert snap["version"] == 2  # 8 splits / wave 4 → 2 waves
+    assert len(snap["splits"]) == N_SPLITS
+
+    v1 = table.snapshot(1)
+    assert len(v1["splits"]) == 4
+    v1_docs = table.read(spark, version=1).count()
+    assert 0 < v1_docs < N_DOCS
+    assert v1_docs == v1["total_docs"]
+    assert table.read(spark, version=2).count() == N_DOCS
+    # incremental read between the wave snapshots = exactly the delta
+    assert (
+        table.read_incremental(spark, 1, 2).count() == N_DOCS - v1_docs
+    )
