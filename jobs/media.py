@@ -139,6 +139,17 @@ def _gen_interleaved(spark, n_docs: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spans", help="parquet path of extracted spans")
+    ap.add_argument(
+        "--spans-iceberg", metavar="TABLE_ROOT",
+        help="read the spans table from an Iceberg-layout table root "
+        "(jobs/extract.py --iceberg output) instead of a bare parquet "
+        "path; snapshot pruning applies",
+    )
+    ap.add_argument(
+        "--version", type=int, default=None,
+        help="with --spans-iceberg: time-travel read of snapshot N "
+        "(default: current snapshot)",
+    )
     ap.add_argument("--store", help="parquet path of the media store")
     ap.add_argument("--gen", type=int, default=0)
     ap.add_argument("--out", required=True)
@@ -216,9 +227,27 @@ def main() -> None:
     if args.gen:
         spans_df, store = _gen_interleaved(spark, args.gen)
     else:
-        if not (args.spans and args.store):
-            ap.error("--spans and --store required without --gen")
-        spans_df = spark.read.parquet(args.spans).select("doc_id", "spans")
+        if not ((args.spans or args.spans_iceberg) and args.store):
+            ap.error(
+                "--spans/--spans-iceberg and --store required without --gen"
+            )
+        if args.spans_iceberg:
+            from machine_readability_checker_spark.sources.iceberg_table import (
+                IcebergLayoutTable,
+            )
+
+            table = IcebergLayoutTable(args.spans_iceberg)
+            version = args.version
+            if version is None:
+                cur = table.current_snapshot()
+                version = int(cur["version"]) if cur else None
+            spans_df = table.read(spark, version=version).select(
+                "doc_id", "spans"
+            )
+        else:
+            spans_df = spark.read.parquet(args.spans).select(
+                "doc_id", "spans"
+            )
         store = spark.read.parquet(args.store)
 
     joined = media_from_spans(spans_df, store).persist()
