@@ -115,6 +115,20 @@ def main() -> None:
         "stats gain the snapshot count and a current-snapshot read-back "
         "audit",
     )
+    ap.add_argument(
+        "--compact", type=int, default=0, metavar="MAX_FILES",
+        help="with --iceberg: after the run, rewrite split directories "
+        "holding more than MAX_FILES parquet files down to MAX_FILES "
+        "(row-count-verified swap, crash-recoverable), then commit the "
+        "post-compaction snapshot; many-small-files is the classic "
+        "long-lived-table tax",
+    )
+    ap.add_argument(
+        "--expire-snapshots", type=int, default=0, metavar="KEEP_LAST",
+        help="with --iceberg: after the run (and any compaction), "
+        "delete snapshot metadata older than the newest KEEP_LAST "
+        "versions (current always kept) — Iceberg expiry semantics",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -239,6 +253,35 @@ def main() -> None:
     total_docs = out_df.count()
     iceberg_stats = {}
     if iceberg_table is not None:
+        if args.compact:
+            from machine_readability_checker_spark.sources.iceberg_table import (
+                TableMaintenance,
+            )
+
+            maint = TableMaintenance(iceberg_table)
+            maint.recover_compaction()  # heal any prior half-swap
+            cstats = maint.compact(
+                spark, max_files_per_split=args.compact
+            )
+            iceberg_table.commit_snapshot()  # the post-compaction commit
+            iceberg_stats["compaction"] = {
+                "splits_rewritten": len(cstats),
+                "files_before": sum(
+                    s["files_before"] for s in cstats.values()
+                ),
+                "files_after": sum(
+                    s["files_after"] for s in cstats.values()
+                ),
+            }
+        if args.expire_snapshots:
+            from machine_readability_checker_spark.sources.iceberg_table import (
+                TableMaintenance,
+            )
+
+            expired = TableMaintenance(iceberg_table).expire_snapshots(
+                keep_last=args.expire_snapshots
+            )
+            iceberg_stats["snapshots_expired"] = len(expired)
         snap = iceberg_table.current_snapshot() or {}
         cur = int(snap.get("version", 0))
         table_docs = (
