@@ -52,6 +52,12 @@ from machine_readability_checker_spark.sources.fixtures import gen_corpus  # noq
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path of extracted spans")
+    ap.add_argument(
+        "--input-iceberg", metavar="TABLE_ROOT",
+        help="read the spans table from an Iceberg-layout table root "
+        "(jobs/extract.py --iceberg output); --version time-travels",
+    )
+    ap.add_argument("--version", type=int, default=None)
     ap.add_argument("--gen", type=int, default=0)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -178,13 +184,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
-    if args.input:
+    if args.input_iceberg:
+        from machine_readability_checker_spark.sources.iceberg_table import (
+            IcebergLayoutTable,
+        )
+
+        table = IcebergLayoutTable(args.input_iceberg)
+        version = args.version
+        if version is None:
+            cur = table.current_snapshot()
+            version = int(cur["version"]) if cur else None
+        extracted = table.read(spark, version=version)
+    elif args.input:
         extracted = spark.read.parquet(args.input)
     elif args.gen:
         raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
         extracted = extract(salted_repartition(raw, max(8, args.cores)))
     else:
-        ap.error("need --input or --gen")
+        ap.error("need --input, --input-iceberg or --gen")
         return
 
     # boilerplate strip: main content = cell/main/line spans.  One
