@@ -6475,6 +6475,56 @@ def q_interleaved_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_frequent_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS-style frequent-image removal over the interleaved
+    corpus: each media segment's cross-document identity is its alt
+    token plus its span offset (recovered from the ``img_<doc>_<off>``
+    ref — the synthetic stand-in for a payload digest, chosen for its
+    skewed corpus-frequency distribution); media whose identity occurs
+    more than 15 times corpus-wide (~35% of media at sf0.01) drop from
+    every document, and text segments left adjacent re-merge — the
+    output must still satisfy the no-two-consecutive-text invariant,
+    which the oracle re-derives with a second gaps-and-islands pass
+    over the post-drop rows."""
+    from machine_readability_checker_spark.operators.interleave import (
+        drop_frequent_media,
+        interleaved_segments,
+    )
+
+    seg = interleaved_segments(_synth_interleaved(spark, sf_dir))
+    media_keys = seg.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("segments"), lambda s: s["type"] == "media")
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.concat(
+            F.col("s.text"),
+            F.lit("@"),
+            F.regexp_extract(F.col("s.media_ref"), r"_(\d+)$", 1),
+        ).alias("key"),
+    )
+    out = drop_frequent_media(seg, media_keys, max_occurrences=15)
+    return (
+        out.select(
+            "doc_id",
+            "n_media_dropped",
+            F.posexplode("segments").alias("seg_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.col("s.type").alias("seg_type"),
+            F.col("s.text").alias("seg_text"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+            "n_media_dropped",
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
 def _first_embedding(emb: DataFrame) -> list[float]:
     return [
         float(x)
@@ -7174,6 +7224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_roundtrip": q_interleaved_roundtrip,
         "interleaved_doc_stats": q_interleaved_doc_stats,
         "interleaved_token_budget": q_interleaved_token_budget,
+        "frequent_media_filter": q_frequent_media_filter,
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
@@ -7372,6 +7423,7 @@ def oracle_sql() -> dict[str, str]:
     out["interleaved_roundtrip"] = _INTERLEAVED_SQL
     out["interleaved_doc_stats"] = _INTERLEAVED_STATS_SQL
     out["interleaved_token_budget"] = _INTERLEAVED_BUDGET_SQL
+    out["frequent_media_filter"] = _FREQ_MEDIA_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
@@ -8999,6 +9051,63 @@ _INTERLEAVED_BUDGET_SQL = f"""
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0) / 50000.0) AS INTEGER) AS shard
     FROM per_doc ORDER BY doc_id
+"""
+
+
+# Frequent-media removal: hot identities (alt token, the digest
+# stand-in) counted over media segments; hot media rows drop; the
+# remaining rows re-chunk (second gaps-and-islands) so text runs
+# re-merge; per-doc dropped count joined back onto every row.
+_FREQ_MEDIA_SQL = f"""
+    WITH flat AS ({_INTERLEAVED_SQL.replace("ORDER BY doc_id, seg_idx", "")}
+    ), keyed AS (
+      SELECT *, seg_text || '@' ||
+             regexp_extract(media_ref, '_([0-9]+)$', 1) AS k_id
+      FROM flat
+    ), hot AS (
+      SELECT k_id FROM keyed WHERE seg_type = 'media'
+      GROUP BY k_id HAVING count(*) > 15
+    ), kept AS (
+      SELECT f.doc_id, f.seg_idx, f.seg_type, f.seg_text, f.media_ref
+      FROM keyed f
+      LEFT JOIN hot h
+        ON f.seg_type = 'media' AND f.k_id = h.k_id
+      WHERE h.k_id IS NULL
+    ), dropped AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN seg_type = 'media' THEN 1 END)
+                  AS INTEGER) AS n_all_media
+      FROM flat GROUP BY doc_id
+    ), kept_media AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN seg_type = 'media' THEN 1 END)
+                  AS INTEGER) AS n_kept_media
+      FROM kept GROUP BY doc_id
+    ), chunked AS (
+      SELECT *, count(CASE WHEN seg_type = 'media' THEN 1 END) OVER (
+               PARTITION BY doc_id ORDER BY seg_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS k
+      FROM kept
+    ), segs AS (
+      SELECT doc_id, k, 1 AS ord, 'text' AS seg_type,
+             string_agg(seg_text, chr(10) || chr(10) ORDER BY seg_idx)
+               AS seg_text,
+             '' AS media_ref
+      FROM chunked WHERE seg_type = 'text' GROUP BY doc_id, k
+      UNION ALL
+      SELECT doc_id, k, 2 AS ord, 'media' AS seg_type, seg_text,
+             media_ref
+      FROM chunked WHERE seg_type = 'media'
+    )
+    SELECT s.doc_id,
+           CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.k, s.ord)
+                - 1 AS INTEGER) AS seg_idx,
+           s.seg_type, s.seg_text, s.media_ref,
+           d.n_all_media - coalesce(m.n_kept_media, 0) AS n_media_dropped
+    FROM segs s
+    JOIN dropped d ON s.doc_id = d.doc_id
+    LEFT JOIN kept_media m ON s.doc_id = m.doc_id
+    ORDER BY s.doc_id, seg_idx
 """
 
 

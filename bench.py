@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "interleaved_roundtrip",
     "interleaved_doc_stats",
     "interleaved_token_budget",
+    "frequent_media_filter",
     "events_asof",
     "odf_extract",
     "epub_extract",

@@ -215,6 +215,72 @@ def interleaved_stats(
     )
 
 
+def drop_frequent_media(
+    df: DataFrame,
+    media_keys: DataFrame,
+    max_occurrences: int = 10,
+    id_col: str = "doc_id",
+    segments_col: str = "segments",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """OBELICS-style frequent-image removal: media whose corpus-wide
+    occurrence count exceeds ``max_occurrences`` (logos, banners,
+    tracking pixels — the repeated images of a web crawl) are dropped
+    from every document's segment sequence, and text segments left
+    adjacent by a removal re-merge so the output satisfies the same
+    invariant as :func:`interleaved_segments` (no two consecutive text
+    segments).  Adds ``n_media_dropped`` per document.
+
+    ``media_keys`` maps each media segment to its cross-document
+    identity: ``(doc_id, media_ref, key)`` where ``key`` is typically
+    the payload digest from the media store / WARC sidecar index
+    (``media_ref`` alone is only unique within a document).
+
+    Plan: one aggregate on ``key`` finds the hot set (tiny — it IS the
+    frequent tail); only documents carrying hot media enter the
+    per-doc drop-list aggregate and the corpus join, so at 100 TB the
+    corpus-wide shuffle is the key-count aggregate and everything else
+    is hot-subset-sized."""
+    counts = media_keys.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hot = counts.filter(F.col("_n") > max_occurrences).select("key")
+    drop_refs = (
+        media_keys.join(hot, "key", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("media_ref").alias("_drop"))
+    )
+    out = df.join(drop_refs, id_col, "left")
+    segs = F.col(segments_col)
+    dropc = F.coalesce(F.col("_drop"), F.array().cast("array<string>"))
+    kept = F.filter(
+        segs,
+        lambda s: (s["type"] != "media")
+        | ~F.array_contains(dropc, s["media_ref"]),
+    )
+    out = out.withColumn("_kept_segs", kept).withColumn(
+        "n_media_dropped", (F.size(segs) - F.size(kept)).cast("int")
+    )
+    # removal can leave text segments adjacent: re-run the segment fold
+    # with segments recast as pseudo-spans (type → kind, index → offset)
+    pseudo = F.transform(
+        F.col("_kept_segs"),
+        lambda s, i: F.struct(
+            F.when(s["type"] == "media", F.lit("media"))
+            .otherwise(F.lit("main"))
+            .alias("kind"),
+            s["text"].alias("text"),
+            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    out = out.withColumn("_pseudo", pseudo)
+    out = interleaved_segments(
+        out, spans_col="_pseudo", out_col=segments_col, joiner=joiner
+    )
+    return out.drop("_drop", "_kept_segs", "_pseudo")
+
+
 def interleaved_token_counts(
     df: DataFrame,
     segments_col: str = "segments",

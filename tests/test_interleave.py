@@ -487,3 +487,58 @@ def test_stream_interleaved_segments_matches_batch(spark, tmp_path):
     got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out_dir).collect()}
     want = {r["doc_id"]: r.asDict() for r in batch.collect()}
     assert got == want and len(got) == 30
+
+
+# -------------------------------------------- frequent-media removal
+
+
+def test_drop_frequent_media_and_remerge(spark):
+    from machine_readability_checker_spark.operators.interleave import (
+        drop_frequent_media,
+    )
+
+    # the "logo" payload rides in 4 docs (> max 3); each doc also has a
+    # unique image that must survive
+    rows, keys = [], []
+    for i in range(5):
+        doc = f"d{i}"
+        spans = [
+            ("main", "before", ""),
+            ("media", "", "logo.png"),
+            ("main", "after", ""),
+            ("media", "", "photo.png"),
+        ]
+        rows.append((doc, _mk(spans)))
+        if i < 4:
+            keys.append((doc, "logo.png", "digest-logo"))
+        else:  # doc 4's "logo.png" ref holds DIFFERENT bytes
+            keys.append((doc, "logo.png", "digest-unique-logo"))
+        keys.append((doc, "photo.png", f"digest-photo-{i}"))
+    seg = interleaved_segments(spark.createDataFrame(rows, SPANS_T))
+    mk = spark.createDataFrame(
+        keys, "doc_id string, media_ref string, key string"
+    )
+    out = drop_frequent_media(seg, mk, max_occurrences=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i in range(4):
+        r = got[f"d{i}"]
+        assert r["n_media_dropped"] == 1
+        # text re-merged around the removed logo; unique photo kept
+        assert [
+            (s["type"], s["text"], s["media_ref"]) for s in r["segments"]
+        ] == [
+            ("text", "before\n\nafter", None),
+            ("media", "", "photo.png"),
+        ]
+    # doc 4's logo bytes are unique → nothing dropped
+    r4 = got["d4"]
+    assert r4["n_media_dropped"] == 0
+    assert [s["type"] for s in r4["segments"]] == [
+        "text", "media", "text", "media",
+    ]
+    # invariant: no two consecutive text segments anywhere
+    for r in got.values():
+        types = [s["type"] for s in r["segments"]]
+        assert all(
+            not (a == b == "text") for a, b in zip(types, types[1:])
+        )
