@@ -113,12 +113,12 @@ def test_honor_canonical_collapses_declared_duplicates(spark):
     rows = [
         ("d0", "http://s.example/article?page=1", "response", 200, None,
          "text/html", "utf-8", bytearray(page("http://s.example/article")),
-         10, "f", None),
+         10, "f", None, None),
         ("d1", "http://s.example/article/amp", "response", 200, None,
          "text/html", "utf-8", bytearray(page("http://s.example/article")),
-         10, "f", None),
+         10, "f", None, None),
         ("d2", "http://s.example/other", "response", 200, None,
-         "text/html", "utf-8", bytearray(page(None)), 10, "f", None),
+         "text/html", "utf-8", bytearray(page(None)), 10, "f", None, None),
     ]
     records = spark.createDataFrame(rows, WARC_SCHEMA)
 
@@ -160,10 +160,10 @@ def test_honor_noindex_drops_corpus_but_keeps_links(spark):
     rows = [
         ("d0", "http://s.example/keep", "response", 200, None, "text/html",
          "utf-8", bytearray(page(None, "http://s.example/target")),
-         10, "f", None),
+         10, "f", None, None),
         ("d1", "http://s.example/hidden", "response", 200, None, "text/html",
          "utf-8", bytearray(page("noindex", "http://s.example/secret-dst")),
-         10, "f", None),
+         10, "f", None, None),
     ]
     records = spark.createDataFrame(rows, WARC_SCHEMA)
     out = crawl_curate(
