@@ -6382,26 +6382,26 @@ def q_interleaved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard assignment, null handling of text-segment media_ref) breaks
     the value hash."""
     from machine_readability_checker_spark.operators.interleave import (
+        interleaved_segments,
         read_interleaved_shards,
         write_interleaved_shards,
     )
 
-    flat = q_interleaved_segments(spark, sf_dir)
-    nested = flat.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("seg_idx", F.struct(
-                    F.col("seg_type").alias("type"),
-                    F.col("seg_text").alias("text"),
-                    F.when(F.col("seg_type") == "media", F.col("media_ref"))
-                    .alias("media_ref"),
-                ).alias("s"))
-            ),
-            lambda a, b: a["seg_idx"] - b["seg_idx"],
-        ).alias("_ordered")
-    ).select(
+    nested = interleaved_segments(_synth_interleaved(spark, sf_dir)).select(
         "doc_id",
-        F.transform(F.col("_ordered"), lambda x: x["s"]).alias("segments"),
+        # '' → NULL on text-segment media_ref so the reader's
+        # to_json-dropped-null round trip is exercised (the operator
+        # already emits NULL there; this is a no-op normalization)
+        F.transform(
+            F.col("segments"),
+            lambda s: F.struct(
+                s["type"].alias("type"),
+                s["text"].alias("text"),
+                F.when(s["type"] == "media", s["media_ref"]).alias(
+                    "media_ref"
+                ),
+            ),
+        ).alias("segments"),
     )
     path = _wet_dir("interleaved", sf_dir)
     write_interleaved_shards(nested, path, n_shards=8).collect()

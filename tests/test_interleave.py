@@ -542,3 +542,81 @@ def test_drop_frequent_media_and_remerge(spark):
         assert all(
             not (a == b == "text") for a, b in zip(types, types[1:])
         )
+
+
+# ---------------------------------------------- hypothesis properties
+
+
+def _ref_fold(spans, text_kinds, joiner="\n\n"):
+    """Single-node reference of interleaved_segments' semantics."""
+    kept = [
+        s for s in spans
+        if s["kind"] == "media"
+        or (s["kind"] in text_kinds and s["text"])
+    ]
+    out, run = [], []
+
+    def flush():
+        if run:
+            out.append(("text", joiner.join(run), None))
+            run.clear()
+
+    for s in kept:
+        if s["kind"] == "media":
+            flush()
+            out.append(("media", s["text"], s["media_ref"]))
+        else:
+            run.append(s["text"])
+    flush()
+    return out
+
+
+def test_fold_matches_reference_on_random_spans(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from machine_readability_checker_spark.operators.interleave import (
+        TEXT_KINDS,
+    )
+
+    kind = st.sampled_from(
+        ["main", "media", "boilerplate", "title", "line"]
+    )
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=6,
+    )
+    span = st.builds(
+        lambda k, t, i: {
+            "kind": k,
+            "text": "" if k == "media" else t,
+            "media_ref": f"m{i}.png" if k == "media" else "",
+            "offset": 0,
+        },
+        kind, text, st.integers(0, 99),
+    )
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(span, max_size=12))
+    def collect(spans):
+        cases.append(
+            [dict(s, offset=i) for i, s in enumerate(spans)]
+        )
+
+    collect()
+    # one Spark job for all generated cases (per-example Spark jobs
+    # would take minutes); equality is still per-case
+    df = spark.createDataFrame(
+        [(str(i), c) for i, c in enumerate(cases)], SPANS_T
+    )
+    got = {
+        r["doc_id"]: [
+            (s["type"], s["text"], s["media_ref"])
+            for s in r["segments"]
+        ]
+        for r in interleaved_segments(df).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[str(i)] == _ref_fold(c, TEXT_KINDS), (i, c)
