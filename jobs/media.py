@@ -195,6 +195,14 @@ def main() -> None:
         "media segments vs sidecar captures",
     )
     ap.add_argument(
+        "--drop-frequent-media", type=int, default=0, metavar="MAX_OCC",
+        help="with --export-interleaved: before exporting, drop media "
+        "whose payload sha256 appears more than MAX_OCC times corpus-"
+        "wide (OBELICS repeated-image filter: logos/banners/tracking "
+        "pixels), re-merging the text around removals; stats gain the "
+        "dropped count",
+    )
+    ap.add_argument(
         "--export-webdataset", type=int, default=0, metavar="N_SHARDS",
         help="export the corpus as N WebDataset tar shards — per doc a "
         "{key}.json segment-sequence member plus {key}.{j}.{ext} "
@@ -423,9 +431,25 @@ def main() -> None:
             write_warc_resources,
         )
 
-        seg = interleaved_segments(spans_df).select(
-            "doc_id", "segments"
-        ).persist()
+        seg = interleaved_segments(spans_df).select("doc_id", "segments")
+        if args.drop_frequent_media:
+            from machine_readability_checker_spark.operators.interleave import (
+                drop_frequent_media,
+            )
+
+            media_keys = store.select(
+                "doc_id",
+                "media_ref",
+                F.sha2("content", 256).alias("key"),
+            )
+            seg = drop_frequent_media(
+                seg, media_keys, max_occurrences=args.drop_frequent_media
+            )
+            extra["frequent_media_dropped"] = int(
+                seg.agg(F.sum("n_media_dropped")).collect()[0][0] or 0
+            )
+            seg = seg.select("doc_id", "segments")
+        seg = seg.persist()
         il_dir = os.path.join(args.out, "interleaved")
         write_interleaved_shards(
             seg, il_dir, n_shards=args.export_interleaved
