@@ -183,3 +183,72 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def bpe_vocab(
+    merges: List[Tuple[str, str]], alphabet: List[str]
+) -> dict:
+    """Token → id in the standard BPE layout: the (sorted) base
+    alphabet first, then each merged symbol in merge order (duplicates
+    keep their first id).  With ``alphabet`` = every character seen in
+    training, this vocabulary covers every token ``apply_merges`` can
+    emit."""
+    vocab: dict = {}
+    for ch in sorted(set(alphabet)):
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def write_bpe_artifacts(
+    path: str, merges: List[Tuple[str, str]], alphabet: List[str]
+) -> dict:
+    """Persist the tokenizer in the conventional interchange shape:
+    ``merges.txt`` (``#version`` header, one space-separated pair per
+    line, in merge order — the format the common tokenizer libraries
+    read) and ``vocab.json`` (token → id).  Both writes are atomic
+    (temp + rename).  Returns the vocab."""
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    vocab = bpe_vocab(merges, alphabet)
+
+    def _atomic(name: str, data: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=path)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(path, name))
+
+    _atomic(
+        "merges.txt",
+        "#version: 0.2\n"
+        + "".join(f"{a} {b}\n" for a, b in merges),
+    )
+    _atomic(
+        "vocab.json",
+        json.dumps(vocab, ensure_ascii=False, sort_keys=False),
+    )
+    return vocab
+
+
+def read_bpe_artifacts(path: str) -> Tuple[List[Tuple[str, str]], dict]:
+    """Load ``merges.txt`` + ``vocab.json`` back; the merge list feeds
+    ``bpe_encode``/``apply_merges`` unchanged."""
+    import json
+    import os
+
+    merges: List[Tuple[str, str]] = []
+    with open(os.path.join(path, "merges.txt"), encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, sep, b = line.partition(" ")
+            if sep:
+                merges.append((a, b))
+    with open(os.path.join(path, "vocab.json"), encoding="utf-8") as f:
+        vocab = json.load(f)
+    return merges, vocab

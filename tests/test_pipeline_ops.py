@@ -2452,3 +2452,42 @@ def test_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
     sampling.write_jsonl_shards(docs, out, n_shards=4).collect()
     for s, m in manifest.items():
         assert open(m["path"], "rb").read() == first_bytes[s]
+
+
+def test_bpe_artifacts_round_trip(spark, tmp_path):
+    """merges.txt + vocab.json interchange: write → read → encode
+    equality, vocab covers every emitted token, ids are stable."""
+    from machine_readability_checker_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [("a", "newest widest lowest low low"), ("b", "the new west")],
+        ["doc_id", "text"],
+    )
+    merges = bpe.bpe_train(docs, n_merges=8)
+    alphabet = sorted(
+        {c for r in docs.collect() for c in (r["text"] or "") if c != " "}
+    )
+    path = str(tmp_path / "tok")
+    vocab = bpe.write_bpe_artifacts(path, merges, alphabet)
+    merges2, vocab2 = bpe.read_bpe_artifacts(path)
+    assert merges2 == merges
+    assert vocab2 == vocab
+    # base alphabet occupies the low ids, merged symbols follow in order
+    assert all(vocab[c] < len(alphabet) for c in alphabet)
+    a0, b0 = merges[0]
+    assert vocab[a0 + b0] == len(set(alphabet))
+    # encoding with the read-back merges is identical, and every
+    # emitted subword has a vocab id
+    out = bpe.bpe_encode(docs, merges2).collect()
+    for r in out:
+        assert list(r["subwords"]) == [
+            s
+            for w in {"a": "newest widest lowest low low",
+                      "b": "the new west"}[r["doc_id"]].split()
+            for s in bpe.apply_merges(w, merges)
+        ]
+        assert all(s in vocab for s in r["subwords"])
+    # merges.txt is the conventional shape: header + "a b" lines
+    lines = open(f"{path}/merges.txt", encoding="utf-8").read().splitlines()
+    assert lines[0].startswith("#version")
+    assert lines[1:] == [f"{a} {b}" for a, b in merges]
