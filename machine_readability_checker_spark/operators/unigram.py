@@ -301,3 +301,37 @@ def unigram_encode(
         ]
     )
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def write_unigram_artifacts(path: str, model: Dict[str, float]) -> None:
+    """Persist the piece vocabulary in the SentencePiece export shape:
+    a TSV of ``piece<TAB>logp`` lines ordered by descending score (ties
+    by piece), atomically written as ``unigram.vocab``.  Feeding the
+    read-back dict to ``unigram_encode`` reproduces segmentations
+    exactly (Viterbi depends only on the piece→logp map)."""
+    import os
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    rows = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))
+    fd, tmp = tempfile.mkstemp(dir=path)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        for piece, lp in rows:
+            f.write(f"{piece}\t{lp!r}\n")
+    os.replace(tmp, os.path.join(path, "unigram.vocab"))
+
+
+def read_unigram_artifacts(path: str) -> Dict[str, float]:
+    import os
+
+    model: Dict[str, float] = {}
+    with open(
+        os.path.join(path, "unigram.vocab"), encoding="utf-8"
+    ) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            piece, _, lp = line.rpartition("\t")
+            model[piece] = float(lp)
+    return model

@@ -2491,3 +2491,35 @@ def test_bpe_artifacts_round_trip(spark, tmp_path):
     lines = open(f"{path}/merges.txt", encoding="utf-8").read().splitlines()
     assert lines[0].startswith("#version")
     assert lines[1:] == [f"{a} {b}" for a, b in merges]
+
+
+def test_unigram_artifacts_round_trip(spark, tmp_path):
+    """SentencePiece-shape vocab TSV: write → read → identical model
+    (repr round-trips floats exactly) → identical Viterbi encodings."""
+    from machine_readability_checker_spark.operators import unigram
+
+    docs = spark.createDataFrame(
+        [("a", "hello hello world held low"), ("b", "lower lowest")],
+        ["doc_id", "text"],
+    )
+    model = unigram.unigram_train(docs, vocab_size=40, em_iters=2)
+    path = str(tmp_path / "sp")
+    unigram.write_unigram_artifacts(path, model)
+    model2 = unigram.read_unigram_artifacts(path)
+    assert model2 == model  # exact float round trip via repr
+    got1 = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram.unigram_encode(docs, model).collect()
+    }
+    got2 = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram.unigram_encode(docs, model2).collect()
+    }
+    assert got1 == got2
+    # file shape: descending logp, piece<TAB>logp
+    lines = open(
+        f"{path}/unigram.vocab", encoding="utf-8"
+    ).read().splitlines()
+    lps = [float(ln.rpartition("\t")[2]) for ln in lines]
+    assert lps == sorted(lps, reverse=True)
+    assert len(lines) == len(model)
