@@ -404,3 +404,93 @@ def test_wet_write_single_exchange(spark):
     assert plan.count("Exchange") == 1
     # in-partition sort only — a global Sort would serialize the write
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pack_interleaved_avoids_global_window(spark):
+    """The multimodal token-budget packer rides the same two-phase
+    prefix sum as pack_shards: parallel range exchange + per-partition
+    windows, never Exchange SinglePartition."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_segments,
+        pack_interleaved,
+    )
+
+    seg = interleaved_segments(
+        E._synth_interleaved(spark, SF)
+    )
+    plan = _plan(pack_interleaved(seg, checkpoint=False))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert "Window" in plan
+
+
+def test_drop_frequent_media_no_cartesian_one_corpus_agg(spark):
+    """Frequent-media removal: the only corpus-wide aggregate is the
+    key count (map-side partials); no cartesian product anywhere; the
+    segment rewrite is a key join, not a broadcast of the corpus."""
+    from machine_readability_checker_spark.operators.interleave import (
+        drop_frequent_media,
+        interleaved_segments,
+    )
+
+    seg = interleaved_segments(E._synth_interleaved(spark, SF))
+    keys = seg.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("segments"), lambda s: s["type"] == "media")
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.text").alias("key"),
+    )
+    plan = _plan(drop_frequent_media(seg, keys, max_occurrences=5))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # partial aggregation present for the key count
+    assert "partial_count" in plan
+
+
+def test_resolve_media_payloads_hashed_once(spark, tmp_path):
+    """The sidecar read path: each distinct payload is fetched and
+    hashed once (dropDuplicates on the digest plans a hash aggregate,
+    not a window), and nothing plans a cartesian."""
+    from machine_readability_checker_spark.operators.interleave import (
+        interleaved_segments,
+        resolve_media_segments,
+    )
+    from machine_readability_checker_spark.sources.warcsink import (
+        build_cdxj,
+        write_warc_resources,
+    )
+
+    rows = [
+        (f"d{i}", [{"kind": "media", "text": "", "media_ref": "m.bin",
+                    "offset": 0}])
+        for i in range(4)
+    ]
+    from machine_readability_checker_spark.model import SPAN_STRUCT
+    from pyspark.sql import types as T
+
+    seg = interleaved_segments(
+        spark.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+            ]),
+        )
+    ).select("doc_id", "segments")
+    store = spark.createDataFrame(
+        [(f"d{i}", "m.bin", bytearray(b"payload")) for i in range(4)],
+        "doc_id string, media_ref string, content binary",
+    )
+    warc_dir = str(tmp_path / "w")
+    write_warc_resources(store, warc_dir, n_shards=1, dedup=True).collect()
+    idx = build_cdxj(spark, f"{warc_dir}/*.warc.gz")
+    out = resolve_media_segments(spark, seg, idx, warc_dir)
+    plan = _plan(out)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # and the result is correct: 4 refs resolve off ONE stored payload
+    got = out.collect()
+    assert len(got) == 4
+    assert all(bytes(r["content"]) == b"payload" for r in got)
