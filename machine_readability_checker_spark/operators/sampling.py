@@ -162,6 +162,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_ranges: int = 32,
+    count_col: Optional[str] = None,
 ) -> DataFrame:
     """Fixed-context sequence packing — the concat-and-chunk step that
     turns a cleaned corpus into training sequences of exactly
@@ -183,9 +184,16 @@ def pack_sequences(
     arithmetic JVM-side."""
     from .textstats import token_count
 
+    # count_col: pack a PRE-TOKENIZED corpus (e.g. subword counts from
+    # bpe_encode/unigram_encode) instead of re-tokenizing text here
+    tc = (
+        F.col(count_col).cast("long")
+        if count_col
+        else token_count(F.col(text_col))
+    )
     t = df.select(
         F.col(id_col),
-        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("_tc"),
+        F.coalesce(tc, F.lit(0)).alias("_tc"),
     ).filter(F.col("_tc") > 0)
     t = exclusive_prefix_sum(t, id_col, "_tc", num_ranges)
     L = F.lit(int(seq_len)).cast("long")
