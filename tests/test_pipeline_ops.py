@@ -2523,3 +2523,25 @@ def test_unigram_artifacts_round_trip(spark, tmp_path):
     lps = [float(ln.rpartition("\t")[2]) for ln in lines]
     assert lps == sorted(lps, reverse=True)
     assert len(lines) == len(model)
+
+
+def test_pack_sequences_count_col_matches_text_path(spark):
+    """count_col packs a pre-tokenized corpus: with counts equal to
+    the text tokenization, the layout is identical to the text path."""
+    from machine_readability_checker_spark.operators import sampling
+    from machine_readability_checker_spark.operators.textstats import (
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), " ".join(["w"] * (3 + i % 5))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    via_text = sampling.pack_sequences(docs, seq_len=7).collect()
+    pre = docs.withColumn("n", token_count(F.col("text")))
+    via_count = sampling.pack_sequences(
+        pre, seq_len=7, count_col="n"
+    ).collect()
+    key = lambda r: (r["seq_id"], r["doc_id"])  # noqa: E731
+    assert sorted(map(tuple, via_text), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, via_count), key=lambda t: (t[0], t[1]))
