@@ -195,6 +195,14 @@ def main() -> None:
         "media segments vs sidecar captures",
     )
     ap.add_argument(
+        "--drop-low-quality-media", nargs=2, type=int,
+        metavar=("MIN_W", "MIN_H"),
+        help="with --export-interleaved: drop media segments whose blob "
+        "failed to decode (any modality) or whose image/video frame "
+        "falls below MIN_W x MIN_H or beyond 4:1 aspect (LAION-style "
+        "gates), re-merging text around removals",
+    )
+    ap.add_argument(
         "--drop-frequent-media", type=int, default=0, metavar="MAX_OCC",
         help="with --export-interleaved: before exporting, drop media "
         "whose payload sha256 appears more than MAX_OCC times corpus-"
@@ -432,6 +440,40 @@ def main() -> None:
         )
 
         seg = interleaved_segments(spans_df).select("doc_id", "segments")
+        if args.drop_low_quality_media:
+            from machine_readability_checker_spark.operators.interleave import (
+                drop_low_quality_media,
+            )
+
+            gate_cols = ["doc_id", "media_ref", "width", "height",
+                         "decode_error"]
+            wh_null = [
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+            ]
+            # read the feature parquet back (already written above) so
+            # the gate reuses the decode pass instead of re-running it
+            _f = {
+                m: spark.read.parquet(os.path.join(args.out, m))
+                for m in ("image", "video", "audio")
+            }
+            feats = (
+                _f["image"].select(*gate_cols)
+                .unionByName(_f["video"].select(*gate_cols))
+                .unionByName(
+                    _f["audio"].select(
+                        "doc_id", "media_ref", *wh_null, "decode_error"
+                    )
+                )
+            )
+            mw, mh = args.drop_low_quality_media
+            seg = drop_low_quality_media(
+                seg, feats, min_width=mw, min_height=mh
+            )
+            extra["low_quality_media_dropped"] = int(
+                seg.agg(F.sum("n_media_dropped")).collect()[0][0] or 0
+            )
+            seg = seg.select("doc_id", "segments")
         if args.drop_frequent_media:
             from machine_readability_checker_spark.operators.interleave import (
                 drop_frequent_media,

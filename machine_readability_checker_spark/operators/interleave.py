@@ -215,6 +215,94 @@ def interleaved_stats(
     )
 
 
+def _drop_and_remerge(
+    df: DataFrame,
+    drop_pairs: DataFrame,
+    id_col: str = "doc_id",
+    segments_col: str = "segments",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Shared rewrite for the media-removal family: ``drop_pairs`` is
+    ``(id_col, media_ref)`` rows to remove; the per-doc drop list is
+    one aggregate over the (small) drop side, media segments matching
+    it are filtered out, and text segments left adjacent re-merge by
+    re-running the segment fold on the kept rows as pseudo-spans — so
+    the output preserves :func:`interleaved_segments`' no-two-
+    consecutive-text invariant.  Adds ``n_media_dropped``."""
+    drop_refs = drop_pairs.groupBy(id_col).agg(
+        F.collect_set("media_ref").alias("_drop")
+    )
+    out = df.join(drop_refs, id_col, "left")
+    segs = F.col(segments_col)
+    dropc = F.coalesce(F.col("_drop"), F.array().cast("array<string>"))
+    kept = F.filter(
+        segs,
+        lambda s: (s["type"] != "media")
+        | ~F.array_contains(dropc, s["media_ref"]),
+    )
+    out = out.withColumn("_kept_segs", kept).withColumn(
+        "n_media_dropped", (F.size(segs) - F.size(kept)).cast("int")
+    )
+    pseudo = F.transform(
+        F.col("_kept_segs"),
+        lambda s, i: F.struct(
+            F.when(s["type"] == "media", F.lit("media"))
+            .otherwise(F.lit("main"))
+            .alias("kind"),
+            s["text"].alias("text"),
+            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    out = out.withColumn("_pseudo", pseudo)
+    out = interleaved_segments(
+        out, spans_col="_pseudo", out_col=segments_col, joiner=joiner
+    )
+    return out.drop("_drop", "_kept_segs", "_pseudo")
+
+
+def drop_low_quality_media(
+    df: DataFrame,
+    features_df: DataFrame,
+    min_width: int = 64,
+    min_height: int = 64,
+    max_aspect: float = 4.0,
+    id_col: str = "doc_id",
+    segments_col: str = "segments",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """LAION/DataComp-style image quality gate over interleaved docs:
+    media that failed to decode, fall below the minimum dimensions, or
+    exceed the aspect-ratio bound (both orientations) drop from every
+    document's segment sequence, text re-merging around removals.
+    ``features_df`` is :func:`~.multimodal.extract_media_features`
+    output (``doc_id, media_ref, width, height, decode_error``) —
+    non-image rows with NULL dimensions but no decode error pass.
+
+    Plan: the bad set is a filter over the (already-computed) feature
+    table; everything else is the shared hot-subset-sized rewrite."""
+    w, h = F.col("width"), F.col("height")
+    aspect_bad = (
+        w.isNotNull()
+        & h.isNotNull()
+        & (h > 0)
+        & (
+            (w / h > float(max_aspect))
+            | (h / w > float(max_aspect))
+        )
+    )
+    dims_bad = (
+        w.isNotNull() & h.isNotNull()
+        & ((w < int(min_width)) | (h < int(min_height)))
+    )
+    bad = features_df.filter(
+        F.col("decode_error").isNotNull() | dims_bad | aspect_bad
+    ).select(id_col, "media_ref")
+    return _drop_and_remerge(
+        df, bad, id_col=id_col, segments_col=segments_col, joiner=joiner
+    )
+
+
 def drop_frequent_media(
     df: DataFrame,
     media_keys: DataFrame,
@@ -245,40 +333,12 @@ def drop_frequent_media(
         F.count(F.lit(1)).alias("_n")
     )
     hot = counts.filter(F.col("_n") > max_occurrences).select("key")
-    drop_refs = (
-        media_keys.join(hot, "key", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("media_ref").alias("_drop"))
+    bad = media_keys.join(hot, "key", "left_semi").select(
+        id_col, "media_ref"
     )
-    out = df.join(drop_refs, id_col, "left")
-    segs = F.col(segments_col)
-    dropc = F.coalesce(F.col("_drop"), F.array().cast("array<string>"))
-    kept = F.filter(
-        segs,
-        lambda s: (s["type"] != "media")
-        | ~F.array_contains(dropc, s["media_ref"]),
+    return _drop_and_remerge(
+        df, bad, id_col=id_col, segments_col=segments_col, joiner=joiner
     )
-    out = out.withColumn("_kept_segs", kept).withColumn(
-        "n_media_dropped", (F.size(segs) - F.size(kept)).cast("int")
-    )
-    # removal can leave text segments adjacent: re-run the segment fold
-    # with segments recast as pseudo-spans (type → kind, index → offset)
-    pseudo = F.transform(
-        F.col("_kept_segs"),
-        lambda s, i: F.struct(
-            F.when(s["type"] == "media", F.lit("media"))
-            .otherwise(F.lit("main"))
-            .alias("kind"),
-            s["text"].alias("text"),
-            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
-            i.cast("int").alias("offset"),
-        ),
-    )
-    out = out.withColumn("_pseudo", pseudo)
-    out = interleaved_segments(
-        out, spans_col="_pseudo", out_col=segments_col, joiner=joiner
-    )
-    return out.drop("_drop", "_kept_segs", "_pseudo")
 
 
 def interleaved_token_counts(

@@ -620,3 +620,46 @@ def test_fold_matches_reference_on_random_spans(spark):
     }
     for i, c in enumerate(cases):
         assert got[str(i)] == _ref_fold(c, TEXT_KINDS), (i, c)
+
+
+def test_drop_low_quality_media(spark):
+    """LAION-style gate: undecodable / tiny / extreme-aspect images
+    drop; healthy ones survive; text re-merges around removals."""
+    from machine_readability_checker_spark.operators.interleave import (
+        drop_low_quality_media,
+    )
+
+    spans = [
+        ("main", "a", ""),
+        ("media", "", "good.png"),
+        ("main", "b", ""),
+        ("media", "", "tiny.png"),
+        ("main", "c", ""),
+        ("media", "", "banner.png"),
+        ("media", "", "broken.png"),
+        ("media", "", "audio.wav"),  # no dims, no error → passes
+    ]
+    seg = interleaved_segments(_df(spark, spans))
+    feats = spark.createDataFrame(
+        [
+            ("d1", "good.png", 128, 128, None),
+            ("d1", "tiny.png", 10, 128, None),
+            ("d1", "banner.png", 600, 100, None),
+            ("d1", "broken.png", None, None, "bad huffman"),
+            ("d1", "audio.wav", None, None, None),
+        ],
+        "doc_id string, media_ref string, width int, height int,"
+        " decode_error string",
+    )
+    out = drop_low_quality_media(
+        seg, feats, min_width=64, min_height=64, max_aspect=4.0
+    ).first()
+    assert out["n_media_dropped"] == 3
+    assert [
+        (s["type"], s["text"], s["media_ref"]) for s in out["segments"]
+    ] == [
+        ("text", "a", None),
+        ("media", "", "good.png"),
+        ("text", "b\n\nc", None),
+        ("media", "", "audio.wav"),
+    ]
