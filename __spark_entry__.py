@@ -6525,6 +6525,57 @@ def q_frequent_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style media quality gate over the interleaved corpus with
+    arithmetic features: media at span offset ``off`` in doc ``d`` has
+    width ``16 + (7d+off) % 120``, height ``16 + (11d+off) % 120``, and
+    a decode error when ``(d+off) % 13 == 0`` — so the oracle derives
+    the bad set from ids alone while the Spark side must run the real
+    ``drop_low_quality_media`` rewrite (gate 64×64, aspect ≤ 4) and the
+    re-merge must hold the no-two-consecutive-text invariant."""
+    from machine_readability_checker_spark.operators.interleave import (
+        drop_low_quality_media,
+        interleaved_segments,
+    )
+
+    seg = interleaved_segments(_synth_interleaved(spark, sf_dir))
+    d = F.col("doc_id").cast("long")
+    off = F.regexp_extract(F.col("s.media_ref"), r"_(\d+)$", 1).cast("long")
+    feats = seg.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("segments"), lambda s: s["type"] == "media")
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        (F.lit(16) + (d * 7 + off) % 120).cast("int").alias("width"),
+        (F.lit(16) + (d * 11 + off) % 120).cast("int").alias("height"),
+        F.when((d + off) % 13 == 0, F.lit("synthetic")).alias(
+            "decode_error"
+        ),
+    )
+    out = drop_low_quality_media(
+        seg, feats, min_width=64, min_height=64, max_aspect=4.0
+    )
+    return (
+        out.select(
+            "doc_id",
+            "n_media_dropped",
+            F.posexplode("segments").alias("seg_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.col("s.type").alias("seg_type"),
+            F.col("s.text").alias("seg_text"),
+            F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+            "n_media_dropped",
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
 def _first_embedding(emb: DataFrame) -> list[float]:
     return [
         float(x)
@@ -7225,6 +7276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_doc_stats": q_interleaved_doc_stats,
         "interleaved_token_budget": q_interleaved_token_budget,
         "frequent_media_filter": q_frequent_media_filter,
+        "media_quality_filter": q_media_quality_filter,
         "events_asof": q_events_asof,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_ranks": q_pagerank_ranks,
@@ -7424,6 +7476,7 @@ def oracle_sql() -> dict[str, str]:
     out["interleaved_doc_stats"] = _INTERLEAVED_STATS_SQL
     out["interleaved_token_budget"] = _INTERLEAVED_BUDGET_SQL
     out["frequent_media_filter"] = _FREQ_MEDIA_SQL
+    out["media_quality_filter"] = _MEDIA_QUALITY_SQL
     out["events_asof"] = _EVENTS_ASOF_SQL
     out["link_graph_degrees"] = _LINK_DEGREES_SQL
     out["pagerank_ranks"] = _pagerank_oracle_sql()
@@ -9073,6 +9126,71 @@ _FREQ_MEDIA_SQL = f"""
       LEFT JOIN hot h
         ON f.seg_type = 'media' AND f.k_id = h.k_id
       WHERE h.k_id IS NULL
+    ), dropped AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN seg_type = 'media' THEN 1 END)
+                  AS INTEGER) AS n_all_media
+      FROM flat GROUP BY doc_id
+    ), kept_media AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN seg_type = 'media' THEN 1 END)
+                  AS INTEGER) AS n_kept_media
+      FROM kept GROUP BY doc_id
+    ), chunked AS (
+      SELECT *, count(CASE WHEN seg_type = 'media' THEN 1 END) OVER (
+               PARTITION BY doc_id ORDER BY seg_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS k
+      FROM kept
+    ), segs AS (
+      SELECT doc_id, k, 1 AS ord, 'text' AS seg_type,
+             string_agg(seg_text, chr(10) || chr(10) ORDER BY seg_idx)
+               AS seg_text,
+             '' AS media_ref
+      FROM chunked WHERE seg_type = 'text' GROUP BY doc_id, k
+      UNION ALL
+      SELECT doc_id, k, 2 AS ord, 'media' AS seg_type, seg_text,
+             media_ref
+      FROM chunked WHERE seg_type = 'media'
+    )
+    SELECT s.doc_id,
+           CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.k, s.ord)
+                - 1 AS INTEGER) AS seg_idx,
+           s.seg_type, s.seg_text, s.media_ref,
+           d.n_all_media - coalesce(m.n_kept_media, 0) AS n_media_dropped
+    FROM segs s
+    JOIN dropped d ON s.doc_id = d.doc_id
+    LEFT JOIN kept_media m ON s.doc_id = m.doc_id
+    ORDER BY s.doc_id, seg_idx
+"""
+
+
+# Media quality gate: arithmetic features (width/height/decode error
+# from doc_id + span offset), LAION-style bad set (decode error, dims
+# < 64, aspect > 4 either way), then the shared drop + re-merge shape.
+_MEDIA_QUALITY_SQL = f"""
+    WITH flat AS ({_INTERLEAVED_SQL.replace("ORDER BY doc_id, seg_idx", "")}
+    ), keyed AS (
+      SELECT *,
+             CAST(regexp_extract(media_ref, '_([0-9]+)$', 1) AS BIGINT)
+               AS off
+      FROM flat
+    ), feat AS (
+      SELECT *,
+             16 + (doc_id * 7 + off) % 120 AS w,
+             16 + (doc_id * 11 + off) % 120 AS h,
+             (doc_id + off) % 13 = 0 AS err
+      FROM keyed WHERE seg_type = 'media'
+    ), bad AS (
+      SELECT doc_id, media_ref FROM feat
+      WHERE err OR w < 64 OR h < 64
+         OR CAST(w AS DOUBLE) / h > 4.0 OR CAST(h AS DOUBLE) / w > 4.0
+    ), kept AS (
+      SELECT f.doc_id, f.seg_idx, f.seg_type, f.seg_text, f.media_ref
+      FROM flat f
+      LEFT JOIN bad b
+        ON f.seg_type = 'media' AND f.doc_id = b.doc_id
+       AND f.media_ref = b.media_ref
+      WHERE b.media_ref IS NULL
     ), dropped AS (
       SELECT doc_id,
              CAST(count(CASE WHEN seg_type = 'media' THEN 1 END)

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "interleaved_doc_stats",
     "interleaved_token_budget",
     "frequent_media_filter",
+    "media_quality_filter",
     "events_asof",
     "odf_extract",
     "epub_extract",
