@@ -150,6 +150,13 @@ def main() -> None:
         help="with --spans-iceberg: time-travel read of snapshot N "
         "(default: current snapshot)",
     )
+    ap.add_argument(
+        "--since-version", type=int, default=None,
+        help="with --spans-iceberg: INCREMENTAL read — only the splits "
+        "committed after snapshot N (Iceberg incremental-scan "
+        "semantics); an exporter scheduled per extraction wave "
+        "processes each doc exactly once",
+    )
     ap.add_argument("--store", help="parquet path of the media store")
     ap.add_argument("--gen", type=int, default=0)
     ap.add_argument("--out", required=True)
@@ -253,13 +260,19 @@ def main() -> None:
             )
 
             table = IcebergLayoutTable(args.spans_iceberg)
-            version = args.version
-            if version is None:
-                cur = table.current_snapshot()
-                version = int(cur["version"]) if cur else None
-            spans_df = table.read(spark, version=version).select(
-                "doc_id", "spans"
-            )
+            cur = table.current_snapshot()
+            cur_v = int(cur["version"]) if cur else None
+            if args.since_version is not None:
+                spans_df = table.read_incremental(
+                    spark, args.since_version, cur_v
+                ).select("doc_id", "spans")
+            else:
+                version = (
+                    args.version if args.version is not None else cur_v
+                )
+                spans_df = table.read(spark, version=version).select(
+                    "doc_id", "spans"
+                )
         else:
             spans_df = spark.read.parquet(args.spans).select(
                 "doc_id", "spans"
