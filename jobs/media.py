@@ -218,6 +218,14 @@ def main() -> None:
         "dropped count",
     )
     ap.add_argument(
+        "--export-pairs", type=int, default=0, metavar="N_SHARDS",
+        help="mine (media, caption) pairs from the interleaved spans "
+        "(alt text preferred, else surrounding-context text), join the "
+        "media bytes, and export N img2dataset-layout tar shards "
+        "({key}.<ext> + {key}.txt + {key}.json) — the CLIP-training "
+        "export; stats reconcile mined pairs vs tar samples",
+    )
+    ap.add_argument(
         "--export-webdataset", type=int, default=0, metavar="N_SHARDS",
         help="export the corpus as N WebDataset tar shards — per doc a "
         "{key}.json segment-sequence member plus {key}.{j}.{ext} "
@@ -574,6 +582,56 @@ def main() -> None:
             == (audit["c"] or 0)
             == (audit["d"] or 0)
             == loaded_ok,
+        }
+
+    if args.export_pairs:
+        from machine_readability_checker_spark.operators.interleave import (
+            write_pair_webdataset,
+        )
+        from machine_readability_checker_spark.operators.multimodal import (
+            media_context_pairs,
+        )
+
+        mined = media_context_pairs(spans_df)
+        caption = F.trim(
+            F.when(
+                F.col("alt_text").isNotNull() & (F.col("alt_text") != ""),
+                F.col("alt_text"),
+            ).otherwise(
+                F.concat_ws(
+                    " ", F.col("context_before"), F.col("context_after")
+                )
+            )
+        )
+        pairs = (
+            mined.join(store, ["doc_id", "media_ref"])
+            .select(
+                F.concat_ws(
+                    "#", "doc_id", "media_ref",
+                    F.col("offset").cast("string"),
+                ).alias("pair_id"),
+                caption.alias("caption"),
+                "content",
+                "doc_id",
+                "media_ref",
+                "offset",
+            )
+            .filter(F.col("caption") != "")
+        )
+        n_pairs = pairs.count()
+        write_pair_webdataset(
+            pairs, os.path.join(args.out, "pairs"),
+            n_shards=args.export_pairs,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "pairs_manifest")
+        )
+        pm = spark.read.parquet(
+            os.path.join(args.out, "pairs_manifest")
+        ).agg(F.sum("n_pairs").alias("n")).collect()[0]
+        extra["pairs"] = {
+            "mined": n_pairs,
+            "tar_samples": int(pm["n"] or 0),
+            "matches": n_pairs == (pm["n"] or 0),
         }
 
     if args.export_webdataset:

@@ -687,6 +687,107 @@ def write_interleaved_webdataset(
     )
 
 
+def write_pair_webdataset(
+    pairs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "pair_id",
+    caption_col: str = "caption",
+    content_col: str = "content",
+) -> DataFrame:
+    """CLIP-style (media, caption) training export in the img2dataset
+    sample layout: per pair one ``{key}.<ext>`` member (the raw bytes,
+    extension from the magic-byte sniffer), ``{key}.txt`` (the
+    caption), and ``{key}.json`` (pair metadata: every other column of
+    ``pairs``) — the tar shape image-text trainers stream.  Keys are
+    shard-prefixed positions (globally unique); same determinism
+    contract as the other tar sinks (md5 training order, mtime=0,
+    atomic rename, shared-filesystem requirement)."""
+    import os
+
+    import pandas as pd
+
+    from ..operators.mimetype import sniff_mime
+    from .sampling import training_order
+
+    ext_map = F.create_map(
+        *[F.lit(x) for kv in _WDS_EXT.items() for x in kv]
+    )
+    meta_cols = [
+        c
+        for c in pairs.columns
+        if c not in (id_col, caption_col, content_col)
+    ]
+    sel = sniff_mime(pairs, content_col, out_col="_ct").select(
+        F.col(id_col),
+        F.coalesce(F.col(caption_col), F.lit("")).alias("cap"),
+        F.col(content_col).alias("blob"),
+        F.coalesce(ext_map[F.col("_ct")], F.lit("bin")).alias("ext"),
+        F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias(
+            "meta"
+        ),
+    )
+    ordered = training_order(sel, n_shards=n_shards, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    schema = "shard int, n_pairs long, n_bytes long, path string"
+
+    def kernel(batches):
+        import io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        os.makedirs(path, exist_ok=True)
+        state = {}
+
+        def tar_for(shard: int):
+            if shard not in state:
+                p = os.path.join(path, f"shard-{shard:05d}.tar")
+                tmp = f"{p}.attempt-{attempt}"
+                f = open(tmp, "wb")
+                state[shard] = [
+                    tarfile.open(fileobj=f, mode="w"), f, 0, p, tmp,
+                ]
+            return state[shard]
+
+        def add(tf, name: str, data: bytes) -> None:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                entry = tar_for(int(row.shard))
+                key = f"{int(row.shard):05d}-{int(row.position):09d}"
+                add(
+                    entry[0],
+                    f"{key}.{row.ext}",
+                    bytes(row.blob) if row.blob is not None else b"",
+                )
+                add(entry[0], f"{key}.txt", row.cap.encode("utf-8"))
+                add(entry[0], f"{key}.json", row.meta.encode("utf-8"))
+                entry[2] += 1
+        rows = []
+        for shard, (tf, f, n, p, tmp) in sorted(state.items()):
+            tf.close()
+            f.close()
+            os.replace(tmp, p)
+            rows.append((shard, n, os.path.getsize(p), p))
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_pairs", "n_bytes", "path"]
+        )
+
+    return (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .select("cap", "blob", "ext", "meta", "shard", "position")
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
 def write_interleaved_shards(
     df: DataFrame,
     path: str,

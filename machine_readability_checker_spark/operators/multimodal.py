@@ -513,7 +513,17 @@ def media_context_pairs(
         F.col("s.offset").alias("offset"),
     )
     w = Window.partitionBy(id_col).orderBy("offset")
-    txt = F.when(F.col("kind") == "text", F.col("text"))
+    # context = any text-bearing span kind: the extraction lanes emit
+    # title/heading/main/line/cell/... (never a literal 'text'), while
+    # synthetic corpora may use 'text' — accept both (an == 'text' test
+    # here once made every real-corpus context silently empty)
+    from .interleave import TEXT_KINDS
+
+    txt = F.when(
+        F.col("kind").isin("text", *TEXT_KINDS)
+        & (F.col("text") != ""),
+        F.col("text"),
+    )
     before = F.concat_ws(
         " ", F.collect_list(txt).over(w.rowsBetween(-window, -1))
     )

@@ -663,3 +663,77 @@ def test_drop_low_quality_media(spark):
         ("text", "b\n\nc", None),
         ("media", "", "audio.wav"),
     ]
+
+
+def test_pair_webdataset_layout(spark, tmp_path):
+    """img2dataset sample layout: {key}.<ext> + {key}.txt + {key}.json
+    per pair, deterministic bytes, metadata round-trips."""
+    import io
+    import tarfile
+
+    from machine_readability_checker_spark.operators.interleave import (
+        write_pair_webdataset,
+    )
+
+    png = b"\x89PNG\r\n\x1a\npx"
+    pairs = spark.createDataFrame(
+        [
+            (f"p{i}", f"a caption {i}", bytearray(png + str(i).encode()),
+             f"d{i}", f"m{i}.png")
+            for i in range(10)
+        ],
+        "pair_id string, caption string, content binary,"
+        " doc_id string, media_ref string",
+    )
+
+    def run(p):
+        man = write_pair_webdataset(pairs, str(p), n_shards=2).collect()
+        files = sorted(glob.glob(os.path.join(str(p), "*.tar")))
+        return man, [open(f, "rb").read() for f in files]
+
+    man1, b1 = run(tmp_path / "a")
+    man2, b2 = run(tmp_path / "b")
+    assert b1 == b2 and len(b1) == 2
+    assert sum(m["n_pairs"] for m in man1) == 10
+
+    seen = 0
+    for blob in b1:
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            names = tf.getnames()
+            keys = sorted({n.split(".", 1)[0] for n in names})
+            for key in keys:
+                group = sorted(n for n in names if n.startswith(key + "."))
+                exts = [g.rsplit(".", 1)[1] for g in group]
+                assert sorted(exts) == ["json", "png", "txt"]
+                meta = json.loads(
+                    tf.extractfile(f"{key}.json").read()
+                )
+                i = int(meta["doc_id"][1:])
+                assert meta["media_ref"] == f"m{i}.png"
+                assert tf.extractfile(f"{key}.txt").read().decode() == \
+                    f"a caption {i}"
+                assert tf.extractfile(f"{key}.png").read() == \
+                    png + str(i).encode()
+                seen += 1
+    assert seen == 10
+
+
+def test_media_context_pairs_real_extraction_kinds(spark):
+    """Regression: context mining must see the real extraction kinds
+    (main/title/line...), not only a literal 'text' kind — the bug made
+    every real-corpus context silently empty."""
+    from machine_readability_checker_spark.operators.multimodal import (
+        media_context_pairs,
+    )
+
+    spans = [
+        ("title", "Page Title", ""),
+        ("main", "before text", ""),
+        ("media", "alt here", "m.png"),
+        ("line", "after text", ""),
+        ("boilerplate", "nav junk", ""),  # never context
+    ]
+    out = media_context_pairs(_df(spark, spans), window=3).first()
+    assert out["alt_text"] == "alt here"
+    assert out["context_before"] == "Page Title before text"
+    assert out["context_after"] == "after text"
