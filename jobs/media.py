@@ -532,42 +532,49 @@ def main() -> None:
         )
         n_media_segs = refs.count()
         distinct_refs = refs.distinct()
-        sidecar = distinct_refs.join(store, ["doc_id", "media_ref"]).select(
-            "doc_id", "media_ref", "content"
-        )
-        warc_dir = os.path.join(args.out, "interleaved_warc")
-        write_warc_resources(
-            sidecar, warc_dir, n_shards=args.export_interleaved, dedup=True
-        ).write.mode("overwrite").parquet(
-            os.path.join(args.out, "interleaved_warc_manifest")
-        )
-        glob = os.path.join(warc_dir, "*.warc.gz")
-        idx = build_cdxj(spark, glob)
-        audit = audit_cdxj(spark, idx, glob).agg(
-            F.sum("n_captures").alias("c"),
-            F.sum("n_digest_ok").alias("d"),
-        ).collect()[0]
         n_refs = distinct_refs.count()
-
-        # consumer-path audit: load the shards back through the JVM
-        # reader, resolve every media segment out of the sidecar, and
-        # verify the fetched bytes equal the store's
-        back = read_interleaved_shards(
-            spark, os.path.join(il_dir, "*.jsonl.gz")
-        )
-        resolved = resolve_media_segments(spark, back, idx, warc_dir)
-        loaded_ok = (
-            resolved.filter(F.col("error").isNull())
-            .join(
-                store.select(
-                    "doc_id", "media_ref",
-                    F.col("content").alias("_want"),
-                ),
-                ["doc_id", "media_ref"],
+        if n_refs:
+            sidecar = distinct_refs.join(
+                store, ["doc_id", "media_ref"]
+            ).select("doc_id", "media_ref", "content")
+            warc_dir = os.path.join(args.out, "interleaved_warc")
+            write_warc_resources(
+                sidecar, warc_dir,
+                n_shards=args.export_interleaved, dedup=True,
+            ).write.mode("overwrite").parquet(
+                os.path.join(args.out, "interleaved_warc_manifest")
             )
-            .filter(F.col("content") == F.col("_want"))
-            .count()
-        )
+            glob = os.path.join(warc_dir, "*.warc.gz")
+            idx = build_cdxj(spark, glob)
+            audit = audit_cdxj(spark, idx, glob).agg(
+                F.sum("n_captures").alias("c"),
+                F.sum("n_digest_ok").alias("d"),
+            ).collect()[0]
+
+            # consumer-path audit: load the shards back through the JVM
+            # reader, resolve every media segment out of the sidecar,
+            # and verify the fetched bytes equal the store's
+            back = read_interleaved_shards(
+                spark, os.path.join(il_dir, "*.jsonl.gz")
+            )
+            resolved = resolve_media_segments(spark, back, idx, warc_dir)
+            loaded_ok = (
+                resolved.filter(F.col("error").isNull())
+                .join(
+                    store.select(
+                        "doc_id", "media_ref",
+                        F.col("content").alias("_want"),
+                    ),
+                    ["doc_id", "media_ref"],
+                )
+                .filter(F.col("content") == F.col("_want"))
+                .count()
+            )
+        else:
+            # a fully-filtered corpus has no media to archive: the
+            # export is text-only, the sidecar is legitimately absent
+            audit = {"c": 0, "d": 0}
+            loaded_ok = 0
         seg.unpersist()
         extra["interleaved"] = {
             "docs": n_docs,
