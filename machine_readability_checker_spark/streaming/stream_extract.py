@@ -295,3 +295,55 @@ def stream_frontier_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interleaved_export(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Continuous interleaved export: spans parquet landing in
+    ``input_dir`` → MMC4/OBELICS segment shards, one GENERATION
+    directory per micro-batch (``gen-<batchId>/shard-*.jsonl.gz``).
+
+    Exactly-once by idempotence: the shard writer is byte-deterministic
+    (md5 training order, gzip mtime=0, atomic rename) and the
+    generation path is a pure function of the batch id, so a replayed
+    micro-batch rewrites the SAME bytes to the SAME paths — the
+    checkpoint guarantees each input file lands in exactly one batch
+    id.  A loader consumes ``gen-*/shard-*.jsonl.gz`` append-only;
+    manifests live under ``_manifests/gen-<id>`` parquet."""
+    import os
+
+    from ..model import SPANS_SCHEMA
+    from ..operators.interleave import (
+        interleaved_segments,
+        write_interleaved_shards,
+    )
+
+    spans = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        seg = interleaved_segments(
+            batch_df.select("doc_id", "spans")
+        ).select("doc_id", "segments")
+        gen = os.path.join(output_dir, f"gen-{batch_id}")
+        write_interleaved_shards(
+            seg, gen, n_shards=n_shards
+        ).write.mode("overwrite").parquet(
+            os.path.join(output_dir, "_manifests", f"gen-{batch_id}")
+        )
+
+    writer = spans.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

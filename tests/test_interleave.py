@@ -737,3 +737,56 @@ def test_media_context_pairs_real_extraction_kinds(spark):
     assert out["alt_text"] == "alt here"
     assert out["context_before"] == "Page Title before text"
     assert out["context_after"] == "after text"
+
+
+def test_stream_interleaved_export_generations(spark, tmp_path):
+    """Streaming export writes one deterministic generation directory
+    per micro-batch; a re-run with the same checkpoint adds nothing,
+    and the union of generations holds every doc exactly once."""
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_interleaved_export,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(lo, hi):
+        rows = [
+            (f"doc{i:03d}", _mk([("main", f"t{i}", ""),
+                                 ("media", "", "m.png")]))
+            for i in range(lo, hi)
+        ]
+        spark.createDataFrame(rows, SPANS_T).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    feed(0, 15)
+    q = stream_interleaved_export(spark, in_dir, out_dir, ckpt, n_shards=2)
+    q.awaitTermination(120)
+    gens1 = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("gen-")
+    )
+    assert gens1  # at least one generation landed
+
+    feed(15, 25)
+    q2 = stream_interleaved_export(spark, in_dir, out_dir, ckpt, n_shards=2)
+    q2.awaitTermination(120)
+    gens2 = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("gen-")
+    )
+    assert len(gens2) > len(gens1)  # the delta landed as NEW generations
+
+    # a third run with nothing new adds no generations
+    q3 = stream_interleaved_export(spark, in_dir, out_dir, ckpt, n_shards=2)
+    q3.awaitTermination(120)
+    assert sorted(
+        d for d in os.listdir(out_dir) if d.startswith("gen-")
+    ) == gens2
+
+    seen = []
+    for g in gens2:
+        for f in glob.glob(os.path.join(out_dir, g, "*.jsonl.gz")):
+            for line in gzip.open(f, "rt"):
+                seen.append(json.loads(line)["doc_id"])
+    assert sorted(seen) == [f"doc{i:03d}" for i in range(25)]
