@@ -254,6 +254,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
+    inc_gen = None  # set by --since-version (generation-named exports)
 
     if args.gen:
         spans_df, store = _gen_interleaved(spark, args.gen)
@@ -274,6 +275,9 @@ def main() -> None:
                 spans_df = table.read_incremental(
                     spark, args.since_version, cur_v
                 ).select("doc_id", "spans")
+                # incremental exports land in a generation directory so
+                # repeated delta runs are append-only side by side
+                inc_gen = f"gen-{args.since_version + 1}-{cur_v}"
             else:
                 version = (
                     args.version if args.version is not None else cur_v
@@ -513,14 +517,15 @@ def main() -> None:
             )
             seg = seg.select("doc_id", "segments")
         seg = seg.persist()
-        il_dir = os.path.join(args.out, "interleaved")
+        _g = (inc_gen,) if inc_gen else ()
+        il_dir = os.path.join(args.out, "interleaved", *_g)
         write_interleaved_shards(
             seg, il_dir, n_shards=args.export_interleaved
         ).write.mode("overwrite").parquet(
-            os.path.join(args.out, "interleaved_manifest")
+            os.path.join(args.out, "interleaved_manifest", *_g)
         )
         man = spark.read.parquet(
-            os.path.join(args.out, "interleaved_manifest")
+            os.path.join(args.out, "interleaved_manifest", *_g)
         ).agg(F.sum("n_docs").alias("lines")).collect()[0]
         n_docs = seg.count()
 
@@ -537,12 +542,12 @@ def main() -> None:
             sidecar = distinct_refs.join(
                 store, ["doc_id", "media_ref"]
             ).select("doc_id", "media_ref", "content")
-            warc_dir = os.path.join(args.out, "interleaved_warc")
+            warc_dir = os.path.join(args.out, "interleaved_warc", *_g)
             write_warc_resources(
                 sidecar, warc_dir,
                 n_shards=args.export_interleaved, dedup=True,
             ).write.mode("overwrite").parquet(
-                os.path.join(args.out, "interleaved_warc_manifest")
+                os.path.join(args.out, "interleaved_warc_manifest", *_g)
             )
             glob = os.path.join(warc_dir, "*.warc.gz")
             idx = build_cdxj(spark, glob)

@@ -200,7 +200,13 @@ class IcebergLayoutTable:
         (Iceberg incremental-scan analog); partition-pruned like read()."""
         from pyspark.sql import functions as F
 
-        before = set(self.snapshot(from_version)["splits"])
+        # version 0 = the empty table (bootstrap read: everything in
+        # to_version is new), matching Iceberg's from-start changelog
+        before = (
+            set(self.snapshot(from_version)["splits"])
+            if from_version > 0
+            else set()
+        )
         after = set(self.snapshot(to_version)["splits"])
         new_splits = sorted(int(s) for s in after - before)
         df = spark.read.option("mergeSchema", "true").parquet(

@@ -167,3 +167,25 @@ def test_snapshot_per_wave_time_travel(spark, tmp_path):
     assert (
         table.read_incremental(spark, 1, 2).count() == N_DOCS - v1_docs
     )
+
+
+def test_incremental_from_version_zero_is_bootstrap(spark, tmp_path):
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        IcebergLayoutTable,
+    )
+
+    corpus = gen_corpus(40)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    out_dir = str(tmp_path / "t")
+    store = ManifestStore(out_dir)
+    table = IcebergLayoutTable(out_dir)
+    run_resumable(
+        raw, store, _transform, n_splits=N_SPLITS, wave_size=4,
+        on_wave_done=lambda w: table.commit_snapshot(),
+    )
+    cur = table.current_snapshot()["version"]
+    assert (
+        table.read_incremental(spark, 0, cur).count()
+        == table.read(spark, version=cur).count()
+        == 40
+    )
