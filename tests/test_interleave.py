@@ -790,3 +790,56 @@ def test_stream_interleaved_export_generations(spark, tmp_path):
             for line in gzip.open(f, "rt"):
                 seen.append(json.loads(line)["doc_id"])
     assert sorted(seen) == [f"doc{i:03d}" for i in range(25)]
+
+
+def test_resolve_media_tampered_sidecar_quarantines(spark, tmp_path):
+    """Integrity: if an archived payload is corrupted on disk after
+    indexing, the digest join must NOT attach the wrong bytes — the
+    affected refs come back as quarantine rows."""
+    from machine_readability_checker_spark.sources.warcsink import (
+        build_cdxj,
+        write_warc_resources,
+    )
+
+    rows = [
+        (f"d{i}", _mk([("main", "t", ""), ("media", "", "m.bin")]))
+        for i in range(3)
+    ]
+    seg = interleaved_segments(
+        spark.createDataFrame(rows, SPANS_T)
+    ).select("doc_id", "segments")
+    store = spark.createDataFrame(
+        [(f"d{i}", "m.bin", bytearray(f"payload-{i}".encode()))
+         for i in range(3)],
+        "doc_id string, media_ref string, content binary",
+    )
+    warc_dir = str(tmp_path / "w")
+    write_warc_resources(store, warc_dir, n_shards=1).collect()
+    # materialize the index the way a consumer holds it (build_cdxj is
+    # lazy — an unmaterialized frame would rescan the tampered file)
+    lazy = build_cdxj(spark, os.path.join(warc_dir, "*.warc.gz"))
+    idx = spark.createDataFrame(lazy.collect(), lazy.schema)
+
+    # corrupt ONE record's gzip member mid-file (flip bytes inside the
+    # first capture's span) AFTER the index was built
+    f = glob.glob(os.path.join(warc_dir, "*.warc.gz"))[0]
+    cap = min(idx.collect(), key=lambda r: r["offset"])
+    data = bytearray(open(f, "rb").read())
+    mid = cap["offset"] + cap["length"] // 2
+    data[mid] ^= 0xFF
+    data[mid + 1] ^= 0xFF
+    open(f, "wb").write(bytes(data))
+
+    got = {
+        r["doc_id"]: r
+        for r in resolve_media_segments(spark, seg, idx, warc_dir).collect()
+    }
+    assert len(got) == 3
+    bad = [r for r in got.values() if r["error"] is not None]
+    ok = [r for r in got.values() if r["error"] is None]
+    # exactly the tampered record fails; the others still byte-match
+    assert len(bad) == 1
+    assert bad[0]["error"] == "indexed payload not fetched"
+    assert bad[0]["content"] is None
+    for r in ok:
+        assert bytes(r["content"]) == f"payload-{r['doc_id'][1]}".encode()
