@@ -450,6 +450,8 @@ def main() -> None:
             extra["media_warc"]["stored_once"] = n_store - n_rev
             extra["media_warc"]["dangling_revisits"] = n_dangling
 
+    _g = (inc_gen,) if inc_gen else ()
+
     if args.export_interleaved:
         from machine_readability_checker_spark.operators.interleave import (
             interleaved_segments,
@@ -517,7 +519,6 @@ def main() -> None:
             )
             seg = seg.select("doc_id", "segments")
         seg = seg.persist()
-        _g = (inc_gen,) if inc_gen else ()
         il_dir = os.path.join(args.out, "interleaved", *_g)
         write_interleaved_shards(
             seg, il_dir, n_shards=args.export_interleaved
@@ -632,13 +633,13 @@ def main() -> None:
         )
         n_pairs = pairs.count()
         write_pair_webdataset(
-            pairs, os.path.join(args.out, "pairs"),
+            pairs, os.path.join(args.out, "pairs", *_g),
             n_shards=args.export_pairs,
         ).write.mode("overwrite").parquet(
-            os.path.join(args.out, "pairs_manifest")
+            os.path.join(args.out, "pairs_manifest", *_g)
         )
         pm = spark.read.parquet(
-            os.path.join(args.out, "pairs_manifest")
+            os.path.join(args.out, "pairs_manifest", *_g)
         ).agg(F.sum("n_pairs").alias("n")).collect()[0]
         extra["pairs"] = {
             "mined": n_pairs,
@@ -657,13 +658,13 @@ def main() -> None:
         write_interleaved_webdataset(
             seg,
             store.select("doc_id", "media_ref", "content"),
-            os.path.join(args.out, "webdataset"),
+            os.path.join(args.out, "webdataset", *_g),
             n_shards=args.export_webdataset,
         ).write.mode("overwrite").parquet(
-            os.path.join(args.out, "webdataset_manifest")
+            os.path.join(args.out, "webdataset_manifest", *_g)
         )
         wm = spark.read.parquet(
-            os.path.join(args.out, "webdataset_manifest")
+            os.path.join(args.out, "webdataset_manifest", *_g)
         ).agg(
             F.sum("n_docs").alias("d"), F.sum("n_media").alias("m")
         ).collect()[0]
