@@ -843,3 +843,83 @@ def test_resolve_media_tampered_sidecar_quarantines(spark, tmp_path):
     assert bad[0]["content"] is None
     for r in ok:
         assert bytes(r["content"]) == f"payload-{r['doc_id'][1]}".encode()
+
+
+def test_drop_and_remerge_matches_reference_on_random_inputs(spark):
+    """Property: for random segment arrays and random drop sets, the
+    rewrite equals dropping the refs in Python and re-folding — and
+    the no-two-consecutive-text invariant always holds."""
+    from hypothesis import given, settings, strategies as st
+
+    from machine_readability_checker_spark.operators.interleave import (
+        TEXT_KINDS,
+        _drop_and_remerge,
+    )
+
+    span = st.one_of(
+        st.builds(
+            lambda t: ("main", t, ""),
+            st.text(alphabet="abc xyz", min_size=1, max_size=4).filter(
+                lambda s: s.strip()
+            ),
+        ),
+        st.builds(
+            lambda i: ("media", "", f"m{i}.png"), st.integers(0, 5)
+        ),
+    )
+    cases = []
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(span, max_size=10),
+        st.sets(st.integers(0, 5), max_size=4),
+    )
+    def collect(spans, drop_ids):
+        cases.append((spans, {f"m{i}.png" for i in drop_ids}))
+
+    collect()
+    rows = [
+        (str(i), _mk(c[0])) for i, (c) in enumerate(cases)
+    ]
+    seg = interleaved_segments(
+        spark.createDataFrame(rows, SPANS_T)
+    ).select("doc_id", "segments")
+    drop_pairs = spark.createDataFrame(
+        [
+            (str(i), ref)
+            for i, (spans, drops) in enumerate(cases)
+            for ref in sorted(drops)
+        ]
+        or [("none", "never.png")],
+        "doc_id string, media_ref string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in _drop_and_remerge(seg, drop_pairs).collect()
+    }
+    for i, (spans, drops) in enumerate(cases):
+        kept = [
+            s for s in spans
+            if not (s[0] == "media" and s[2] in drops)
+        ]
+        want = _ref_fold(
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": j}
+                for j, (k, t, m) in enumerate(kept)
+            ],
+            TEXT_KINDS,
+        )
+        r = got[str(i)]
+        have = [
+            (s["type"], s["text"], s["media_ref"])
+            for s in r["segments"]
+        ]
+        assert have == want, (i, spans, drops)
+        n_dropped = sum(
+            1 for s in spans if s[0] == "media" and s[2] in drops
+        )
+        assert r["n_media_dropped"] == n_dropped
+        types = [t for t, _, _ in have]
+        assert all(
+            not (a == b == "text") for a, b in zip(types, types[1:])
+        )
