@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -1136,3 +1137,130 @@ def semantic_dedup_keep(
     verdict = semantic_dedup(df, centroids, tau, vec_col, id_col)
     losers = verdict.filter(~F.col("kept")).select(F.col(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ OPQ
+
+
+def sample_vectors(
+    df: DataFrame,
+    n: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic training sample: the ``n`` lowest-id vectors as a
+    numpy matrix.  Quantizer training on a BOUNDED sample is the
+    published practice (FAISS trains on ≤ ~256k points regardless of
+    corpus size); the driver round-trip is sample-sized, never the
+    corpus."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(n)
+        .collect()
+    )
+    return np.array([list(r[1]) for r in rows], dtype=float)
+
+
+def _local_pq(
+    X: np.ndarray, m: int, k: int, iters: int
+) -> List[np.ndarray]:
+    """Plain per-subspace Lloyd on a sample matrix (deterministic init:
+    first k rows' slices; empty clusters keep their centroid).  Only
+    used inside OPQ's rotation loop — the corpus-scale codebooks come
+    from the distributed ``pq_train``."""
+    d_sub = X.shape[1] // m
+    books = []
+    for i in range(m):
+        S = X[:, i * d_sub : (i + 1) * d_sub]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    C[j] = S[mask].mean(0)
+        books.append(C)
+    return books
+
+
+def _pq_reconstruct(
+    X: np.ndarray, books: List[np.ndarray]
+) -> np.ndarray:
+    m = len(books)
+    d_sub = X.shape[1] // m
+    out = np.empty_like(X)
+    for i in range(m):
+        S = X[:, i * d_sub : (i + 1) * d_sub]
+        d = ((S[:, None, :] - books[i][None, :, :]) ** 2).sum(-1)
+        out[:, i * d_sub : (i + 1) * d_sub] = books[i][d.argmin(1)]
+    return out
+
+
+def opq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    opq_iters: int = 8,
+    lloyd_iters: int = 4,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Learn an OPQ rotation (Ge et al., CVPR 2013, non-parametric):
+    an orthogonal d×d matrix R minimizing the PQ quantization error of
+    the ROTATED data, by alternating (1) per-subspace Lloyd on X·R and
+    (2) the orthogonal-Procrustes solve R = U·Vᵀ from SVD(Xᵀ·X̂).
+    Axis-aligned subspace quantizers waste their budget when variance
+    is concentrated in correlated dimensions; the rotation rebalances
+    it, which is the remaining public-knowledge headroom past the
+    exact-refine stage.
+
+    Trains on the deterministic bounded sample (see
+    :func:`sample_vectors`); apply with :func:`rotate_vectors`, then
+    the WHOLE existing PQ family (pq_train / pq_encode / pq_topk /
+    refine / IVF-PQ) composes unchanged in the rotated space (queries
+    rotate once, driver-side).  Returns R as list-of-lists (row-vector
+    convention: x_rot = x · R)."""
+    X = sample_vectors(df, n=sample, vec_col=vec_col, id_col=id_col)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = _local_pq(Xr, m, k, lloyd_iters)
+        X_hat = _pq_reconstruct(Xr, books)
+        # min_R ||X R - X_hat||_F  s.t.  RᵀR = I  →  R = U Vᵀ,
+        # U S Vᵀ = SVD(Xᵀ X_hat)
+        U, _, Vt = np.linalg.svd(X.T @ X_hat)
+        R = U @ Vt
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: List[List[float]],
+    vec_col: str = "embedding",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """x → x·R over the corpus: Arrow-batched numpy matmul (narrow map,
+    zero shuffle, one pass — the rotation rides the same scan as the
+    subsequent ``pq_encode``).  The matrix ships in the task closure
+    (d² doubles — KBs)."""
+    out = out_col or vec_col
+    Rm = np.array(R, dtype=float)
+
+    @F.pandas_udf("array<double>")
+    def _rot(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=float) @ Rm
+        return pd.Series(list(M))
+
+    return df.withColumn(out, _rot(F.col(vec_col).cast("array<double>")))
+
+
+def rotate_query(query_vec: List[float], R: List[List[float]]) -> List[float]:
+    return [
+        float(x) for x in np.asarray(query_vec, dtype=float) @ np.array(R)
+    ]

@@ -2545,3 +2545,79 @@ def test_pack_sequences_count_col_matches_text_path(spark):
     key = lambda r: (r["seq_id"], r["doc_id"])  # noqa: E731
     assert sorted(map(tuple, via_text), key=lambda t: (t[0], t[1])) == \
         sorted(map(tuple, via_count), key=lambda t: (t[0], t[1]))
+
+
+def test_opq_rotation_lifts_pq_recall_on_anisotropic_data(spark):
+    """OPQ (Ge et al. 2013): on data whose variance concentrates in
+    correlated dimensions, rotating before PQ must (a) produce an
+    orthogonal matrix, (b) cut the sample quantization error vs
+    identity, and (c) lift ADC recall@10 — the whole PQ family
+    composes unchanged in the rotated space."""
+    rng = np.random.RandomState(5)
+    # anisotropic corpus: clustered in a latent space, then mixed
+    # through a harsh low-rank spectrum between two UNRELATED dense
+    # rotations — the signal lives in 4 arbitrarily-oriented
+    # directions, so axis-aligned subspaces each see signal+noise
+    # soup (the regime OPQ exists for)
+    centers = rng.randn(8, 16) * 4
+    Z = np.vstack([
+        centers[i % 8] + rng.randn(16) * 0.5 for i in range(400)
+    ])
+    Q1, _ = np.linalg.qr(rng.randn(16, 16))
+    Q2, _ = np.linalg.qr(rng.randn(16, 16))
+    A = Q1 @ np.diag(np.array([8, 6, 5, 4] + [0.1] * 12, float)) @ Q2
+    Xm = Z @ A
+    rows = [(i, [float(x) for x in Xm[i]]) for i in range(400)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qids = [0, 7, 42, 113, 250]
+
+    def l2_truth(qid):
+        d = np.sum((Xm - Xm[qid]) ** 2, axis=1)
+        return set(np.argsort(d, kind="stable")[:10].tolist())
+
+    def run_pq(df, qvec_by_q, cbs_df):
+        cbs = similarity.pq_train(cbs_df, m=4, k=16, iters=6)
+        enc = similarity.pq_encode(df, cbs)
+        return {
+            q: {
+                r["vec_id"]
+                for r in similarity.pq_topk(
+                    enc, qvec_by_q[q], cbs, k=10
+                ).collect()
+            }
+            for q in qids
+        }
+
+    def recall(ids_by_q):
+        return sum(
+            len(ids_by_q[q] & l2_truth(q)) for q in qids
+        ) / (10 * len(qids))
+
+    plain = recall(run_pq(corpus, {q: rows[q][1] for q in qids}, corpus))
+
+    R = similarity.opq_train(corpus, m=4, k=16, opq_iters=10)
+    Rm = np.array(R)
+    # (a) orthogonal
+    assert np.allclose(Rm.T @ Rm, np.eye(16), atol=1e-8)
+    # rotation is an isometry → L2 neighbors are unchanged, so the
+    # rotated pipeline is scored against the SAME ground truth
+    rot = similarity.rotate_vectors(corpus, R)
+    opq = recall(
+        run_pq(
+            rot,
+            {q: similarity.rotate_query(rows[q][1], R) for q in qids},
+            rot,
+        )
+    )
+    # (b) sample quantization error drops vs identity
+    X = similarity.sample_vectors(corpus, n=400)
+    def qerr(Rm_):
+        Xr = X @ Rm_
+        books = similarity._local_pq(Xr, 4, 16, 4)
+        return float(((Xr - similarity._pq_reconstruct(Xr, books)) ** 2).sum())
+    assert qerr(Rm) < qerr(np.eye(16))
+    # (c) recall floors: measured plain 0.60 / opq 0.68 on this
+    # fixture (deterministic data + trainers, so these are hard gates)
+    assert opq > plain
+    assert opq >= 0.62
+    print("OPQ recall:", {"pq": plain, "opq": opq})
