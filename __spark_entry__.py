@@ -7022,6 +7022,70 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _site_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → per-site multi-line twins (site = ``source``): prose
+    re-wrapped at 8 tokens per line plus three seeded template lines —
+    a nav line identical on EVERY page of the site (frac 1), a banner
+    shared by the doc_id % 2 cohort (frac ≈ 0.5), and a promo shared by
+    the doc_id % 7 cohort (frac ≈ 0.14) — so a 0.3 fraction threshold
+    kills nav+banner but keeps promo, all constructively known to the
+    oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = TS.tokens(F.col("text"))
+    n = F.size(toks)
+    nl = F.ceil(n / F.lit(8.0)).cast("int")
+    content_lines = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(toks, i * F.lit(8) + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.concat(
+        content_lines,
+        F.array(F.concat(F.lit("nav menu for "), F.col("source"))),
+        F.array(
+            F.concat(F.lit("banner "), (F.col("doc_id") % 2).cast("string"))
+        ),
+        F.array(
+            F.concat(F.lit("promo "), (F.col("doc_id") % 7).cast("string"))
+        ),
+    )
+    return docs.select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def q_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-scoped template-boilerplate removal (jusText/Onion-style):
+    a line on ≥30% of one site's pages (and ≥2 pages absolutely) is
+    that site's boilerplate and dies there ONLY — unlike corpus-global
+    line dedup, identical text on another site survives.  One tiny
+    per-site page aggregate (broadcast), one (site, line) hash
+    aggregate, one LEFT ANTI join against the template-sized
+    boilerplate set, order-preserving reassembly — no Python."""
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_site_boilerplate,
+    )
+
+    out = strip_site_boilerplate(
+        _site_docs(spark, sf_dir),
+        site_col="source",
+        min_frac=0.3,
+        min_pages=2,
+    )
+    return (
+        out.select(
+            "doc_id",
+            "site",
+            "n_lines",
+            "n_kept",
+            F.length("text").cast("long").alias("out_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization cross-engine: documents gain a messy
     suffix of decomposed combining sequences (e+́, o+̈, a+̊), the Arrow
@@ -7287,6 +7351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "readability": q_readability,
         "line_dedup": q_line_dedup,
+        "site_boilerplate": q_site_boilerplate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bloom_new_docs": q_bloom_new_docs,
     }
@@ -7487,6 +7552,7 @@ def oracle_sql() -> dict[str, str]:
     out["text_normalize"] = _TEXT_NORMALIZE_SQL
     out["readability"] = _READABILITY_SQL
     out["line_dedup"] = _LINE_DEDUP_SQL
+    out["site_boilerplate"] = _SITE_BOILERPLATE_SQL
     out["tfidf_top_terms"] = _TFIDF_SQL
     out["bloom_new_docs"] = _BLOOM_NEW_DOCS_SQL
     out["semantic_dedup"] = _SEMANTIC_DEDUP_SQL
@@ -7748,6 +7814,73 @@ FROM documents d
 JOIN cpd USING (doc_id)
 LEFT JOIN agg USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+_SITE_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+),
+cpd AS (
+  SELECT doc_id, source,
+         CAST(ceil(len(t) / 8.0) AS BIGINT) AS ncl
+  FROM toks
+),
+content AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ') AS line
+  FROM (
+    SELECT doc_id, source, t,
+           unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+    FROM toks WHERE len(t) > 0
+  )
+),
+alllines AS (
+  SELECT doc_id, source, pos, line FROM content
+  UNION ALL
+  SELECT doc_id, source, ncl, 'nav menu for ' || source FROM cpd
+  UNION ALL
+  SELECT doc_id, source, ncl + 1,
+         'banner ' || CAST(doc_id % 2 AS VARCHAR) FROM cpd
+  UNION ALL
+  SELECT doc_id, source, ncl + 2,
+         'promo ' || CAST(doc_id % 7 AS VARCHAR) FROM cpd
+),
+sp AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS site_pages
+  FROM documents GROUP BY source
+),
+bl AS (
+  SELECT source, line FROM (
+    SELECT a.source, a.line,
+           COUNT(DISTINCT a.doc_id) AS n_pages,
+           any_value(sp.site_pages) AS site_pages
+    FROM alllines a JOIN sp USING (source)
+    GROUP BY a.source, a.line
+  )
+  WHERE n_pages >= 2
+    AND CAST(n_pages AS DOUBLE) / site_pages >= 0.3
+),
+kept AS (
+  SELECT a.doc_id, a.pos, a.line
+  FROM alllines a
+  LEFT JOIN bl ON a.source = bl.source AND a.line = bl.line
+  WHERE bl.line IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         length(string_agg(line, chr(10) ORDER BY pos)) AS out_len
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.source AS site,
+       CAST(cpd.ncl + 3 AS BIGINT) AS n_lines,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(agg.out_len, 0) AS BIGINT) AS out_len
+FROM documents d
+JOIN cpd USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
 """
 
 

@@ -83,6 +83,16 @@ def main() -> None:
         "AUDIT every indexed capture (URI + sha256); the stats line "
         "reconciles wet/cdx counts against docs_extracted",
     )
+    ap.add_argument(
+        "--site-boilerplate", type=float, default=None, metavar="MIN_FRAC",
+        help="strip intra-site template boilerplate from the rendered "
+        "main text: any line appearing on >= MIN_FRAC of one domain's "
+        "pages (and on >= 2 pages) is removed from that domain only "
+        "(jusText/Onion-style; a line legitimate elsewhere survives "
+        "there).  Writes the stripped corpus to --out/texts and the "
+        "per-site boilerplate table to --out/site_boilerplate; "
+        "--export-wet ships the stripped text",
+    )
     ap.add_argument("--splits", type=int, default=16)
     ap.add_argument("--wave", type=int, default=0)
     ap.add_argument(
@@ -174,6 +184,47 @@ def main() -> None:
     out["pages"].write.mode("overwrite").parquet(
         os.path.join(args.out, "pages")
     )
+    sb_stats = {}
+    if args.site_boilerplate is not None:
+        from machine_readability_checker_spark.operators.linededup import (
+            site_boilerplate_lines,
+            strip_site_boilerplate,
+        )
+        from machine_readability_checker_spark.operators.render import (
+            render_training_text,
+        )
+
+        # line-structured rendering: one content block per line, so a
+        # template block repeated across a site's pages is a comparable
+        # line unit (plain style would fuse it into each page's prose)
+        rendered = render_training_text(
+            spark.read.parquet(spans_path), style="lines"
+        ).select("doc_id", "text")
+        domains = spark.read.parquet(os.path.join(args.out, "pages")).select(
+            "doc_id", "domain"
+        )
+        sited = rendered.join(domains, "doc_id")
+        site_boilerplate_lines(
+            sited, site_col="domain", min_frac=args.site_boilerplate
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "site_boilerplate")
+        )
+        strip_site_boilerplate(
+            sited, site_col="domain", min_frac=args.site_boilerplate
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "texts"))
+        texts_tbl = spark.read.parquet(os.path.join(args.out, "texts"))
+        sb_stats = {
+            "site_boilerplate_lines": spark.read.parquet(
+                os.path.join(args.out, "site_boilerplate")
+            ).count(),
+            "site_lines_stripped": int(
+                texts_tbl.agg(
+                    F.sum(F.col("n_lines") - F.col("n_kept"))
+                ).first()[0]
+                or 0
+            ),
+        }
+
     wet_stats = {}
     if args.export_wet:
         from machine_readability_checker_spark.operators.render import (
@@ -189,9 +240,15 @@ def main() -> None:
             write_wet,
         )
 
-        texts = render_training_text(
-            spark.read.parquet(spans_path), style="plain"
-        ).select("doc_id", "text")
+        if args.site_boilerplate is not None:
+            # ship the template-stripped text the stage above built
+            texts = spark.read.parquet(
+                os.path.join(args.out, "texts")
+            ).select("doc_id", "text")
+        else:
+            texts = render_training_text(
+                spark.read.parquet(spans_path), style="plain"
+            ).select("doc_id", "text")
         urls = spark.read.parquet(os.path.join(args.out, "pages")).select(
             "doc_id", "url"
         )
@@ -268,6 +325,7 @@ def main() -> None:
             if out.get("noindex") is not None else {}
         ),
         **sd_stats,
+        **sb_stats,
         **wet_stats,
         **(
             {

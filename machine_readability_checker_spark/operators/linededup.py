@@ -116,3 +116,112 @@ def strip_dup_lines(
             .alias("n_kept"),
         )
     )
+
+
+def site_line_table(
+    df: DataFrame,
+    site_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents → (site, id, pos, line) — the site-scoped twin of
+    ``line_table`` (one narrow generator, order preserved)."""
+    return df.select(
+        F.col(site_col).alias("site"),
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def site_boilerplate_lines(
+    df: DataFrame,
+    site_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac: float = 0.5,
+    min_pages: int = 2,
+    min_line_len: int = 1,
+) -> DataFrame:
+    """Intra-site boilerplate discovery: a line is site boilerplate when
+    it appears on at least ``min_frac`` of the site's pages (and on at
+    least ``min_pages`` pages absolutely, so two-page sites need the
+    line everywhere).  This is the nav/footer/cookie-banner signal a
+    site template stamps onto every page — DISTINCT from corpus-global
+    line dedup (``dup_lines``): a phrase legitimate on one site dies
+    only there, and a one-off quote repeated across unrelated sites
+    survives everywhere (jusText/Onion-style site-template semantics).
+
+    Returns (site, line, n_pages, site_pages, frac).
+
+    Scale shape: per-site page counts are one tiny aggregate (sites ≪
+    pages → broadcastable); the (site, line) page counts are ONE hash
+    aggregate with map-side partials (a banner on a million pages of
+    one site arrives as one partial per map partition); the fraction
+    join keys the line aggregate against the site aggregate — the
+    corpus itself is touched exactly once."""
+    lt = site_line_table(df, site_col, text_col, id_col)
+    site_pages = df.groupBy(F.col(site_col).alias("site")).agg(
+        F.countDistinct(id_col).alias("site_pages")
+    )
+    per_line = (
+        lt.filter(F.length("line") >= min_line_len)
+        .groupBy("site", "line")
+        .agg(F.countDistinct(id_col).alias("n_pages"))
+    )
+    return (
+        per_line.join(F.broadcast(site_pages), "site")
+        .withColumn(
+            "frac", F.col("n_pages") / F.col("site_pages")
+        )
+        .filter(
+            (F.col("n_pages") >= min_pages)
+            & (F.col("frac") >= F.lit(min_frac))
+        )
+    )
+
+
+def strip_site_boilerplate(
+    df: DataFrame,
+    site_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac: float = 0.5,
+    min_pages: int = 2,
+    min_line_len: int = 1,
+) -> DataFrame:
+    """Remove every copy of each site-boilerplate line (see
+    ``site_boilerplate_lines``) from that site's pages only.
+
+    Returns one row per input document: (id, site, text, n_lines,
+    n_kept) with ``text`` rebuilt from surviving lines in original
+    order.  The anti join's right side holds only boilerplate lines
+    (template-sized, AQE-broadcast in practice) and is keyed on
+    (site, line) so identical text on another site is untouched."""
+    lt = site_line_table(df, site_col, text_col, id_col)
+    bp = site_boilerplate_lines(
+        df, site_col, text_col, id_col, min_frac, min_pages, min_line_len
+    ).select("site", "line")
+    kept = lt.join(bp, ["site", "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.first("site").alias("site"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.col(site_col).alias("_site_in"),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("_site_in").alias("site"),
+        F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

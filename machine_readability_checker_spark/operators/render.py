@@ -58,6 +58,20 @@ def main_text(
     return F.array_join(F.transform(kept, lambda s: s["text"]), " ")
 
 
+def lines_text(
+    spans_col: str = "spans", kinds: Sequence[str] = CONTENT_KINDS
+) -> Column:
+    """Ordered kept-span texts, one block per LINE (newline-joined) —
+    the WET-like shape line-granular operators (site/corpus line dedup)
+    need: a template block repeated across pages stays a comparable
+    unit instead of fusing into its page's prose."""
+    kept = F.filter(
+        F.col(spans_col),
+        lambda s: s["kind"].isin(*kinds) & s["text"].isNotNull(),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+
+
 def _md_block(s: Column) -> Column:
     return (
         F.when(s["kind"] == "title", F.concat(F.lit("# "), s["text"]))
@@ -131,6 +145,8 @@ def render_training_text(
     show no Exchange and no Python (pinned in test_plan_quality)."""
     if style == "plain":
         col = main_text(spans_col, kinds or CONTENT_KINDS)
+    elif style == "lines":
+        col = lines_text(spans_col, kinds or CONTENT_KINDS)
     elif style == "markdown":
         col = markdown_text(spans_col, kinds or MARKDOWN_KINDS)
     else:

@@ -1227,7 +1227,14 @@ def gen_crawl_warc_files(
             f'<p>Related: <a href="{_url(j1)}">read {j1 % 11}</a> and '
             f'<a href="{j2_href}">see {j2 % 11}</a>.</p>'
             f'<p><a rel="nofollow" href="http://ads.example.net/c">ad'
-            f"</a></p>{sd_body}</body></html>"
+            f"</a></p>{sd_body}"
+            # the site-template footer: IDENTICAL on every page of a
+            # domain (and wordy enough that density classification
+            # keeps it as content) — the intra-site boilerplate signal
+            # jobs/crawl.py --site-boilerplate exists to strip
+            f"<p>Site site{i % n_domains} footer: subscribe to the "
+            f"site{i % n_domains} newsletter for updates and news from "
+            f"our network every week.</p></body></html>"
         ).encode("utf-8")
         # wire-shape matrix: real crawls archive responses AS SENT, so
         # a fifth each arrive gzip'd, zlib-deflated, chunked, and

@@ -175,3 +175,39 @@ def test_honor_noindex_drops_corpus_but_keeps_links(spark):
     dsts = {e.dst for e in out["graph"].collect()}
     # the noindex page's outlink is still an edge
     assert "http://s.example/secret-dst" in dsts
+
+
+def test_site_boilerplate_flags_template_footer(crawl_out):
+    """Every domain's per-page template footer (identical on all of its
+    kept pages) is discovered as that site's boilerplate; the unique
+    per-page prose is never accused."""
+    from machine_readability_checker_spark.operators.linededup import (
+        site_boilerplate_lines,
+    )
+    from machine_readability_checker_spark.operators.render import (
+        render_training_text,
+    )
+
+    _, out = crawl_out
+    texts = render_training_text(out["spans"], style="lines").select(
+        "doc_id", "text"
+    )
+    sited = texts.join(
+        out["pages"].select("doc_id", "domain"), "doc_id"
+    )
+    bl = site_boilerplate_lines(sited, site_col="domain", min_frac=0.5)
+    rows = bl.collect()
+    footer_sites = {r.site for r in rows if " footer: subscribe" in r.line}
+    multi_page_sites = {
+        r.domain
+        for r in sited.groupBy("domain")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    assert footer_sites == multi_page_sites
+    # the footer is on EVERY page of its site
+    for r in rows:
+        if " footer: subscribe" in r.line:
+            assert r.n_pages == r.site_pages
+    assert not any(r.line.startswith("Deterministic prose") for r in rows)

@@ -239,3 +239,99 @@ def test_readability_hand_computed(spark):
     assert one.n_syllables == 1
     empty = rows[1].r
     assert empty.n_words == 0 and empty.reading_ease is None
+
+
+# ------------------------------------------------ site-scoped boilerplate
+
+
+def _site_docs(spark):
+    # site a: 4 pages, nav on all 4 (frac 1.0), "promo x" on 2 (0.5),
+    # "rare y" on 1 (0.25); site b: 2 pages, the SAME "promo x" line on
+    # both (frac 1.0), plus unique prose
+    rows = [
+        (0, "a", "nav bar\nalpha prose\npromo x"),
+        (1, "a", "nav bar\nbeta prose"),
+        (2, "a", "nav bar\npromo x\nrare y"),
+        (3, "a", "nav bar\ngamma prose"),
+        (10, "b", "promo x\ndelta prose"),
+        (11, "b", "promo x\nepsilon prose"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, site string, text string")
+
+
+def test_site_boilerplate_lines_fraction(spark):
+    from machine_readability_checker_spark.operators.linededup import (
+        site_boilerplate_lines,
+    )
+
+    got = {
+        (r.site, r.line): (r.n_pages, r.site_pages)
+        for r in site_boilerplate_lines(
+            _site_docs(spark), site_col="site", min_frac=0.5
+        ).collect()
+    }
+    # nav dies on a (4/4); promo dies on BOTH sites independently
+    # (2/4 = 0.5 on a, 2/2 on b); rare survives (1/4, and below
+    # min_pages anyway)
+    assert got == {
+        ("a", "nav bar"): (4, 4),
+        ("a", "promo x"): (2, 4),
+        ("b", "promo x"): (2, 2),
+    }
+
+
+def test_strip_site_boilerplate_is_site_scoped(spark):
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_site_boilerplate,
+    )
+
+    out = {
+        r.doc_id: (r.site, r.text, r.n_lines, r.n_kept)
+        for r in strip_site_boilerplate(
+            _site_docs(spark), site_col="site", min_frac=0.6
+        ).collect()
+    }
+    # at 0.6 the a-site promo (0.5) SURVIVES on a but dies on b (1.0):
+    # the same line gets a per-site verdict
+    assert out[0] == ("a", "alpha prose\npromo x", 3, 2)
+    assert out[1] == ("a", "beta prose", 2, 1)
+    assert out[2] == ("a", "promo x\nrare y", 3, 2)
+    assert out[3] == ("a", "gamma prose", 2, 1)
+    assert out[10] == ("b", "delta prose", 2, 1)
+    assert out[11] == ("b", "epsilon prose", 2, 1)
+
+
+def test_strip_site_boilerplate_min_pages_floor(spark):
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_site_boilerplate,
+    )
+
+    # a single-page site can never accuse its own lines (min_pages=2
+    # default), even though every line trivially has frac 1.0
+    docs = spark.createDataFrame(
+        [(0, "solo", "only page\nnav bar")],
+        "doc_id long, site string, text string",
+    )
+    out = strip_site_boilerplate(docs, site_col="site").collect()[0]
+    assert (out.text, out.n_lines, out.n_kept) == ("only page\nnav bar", 2, 2)
+
+
+def test_strip_site_boilerplate_partition_invariant(spark):
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_site_boilerplate,
+    )
+
+    docs = _site_docs(spark)
+    a = sorted(
+        (r.doc_id, r.text)
+        for r in strip_site_boilerplate(
+            docs.repartition(1), site_col="site"
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in strip_site_boilerplate(
+            docs.repartition(7), site_col="site"
+        ).collect()
+    )
+    assert a == b

@@ -301,6 +301,24 @@ def test_line_dedup_plan_shape(spark):
     assert "LeftAnti" in plan
 
 
+def test_site_boilerplate_plan_shape(spark):
+    """Site-scoped boilerplate strip: all-JVM; the per-site page-count
+    aggregate rides a BROADCAST join onto the (site, line) aggregate
+    (sites ≪ pages), the corpus-side line table hits the boilerplate
+    set through a LEFT ANTI hashed join, and no cartesian appears."""
+    from machine_readability_checker_spark.operators.linededup import (
+        strip_site_boilerplate,
+    )
+
+    plan = _plan(
+        strip_site_boilerplate(E._site_docs(spark, SF), site_col="source")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pagerank_iteration_plan(spark):
     """One PageRank iteration must carry the dangling mass as a 1-row
     BROADCAST (never a driver action or a wide cross join) and keep the
