@@ -535,6 +535,40 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_pair_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style pair gating over real embedding vectors: candidate
+    pairs put vec_id's embedding on the text tower and the
+    (7·vec_id+13) mod n embedding on the media tower, attach both
+    through the production join path (one broadcast, one shuffle-hash),
+    score with the shared JVM cosine kernel, and gate at 0.2.  The
+    oracle recomputes both joins and the cosine with DuckDB's own
+    list kernel — a true cross-engine check of the scoring machinery
+    (the model towers themselves are pluggable; see
+    operators/pairscore.py)."""
+    from machine_readability_checker_spark.operators import pairscore as PS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    pairs = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("vec_id").alias("text_id"),
+        ((F.col("vec_id") * 7 + 13) % n).alias("media_id"),
+    )
+    pairs = PS.attach_vectors(
+        pairs, emb, "text_id", "vec_id", out_col="text_vec"
+    )
+    pairs = PS.attach_vectors(
+        pairs, emb, "media_id", "vec_id", out_col="media_vec",
+        broadcast=False,
+    )
+    kept = PS.filter_pairs(PS.score_pairs(pairs), 0.2)
+    return kept.select(
+        "pair_id",
+        "media_id",
+        F.round("pair_score", 6).alias("pair_score"),
+    ).orderBy("pair_id")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -7242,6 +7276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "cosine_topk": q_cosine_topk,
+        "pair_score_filter": q_pair_score_filter,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
@@ -9869,6 +9904,26 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
               CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
             LIMIT 10
+        """,
+        "pair_score_filter": """
+            WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+            p AS (
+              SELECT vec_id AS pair_id, vec_id AS text_id,
+                     (vec_id * 7 + 13) % n.c AS media_id
+              FROM embeddings, n
+            ),
+            s AS (
+              SELECT p.pair_id, p.media_id,
+                     list_cosine_similarity(
+                       CAST(t.embedding AS DOUBLE[]),
+                       CAST(m.embedding AS DOUBLE[])) AS sc
+              FROM p
+              JOIN embeddings t ON t.vec_id = p.text_id
+              JOIN embeddings m ON m.vec_id = p.media_id
+            )
+            SELECT pair_id, media_id, round(sc, 6) AS pair_score
+            FROM s WHERE sc >= 0.2
+            ORDER BY pair_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH t AS (

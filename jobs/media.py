@@ -226,6 +226,16 @@ def main() -> None:
         "export; stats reconcile mined pairs vs tar samples",
     )
     ap.add_argument(
+        "--min-pair-score", type=float, default=None, metavar="SCORE",
+        help="with --export-pairs: gate mined pairs on the cosine of "
+        "their text/media tower embeddings (the CLIP-score filter, "
+        "operators/pairscore.py) before export.  No CLIP weights ship "
+        "in this container, so the towers are the documented "
+        "deterministic stand-ins (hashing-trick text vectors + digest "
+        "stub media vectors) — swap in real model output tables for "
+        "production; stats gain pairs_scored/pairs_below_score",
+    )
+    ap.add_argument(
         "--export-webdataset", type=int, default=0, metavar="N_SHARDS",
         help="export the corpus as N WebDataset tar shards — per doc a "
         "{key}.json segment-sequence member plus {key}.{j}.{ext} "
@@ -632,6 +642,27 @@ def main() -> None:
             .filter(F.col("caption") != "")
         )
         n_pairs = pairs.count()
+        pair_stats = {}
+        if args.min_pair_score is not None:
+            from machine_readability_checker_spark.operators import (
+                pairscore as PS,
+            )
+
+            scored = PS.score_pairs(
+                PS.stub_media_vectors(
+                    PS.hashed_text_vectors(pairs, text_col="caption"),
+                    bytes_col="content",
+                )
+            )
+            pairs = PS.filter_pairs(
+                scored, args.min_pair_score
+            ).drop("text_vec", "media_vec", "pair_score")
+            n_kept = pairs.count()
+            pair_stats = {
+                "pairs_scored": n_pairs,
+                "pairs_below_score": n_pairs - n_kept,
+            }
+            n_pairs = n_kept
         write_pair_webdataset(
             pairs, os.path.join(args.out, "pairs", *_g),
             n_shards=args.export_pairs,
@@ -645,6 +676,7 @@ def main() -> None:
             "mined": n_pairs,
             "tar_samples": int(pm["n"] or 0),
             "matches": n_pairs == (pm["n"] or 0),
+            **pair_stats,
         }
 
     if args.export_webdataset:

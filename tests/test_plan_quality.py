@@ -301,6 +301,18 @@ def test_line_dedup_plan_shape(spark):
     assert "LeftAnti" in plan
 
 
+def test_pair_score_plan_shape(spark):
+    """CLIP-score gating over precomputed tower tables: two hash joins
+    (one broadcast), the cosine entirely JVM-side — no Python, no
+    cartesian anywhere (the towers are model OUTPUT tables here; the
+    stand-in embedder kernels are the only sanctioned Arrow steps and
+    they sit outside this path)."""
+    plan = _plan(E.q_pair_score_filter(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_site_boilerplate_plan_shape(spark):
     """Site-scoped boilerplate strip: all-JVM; the per-site page-count
     aggregate rides a BROADCAST join onto the (site, line) aggregate
