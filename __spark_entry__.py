@@ -580,6 +580,41 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch corpus algebra (Bar-Yossef 2002 / Beyer 2007):
+    corpus A = the documents, corpus B = a half-overlapping twin (even
+    doc_ids verbatim, odd doc_ids textually perturbed) — distinct-count
+    estimates from each 32-hash sketch plus Jaccard/containment from
+    the merged sketch.  Deterministic md5 + 52-bit hash fractions make
+    the estimator arithmetic EXACT, so DuckDB rebuilding the same
+    sketches must reproduce every estimate bit-for-bit."""
+    from machine_readability_checker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    k = 32
+    a = docs.select("text")
+    b = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text")
+    )
+    sa = SK.kmv_sketch(a, "text", k)
+    sb = SK.kmv_sketch(b, "text", k)
+    ea = SK.kmv_distinct_estimate(sa, k).select(
+        F.round("n_distinct_est", 4).alias("a_distinct_est")
+    )
+    eb = SK.kmv_distinct_estimate(sb, k).select(
+        F.round("n_distinct_est", 4).alias("b_distinct_est")
+    )
+    ov = SK.kmv_overlap(sa, sb, k).select(
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+        F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+        "k_used",
+    )
+    return ea.crossJoin(eb).crossJoin(ov)
+
+
 def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline funnel: doc counts after
     exact dedup -> normalized-fingerprint dedup -> min-token filter ->
@@ -7277,6 +7312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "cosine_topk": q_cosine_topk,
         "pair_score_filter": q_pair_score_filter,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
@@ -9904,6 +9940,56 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
               CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
             LIMIT 10
+        """,
+        "corpus_overlap_kmv": """
+            WITH a_vals AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+            ),
+            b_vals AS (
+              SELECT DISTINCT md5(
+                CASE WHEN doc_id % 2 = 0 THEN text
+                     ELSE text || ' v2' END) AS h
+              FROM documents
+            ),
+            a_sk AS (SELECT h FROM a_vals ORDER BY h LIMIT 32),
+            b_sk AS (SELECT h FROM b_vals ORDER BY h LIMIT 32),
+            u_sk AS (
+              SELECT h FROM (
+                SELECT h FROM a_sk UNION SELECT h FROM b_sk
+              ) ORDER BY h LIMIT 32
+            ),
+            tag AS (
+              SELECT u.h,
+                     CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                     CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+              FROM u_sk u
+              LEFT JOIN a_sk a ON u.h = a.h
+              LEFT JOIN b_sk b ON u.h = b.h
+            ),
+            m AS (
+              SELECT COUNT(*) AS kk, SUM(in_a * in_b) AS n_both,
+                     SUM(in_a) AS n_a, SUM(in_b) AS n_b
+              FROM tag
+            ),
+            ea AS (
+              SELECT CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 31.0 / (CAST('0x' || substr(max(h), 1, 13) AS BIGINT)
+                             / 4503599627370496.0) END AS est
+              FROM a_sk
+            ),
+            eb AS (
+              SELECT CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 31.0 / (CAST('0x' || substr(max(h), 1, 13) AS BIGINT)
+                             / 4503599627370496.0) END AS est
+              FROM b_sk
+            )
+            SELECT round(ea.est, 4) AS a_distinct_est,
+                   round(eb.est, 4) AS b_distinct_est,
+                   round(m.n_both / m.kk, 6) AS jaccard_est,
+                   round(m.n_both / m.n_b, 6) AS containment_b_in_a,
+                   round(m.n_both / m.n_a, 6) AS containment_a_in_b,
+                   CAST(m.kk AS BIGINT) AS k_used
+            FROM m, ea, eb
         """,
         "pair_score_filter": """
             WITH n AS (SELECT COUNT(*) AS c FROM embeddings),

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "cdxj_audit",
     "cdx_range_fetch",
     "warc_revisit_dedup",
+    "site_boilerplate",
+    "pair_score_filter",
+    "corpus_overlap_kmv",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -161,6 +161,17 @@ def main() -> None:
         "compress far below prose; ~0.3 is a conservative floor)",
     )
     ap.add_argument(
+        "--overlap-against", metavar="PARQUET",
+        help="KMV-sketch corpus algebra against a PRIOR corpus "
+        "(parquet with a text column, e.g. an earlier run's cleaned/): "
+        "stats gain distinct-count estimates for both corpora plus "
+        "Jaccard and containment (what fraction of THIS cleaned corpus "
+        "is already in the prior one — the 'is this crawl worth "
+        "mixing in' signal).  Cost: one extra scan per corpus; "
+        "everything else is k-row arithmetic",
+    )
+    ap.add_argument("--overlap-k", type=int, default=1024)
+    ap.add_argument(
         "--export-jsonl", type=int, default=0, metavar="N_SHARDS",
         help="additionally export the cleaned corpus as N deterministic "
         "gzipped-JSONL shards under <out>/jsonl (the C4/Dolma/RedPajama "
@@ -372,6 +383,34 @@ def main() -> None:
             os.path.join(args.out, "wet_manifest")
         )
 
+    overlap_stats = {}
+    if args.overlap_against:
+        from machine_readability_checker_spark.operators import (
+            sketches as SK,
+        )
+
+        k = args.overlap_k
+        prior = spark.read.parquet(args.overlap_against).select("text")
+        new = spark.read.parquet(
+            os.path.join(args.out, "cleaned")
+        ).select("text")
+        s_prior = SK.kmv_sketch(prior, "text", k).persist()
+        s_new = SK.kmv_sketch(new, "text", k).persist()
+        ov = SK.kmv_overlap(s_prior, s_new, k).first()
+        e_prior = SK.kmv_distinct_estimate(s_prior, k).first()
+        e_new = SK.kmv_distinct_estimate(s_new, k).first()
+        overlap_stats = {
+            "overlap": {
+                "prior_distinct_est": round(e_prior["n_distinct_est"], 1),
+                "new_distinct_est": round(e_new["n_distinct_est"], 1),
+                "jaccard_est": round(ov["jaccard_est"] or 0.0, 4),
+                "new_in_prior_est": round(
+                    ov["containment_b_in_a"] or 0.0, 4
+                ),
+                "k": k,
+            }
+        }
+
     n_in = survivors.count()
     n_out = spark.read.parquet(os.path.join(args.out, "cleaned")).count()
     wall = time.time() - t0
@@ -384,6 +423,7 @@ def main() -> None:
                 "near_dup_removed": n_in - n_out,
                 "contaminated_removed": n_contaminated,
                 "funnel": funnel_rows,
+                **overlap_stats,
                 "quality_threshold": (
                     round(qthreshold, 6) if qmodel is not None else None
                 ),

@@ -1,0 +1,123 @@
+"""KMV (k-minimum-values) sketches: distinct counts, corpus overlap.
+
+Before mixing a new crawl snapshot into a training corpus, the
+pipeline questions are set-level: how many DISTINCT documents does
+each corpus hold, how much do two corpora overlap (Jaccard), and what
+fraction of the candidate corpus is already contained in what we have
+(containment — the "is this crawl worth deduping in" signal)?  At
+100 TB none of these can be answered with exact distincts against each
+other — but a k-minimum-values sketch (Bar-Yossef et al. 2002;
+Beyer et al. 2007 for the unbiased estimator) answers all three from
+k hashes per corpus:
+
+- sketch  = the k smallest md5 values over the column's distinct set
+  (ONE hash aggregate with map-side partial combine + a
+  TakeOrderedAndProject of k rows — the only driver traffic is k
+  hex strings);
+- distinct estimate = (k-1) / h_(k) with h_(k) the k-th smallest hash
+  mapped into [0,1);
+- Jaccard / containment: merge two sketches, keep the k smallest of
+  the union, and count memberships — the union's k-minima are a
+  uniform sample of the union, so |sample ∩ A ∩ B| / k estimates
+  J(A,B) (Beyer et al. §4).
+
+Everything is DETERMINISTIC (md5, no RNG): the same corpus always
+produces the same sketch, so estimates are reproducible and
+cross-engine checkable.  Hash fractions use the first 13 hex digits
+(52 bits < 2^53), so the double arithmetic is EXACT and two engines
+computing the estimate from the same hashes agree bit-for-bit.
+
+Scale shape: sketches are k-row tables; every merge/join below is
+broadcast-sized.  Building a sketch touches the corpus exactly once.
+
+Reference parity note: no analog in the reference repo; this is the
+training-pipeline extension family (corpus curation at mix time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: hex digits of the hash used for the [0,1) fraction — 13 × 4 = 52
+#: bits keeps every value exactly representable as a double, so the
+#: estimator arithmetic is engine-independent
+_FRAC_HEX_DIGITS = 13
+_FRAC_DENOM = float(16 ** _FRAC_HEX_DIGITS)
+
+
+def kmv_sketch(df: DataFrame, col: str = "text", k: int = 256) -> DataFrame:
+    """The k smallest md5 hex values over the column's DISTINCT set:
+    one distinct aggregate (map-side combined) + TakeOrderedAndProject.
+    Returns (h string) with ≤ k rows — a corpus fingerprint small
+    enough to persist next to the corpus manifest."""
+    return (
+        df.select(F.md5(F.col(col).cast("binary")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _frac(h_col):
+    """Hash → exact double in [0, 1)."""
+    return F.conv(F.substring(h_col, 1, _FRAC_HEX_DIGITS), 16, 10).cast(
+        "double"
+    ) / F.lit(_FRAC_DENOM)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """(k-1)/h_(k) when the sketch is full; the sketch IS the distinct
+    set when fewer than k values exist, so the count is exact then.
+    One row: (n_distinct_est double, exact boolean)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    )
+    return agg.select(
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / _frac(F.col("hk")))
+        .alias("n_distinct_est"),
+        (F.col("n") < k).alias("exact"),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union sketch: the k smallest over both sketches' hashes — the
+    sketch of the UNION of the two corpora (closure under union is the
+    KMV property that makes corpus-level algebra possible)."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Jaccard + containment estimates from two KMV sketches.
+
+    The union's k minima are a uniform distinct-set sample of A ∪ B;
+    counting which of those fall in A, in B, and in both yields
+    J ≈ n_both/k′ and containment(B in A) ≈ n_both/n_b (fraction of
+    B's mass already in A).  k′ = |union sketch| ≤ k handles small
+    corpora exactly.  One row: (jaccard_est, containment_b_in_a,
+    containment_a_in_b, k_used) — all arithmetic over ≤ 2k rows."""
+    u = kmv_merge(a, b, k)
+    tagged = (
+        u.join(a.withColumn("_in_a", F.lit(1)), "h", "left")
+        .join(b.withColumn("_in_b", F.lit(1)), "h", "left")
+        .select(
+            F.coalesce(F.col("_in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("_in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("kk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+    )
+    return agg.select(
+        F.try_divide(F.col("n_both"), F.col("kk")).alias("jaccard_est"),
+        F.try_divide(F.col("n_both"), F.col("n_b")).alias(
+            "containment_b_in_a"
+        ),
+        F.try_divide(F.col("n_both"), F.col("n_a")).alias(
+            "containment_a_in_b"
+        ),
+        F.col("kk").cast("long").alias("k_used"),
+    )

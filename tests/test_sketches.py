@@ -1,0 +1,106 @@
+"""KMV sketches: determinism, estimator accuracy, union closure,
+overlap semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.operators import sketches as SK
+
+
+def _corpus(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "text string")
+
+
+def test_kmv_sketch_is_k_smallest_md5(spark):
+    vals = [f"doc {i}" for i in range(100)]
+    got = [r.h for r in SK.kmv_sketch(_corpus(spark, vals), k=16).collect()]
+    want = sorted(
+        hashlib.md5(v.encode()).hexdigest() for v in set(vals)
+    )[:16]
+    assert got == want
+    # partitioning never changes a sketch
+    got7 = [
+        r.h
+        for r in SK.kmv_sketch(
+            _corpus(spark, vals).repartition(7), k=16
+        ).collect()
+    ]
+    assert got7 == want
+
+
+def test_kmv_distinct_estimate_exact_below_k(spark):
+    df = _corpus(spark, ["a", "b", "c", "b", "a"])
+    row = SK.kmv_distinct_estimate(SK.kmv_sketch(df, k=16), k=16).first()
+    assert row.exact is True
+    assert row.n_distinct_est == 3.0
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    n = 2000
+    df = _corpus(spark, [f"value {i}" for i in range(n)])
+    row = SK.kmv_distinct_estimate(SK.kmv_sketch(df, k=128), k=128).first()
+    assert row.exact is False
+    # (k-1)/h_k has relative std ~ 1/sqrt(k-2) ≈ 9%; allow 3 sigma
+    assert abs(row.n_distinct_est - n) / n < 0.27
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    a_vals = [f"a {i}" for i in range(80)]
+    b_vals = [f"b {i}" for i in range(80)] + a_vals[:20]
+    sa = SK.kmv_sketch(_corpus(spark, a_vals), k=24)
+    sb = SK.kmv_sketch(_corpus(spark, b_vals), k=24)
+    merged = [r.h for r in SK.kmv_merge(sa, sb, k=24).collect()]
+    direct = [
+        r.h
+        for r in SK.kmv_sketch(
+            _corpus(spark, a_vals + b_vals), k=24
+        ).collect()
+    ]
+    assert merged == direct
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    vals = [f"v {i}" for i in range(60)]
+    s = SK.kmv_sketch(_corpus(spark, vals), k=16)
+    row = SK.kmv_overlap(s, s, k=16).first()
+    assert row.jaccard_est == 1.0
+    assert row.containment_b_in_a == 1.0
+    assert row.containment_a_in_b == 1.0
+    assert row.k_used == 16
+    other = SK.kmv_sketch(
+        _corpus(spark, [f"w {i}" for i in range(60)]), k=16
+    )
+    row = SK.kmv_overlap(s, other, k=16).first()
+    assert row.jaccard_est == 0.0
+    assert row.containment_b_in_a == 0.0
+
+
+def test_kmv_overlap_estimates_known_jaccard(spark):
+    # |A| = |B| = 1500, |A ∩ B| = 1000 → J = 1000/2000 = 0.5,
+    # containment = 1000/1500 ≈ 0.667
+    shared = [f"s {i}" for i in range(1000)]
+    a = shared + [f"a {i}" for i in range(500)]
+    b = shared + [f"b {i}" for i in range(500)]
+    k = 256
+    sa = SK.kmv_sketch(_corpus(spark, a), k=k)
+    sb = SK.kmv_sketch(_corpus(spark, b), k=k)
+    row = SK.kmv_overlap(sa, sb, k=k).first()
+    assert row.jaccard_est == pytest.approx(0.5, abs=0.12)
+    assert row.containment_b_in_a == pytest.approx(2 / 3, abs=0.12)
+    assert row.containment_a_in_b == pytest.approx(2 / 3, abs=0.12)
+
+
+def test_kmv_sketch_plan_is_jvm_takeordered(spark):
+    df = _corpus(spark, [f"v {i}" for i in range(50)])
+    plan = (
+        SK.kmv_sketch(df, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
