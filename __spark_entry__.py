@@ -3456,6 +3456,48 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) and cosine top-20
+    (dense, query = vec 0, ids aligned to doc_ids for the fixture
+    pairing) fused with Reciprocal Rank Fusion (Cormack 2009, k=60).
+    The oracle recomputes BOTH rankers — full BM25 in SQL plus
+    DuckDB's list cosine — and the fusion arithmetic."""
+    from machine_readability_checker_spark.operators.bm25 import (
+        bm25_build,
+        bm25_topk,
+    )
+    from machine_readability_checker_spark.operators.fusion import (
+        ranked_from_ordered,
+        rrf_fuse,
+    )
+    from machine_readability_checker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = ranked_from_ordered(
+        bm25_topk(bm25_build(docs), _BM25_QUERY, k=20).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+        ),
+        [F.desc("score"), "doc_id"],
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    dense = ranked_from_ordered(
+        brute_force_topk(emb, [float(x) for x in qvec], k=20).select(
+            F.col("vec_id").cast("bigint").alias("doc_id"), "cosine"
+        ),
+        [F.desc("cosine"), "doc_id"],
+    )
+    fused = rrf_fuse([lex, dense], k=60, top_k=10)
+    return fused.select(
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "n_systems",
+        "rank",
+    )
+
+
 _BM25_SQL = f"""
     WITH toks AS (
       SELECT doc_id,
@@ -3493,6 +3535,67 @@ _BM25_SQL = f"""
     SELECT doc_id, ROUND(score, 6) AS score,
            CAST(hits AS INTEGER) AS n_terms_hit
     FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+_HYBRID_RRF_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '),
+               x -> x != '') AS t
+      FROM documents
+    ), posting AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM posting GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), q(term) AS (VALUES ('hash'), ('join'), ('vector')),
+    df AS (
+      SELECT p.term, COUNT(DISTINCT p.doc_id) AS df
+      FROM posting p JOIN q ON q.term = p.term GROUP BY p.term
+    ), scored AS (
+      SELECT p.doc_id,
+             SUM(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * p.tf * (1.2 + 1)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ) AS score
+      FROM posting p
+      JOIN q ON q.term = p.term
+      JOIN df ON df.term = p.term
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    ), qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id = 0
+    ), dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), qv.v) DESC, vec_id) AS r
+      FROM embeddings e, qv
+      ORDER BY list_cosine_similarity(
+        CAST(e.embedding AS DOUBLE[]), qv.v) DESC, vec_id
+      LIMIT 20
+    ), u AS (
+      SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM dense
+    ), fused AS (
+      SELECT doc_id, SUM(1.0 / (60 + r)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, round(s, 6) AS rrf_score, n_systems,
+           CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER)
+             AS rank
+    FROM fused ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
@@ -7379,6 +7482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "org_extract": q_org_extract,
         "org_table_rules": q_org_table_rules,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "span_regression_diff": q_span_regression_diff,
         "robots_allowed": q_robots_allowed,
         "mime_sniff": q_mime_sniff,
@@ -7585,6 +7689,7 @@ def oracle_sql() -> dict[str, str]:
     out["org_extract"] = _org_extract_oracle_sql()
     out["org_table_rules"] = _html_table_rules_oracle_sql()
     out["bm25_topk"] = _BM25_SQL
+    out["hybrid_rrf_topk"] = _HYBRID_RRF_SQL
     out["span_regression_diff"] = _SPAN_DIFF_SQL
     out["robots_allowed"] = _robots_oracle_sql()
     out["mime_sniff"] = _mime_oracle_sql()

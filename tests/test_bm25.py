@@ -194,3 +194,65 @@ def test_materialized_stats_match_and_skip_corpus_scan(
     assert [(r.doc_id, round(r.score, 10)) for r in c] == [
         (r.doc_id, round(r.score, 10)) for r in a
     ]
+
+
+# ----------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from machine_readability_checker_spark.operators.fusion import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(11, 1), (13, 2), (10, 3)], "doc_id long, rank long"
+    )
+    out = {
+        r.doc_id: (r.rrf_score, r.n_systems, r.rank)
+        for r in rrf_fuse([lex, dense], k=60).collect()
+    }
+    # doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 13: 1/62; doc 12: 1/63
+    assert out[11][0] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[10][0] == pytest.approx(1 / 61 + 1 / 63)
+    assert out[13][0] == pytest.approx(1 / 62)
+    assert out[12][0] == pytest.approx(1 / 63)
+    assert out[11][1:] == (2, 1)
+    assert out[10][1:] == (2, 2)
+    # single-system docs rank below every two-system doc here
+    assert out[13][2] == 3 and out[12][2] == 4
+
+
+def test_rrf_fuse_per_query_and_topk(spark):
+    from machine_readability_checker_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 2, 2), ("q1", 3, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [("q0", 2, 1), ("q1", 4, 1), ("q1", 3, 2)],
+        "query_id string, doc_id long, rank long",
+    )
+    out = rrf_fuse([a, b], k=60, query_col="query_id", top_k=1).collect()
+    got = {(r.query_id, r.doc_id): r.rank for r in out}
+    # q0: doc 2 fuses rank2+rank1 and beats doc 1; q1: doc 3 (1+2) beats 4
+    assert got == {("q0", 2): 1, ("q1", 3): 1}
+
+
+def test_ranked_from_ordered_tiebreak(spark):
+    from machine_readability_checker_spark.operators.fusion import (
+        ranked_from_ordered,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0), (7, 2.0)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: r.rank
+        for r in ranked_from_ordered(
+            df, [F.desc("score"), "doc_id"]
+        ).collect()
+    }
+    assert got == {7: 1, 3: 2, 5: 3}
