@@ -129,6 +129,16 @@ def main() -> None:
         "delete snapshot metadata older than the newest KEEP_LAST "
         "versions (current always kept) — Iceberg expiry semantics",
     )
+    ap.add_argument(
+        "--remove-orphans", type=float, default=None,
+        metavar="GRACE_SECONDS",
+        help="with --iceberg: after the run, sweep crash leftovers no "
+        "committed state references (mkstemp snapshot/manifest temps, "
+        "Spark _temporary staging, stale *.compact.tmp) that are older "
+        "than GRACE_SECONDS — Iceberg remove_orphan_files semantics "
+        "(the grace window protects concurrent in-flight writers; the "
+        "procedure's default is 3 days)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -282,6 +292,16 @@ def main() -> None:
                 keep_last=args.expire_snapshots
             )
             iceberg_stats["snapshots_expired"] = len(expired)
+        if args.remove_orphans is not None:
+            from machine_readability_checker_spark.sources.iceberg_table import (
+                TableMaintenance,
+            )
+
+            swept = TableMaintenance(iceberg_table).remove_orphans(
+                grace_seconds=args.remove_orphans
+            )
+            iceberg_stats["orphans_removed"] = len(swept["removed"])
+            iceberg_stats["orphans_kept_young"] = len(swept["kept_young"])
         snap = iceberg_table.current_snapshot() or {}
         cur = int(snap.get("version", 0))
         table_docs = (

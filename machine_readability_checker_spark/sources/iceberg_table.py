@@ -325,6 +325,71 @@ class TableMaintenance:
                 shutil.rmtree(os.path.join(store.data_dir, name))
         return restored
 
+    def remove_orphans(
+        self,
+        grace_seconds: float = 3 * 24 * 3600.0,
+        now: Optional[float] = None,
+        dry_run: bool = False,
+    ) -> Dict[str, List[str]]:
+        """``delete_orphan_files`` analog: sweep crash leftovers that no
+        committed state references — mkstemp temps in ``_snapshots``
+        (``.snap.*`` / ``.cur.*``) and ``_manifests`` (``.split-*``),
+        Spark ``_temporary`` staging directories, and stale
+        ``*.compact.tmp`` rewrites — but ONLY when older than
+        ``grace_seconds`` (Iceberg's ``older_than`` contract: a
+        concurrent in-flight writer's temps must survive the sweep;
+        the 3-day default matches the procedure's).
+
+        Never touches committed state: ``v*.json`` + ``current``,
+        ``split-*.json`` manifests, ``split=*`` data directories — nor
+        ``split=*.old`` half-swap evidence, which belongs to
+        ``recover_compaction`` (run that FIRST; removing .old here
+        could destroy the only copy of a split mid-recovery).
+
+        Returns {"removed": [...], "kept_young": [...]} (root-relative
+        paths; with ``dry_run`` nothing is deleted and both lists
+        report what would happen)."""
+        import shutil
+
+        t = now if now is not None else time.time()
+        store = self.table.store
+        candidates: List[str] = []
+        snap_dir = self.table.snapshot_dir
+        if os.path.isdir(snap_dir):
+            for name in os.listdir(snap_dir):
+                if name.startswith(".snap.") or name.startswith(".cur."):
+                    candidates.append(os.path.join(snap_dir, name))
+        if os.path.isdir(store.manifest_dir):
+            for name in os.listdir(store.manifest_dir):
+                if name.startswith(".split-"):
+                    candidates.append(
+                        os.path.join(store.manifest_dir, name)
+                    )
+        if os.path.isdir(store.data_dir):
+            for name in os.listdir(store.data_dir):
+                if name == "_temporary" or name.endswith(".compact.tmp"):
+                    candidates.append(os.path.join(store.data_dir, name))
+            for name in os.listdir(store.data_dir):
+                sub = os.path.join(store.data_dir, name)
+                if name.startswith("split=") and os.path.isdir(sub):
+                    for inner in os.listdir(sub):
+                        if inner == "_temporary":
+                            candidates.append(os.path.join(sub, inner))
+        removed, kept = [], []
+        for path in sorted(candidates):
+            rel = os.path.relpath(path, self.table.root)
+            if t - os.path.getmtime(path) < grace_seconds:
+                kept.append(rel)
+                continue
+            removed.append(rel)
+            if dry_run:
+                continue
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.unlink(path)
+        return {"removed": removed, "kept_young": kept}
+
     def expire_snapshots(self, keep_last: int = 3) -> List[int]:
         """Delete snapshot metadata older than the newest ``keep_last``
         versions (always keeping the current pointer's target).  Returns

@@ -249,3 +249,82 @@ def test_compaction_and_snapshot_expiry(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         table.snapshot(v1)
+
+
+def test_remove_orphans_sweeps_only_stale_temps(spark, tmp_path):
+    """The delete_orphan_files analog removes crash leftovers older
+    than the grace period and NOTHING else: committed snapshots,
+    manifests, data directories, young temps, and .old half-swap
+    evidence all survive."""
+    import os
+    import time as _time
+
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        TableMaintenance,
+    )
+
+    corpus = gen_corpus(12)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA)
+    root = str(tmp_path / "orph")
+    table = IcebergLayoutTable(root)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return extract(df).withColumn("split", split_id("doc_id", 2))
+
+    run_resumable(raw, table.store, transform, n_splits=2, wave_size=2)
+    table.commit_snapshot()
+    n_before = table.read(spark).count()
+
+    now = _time.time()
+    old = now - 10 * 24 * 3600
+    # plant the orphan classes: stale snapshot/manifest temps, a Spark
+    # staging dir (top-level + inside a split), a stale compact temp —
+    # plus a YOUNG manifest temp and half-swap .old evidence
+    snap_dir = table.snapshot_dir
+    man_dir = table.store.manifest_dir
+    data_dir = table.store.data_dir
+    plants = {
+        "snap_tmp": os.path.join(snap_dir, ".snap.abc123"),
+        "cur_tmp": os.path.join(snap_dir, ".cur.def456"),
+        "man_tmp": os.path.join(man_dir, ".split-0.xyz"),
+    }
+    for p in plants.values():
+        with open(p, "w") as f:
+            f.write("{}")
+        os.utime(p, (old, old))
+    tmp_dirs = [
+        os.path.join(data_dir, "_temporary"),
+        os.path.join(data_dir, "split=0", "_temporary"),
+        os.path.join(data_dir, "split=9.compact.tmp"),
+    ]
+    for d in tmp_dirs:
+        os.makedirs(d)
+        os.utime(d, (old, old))
+    young = os.path.join(man_dir, ".split-1.fresh")
+    with open(young, "w") as f:
+        f.write("{}")
+    old_dir = os.path.join(data_dir, "split=1.old")
+    os.makedirs(old_dir)
+    os.utime(old_dir, (old, old))
+
+    maint = TableMaintenance(table)
+    # dry run deletes nothing
+    dry = maint.remove_orphans(now=now, dry_run=True)
+    assert len(dry["removed"]) == 6
+    assert all(os.path.exists(p) for p in plants.values())
+
+    swept = maint.remove_orphans(now=now)
+    assert sorted(swept["removed"]) == sorted(dry["removed"])
+    assert swept["kept_young"] == [
+        os.path.relpath(young, root)
+    ]
+    for p in list(plants.values()) + tmp_dirs:
+        assert not os.path.exists(p)
+    # young temp and .old evidence survive; committed state intact
+    assert os.path.exists(young)
+    assert os.path.exists(old_dir)
+    assert table.read(spark).count() == n_before
+    assert table.current_snapshot()["version"] == 1
+    # idempotent: a second sweep finds nothing stale
+    again = maint.remove_orphans(now=now)
+    assert again["removed"] == []
