@@ -580,6 +580,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over the documents table with
+    portable md5-prefix gram hashes (k=3 grams, w=4 windows): the
+    oracle rebuilds the rolling-polynomial gram hashes AND the
+    rightmost-min window selection with DuckDB's own window kernel
+    (min_by over a packed tie-break key — a different spelling of the
+    same rule, so agreement pins the semantics, not the code)."""
+    from machine_readability_checker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = winnow_fingerprints(docs, k=3, w=4, portable=True)
+    return out.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "fp"
+    ).orderBy("doc_id", "pos", "fp")
+
+
 def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV-sketch corpus algebra (Bar-Yossef 2002 / Beyer 2007):
     corpus A = the documents, corpus B = a half-overlapping twin (even
@@ -7416,6 +7434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "pair_score_filter": q_pair_score_filter,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
@@ -10045,6 +10064,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
               CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
             LIMIT 10
+        """,
+        "winnow_fingerprints": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ),
+            th AS (
+              SELECT doc_id,
+                     [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)
+                      for x in t] AS hs
+              FROM toks WHERE len(t) >= 3
+            ),
+            grams AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     hs[i] * 1089 + hs[i + 1] * 33 + hs[i + 2] AS h
+              FROM (
+                SELECT doc_id, hs,
+                       unnest(range(1, len(hs) - 1)) AS i
+                FROM th
+              )
+            ),
+            sel AS (
+              SELECT doc_id, pos AS e,
+                     min(h) OVER w AS fp,
+                     min_by(pos, h * 1048576 + (1048575 - pos)) OVER w
+                       AS fpos
+              FROM grams
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            )
+            SELECT DISTINCT doc_id, fpos AS pos, fp
+            FROM sel WHERE e >= 3
+            ORDER BY doc_id, pos, fp
         """,
         "corpus_overlap_kmv": """
             WITH a_vals AS (

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "pair_score_filter",
     "corpus_overlap_kmv",
     "hybrid_rrf_topk",
+    "winnow_fingerprints",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

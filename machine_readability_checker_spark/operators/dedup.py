@@ -1252,3 +1252,98 @@ def strip_duplicate_ngrams(
         F.size("_toks").cast("int").alias("n_tokens"),
         (F.size("_toks") - F.size("_kept")).cast("int").alias("n_dup_tokens"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    a window of ``w`` consecutive gram hashes, and record each window's
+    minimum — RIGHTMOST position on ties.  The winnowing guarantee:
+    any match of at least ``w + k - 1`` tokens between two documents
+    shares at least one selected fingerprint, while only ~2/(w+1) of
+    positions are kept — a density-guaranteed sparsification the plain
+    MinHash/shingle family doesn't give (MinHash bounds RESEMBLANCE,
+    winnowing bounds LOCAL containment).
+
+    Returns one row per selected fingerprint: (id, pos, fp), distinct.
+    Documents with fewer than ``k + w - 1`` tokens yield no rows (no
+    full window exists — exactly the paper's domain).
+
+    Scale shape: gram hashing is the materialized-token-hash rolling
+    polynomial shared with MinHash (no per-position string building);
+    the two window passes (``min`` + ``min_by``) share ONE frame over
+    the per-document hash sequence, so the only exchange is the
+    per-document hash partition and per-doc state is bounded by the
+    document's own gram count.  ``portable=True`` swaps xxhash64 token
+    hashes for the md5-prefix hashes a DuckDB oracle reproduces
+    bit-for-bit."""
+    th = _token_hashes(F.col(text_col), portable=portable)
+    grams = df.withColumn("_th", th).withColumn(
+        "_grams", _shingles_from_hashes(F.col("_th"), k)
+    )
+    s = grams.select(
+        F.col(id_col), F.posexplode("_grams").alias("pos", "h")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    # rightmost minimum: minimize (h, -pos) — ties in h resolve to the
+    # later position, per the paper's robust-winnowing tie rule
+    sel = (
+        s.withColumn("_fp", F.min("h").over(win))
+        .withColumn(
+            "_fpos",
+            F.min_by(
+                F.col("pos"), F.struct(F.col("h"), (-F.col("pos")))
+            ).over(win),
+        )
+        .filter(F.col("pos") >= w - 1)
+        .select(
+            F.col(id_col),
+            F.col("_fpos").alias("pos"),
+            F.col("_fp").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_match_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_df: Optional[int] = 1000,
+) -> DataFrame:
+    """Candidate near-dup/plagiarism pairs from winnowed fingerprints:
+    documents sharing at least ``min_shared`` fingerprint VALUES.
+    Same scale treatment as the shingle join: fingerprints appearing in
+    more than ``max_df`` documents are dropped before the self-join
+    (a fingerprint of boilerplate every page carries would otherwise
+    quadratically explode its bucket — the hot-shingle cap)."""
+    vals = fps.select(id_col, "fp").distinct()
+    if max_df is not None:
+        hot = (
+            vals.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        vals = vals.join(hot, "fp", "left_anti")
+    a = vals.select(F.col(id_col).alias("id_a"), "fp")
+    b = vals.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -301,6 +301,26 @@ def test_line_dedup_plan_shape(spark):
     assert "LeftAnti" in plan
 
 
+def test_winnow_plan_shape(spark):
+    """Winnowing: the two window aggregates share one per-document
+    exchange; gram hashing is the materialized rolling polynomial —
+    zero Python, no cartesian (match pairs use the hashed fp join)."""
+    from machine_readability_checker_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    docs = E._t(spark, SF, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=3, w=4, portable=True)
+    plan = _plan(fps)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # ONE exchange for the per-doc window (plus nothing else wide)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    pplan = _plan(winnow_match_pairs(fps))
+    assert "CartesianProduct" not in pplan
+    assert "BatchEvalPython" not in pplan
+
+
 def test_pair_score_plan_shape(spark):
     """CLIP-score gating over precomputed tower tables: two hash joins
     (one broadcast), the cosine entirely JVM-side — no Python, no
