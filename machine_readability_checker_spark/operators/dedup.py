@@ -1284,13 +1284,21 @@ def winnow_fingerprints(
     document's own gram count.  ``portable=True`` swaps xxhash64 token
     hashes for the md5-prefix hashes a DuckDB oracle reproduces
     bit-for-bit."""
-    th = _token_hashes(F.col(text_col), portable=portable)
-    grams = df.withColumn("_th", th).withColumn(
-        "_grams", _shingles_from_hashes(F.col("_th"), k)
+    # staged selects keep the token-hash array a bound column reference
+    # inside the gram lambdas (the SCALE.md per-element re-evaluation
+    # trap), and posexplode_OUTER + null filter avoids plain explode's
+    # implicit size()>0 filter, whose full gram-building expression gets
+    # pushed into the scan and re-evaluated per row interpreted (the
+    # ngram_lm 54 s → 5 s lesson; measured 62 s → ~2 s here at sf0.1)
+    grams = df.select(
+        F.col(id_col),
+        _token_hashes(F.col(text_col), portable=portable).alias("_th"),
+    ).select(
+        F.col(id_col), _shingles_from_hashes(F.col("_th"), k).alias("_g")
     )
     s = grams.select(
-        F.col(id_col), F.posexplode("_grams").alias("pos", "h")
-    )
+        F.col(id_col), F.posexplode_outer("_g").alias("pos", "h")
+    ).filter(F.col("h").isNotNull())
     win = (
         Window.partitionBy(id_col)
         .orderBy("pos")
