@@ -580,6 +580,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch cross-engine: build a 4×512 sketch over every
+    token of the corpus, point-query the md5-prefix-'0' sixteenth of
+    the vocabulary, and pin each estimate against the exact count —
+    the oracle rebuilds the identical sketch (row-seeded md5 buckets)
+    so estimates match bit-for-bit, and ``ok = est >= exact`` pins the
+    CMS over-count-only invariant on every row."""
+    from machine_readability_checker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TS.tokens(F.col("text"))).alias("token"))
+    cms = SK.cms_build(toks, "token", depth=4, width=512)
+    qset = toks.distinct().filter(
+        F.substring(F.md5(F.col("token").cast("binary")), 1, 1) == "0"
+    )
+    est = SK.cms_query(cms, qset, "token", width=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        est.withColumnRenamed("item", "token")
+        .join(exact, "token")
+        .select(
+            "token",
+            "est",
+            "n_exact",
+            (F.col("est") >= F.col("n_exact")).alias("ok"),
+        )
+        .orderBy("token")
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints over the documents table with
     portable md5-prefix gram hashes (k=3 grams, w=4 windows): the
@@ -7435,6 +7465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_score_filter": q_pair_score_filter,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "cms_token_counts": q_cms_token_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
@@ -10064,6 +10095,44 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
               CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
             LIMIT 10
+        """,
+        "cms_token_counts": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS token FROM documents
+            ),
+            rows4(row) AS (SELECT unnest(range(0, 4))),
+            cms AS (
+              SELECT row, bucket, COUNT(*) AS cnt FROM (
+                SELECT r.row,
+                       CAST('0x' || substr(md5(
+                         CAST(r.row AS VARCHAR) || ':' || t.token), 1, 13)
+                       AS BIGINT) % 512 AS bucket
+                FROM toks t CROSS JOIN rows4 r
+              ) GROUP BY row, bucket
+            ),
+            qset AS (
+              SELECT DISTINCT token FROM toks
+              WHERE substr(md5(token), 1, 1) = '0'
+            ),
+            qk AS (
+              SELECT q.token, r.row,
+                     CAST('0x' || substr(md5(
+                       CAST(r.row AS VARCHAR) || ':' || q.token), 1, 13)
+                     AS BIGINT) % 512 AS bucket
+              FROM qset q CROSS JOIN rows4 r
+            ),
+            est AS (
+              SELECT token, MIN(COALESCE(cms.cnt, 0)) AS est
+              FROM qk LEFT JOIN cms USING (row, bucket)
+              GROUP BY token
+            ),
+            ex AS (
+              SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token
+            )
+            SELECT e.token, e.est, ex.n_exact,
+                   e.est >= ex.n_exact AS ok
+            FROM est e JOIN ex USING (token)
+            ORDER BY e.token
         """,
         "winnow_fingerprints": f"""
             WITH toks AS (

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "corpus_overlap_kmv",
     "hybrid_rrf_topk",
     "winnow_fingerprints",
+    "cms_token_counts",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -121,3 +121,97 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
         ),
         F.col("kk").cast("long").alias("k_used"),
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def _cms_bucket(width: int):
+    """Row-seeded md5 bucket over (row, item) columns — deterministic
+    and engine-independent (the KMV 52-bit prefix trick)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("row").cast("string"),
+                    F.lit(":"),
+                    F.col("_x").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            _FRAC_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a column's
+    frequency distribution: ``depth`` md5-seeded hash rows × ``width``
+    buckets.  ONE explode (×depth) + ONE hash aggregate; the result is
+    at most depth×width rows regardless of key cardinality — the
+    fixed-memory answer to "how often does X occur" when the key space
+    (n-grams, URLs) is too large to count exactly.  Point estimates
+    only ever OVER-count (collisions add, never subtract): error
+    ≤ e/width · N with probability 1 − e^−depth.
+
+    Sketches with equal (depth, width) merge by bucket-wise sum
+    (``cms_merge``) — per-shard sketches roll up without touching the
+    data again.  Returns (row, bucket, count)."""
+    items = df.select(F.col(col).alias("_x"))
+    rows = items.select(
+        "_x", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    return (
+        rows.select("row", _cms_bucket(width).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bucket-wise sum of two same-shaped sketches (the CMS linearity
+    property: sketch(A ⊎ B) = sketch(A) + sketch(B))."""
+    return (
+        a.union(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def cms_query(
+    cms: DataFrame,
+    queries: DataFrame,
+    col: str = "token",
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for the query items: hash each item
+    into its ``depth`` buckets, join the (tiny, ≤ depth×width rows —
+    broadcast) sketch, take the MIN count across rows; items hitting
+    an absent bucket estimate 0.  Returns (item, est)."""
+    q = queries.select(F.col(col).alias("_x")).distinct()
+    depth_rows = q.select(
+        "_x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(_cms_depth(cms)) - 1))
+        ).alias("row"),
+    )
+    keyed = depth_rows.select(
+        F.col("_x").alias("item"), "row", _cms_bucket(width).alias("bucket")
+    )
+    joined = keyed.join(F.broadcast(cms), ["row", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est")
+    )
+
+
+def _cms_depth(cms: DataFrame) -> int:
+    """Depth recovered from the sketch itself (max row + 1) — one
+    aggregate over ≤ depth×width rows."""
+    return int(cms.agg(F.max("row")).first()[0]) + 1

@@ -104,3 +104,58 @@ def test_kmv_sketch_plan_is_jvm_takeordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------- count-min sketch
+
+
+def test_cms_never_undercounts_and_exact_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    vals = (["hot"] * 50) + (["warm"] * 7) + [f"cold{i}" for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    cms = SK.cms_build(df, depth=4, width=256)
+    q = spark.createDataFrame(
+        [("hot",), ("warm",), ("cold3",), ("absent",)], "token string"
+    )
+    got = {r.item: r.est for r in SK.cms_query(cms, q, width=256).collect()}
+    # 27 distinct keys into 256 buckets × 4 rows: min-over-rows is
+    # exact with overwhelming margin, and never undercounts by theorem
+    assert got["hot"] == 50
+    assert got["warm"] == 7
+    assert got["cold3"] == 1
+    assert got["absent"] == 0
+
+
+def test_cms_overcount_only_under_heavy_collisions(spark):
+    vals = [f"key{i}" for i in range(500) for _ in (0, 1)]  # each ×2
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    cms = SK.cms_build(df, depth=3, width=16)  # forced collisions
+    q = df.distinct()
+    rows = SK.cms_query(cms, q, width=16).collect()
+    assert all(r.est >= 2 for r in rows)  # never undercounts
+    assert sum(r.est > 2 for r in rows) > 0  # collisions visible
+
+
+def test_cms_merge_linearity(spark):
+    a = spark.createDataFrame([(f"t{i%13}",) for i in range(100)],
+                              "token string")
+    b = spark.createDataFrame([(f"t{i%7}",) for i in range(60)],
+                              "token string")
+    both = a.union(b)
+    merged = SK.cms_merge(
+        SK.cms_build(a, depth=4, width=64),
+        SK.cms_build(b, depth=4, width=64),
+    )
+    direct = SK.cms_build(both, depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_size_bounded_by_depth_width(spark):
+    df = spark.createDataFrame(
+        [(f"unique{i}",) for i in range(5000)], "token string"
+    )
+    cms = SK.cms_build(df, depth=4, width=32)
+    assert cms.count() <= 4 * 32
