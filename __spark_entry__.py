@@ -663,6 +663,37 @@ def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ea.crossJoin(eb).crossJoin(ov)
 
 
+def q_corpus_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog corpus algebra (Flajolet et al. 2007) on the same
+    half-overlapping twin corpora as the KMV lane: p=6 (64 registers)
+    sketches of A and B, distinct estimates for each, register-max
+    union merge, and inclusion–exclusion intersection + Jaccard.  The
+    harmonic sum is exact BIGINT arithmetic (Σ 2^(R−rank)) and the
+    bias numerator a single literal, so DuckDB rebuilding the same
+    registers reproduces every estimate bit-for-bit (ln() only enters
+    on the linear-counting branch, rounded)."""
+    from machine_readability_checker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    p = 6
+    a = docs.select("text")
+    b = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text")
+    )
+    sa = SK.hll_sketch(a, "text", p)
+    sb = SK.hll_sketch(b, "text", p)
+    out = SK.hll_overlap(sa, sb, p)
+    return out.select(
+        F.round("a_est", 4).alias("a_est"),
+        F.round("b_est", 4).alias("b_est"),
+        F.round("union_est", 4).alias("union_est"),
+        F.round("intersect_est", 4).alias("intersect_est"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
 def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline funnel: doc counts after
     exact dedup -> normalized-fingerprint dedup -> min-token filter ->
@@ -7464,6 +7495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "pair_score_filter": q_pair_score_filter,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "corpus_hll_estimate": q_corpus_hll_estimate,
         "winnow_fingerprints": q_winnow_fingerprints,
         "cms_token_counts": q_cms_token_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -10215,6 +10247,97 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(m.n_both / m.n_a, 6) AS containment_a_in_b,
                    CAST(m.kk AS BIGINT) AS k_used
             FROM m, ea, eb
+        """,
+        "corpus_hll_estimate": """
+            WITH a_h AS (
+              SELECT CAST('0x' || substr(md5(text), 1, 13) AS BIGINT)
+                     AS h
+              FROM documents
+            ),
+            b_h AS (
+              SELECT CAST('0x' || substr(md5(
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE text || ' v2' END), 1, 13) AS BIGINT)
+                     AS h
+              FROM documents
+            ),
+            a_reg AS (
+              SELECT h % 64 AS idx,
+                     MAX(CASE WHEN h >> 6 = 0 THEN 47
+                         ELSE 47 - length(bin(h >> 6)) END) AS rnk
+              FROM a_h GROUP BY idx
+            ),
+            b_reg AS (
+              SELECT h % 64 AS idx,
+                     MAX(CASE WHEN h >> 6 = 0 THEN 47
+                         ELSE 47 - length(bin(h >> 6)) END) AS rnk
+              FROM b_h GROUP BY idx
+            ),
+            u_reg AS (
+              SELECT idx, MAX(rnk) AS rnk FROM (
+                SELECT idx, rnk FROM a_reg
+                UNION ALL SELECT idx, rnk FROM b_reg
+              ) GROUP BY idx
+            ),
+            ea AS (
+              SELECT 64 - COUNT(*) AS v,
+                     COALESCE(SUM(CAST(1 AS BIGINT) << (47 - rnk)), 0)
+                       AS s_ne
+              FROM a_reg
+            ),
+            eb AS (
+              SELECT 64 - COUNT(*) AS v,
+                     COALESCE(SUM(CAST(1 AS BIGINT) << (47 - rnk)), 0)
+                       AS s_ne
+              FROM b_reg
+            ),
+            eu AS (
+              SELECT 64 - COUNT(*) AS v,
+                     COALESCE(SUM(CAST(1 AS BIGINT) << (47 - rnk)), 0)
+                       AS s_ne
+              FROM u_reg
+            ),
+            fa AS (
+              SELECT CASE
+                WHEN (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v)
+                ELSE (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) END AS est
+              FROM ea
+            ),
+            fb AS (
+              SELECT CASE
+                WHEN (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v)
+                ELSE (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) END AS est
+              FROM eb
+            ),
+            fu AS (
+              SELECT CASE
+                WHEN (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v)
+                ELSE (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) END AS est
+              FROM eu
+            )
+            SELECT round(fa.est, 4) AS a_est,
+                   round(fb.est, 4) AS b_est,
+                   round(fu.est, 4) AS union_est,
+                   round(greatest(0.0, fa.est + fb.est - fu.est), 4)
+                     AS intersect_est,
+                   round(greatest(0.0, fa.est + fb.est - fu.est)
+                         / fu.est, 6) AS jaccard_est
+            FROM fa, fb, fu
         """,
         "pair_score_filter": """
             WITH n AS (SELECT COUNT(*) AS c FROM embeddings),

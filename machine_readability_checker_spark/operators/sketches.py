@@ -215,3 +215,137 @@ def _cms_depth(cms: DataFrame) -> int:
     """Depth recovered from the sketch itself (max row + 1) — one
     aggregate over ≤ depth×width rows."""
     return int(cms.agg(F.max("row")).first()[0]) + 1
+
+
+# ------------------------------------------------------- HyperLogLog
+
+
+#: hash width shared with the KMV fraction trick: 13 hex digits = 52
+#: bits, so every register computation is exact 64-bit integer math
+#: and two engines reproduce the sketch bit-for-bit
+_HLL_HASH_BITS = _FRAC_HEX_DIGITS * 4
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constants."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+
+
+def hll_sketch(df: DataFrame, col: str = "text", p: int = 9) -> DataFrame:
+    """HyperLogLog register table (Flajolet, Fusy, Gandouet, Meunier
+    2007): m = 2**p registers; register index = low p bits of the
+    52-bit md5 prefix, register value = max over items of the leading-
+    zero rank of the remaining 52-p bits.  ONE hash aggregate with
+    map-side partial combine (max is algebraic); the result is ≤ m
+    rows of (idx, rank) — the fixed-memory complement to the KMV
+    sketch above: KMV supports overlap algebra from k sampled hashes,
+    HLL gives tighter distinct estimates (rel. err ≈ 1.04/√m) and
+    union-closure merges from 2**p 6-bit registers.
+
+    Duplicates need no pre-distinct: max(rank) is insensitive to
+    multiplicity, which is the whole point of the estimator.
+    Deterministic (md5, no RNG) and engine-portable: rank uses integer
+    shifts and binary-string length only, so DuckDB rebuilding the
+    same registers agrees bit-for-bit."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    wbits = _HLL_HASH_BITS - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.col(col).cast("binary")), 1, _FRAC_HEX_DIGITS
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select((h % F.lit(m)).alias("idx"), rho.alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise max — sketch(A ∪ B) from sketch(A) and sketch(B),
+    the closure that lets per-shard sketches roll up without touching
+    the data again (and the basis for intersection estimates below)."""
+    return a.union(b).groupBy("idx").agg(F.max("rank").alias("rank"))
+
+
+def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
+    """One-row distinct estimate from a register table.
+
+    Raw estimator E = α_m · m² / Σ_j 2^(−M_j) with empty registers
+    contributing 2^0; below 2.5·m with empty registers present the
+    linear-counting fallback m·ln(m/V) applies (Flajolet §4 practical
+    variant).  The harmonic sum is computed as an EXACT BIGINT —
+    Σ 2^(R−M_j) with R the max rank, so Σ 2^(−M_j) = S/2^R with no
+    float-accumulation order dependence — and the numerator α_m·m²·2^R
+    is a single Python-side literal; the only engine-library op left
+    is ln() in the linear-counting branch.  (No 32-bit large-range
+    correction: 52-bit hashes make collisions negligible below ~10^12
+    distincts — exactly the documented corpus scale.)
+
+    Returns (n_distinct_est double, linear_counting boolean,
+    n_empty long)."""
+    m = 1 << p
+    r_max = _HLL_HASH_BITS - p + 1
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_reg"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {r_max} - rank)")),
+            F.lit(0).cast("long"),
+        ).alias("s_ne"),
+    )
+    numerator = _hll_alpha(m) * float(m * m * (1 << r_max))
+    n_empty = (F.lit(m) - F.col("n_reg")).cast("long")
+    s_total = (
+        F.col("s_ne")
+        + n_empty * F.lit(1 << r_max).cast("long")
+    ).cast("double")
+    raw = F.lit(numerator) / s_total
+    lc = (raw <= F.lit(2.5 * m)) & (n_empty > 0)
+    est = F.when(
+        lc, F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double"))
+    ).otherwise(raw)
+    return agg.select(
+        est.alias("n_distinct_est"),
+        lc.alias("linear_counting"),
+        n_empty.alias("n_empty"),
+    )
+
+
+def hll_overlap(a: DataFrame, b: DataFrame, p: int) -> DataFrame:
+    """Inclusion–exclusion overlap from two HLL sketches: |A∩B| ≈
+    max(0, E(A) + E(B) − E(A∪B)) and Jaccard = inter/union — the
+    standard HLL set-algebra (union is exact-by-merge; intersection
+    inherits the union's error, so KMV's direct Jaccard sample is the
+    better tool for SMALL overlaps — both are offered for that
+    reason).  One row over ≤ 3m register rows:
+    (a_est, b_est, union_est, intersect_est, jaccard_est)."""
+    ea = hll_estimate(a, p).select(
+        F.col("n_distinct_est").alias("a_est")
+    )
+    eb = hll_estimate(b, p).select(
+        F.col("n_distinct_est").alias("b_est")
+    )
+    eu = hll_estimate(hll_merge(a, b), p).select(
+        F.col("n_distinct_est").alias("union_est")
+    )
+    row = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0.0), F.col("a_est") + F.col("b_est") - F.col("union_est")
+    )
+    return row.select(
+        "a_est",
+        "b_est",
+        "union_est",
+        inter.alias("intersect_est"),
+        F.try_divide(inter, F.col("union_est")).alias("jaccard_est"),
+    )

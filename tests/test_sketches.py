@@ -159,3 +159,103 @@ def test_cms_size_bounded_by_depth_width(spark):
     )
     cms = SK.cms_build(df, depth=4, width=32)
     assert cms.count() <= 4 * 32
+
+
+# -------------------------------------------------------- HyperLogLog
+
+
+def test_hll_registers_match_python_reference(spark):
+    # independent per-item reference: 52-bit md5 prefix, idx = low p
+    # bits, rank = leading-zero count of the remaining bits + 1
+    p, vals = 5, [f"doc {i}" for i in range(200)]
+    want = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:13], 16)
+        idx, w = h % (1 << p), h >> p
+        rank = (52 - p) + 1 - w.bit_length()
+        want[idx] = max(want.get(idx, 0), rank)
+    got = {
+        r.idx: r["rank"]
+        for r in SK.hll_sketch(_corpus(spark, vals), p=p).collect()
+    }
+    assert got == want
+    # duplicates and partitioning never change a register table
+    got7 = {
+        r.idx: r["rank"]
+        for r in SK.hll_sketch(
+            _corpus(spark, vals * 3).repartition(7), p=p
+        ).collect()
+    }
+    assert got7 == want
+
+
+def test_hll_estimate_accuracy(spark):
+    n, p = 5000, 9  # m=512 → rel std ≈ 1.04/sqrt(512) ≈ 4.6%
+    df = _corpus(spark, [f"value {i}" for i in range(n)])
+    row = SK.hll_estimate(SK.hll_sketch(df, p=p), p=p).first()
+    assert row.linear_counting is False
+    assert abs(row.n_distinct_est - n) / n < 0.15  # 3+ sigma
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 20 distincts into m=256 registers → raw ≤ 2.5m with empties →
+    # linear-counting branch, which is near-exact down here
+    df = _corpus(spark, [f"v {i}" for i in range(20)] * 4)
+    row = SK.hll_estimate(SK.hll_sketch(df, p=8), p=8).first()
+    assert row.linear_counting is True
+    assert row.n_empty >= 236
+    # LC corrects collisions only in expectation (E[filled] ≈ 19.2
+    # here; this fixture draws 17) — ±4 covers the sampling band
+    assert abs(row.n_distinct_est - 20) < 4
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a_vals = [f"a {i}" for i in range(300)]
+    b_vals = [f"b {i}" for i in range(300)] + a_vals[:100]
+    sa = SK.hll_sketch(_corpus(spark, a_vals), p=6)
+    sb = SK.hll_sketch(_corpus(spark, b_vals), p=6)
+    merged = sorted(map(tuple, SK.hll_merge(sa, sb).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            SK.hll_sketch(_corpus(spark, a_vals + b_vals), p=6).collect(),
+        )
+    )
+    assert merged == direct
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    # |A| = |B| = 1500, |A ∩ B| = 1000 → J = 0.5 (same fixture as the
+    # KMV twin test); intersection inherits union error → wide bands
+    shared = [f"s {i}" for i in range(1000)]
+    a = shared + [f"a {i}" for i in range(500)]
+    b = shared + [f"b {i}" for i in range(500)]
+    p = 9
+    sa = SK.hll_sketch(_corpus(spark, a), p=p)
+    sb = SK.hll_sketch(_corpus(spark, b), p=p)
+    row = SK.hll_overlap(sa, sb, p=p).first()
+    assert row.a_est == pytest.approx(1500, rel=0.15)
+    assert row.union_est == pytest.approx(2000, rel=0.15)
+    assert row.intersect_est == pytest.approx(1000, rel=0.35)
+    assert row.jaccard_est == pytest.approx(0.5, abs=0.17)
+    # identical sketches: union == both, jaccard == 1 exactly
+    same = SK.hll_overlap(sa, sa, p=p).first()
+    assert same.a_est == same.union_est
+    assert same.jaccard_est == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hll_sketch_plan_is_one_jvm_aggregate(spark):
+    df = _corpus(spark, [f"v {i}" for i in range(50)])
+    plan = (
+        SK.hll_sketch(df, p=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # one shuffle for the final agg
+
+
+def test_hll_p_bounds():
+    with pytest.raises(ValueError):
+        SK.hll_sketch(None, p=3)
