@@ -1299,6 +1299,21 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020)
+    machinery on an SQL-expressible stand-in score (text length — the
+    faithful pipeline buckets ``ngram_lm`` perplexity, which no SQL
+    engine can recompute): per-language percent_rank terciles, lower
+    score = head.  Window (exact) mode so DuckDB's own percent_rank
+    kernel must agree row-for-row, ties included."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("score")
+    )
+    out = SP.score_buckets(scored, score_col="score", by="lang", mode="window")
+    return out.select("doc_id", "lang", "score", "bucket").orderBy("doc_id")
+
+
 _URL_BLOCKLIST = ["src00.com", "src12.co.uk"]
 
 
@@ -7515,6 +7530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_manifest": q_split_manifest,
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
+        "score_buckets": q_score_buckets,
         "url_quality": q_url_quality,
         "warc_extract": q_warc_extract,
         "wet_roundtrip": q_wet_roundtrip,
@@ -10338,6 +10354,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(greatest(0.0, fa.est + fb.est - fu.est)
                          / fu.est, 6) AS jaccard_est
             FROM fa, fb, fu
+        """,
+        "score_buckets": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST(length(text) AS BIGINT) AS score
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, score,
+                     percent_rank() OVER (
+                       PARTITION BY lang ORDER BY score) AS pr
+              FROM s
+            )
+            SELECT doc_id, lang, score,
+                   CASE
+                     WHEN pr < CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)
+                       THEN 'head'
+                     WHEN pr < CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE)
+                       THEN 'middle'
+                     ELSE 'tail' END AS bucket
+            FROM r ORDER BY doc_id
         """,
         "pair_score_filter": """
             WITH n AS (SELECT COUNT(*) AS c FROM embeddings),

@@ -138,6 +138,15 @@ def main() -> None:
         "(bounds the broadcast dict; unigrams always survive)",
     )
     ap.add_argument(
+        "--ppl-buckets", action="store_true",
+        help="additionally bucket the CLEANED corpus into CCNet "
+        "head/middle/tail perplexity terciles (Wenzek et al. 2020) "
+        "under the --ppl-filter model: writes <out>/buckets parquet "
+        "(doc_id, perplexity, bucket) and reports per-bucket counts; "
+        "bucketing is the scale path (one percentile_approx aggregate "
+        "broadcast onto a narrow scan — the corpus never shuffles)",
+    )
+    ap.add_argument(
         "--lang-model", action="store_true",
         help="dispatch the lang_known stage from the 5-language "
         "stopword heuristic to the 16-language char-n-gram multinomial "
@@ -254,6 +263,8 @@ def main() -> None:
 
     pmodel = None
     pthreshold = args.ppl_threshold
+    if args.ppl_buckets and not args.ppl_filter:
+        ap.error("--ppl-buckets requires --ppl-filter")
     if args.ppl_filter:
         from machine_readability_checker_spark.operators import (
             ngram_lm as NGLM,
@@ -383,6 +394,36 @@ def main() -> None:
             os.path.join(args.out, "wet_manifest")
         )
 
+    bucket_stats = {}
+    if args.ppl_buckets:
+        from machine_readability_checker_spark.operators import (
+            ngram_lm as NGLM2,
+        )
+        from machine_readability_checker_spark.operators.sampling import (
+            score_buckets,
+        )
+
+        scored = NGLM2.score_stupid_backoff(
+            spark.read.parquet(os.path.join(args.out, "cleaned")), pmodel
+        ).filter(F.col("perplexity").isNotNull())
+        bucketed = score_buckets(
+            scored, score_col="perplexity", by=None
+        ).select("doc_id", "perplexity", "bucket")
+        bucketed.write.mode("overwrite").parquet(
+            os.path.join(args.out, "buckets")
+        )
+        bucket_stats = {
+            "ppl_buckets": {
+                r["bucket"]: r["n"]
+                for r in spark.read.parquet(
+                    os.path.join(args.out, "buckets")
+                )
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        }
+
     overlap_stats = {}
     if args.overlap_against:
         from machine_readability_checker_spark.operators import (
@@ -423,6 +464,7 @@ def main() -> None:
                 "near_dup_removed": n_in - n_out,
                 "contaminated_removed": n_contaminated,
                 "funnel": funnel_rows,
+                **bucket_stats,
                 **overlap_stats,
                 "quality_threshold": (
                     round(qthreshold, 6) if qmodel is not None else None

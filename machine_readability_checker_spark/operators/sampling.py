@@ -327,6 +327,79 @@ def temperature_mix(
     )
 
 
+#: tercile bounds of the CCNet head/middle/tail split, as the exact
+#: double literals both engines compare against
+CCNET_BOUNDS = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str = "perplexity",
+    by: Optional[str] = "lang",
+    bounds: tuple = CCNET_BOUNDS,
+    labels: tuple = ("head", "middle", "tail"),
+    mode: str = "thresholds",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style quantile bucketing (Wenzek et al. 2020): split each
+    group (per language, in CCNet) into head/middle/tail by the rank
+    of a score column — LM perplexity in the original, any numeric
+    score here (compose with ``ngram_lm.score_perplexity`` for the
+    faithful pipeline).  Lower score = ``head`` (CCNet: head is the
+    LOW-perplexity, Wikipedia-like tercile).
+
+    Two plans for one definition (bucket = position of the row's score
+    quantile against ``bounds``):
+
+    - ``mode='thresholds'`` — the 100 TB path: ONE tiny per-group
+      ``percentile_approx(score, bounds)`` aggregate, broadcast back
+      onto a narrow scan; the corpus never shuffles.  Rows within the
+      sketch's rank-error band of a cutoff may land on the other side
+      of it — exactly the trade CCNet itself makes (its cutoffs come
+      from a sampled histogram).
+    - ``mode='window'`` — exact ``percent_rank`` per group; ties share
+      a rank and therefore a bucket.  The whole group passes through
+      one window partition, so this is for validation / bounded
+      groups, not the full corpus (the thresholds plan is pinned
+      against it in tests).
+
+    Returns ``df`` + a ``bucket`` string column."""
+    from pyspark.sql import Window
+
+    b0, b1 = float(bounds[0]), float(bounds[1])
+    if mode == "window":
+        part = Window.partitionBy(by) if by else Window.partitionBy()
+        pr = F.percent_rank().over(part.orderBy(F.col(score_col)))
+        bucket = (
+            F.when(pr < F.lit(b0), F.lit(labels[0]))
+            .when(pr < F.lit(b1), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2]))
+        )
+        return df.withColumn("bucket", bucket)
+    if mode != "thresholds":
+        raise ValueError(f"mode must be 'window' or 'thresholds', got {mode}")
+    keys = [by] if by else []
+    cuts = df.groupBy(*keys).agg(
+        F.percentile_approx(
+            F.col(score_col), F.array(F.lit(b0), F.lit(b1)), F.lit(accuracy)
+        ).alias("_cuts")
+    )
+    joined = (
+        df.join(F.broadcast(cuts), keys)
+        if keys
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    # percentile_approx returns an element OF the data, so `<=` keeps
+    # the cut row itself in the lower bucket (matching percent_rank's
+    # "strictly above the cut rank" upper side)
+    bucket = (
+        F.when(F.col(score_col) <= F.col("_cuts")[0], F.lit(labels[0]))
+        .when(F.col(score_col) <= F.col("_cuts")[1], F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return joined.withColumn("bucket", bucket).drop("_cuts")
+
+
 def training_order(
     df: DataFrame,
     n_shards: int = 16,

@@ -1513,6 +1513,81 @@ def test_temperature_mix_directions(spark):
     assert ids_zero <= ids_half  # nested in α
 
 
+def test_score_buckets_window_terciles_and_ties(spark):
+    """CCNet head/middle/tail: exact window mode cuts each group into
+    thirds by percent_rank, lower scores land in head, and tied scores
+    always share a bucket."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 90).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 60, F.lit("en")).otherwise(F.lit("de")).alias(
+            "lang"
+        ),
+        F.col("id").cast("double").alias("ppl"),
+    )
+    out = sampling.score_buckets(
+        docs, score_col="ppl", by="lang", mode="window"
+    ).collect()
+    en = {r.doc_id: r.bucket for r in out if r.lang == "en"}
+    # 60 distinct scores: pr = rank/59 → head is ids 0..19 (pr<1/3)
+    assert all(en[i] == "head" for i in range(20))
+    assert all(en[i] == "middle" for i in range(20, 40))
+    assert all(en[i] == "tail" for i in range(40, 60))
+    # ties share a rank, therefore a bucket
+    tied = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        (F.col("id") / 10).cast("int").cast("double").alias("ppl"),
+    )
+    tb = sampling.score_buckets(
+        tied, score_col="ppl", by="lang", mode="window"
+    ).collect()
+    by_score: dict = {}
+    for r in tb:
+        by_score.setdefault(r.ppl, set()).add(r.bucket)
+    assert all(len(v) == 1 for v in by_score.values())
+
+
+def test_score_buckets_thresholds_matches_window_without_shuffling(spark):
+    """The 100 TB thresholds plan (percentile_approx + broadcast)
+    agrees with the exact window mode away from the cut rows, and its
+    corpus side never enters a window exchange."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        # distinct, deterministically scrambled scores
+        ((F.col("id") * 37) % 601).cast("double").alias("ppl"),
+    )
+    exact = {
+        r.doc_id: r.bucket
+        for r in sampling.score_buckets(
+            docs, score_col="ppl", by="lang", mode="window"
+        ).collect()
+    }
+    approx = {
+        r.doc_id: r.bucket
+        for r in sampling.score_buckets(
+            docs, score_col="ppl", by="lang", mode="thresholds"
+        ).collect()
+    }
+    agree = sum(exact[k] == approx[k] for k in exact) / len(exact)
+    assert agree >= 0.97  # only cut-adjacent rows may differ
+    # bucket sizes stay near-terciles per group
+    sizes: dict = {}
+    for k, b in approx.items():
+        sizes[b] = sizes.get(b, 0) + 1
+    assert all(abs(v - 200) <= 12 for v in sizes.values())
+    plan = (
+        sampling.score_buckets(docs, score_col="ppl", by="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # scale path: no per-group sort
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pq_encode_join_equals_literal_path(vectors):
     """The broadcast-join encode (large-k path) must be code-for-code
     identical to the literal-CASE encode, including argmin ties (both
