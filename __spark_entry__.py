@@ -1314,6 +1314,32 @@ def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "score", "bucket").orderBy("doc_id")
 
 
+def q_doremi_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi mixture weights (Xie et al. 2023) over per-source
+    deterministic stand-in losses (real proxy/reference losses come
+    from model training, which no SQL engine can recompute — the lane
+    pins the Group-DRO algebra): one excess-loss aggregate, then the
+    multiplicative-weights fold.  The DuckDB oracle recomputes the
+    fold via its CLOSED FORM α_t = softmax(lr·t·λ) — agreement proves
+    the iterative update implements the published recurrence, not just
+    itself."""
+    from machine_readability_checker_spark.operators import mixing as MX
+
+    docs = _t(spark, sf_dir, "documents")
+    losses = docs.select(
+        F.col("source").alias("domain"),
+        (((F.col("doc_id") * 37) % 101) / F.lit(101.0)).alias("loss_proxy"),
+        (((F.col("doc_id") * 61) % 103) / F.lit(103.0)).alias("loss_ref"),
+    )
+    ex = MX.domain_excess_loss(losses)
+    w = MX.doremi_weights(ex, steps=100, lr=0.5, smoothing=1e-3)
+    return w.select(
+        "domain",
+        F.round("excess_loss", 6).alias("excess_loss"),
+        F.round("weight", 6).alias("weight"),
+    ).orderBy("domain")
+
+
 _URL_BLOCKLIST = ["src00.com", "src12.co.uk"]
 
 
@@ -7531,6 +7557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
         "score_buckets": q_score_buckets,
+        "doremi_mix_weights": q_doremi_mix_weights,
         "url_quality": q_url_quality,
         "warc_extract": q_warc_extract,
         "wet_roundtrip": q_wet_roundtrip,
@@ -10375,6 +10402,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                        THEN 'middle'
                      ELSE 'tail' END AS bucket
             FROM r ORDER BY doc_id
+        """,
+        "doremi_mix_weights": """
+            WITH l AS (
+              SELECT source AS domain,
+                     CAST((doc_id * 37) % 101 AS DOUBLE)
+                       / CAST(101 AS DOUBLE) AS lp,
+                     CAST((doc_id * 61) % 103 AS DOUBLE)
+                       / CAST(103 AS DOUBLE) AS lr
+              FROM documents
+            ),
+            ex AS (
+              SELECT domain, AVG(greatest(lp - lr, 0.0)) AS lam
+              FROM l GROUP BY domain
+            ),
+            kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM ex),
+            steps AS (SELECT unnest(range(1, 101)) AS t),
+            un AS (
+              SELECT t, domain, lam,
+                     exp(0.5 * t * lam) AS u
+              FROM ex CROSS JOIN steps
+            ),
+            al AS (
+              SELECT t, domain, lam,
+                     u / SUM(u) OVER (PARTITION BY t) AS a
+              FROM un
+            ),
+            sm AS (
+              SELECT domain, lam,
+                     (1.0 - 0.001) * a + 0.001 / kk.k AS ap
+              FROM al, kk
+            )
+            SELECT domain, round(lam, 6) AS excess_loss,
+                   round(SUM(ap) / 100.0, 6) AS weight
+            FROM sm GROUP BY domain, lam ORDER BY domain
         """,
         "pair_score_filter": """
             WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
