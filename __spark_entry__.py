@@ -6344,6 +6344,31 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_pair_counts(docs, top_k=20)
 
 
+def q_wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First WordPiece training iteration (Schuster & Nakajima 2012):
+    ##-prefixed positional symbols, pair counts AND symbol counts, and
+    the likelihood score count(ab)/(count(a)·count(b)) — top 20 by
+    score (desc, pair asc).  The SQL-expressible slice of
+    ``wordpiece.wordpiece_train``; full training is iterative and
+    pytest-pinned against a sequential reference.  Scores are exact
+    (integer counts, one double division), so DuckDB reproduces them
+    bit-for-bit un-rounded."""
+    from machine_readability_checker_spark.operators import wordpiece as WPC
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        WPC.word_freqs(docs)
+        .withColumn("syms", WPC._init_syms(F.col("word")))
+        .select("syms", "freq")
+    )
+    return (
+        WPC.scored_pairs(words)
+        .orderBy(F.desc("score"), F.asc("pair"))
+        .limit(20)
+        .select("pair", "count", "score")
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (embedding / context-window
     prep): 32-token chunks, 8-token overlap."""
@@ -7627,6 +7652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "wordpiece_pair_scores": q_wordpiece_pair_scores,
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
@@ -10402,6 +10428,42 @@ def _oracle_sql_literal() -> dict[str, str]:
                        THEN 'middle'
                      ELSE 'tail' END AS bucket
             FROM r ORDER BY doc_id
+        """,
+        "wordpiece_pair_scores": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS word FROM documents
+            ),
+            wf AS (
+              SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+            ),
+            syms AS (
+              SELECT freq,
+                     [CASE WHEN i = 1 THEN substr(word, i, 1)
+                           ELSE '##' || substr(word, i, 1) END
+                      for i in range(1, length(word) + 1)] AS s
+              FROM wf
+            ),
+            sc AS (
+              SELECT sym, SUM(freq) AS n_sym FROM (
+                SELECT unnest(s) AS sym, freq FROM syms
+              ) GROUP BY sym
+            ),
+            pc AS (
+              SELECT pair, SUM(freq) AS cnt FROM (
+                SELECT s[i] || ' ' || s[i + 1] AS pair, freq
+                FROM (
+                  SELECT s, freq, unnest(range(1, len(s))) AS i
+                  FROM syms WHERE len(s) >= 2
+                )
+              ) GROUP BY pair
+            )
+            SELECT p.pair, CAST(p.cnt AS BIGINT) AS "count",
+                   CAST(p.cnt AS DOUBLE)
+                     / CAST(a.n_sym * b.n_sym AS DOUBLE) AS score
+            FROM pc p
+            JOIN sc a ON a.sym = split_part(p.pair, ' ', 1)
+            JOIN sc b ON b.sym = split_part(p.pair, ' ', 2)
+            ORDER BY score DESC, p.pair LIMIT 20
         """,
         "doremi_mix_weights": """
             WITH l AS (

@@ -112,9 +112,13 @@ BENCH_QUERIES = [
     "site_boilerplate",
     "pair_score_filter",
     "corpus_overlap_kmv",
+    "corpus_hll_estimate",
     "hybrid_rrf_topk",
     "winnow_fingerprints",
     "cms_token_counts",
+    "score_buckets",
+    "doremi_mix_weights",
+    "wordpiece_pair_scores",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -7,9 +7,12 @@ training sequences.
 
     read cleaned corpus (doc_id, text) — or --gen to self-generate
       → train (--tokenizer bpe: distributed byte-pair merges;
-               --tokenizer unigram: SentencePiece-style EM)
+               --tokenizer unigram: SentencePiece-style EM;
+               --tokenizer wordpiece: likelihood-scored merges over
+               ##-continuation symbols, BERT-style)
       → write artifacts (bpe: merges.txt + vocab.json;
-                         unigram: unigram.vocab TSV)
+                         unigram: unigram.vocab TSV;
+                         wordpiece: vocab.txt)
       → encode every document (Arrow-batched kernel, model broadcast)
         → subwords parquet (doc_id, subwords, n_subwords)
       → pack_sequences over the SUBWORD counts (two-phase prefix sum,
@@ -49,7 +52,8 @@ def main() -> None:
     ap.add_argument("--gen", type=int, default=0)
     ap.add_argument("--out", required=True)
     ap.add_argument(
-        "--tokenizer", choices=("bpe", "unigram"), default="bpe",
+        "--tokenizer", choices=("bpe", "unigram", "wordpiece"),
+        default="bpe",
     )
     ap.add_argument("--merges", type=int, default=200)
     ap.add_argument("--vocab-size", type=int, default=1000)
@@ -117,6 +121,27 @@ def main() -> None:
         ]
         vocab = bpe.write_bpe_artifacts(tok_dir, merges, alphabet)
         encoded = bpe.bpe_encode(docs, merges)
+        tok_stats = {"merges": len(merges), "vocab_size": len(vocab)}
+        n_col = "n_subwords"
+    elif args.tokenizer == "wordpiece":
+        from machine_readability_checker_spark.operators import (
+            wordpiece as wpc,
+        )
+
+        merges = wpc.wordpiece_train(docs, n_merges=args.merges)
+        # base alphabet = every positional symbol form of every distinct
+        # word (initial char + ##continuations — one corpus aggregate)
+        alphabet = [
+            r["s"]
+            for r in wpc.word_freqs(docs)
+            .withColumn("syms", wpc._init_syms(F.col("word")))
+            .select(F.explode("syms").alias("s"))
+            .distinct()
+            .collect()
+        ]
+        vocab = wpc.wordpiece_vocab(merges, alphabet)
+        wpc.write_wordpiece_artifacts(tok_dir, vocab)
+        encoded = wpc.wordpiece_encode(docs, vocab)
         tok_stats = {"merges": len(merges), "vocab_size": len(vocab)}
         n_col = "n_subwords"
     else:
