@@ -166,6 +166,14 @@ def check_valid_file_format(doc: ParsedDoc, ctx, body) -> CheckResult:
             True,
             "タブ区切り（.tsv）形式です。csv相当のチェックを実施します",
         )
+    if doc.fmt == "xlsb":
+        # extension to the reference catalog: the Excel Binary Workbook
+        # carries the same modern side-channel as xlsx, so the battery
+        # audits it through the xlsx-semantics branches
+        return (
+            True,
+            "Excelバイナリ（.xlsb）形式です。xlsx相当のチェックを実施します",
+        )
     if doc.fmt not in {"csv", "xlsx", "xls"}:
         return False, f"サポート外のファイル形式です: .{doc.fmt}"
     if doc.fmt == "xls":
@@ -186,7 +194,7 @@ def check_no_images_or_objects(doc: ParsedDoc, ctx, body) -> CheckResult:
             "xlsファイルでは図形や画像の自動判定ができません。"
             "必要に応じて目視でご確認ください",
         )
-    if doc.fmt in ("xlsx", "ods"):
+    if doc.fmt in ("xlsx", "ods", "xlsb"):
         if doc.workbook is not None and doc.workbook.drawing_parts:
             return False, "図形・テキストボックスが検出されました"
         return True, "図形・テキストボックスは見つかりませんでした"
@@ -196,7 +204,7 @@ def check_no_images_or_objects(doc: ParsedDoc, ctx, body) -> CheckResult:
 def check_one_table_per_sheet(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
 ) -> CheckResult:
-    if doc.fmt not in ("xlsx", "ods"):
+    if doc.fmt not in ("xlsx", "ods", "xlsb"):
         # workbook-less path: DataFrame-based multi-table detection
         is_multiple, details = detect_multiple_tables(
             body, data_start_offset=ctx.data_start
@@ -219,7 +227,7 @@ def check_no_hidden_rows_or_columns(
 ) -> CheckResult:
     if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのため非表示行・列の概念はありません"
-    if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods"):
+    if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods", "xlsb"):
         return True, "サポート外形式のため非表示行・列チェックをスキップします"
 
     if doc.fmt == "xls":
@@ -284,7 +292,7 @@ def check_no_merged_cells(
 ) -> CheckResult:
     if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのため結合セルは存在しません"
-    if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods"):
+    if doc.workbook is None or doc.fmt not in ("xlsx", "xls", "ods", "xlsb"):
         return True, "サポート外形式のため結合セルチェックをスキップします"
     if not ctx.column_rows:
         return False, "結合セルチェックに必要な情報が不足しています"
@@ -337,7 +345,7 @@ def check_no_format_based_semantics(
         )
     if doc.fmt in ("csv", "tsv"):
         return True, "csvファイルのため書式装飾チェックは対象外です"
-    if doc.fmt not in ("xlsx", "ods") or doc.workbook is None:
+    if doc.fmt not in ("xlsx", "ods", "xlsb") or doc.workbook is None:
         return True, "サポート外形式のため書式装飾チェックをスキップします"
     if not ctx.column_rows:
         return False, "書式チェックに必要な情報が不足しています"
@@ -368,7 +376,7 @@ def check_no_whitespace_formatting(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
 ) -> CheckResult:
     sample_cells: List[str] = []
-    if doc.fmt not in ("xlsx", "ods"):
+    if doc.fmt not in ("xlsx", "ods", "xlsb"):
         # body-relative coordinates, first-10-in-scan-order cap, then sort
         arr = body.to_numpy(dtype=object) if not body.empty else []
         for row_idx, row_vals in enumerate(arr):
@@ -428,7 +436,7 @@ def check_no_platform_dependent_characters(
     doc: ParsedDoc, ctx: ZoneContext, body: pd.DataFrame, sheet_idx: int = 0
 ) -> CheckResult:
     issues: List[str] = []
-    if doc.fmt not in ("xlsx", "ods"):
+    if doc.fmt not in ("xlsx", "ods", "xlsb"):
         arr = body.to_numpy(dtype=object) if not body.empty else []
         for row_idx, row_vals in enumerate(arr):
             for col_idx, val in enumerate(row_vals):

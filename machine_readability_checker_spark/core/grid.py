@@ -27,9 +27,9 @@ from .xlsx import XlsxWorkbook, read_xlsx
 ALLOWED_FORMATS = {
     "csv", "xlsx", "xls", "html", "pdf", "docx", "pptx", "rtf", "ods",
     "odt", "epub", "md", "ipynb", "srt", "vtt", "tex", "doc", "wiki",
-    "hocr", "ppt", "eml", "tsv", "rst", "adoc", "org", "txt",
+    "hocr", "ppt", "eml", "tsv", "rst", "adoc", "org", "txt", "xlsb",
 }
-GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv"}
+GRID_FORMATS = {"csv", "xlsx", "xls", "ods", "tsv", "xlsb"}
 
 
 @dataclass
@@ -122,6 +122,23 @@ def parse_xlsx(content: bytes) -> ParsedDoc:
     return doc
 
 
+def parse_xlsb(content: bytes) -> ParsedDoc:
+    """Excel Binary Workbook via the stdlib BIFF12 reader
+    (``core/xlsb.py``) — emits the same workbook model as the xlsx
+    lane, so every grid check (merged/hidden/format/media) runs
+    unchanged on the binary sibling format."""
+    doc = ParsedDoc(fmt="xlsb")
+    try:
+        from .xlsb import read_xlsb
+
+        wb = read_xlsb(content)
+        doc.workbook = wb
+        doc.sheets = [SheetGrid(name=s.name, rows=s.rows) for s in wb.sheets]
+    except Exception as e:
+        doc.parse_error = f"xlsb parse failed: {e}"
+    return doc
+
+
 def parse_xls(content: bytes) -> ParsedDoc:
     """Legacy Excel via the stdlib BIFF8 reader (``core/xls.py``).
 
@@ -181,6 +198,8 @@ def parse_document(
         return parse_csv(content, fmt)
     if fmt == "xlsx":
         return parse_xlsx(content)
+    if fmt == "xlsb":
+        return parse_xlsb(content)
     if fmt == "xls":
         return parse_xls(content)
     if fmt == "pdf":

@@ -544,6 +544,31 @@ def fam_ods(rng, i) -> Dict[str, Any]:
     return _doc(f"ods{i:05d}", "ods", write_ods(sheets))
 
 
+def fam_xlsb(rng, i) -> Dict[str, Any]:
+    """Excel Binary Workbook with the full side-channel: merged range,
+    hidden row/col and decoration styles — exercises the BIFF12 grid
+    lane through the same modern-workbook check branches as xlsx (mixed
+    value types ride RK/real/bool records, strings split between the
+    shared table and inline records by construction)."""
+    from ..core.xlsb import write_xlsb
+
+    n_cols = 4
+    rows = [_header(n_cols)] + _data_rows(rng, 6, n_cols)
+    rows.append(["extra", int(rng.randint(0, 500)),
+                 float(rng.randint(0, 100)) + 0.5, True])
+    sheets = [
+        {
+            "name": "データ",
+            "rows": rows,
+            "merged": [(2, 0, 3, 0)],
+            "hidden_rows": [4],
+            "hidden_cols": [3],
+            "styled": [(2, 1, "bold"), (3, 2, "yellow_fill")],
+        }
+    ]
+    return _doc(f"xlsb{i:05d}", "xlsb", write_xlsb(sheets))
+
+
 def fam_odt(rng, i) -> Dict[str, Any]:
     """OpenDocument text: title/heading, span-split main prose, a short
     boilerplate note, a table and an embedded image — the odt layout
@@ -1031,6 +1056,7 @@ FAMILIES = [
     ("adoc_docs", fam_adoc),
     ("org_docs", fam_org),
     ("txt_docs", fam_txt),
+    ("xlsb_docs", fam_xlsb),
 ]
 
 
