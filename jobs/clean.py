@@ -188,6 +188,14 @@ def main() -> None:
         "under <out>/jsonl_manifest",
     )
     ap.add_argument(
+        "--export-arrow", type=int, default=0, metavar="N_SHARDS",
+        help="additionally export the cleaned corpus as N Arrow IPC "
+        "file shards under <out>/arrow (the zero-copy format "
+        "memory-mapping loaders consume; byte-reproducible) with a "
+        "parquet manifest under <out>/arrow_manifest; the stats line "
+        "gains an `arrow` block with a pyarrow read-back row audit",
+    )
+    ap.add_argument(
         "--export-wet", type=int, default=0, metavar="N_SHARDS",
         help="additionally export the cleaned corpus as N WET shards "
         "(*.warc.wet.gz, one gzip member per conversion record — the "
@@ -372,6 +380,41 @@ def main() -> None:
         ).write.mode("overwrite").parquet(
             os.path.join(args.out, "jsonl_manifest")
         )
+    arrow_stats = {}
+    if args.export_arrow:
+        import pyarrow as pa
+
+        from machine_readability_checker_spark.operators.sampling import (
+            write_arrow_shards,
+        )
+
+        arrow_dir = os.path.join(args.out, "arrow")
+        write_arrow_shards(
+            cleaned.select("doc_id", "text"),
+            arrow_dir,
+            n_shards=args.export_arrow,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "arrow_manifest")
+        )
+        man = spark.read.parquet(
+            os.path.join(args.out, "arrow_manifest")
+        ).collect()
+        back = sum(
+            pa.ipc.open_file(r["path"]).read_all().num_rows for r in man
+        )
+        n_clean = spark.read.parquet(
+            os.path.join(args.out, "cleaned")
+        ).count()
+        arrow_stats = {
+            "arrow": {
+                "shards": len(man),
+                "rows": back,
+                # audit against the CLEANED corpus, not the manifest's
+                # own bookkeeping — a dropped shard must flip this
+                "matches": back == n_clean,
+            }
+        }
+
     if args.export_wet:
         from machine_readability_checker_spark.sources.warcsink import (
             write_wet,
@@ -465,6 +508,7 @@ def main() -> None:
                 "contaminated_removed": n_contaminated,
                 "funnel": funnel_rows,
                 **bucket_stats,
+                **arrow_stats,
                 **overlap_stats,
                 "quality_threshold": (
                     round(qthreshold, 6) if qmodel is not None else None

@@ -327,6 +327,133 @@ def temperature_mix(
     )
 
 
+#: Spark simpleString → Arrow type for the IPC export (flat columns
+#: only — the training-export payload shape)
+_ARROW_TYPES = {
+    "string": "string", "bigint": "int64", "int": "int32",
+    "double": "float64", "float": "float32", "boolean": "bool_",
+    "binary": "binary",
+}
+
+
+def write_arrow_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    columns: Optional[List[str]] = None,
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """Training-export sink: Arrow IPC file shards
+    (``shard-00000.arrow``) — the zero-copy interchange format
+    memory-mapping data loaders consume (the HuggingFace datasets
+    on-disk format is Arrow).  Same distributed shape and determinism
+    contract as ``write_jsonl_shards``: md5-derived shard + order, one
+    task per shard partition, task-attempt temp + atomic rename,
+    shared-filesystem requirement (see ``write_webdataset_shards``).
+    Record-batch boundaries are fixed at ``batch_rows`` over the
+    deterministic order, and the schema is built explicitly from the
+    Spark schema with no pandas metadata — shard BYTES are
+    reproducible run-to-run.
+
+    Flat payload columns only (string/int/float/bool/binary); nested
+    columns raise immediately rather than exporting a surprise
+    encoding."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    payload_cols = columns or [
+        c for c in df.columns if c not in ("shard", "position")
+    ]
+    if id_col not in payload_cols:
+        payload_cols = [id_col] + payload_cols
+    fields = []
+    by_name = {f.name: f for f in df.schema.fields}
+    for c in payload_cols:
+        st = by_name[c].dataType.simpleString()
+        if st not in _ARROW_TYPES:
+            raise ValueError(
+                f"column {c}: type {st} is not a flat exportable type"
+            )
+        fields.append(pa.field(c, getattr(pa, _ARROW_TYPES[st])()))
+    pa_schema = pa.schema(fields)
+
+    ordered = training_order(df, n_shards=n_shards, id_col=id_col)
+    os.makedirs(path, exist_ok=True)
+    schema = "shard int, n_docs long, n_bytes long, path string"
+
+    def kernel(batches):
+        import pyarrow as pa  # noqa: F811  (executor-side import)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx else os.getpid()
+        os.makedirs(path, exist_ok=True)
+        # shard -> [writer, sink, buffered rows (per-col lists),
+        #           count, final_path, tmp]
+        state: dict = {}
+
+        def wr_for(shard: int):
+            if shard not in state:
+                p = os.path.join(path, f"shard-{shard:05d}.arrow")
+                tmp = f"{p}.attempt-{attempt}"
+                sink = pa.OSFile(tmp, "wb")
+                w = pa.ipc.new_file(sink, pa_schema)
+                state[shard] = [w, sink, {c: [] for c in payload_cols},
+                                0, p, tmp]
+            return state[shard]
+
+        def flush(entry) -> None:
+            buf = entry[2]
+            if not buf[payload_cols[0]]:
+                return
+            arrays = [
+                pa.array(buf[c], type=pa_schema.field(c).type)
+                for c in payload_cols
+            ]
+            entry[0].write_batch(
+                pa.record_batch(arrays, schema=pa_schema)
+            )
+            for c in payload_cols:
+                buf[c].clear()
+
+        for batch in batches:
+            for row in batch.itertuples(index=False):
+                entry = wr_for(int(row.shard))
+                for c in payload_cols:
+                    entry[2][c].append(getattr(row, c))
+                entry[3] += 1
+                if len(entry[2][payload_cols[0]]) >= batch_rows:
+                    flush(entry)
+        rows = []
+        for shard, entry in sorted(state.items()):
+            flush(entry)
+            entry[0].close()
+            entry[1].close()
+            os.replace(entry[5], entry[4])
+            rows.append(
+                {
+                    "shard": shard,
+                    "n_docs": entry[3],
+                    "n_bytes": os.path.getsize(entry[4]),
+                    "path": entry[4],
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["shard", "n_docs", "n_bytes", "path"]
+        )
+
+    manifest = (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .select(*payload_cols, "shard", "position")
+        .mapInPandas(kernel, schema=schema)
+    )
+    return manifest
+
+
 #: tercile bounds of the CCNet head/middle/tail split, as the exact
 #: double literals both engines compare against
 CCNET_BOUNDS = (1.0 / 3.0, 2.0 / 3.0)

@@ -2529,6 +2529,61 @@ def test_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
         assert open(m["path"], "rb").read() == first_bytes[s]
 
 
+def test_arrow_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Arrow IPC shard export: pyarrow reads every shard back with the
+    explicit schema, row order follows training_order, the multi-batch
+    flush path chunks at batch_rows, shard BYTES are identical across
+    writes, and nested columns are rejected up front."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("lang_id"),
+    )
+    out = str(tmp_path / "arrow")
+    manifest = {
+        r["shard"]: r
+        for r in sampling.write_arrow_shards(
+            docs, out, n_shards=4, batch_rows=16
+        ).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(m["n_docs"] for m in manifest.values()) == 200
+
+    order = {
+        (r["shard"], r["position"]): r["doc_id"]
+        for r in sampling.training_order(docs, n_shards=4).collect()
+    }
+    for shard, m in manifest.items():
+        rd = pa.ipc.open_file(m["path"])
+        tbl = rd.read_all()
+        assert tbl.schema.names == ["doc_id", "text", "lang_id"]
+        assert tbl.schema.field("lang_id").type == pa.int64()
+        ids = tbl.column("doc_id").to_pylist()
+        assert ids == [order[(shard, p)] for p in range(1, len(ids) + 1)]
+        texts = tbl.column("text").to_pylist()
+        assert texts == [f"body {i}" for i in ids]
+        # batch_rows=16 → multi-batch files, fixed boundaries
+        assert rd.num_record_batches == -(-m["n_docs"] // 16)
+
+    first_bytes = {
+        s: open(m["path"], "rb").read() for s, m in manifest.items()
+    }
+    sampling.write_arrow_shards(
+        docs, out, n_shards=4, batch_rows=16
+    ).collect()
+    for s, m in manifest.items():
+        assert open(m["path"], "rb").read() == first_bytes[s]
+
+    nested = docs.withColumn("arr", F.array(F.lit(1)))
+    with _pytest.raises(ValueError, match="flat exportable"):
+        sampling.write_arrow_shards(nested, out)
+
+
 def test_bpe_artifacts_round_trip(spark, tmp_path):
     """merges.txt + vocab.json interchange: write → read → encode
     equality, vocab covers every emitted token, ids are stable."""
