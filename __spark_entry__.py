@@ -6325,6 +6325,21 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: md5 shards (score never moves a doc
+    between shards), within-shard positions primarily by an
+    SQL-expressible difficulty stand-in (text length — the faithful
+    pipeline scores perplexity), md5-then-id tie break."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text").cast("long")
+    )
+    return (
+        SP.curriculum_order(docs, "score", n_shards=8)
+        .select("doc_id", "score", "shard", "position")
+        .orderBy("shard", "position")
+    )
+
+
 def q_ngram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency top-20 with document frequency —
     boilerplate discovery / vocabulary audit aggregate."""
@@ -7650,6 +7665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_latest": q_cdx_latest,
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
+        "curriculum_order": q_curriculum_order,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -7853,6 +7869,7 @@ def oracle_sql() -> dict[str, str]:
     out["unigram_segments"] = _UNIGRAM_SQL
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
+    out["curriculum_order"] = _CURRICULUM_ORDER_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL
@@ -9282,6 +9299,21 @@ _TRAINING_ORDER_SQL = f"""
            CAST(row_number() OVER (
              PARTITION BY ({_HASH_BUCKET}) % 8
              ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+           ) AS INTEGER) AS position
+    FROM documents
+    ORDER BY shard, position
+"""
+
+
+_CURRICULUM_ORDER_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS score,
+           CAST(({_HASH_BUCKET}) % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ({_HASH_BUCKET}) % 8
+             ORDER BY length(text),
+                      md5(CAST(doc_id AS VARCHAR)),
+                      CAST(doc_id AS VARCHAR)
            ) AS INTEGER) AS position
     FROM documents
     ORDER BY shard, position

@@ -558,6 +558,45 @@ def training_order(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic curriculum training order (Bengio et al. 2009):
+    same md5 shard assignment as ``training_order`` — a document's
+    shard never depends on its score, so re-scoring moves positions,
+    not shard membership — but position within each shard is primarily
+    by the score (ascending = easy-first; flip for anti-curriculum),
+    with the md5 hash then the id breaking score ties pseudo-randomly.
+    Shards consumed sequentially by per-worker loaders then present
+    the curriculum in every shard simultaneously, which is what a
+    data-parallel run needs (a single global sort would both serialize
+    the sort and give each worker a different difficulty band).
+
+    One parallel window exchange, identical plan shape to
+    ``training_order``."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    shard = (
+        hash_bucket(F.col(id_col).cast("string"), buckets) % n_shards
+    ).cast("int")
+    score = F.col(score_col) if ascending else F.col(score_col).desc()
+    w = Window.partitionBy("shard").orderBy(
+        score, F.col("_h"), F.col(id_col).cast("string")
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
 def write_webdataset_shards(
     df: DataFrame,
     path: str,

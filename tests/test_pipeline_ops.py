@@ -2584,6 +2584,50 @@ def test_arrow_shards_roundtrip_and_determinism(spark, tmp_path):
         sampling.write_arrow_shards(nested, out)
 
 
+def test_curriculum_order_score_primary_hash_shards(spark):
+    """Curriculum order: shard membership identical to training_order
+    (score never moves a doc between shards), positions within each
+    shard ascend with the score, ties break by md5 then id, and
+    ascending=False reverses the difficulty direction."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        ((F.col("id") * 17) % 50).cast("double").alias("ppl"),  # ties
+    )
+    cur = sampling.curriculum_order(docs, "ppl", n_shards=4).collect()
+    base = {
+        r.doc_id: r.shard
+        for r in sampling.training_order(docs, n_shards=4).collect()
+    }
+    assert {r.doc_id: r.shard for r in cur} == base
+    by_shard: dict = {}
+    for r in cur:
+        by_shard.setdefault(r.shard, []).append(r)
+    import hashlib
+
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.position)
+        scores = [r.ppl for r in rows]
+        assert scores == sorted(scores)
+        keys = [
+            (r.ppl, hashlib.md5(r.doc_id.encode()).hexdigest(), r.doc_id)
+            for r in rows
+        ]
+        assert keys == sorted(keys)  # tie rule: md5 then id
+    anti = sampling.curriculum_order(
+        docs, "ppl", n_shards=4, ascending=False
+    ).collect()
+    for shard, rows in by_shard.items():
+        a = sorted(
+            (r for r in anti if r.shard == shard),
+            key=lambda r: r.position,
+        )
+        assert [r.ppl for r in a] == sorted(
+            (r.ppl for r in a), reverse=True
+        )
+
+
 def test_bpe_artifacts_round_trip(spark, tmp_path):
     """merges.txt + vocab.json interchange: write → read → encode
     equality, vocab covers every emitted token, ids are stable."""
