@@ -347,3 +347,43 @@ def stream_interleaved_export(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_registers(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    col: str = "text",
+    p: int = 9,
+):
+    """Continuously-maintained HyperLogLog corpus sketch: document
+    files landing in ``input_dir`` fold into the register table as
+    they arrive.  Registers are an ALGEBRAIC max aggregate, so
+    Structured Streaming's state store holds exactly ≤ 2**p rows
+    regardless of stream length — the streaming distinct-count answer
+    ("how many unique documents has this pipeline ever seen") with
+    bounded state and no watermark needed (max never retracts).
+
+    Each micro-batch publishes the complete register table by
+    overwriting ``output_dir`` (complete-mode foreachBatch; the
+    overwrite is idempotent, so a replayed batch republishes the same
+    table).  The published parquet is a drop-in input to
+    ``sketches.hll_estimate`` / ``hll_merge`` — streaming and batch
+    sketches compose in the same algebra."""
+    from ..operators.sketches import hll_sketch
+
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    regs = hll_sketch(docs, col, p)
+
+    def publish(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(output_dir)
+
+    return (
+        regs.writeStream.foreachBatch(publish)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

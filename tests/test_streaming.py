@@ -306,3 +306,53 @@ def test_stream_frontier_canonical_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {"a", "c", "e"}
+
+
+def test_stream_hll_registers_match_batch_and_update_incrementally(
+    spark, tmp_path
+):
+    """Streaming HLL maintenance: the published register table equals
+    the batch sketch of everything seen so far, late files fold in on
+    the next trigger, and a re-run with no new data republishes the
+    identical table (bounded state: ≤ 2^p rows)."""
+    from machine_readability_checker_spark.operators import sketches as SK
+    from machine_readability_checker_spark.streaming.stream_extract import (
+        stream_hll_registers,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt_hll")
+    schema = "doc_id string, text string"
+
+    def docs_df(lo, hi):
+        return spark.createDataFrame(
+            [(str(i), f"document body {i}") for i in range(lo, hi)], schema
+        )
+
+    docs_df(0, 60).coalesce(2).write.mode("append").parquet(in_dir)
+    q = stream_hll_registers(spark, in_dir, out_dir, ckpt, schema, p=6)
+    q.awaitTermination(120)
+
+    def regs(df):
+        return sorted((r["idx"], r["rank"]) for r in df.collect())
+
+    got1 = regs(spark.read.parquet(out_dir))
+    want1 = regs(SK.hll_sketch(docs_df(0, 60), p=6))
+    assert got1 == want1 and len(got1) <= 64
+
+    # late wave: registers fold forward to cover the full corpus
+    docs_df(60, 150).coalesce(2).write.mode("append").parquet(in_dir)
+    q2 = stream_hll_registers(spark, in_dir, out_dir, ckpt, schema, p=6)
+    q2.awaitTermination(120)
+    got2 = regs(spark.read.parquet(out_dir))
+    assert got2 == regs(SK.hll_sketch(docs_df(0, 150), p=6))
+
+    # replay with nothing new: identical republish
+    q3 = stream_hll_registers(spark, in_dir, out_dir, ckpt, schema, p=6)
+    q3.awaitTermination(120)
+    assert regs(spark.read.parquet(out_dir)) == got2
+
+    # the published table feeds the batch estimator unchanged
+    est = SK.hll_estimate(spark.read.parquet(out_dir), p=6).first()
+    assert abs(est.n_distinct_est - 150) / 150 < 0.4  # m=64 error band
