@@ -6325,6 +6325,17 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card aggregate (Datasheets for Datasets): doc/char/
+    token totals, exact token-length mean/median/p90, language count +
+    dominant language share — one aggregate scan plus a tiny
+    language-mode aggregate."""
+    from machine_readability_checker_spark.operators import datacard as DC
+
+    docs = _t(spark, sf_dir, "documents")
+    return DC.corpus_datacard(docs)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order: md5 shards (score never moves a doc
     between shards), within-shard positions primarily by an
@@ -7666,6 +7677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "training_order": q_training_order,
         "curriculum_order": q_curriculum_order,
+        "corpus_datacard": q_corpus_datacard,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -7870,6 +7882,7 @@ def oracle_sql() -> dict[str, str]:
     out["temperature_mix"] = _TEMPERATURE_MIX_SQL
     out["training_order"] = _TRAINING_ORDER_SQL
     out["curriculum_order"] = _CURRICULUM_ORDER_SQL
+    out["corpus_datacard"] = _DATACARD_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL
@@ -9317,6 +9330,39 @@ _CURRICULUM_ORDER_SQL = f"""
            ) AS INTEGER) AS position
     FROM documents
     ORDER BY shard, position
+"""
+
+
+_DATACARD_SQL = f"""
+    WITH per_doc AS (
+      SELECT len({_TOKS}) AS nt,
+             length(text) AS nc,
+             COALESCE(lang, 'und') AS lg
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_chars,
+             CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens,
+             round(AVG(nt), 4) AS mean_tokens,
+             round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+             round(quantile_cont(nt, 0.9), 4) AS p90_tokens
+      FROM per_doc
+    ),
+    lc AS (
+      SELECT lg, COUNT(*) AS n FROM per_doc GROUP BY lg
+    ),
+    lm AS (
+      SELECT (SELECT COUNT(*) FROM lc) AS n_langs,
+             lg AS top_lang,
+             round(CAST(n AS DOUBLE) /
+                   (SELECT SUM(n) FROM lc), 6) AS top_lang_frac
+      FROM lc ORDER BY n DESC, lg DESC LIMIT 1
+    )
+    SELECT s.n_docs, s.n_chars, s.n_tokens, s.mean_tokens,
+           s.p50_tokens, s.p90_tokens,
+           lm.n_langs, lm.top_lang, lm.top_lang_frac
+    FROM stats s, lm
 """
 
 

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "doremi_mix_weights",
     "wordpiece_pair_scores",
     "curriculum_order",
+    "corpus_datacard",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -188,6 +188,13 @@ def main() -> None:
         "under <out>/jsonl_manifest",
     )
     ap.add_argument(
+        "--datacard", action="store_true",
+        help="write <out>/datacard.json — the computed dataset card "
+        "(doc/char/token totals, length percentiles, language mix) "
+        "with the funnel counts and calibrated thresholds recorded as "
+        "provenance",
+    )
+    ap.add_argument(
         "--export-arrow", type=int, default=0, metavar="N_SHARDS",
         help="additionally export the cleaned corpus as N Arrow IPC "
         "file shards under <out>/arrow (the zero-copy format "
@@ -495,6 +502,26 @@ def main() -> None:
             }
         }
 
+    datacard_stats = {}
+    if args.datacard:
+        from machine_readability_checker_spark.operators import (
+            datacard as DC,
+        )
+
+        card_path = os.path.join(args.out, "datacard.json")
+        DC.write_datacard(
+            DC.corpus_datacard(
+                spark.read.parquet(os.path.join(args.out, "cleaned"))
+            ),
+            card_path,
+            extra={
+                "funnel": funnel_rows,
+                "ppl_threshold": pthreshold,
+                "quality_threshold": qthreshold,
+            },
+        )
+        datacard_stats = {"datacard": card_path}
+
     n_in = survivors.count()
     n_out = spark.read.parquet(os.path.join(args.out, "cleaned")).count()
     wall = time.time() - t0
@@ -509,6 +536,7 @@ def main() -> None:
                 "funnel": funnel_rows,
                 **bucket_stats,
                 **arrow_stats,
+                **datacard_stats,
                 **overlap_stats,
                 "quality_threshold": (
                     round(qthreshold, 6) if qmodel is not None else None
