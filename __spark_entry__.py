@@ -6325,6 +6325,34 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer QA (Rust et al. 2021): fertility =
+    subwords per whitespace word under the JVM BPE-ish segmenter,
+    bytes per subword — one map-side-combined aggregate scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.tokenizer_fertility(docs).orderBy("lang")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR/SimCSE hard-negative mining: anchors = vec_id < 4, labeled
+    positives = the pair-lane arithmetic partner ((id*7+13) mod n);
+    top-3 most-similar corpus vectors per anchor EXCLUDING self and
+    positives (broadcast anti join before the per-anchor window)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    n = emb.count()
+    positives = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        ((F.col("vec_id") * 7 + 13) % F.lit(n)).alias("vec_id"),
+    )
+    out = S.mine_hard_negatives(emb, anchors, positives, k=3)
+    return out.select(
+        "anchor_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("anchor_id", "rank")
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card aggregate (Datasheets for Datasets): doc/char/
     token totals, exact token-length mean/median/p90, language count +
@@ -7678,6 +7706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "curriculum_order": q_curriculum_order,
         "corpus_datacard": q_corpus_datacard,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "hard_negatives": q_hard_negatives,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -7883,6 +7913,8 @@ def oracle_sql() -> dict[str, str]:
     out["training_order"] = _TRAINING_ORDER_SQL
     out["curriculum_order"] = _CURRICULUM_ORDER_SQL
     out["corpus_datacard"] = _DATACARD_SQL
+    out["tokenizer_fertility"] = _FERTILITY_SQL
+    out["hard_negatives"] = _HARD_NEGATIVES_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL
@@ -9330,6 +9362,63 @@ _CURRICULUM_ORDER_SQL = f"""
            ) AS INTEGER) AS position
     FROM documents
     ORDER BY shard, position
+"""
+
+
+_FERTILITY_SQL = f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len({_TOKS}) AS w,
+             len(list_filter(
+               regexp_extract_all(
+                 text, '[A-Za-z]+|\\d+|[^A-Za-z\\d\\s]'),
+               x -> x != '')) AS s,
+             strlen(text) AS b
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(s) AS BIGINT) AS n_subwords,
+           round(CAST(SUM(s) AS DOUBLE) / SUM(w), 6) AS fertility,
+           round(CAST(SUM(b) AS DOUBLE) / SUM(s), 6)
+             AS bytes_per_subword
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+_HARD_NEGATIVES_SQL = """
+    WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+    anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS av
+      FROM embeddings WHERE vec_id < 4
+    ),
+    pos AS (
+      SELECT vec_id AS anchor_id, (vec_id * 7 + 13) % n.c AS pid
+      FROM embeddings, n WHERE vec_id < 4
+    ),
+    cand AS (
+      SELECT a.anchor_id, e.vec_id,
+             list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               CAST(a.av AS DOUBLE[])) AS cosine
+      FROM anchors a CROSS JOIN embeddings e
+      WHERE e.vec_id != a.anchor_id
+        AND NOT EXISTS (
+          SELECT 1 FROM pos p
+          WHERE p.anchor_id = a.anchor_id AND p.pid = e.vec_id
+        )
+    ),
+    r AS (
+      SELECT anchor_id, vec_id, cosine,
+             row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY cosine DESC, vec_id) AS rnk
+      FROM cand
+    )
+    SELECT anchor_id, vec_id, round(cosine, 6) AS cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk
 """
 
 

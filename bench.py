@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "wordpiece_pair_scores",
     "curriculum_order",
     "corpus_datacard",
+    "tokenizer_fertility",
+    "hard_negatives",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

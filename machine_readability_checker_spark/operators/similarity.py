@@ -101,6 +101,58 @@ def knn_join(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    SimCSE / sentence-transformers recipe): for each anchor, the top-k
+    most-similar corpus vectors that are neither the anchor itself nor
+    one of its labeled positives — the negatives that actually move an
+    InfoNCE loss, vs random negatives the model already separates.
+
+    ``positives`` is ``(anchor_id, vec_id)`` labeled-pair rows.  Plan:
+    anchors broadcast onto the corpus scan (the bounded-query-batch
+    contract of ``knn_join``); self and positives are removed with a
+    broadcast LEFT ANTI join BEFORE the per-anchor top-k window, so an
+    anchor always receives k true negatives rather than k minus its
+    positive count.  Returns (anchor_id, vec_id, cosine, rank).
+
+    Swap the crossJoin stage for ``lsh_bucket_topk`` /
+    ``query_ivfpq_index`` candidates when the anchor batch is large —
+    the exclusion join and window are unchanged."""
+    a = anchors.select(
+        F.col(anchor_id_col),
+        F.col(vec_col).cast("array<double>").alias("_av"),
+    )
+    joined = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+        )
+        .crossJoin(F.broadcast(a))
+        .filter(F.col(id_col) != F.col(anchor_id_col))
+        .join(
+            F.broadcast(positives.select(anchor_id_col, id_col)),
+            [anchor_id_col, id_col],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        joined.withColumn("cosine", cosine_sim(F.col("_cv"), F.col("_av")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> List[List[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

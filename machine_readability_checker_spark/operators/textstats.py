@@ -48,6 +48,44 @@ def subword_count(col: Column) -> Column:
     )
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+) -> DataFrame:
+    """Tokenizer QA aggregate ("How Good is Your Tokenizer?", Rust et
+    al. 2021): per-group fertility = subwords per whitespace word (the
+    over-segmentation signal — a tokenizer mismatched to a language
+    shatters its words) and bytes per subword (compression — what a
+    context-window budget actually buys).  Uses the JVM BPE-ish
+    segmenter, so the whole aggregate is ONE map-side-combined scan
+    with zero Python; per-tokenizer-artifact fertility comes from
+    running the same aggregate over ``bpe_encode``/``wordpiece_encode``
+    output instead.
+
+    Returns per-group (n_docs, n_words, n_subwords, fertility,
+    bytes_per_subword)."""
+    keys = [by] if by else []
+    base = df.select(
+        *keys,
+        token_count(F.col(text_col)).alias("_w"),
+        subword_count(F.col(text_col)).alias("_s"),
+        F.octet_length(F.col(text_col)).alias("_b"),
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_s").alias("n_subwords"),
+        F.round(
+            F.try_divide(F.sum("_s"), F.sum("_w")), 6
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(F.sum("_b"), F.sum("_s")), 6
+        ).alias("bytes_per_subword"),
+    )
+    return agg
+
+
 def stopword_ratio(col: Column, stopwords: List[str] = QUALITY_STOPWORDS) -> Column:
     toks = tokens(col)
     hits = F.filter(toks, lambda x: x.isin(stopwords))

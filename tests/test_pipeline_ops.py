@@ -2584,6 +2584,69 @@ def test_arrow_shards_roundtrip_and_determinism(spark, tmp_path):
         sampling.write_arrow_shards(nested, out)
 
 
+def test_tokenizer_fertility_hand_computed(spark):
+    from machine_readability_checker_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            ("0", "hello world3 ,", "en"),   # 3 words, 4 subwords
+            ("1", "日本語 テキスト", "ja"),    # 2 words, 8 subwords (per char)
+        ],
+        "doc_id string, text string, lang string",
+    )
+    rows = {
+        r.lang: r
+        for r in textstats.tokenizer_fertility(docs).collect()
+    }
+    en, ja = rows["en"], rows["ja"]
+    assert (en.n_words, en.n_subwords) == (3, 4)
+    assert en.fertility == pytest.approx(4 / 3, abs=1e-6)
+    assert en.bytes_per_subword == pytest.approx(
+        len("hello world3 ,".encode()) / 4, abs=1e-6
+    )
+    # CJK: every char is its own BPE-ish subword → high fertility,
+    # multibyte bytes-per-subword
+    assert (ja.n_words, ja.n_subwords) == (2, 7)
+    assert ja.fertility == pytest.approx(3.5)
+    assert ja.bytes_per_subword > 3.0
+
+
+def test_mine_hard_negatives_excludes_self_and_positives(spark):
+    from machine_readability_checker_spark.operators import similarity
+
+    # corpus on a circle: vec 1 is an exact duplicate of the anchor
+    # (labeled positive), vec 2 nearly parallel, others decreasing
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),            # positive (same direction)
+        (2, [math.cos(0.1), math.sin(0.1)]),
+        (3, [math.cos(0.5), math.sin(0.5)]),
+        (4, [math.cos(1.2), math.sin(1.2)]),
+        (5, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    anchors = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "anchor_id long, embedding array<double>"
+    )
+    positives = spark.createDataFrame(
+        [(0, 1)], "anchor_id long, vec_id long"
+    )
+    got = similarity.mine_hard_negatives(
+        emb, anchors, positives, k=3
+    ).collect()
+    ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ids == [2, 3, 4]  # self (0) and positive (1) never appear
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3]
+    cos = [r.cosine for r in sorted(got, key=lambda r: r.rank)]
+    assert cos == sorted(cos, reverse=True)
+    # k negatives survive even though a positive outranked them all
+    assert len(got) == 3
+
+
 def test_curriculum_order_score_primary_hash_shards(spark):
     """Curriculum order: shard membership identical to training_order
     (score never moves a doc between shards), positions within each
