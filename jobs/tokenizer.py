@@ -59,6 +59,13 @@ def main() -> None:
     ap.add_argument("--vocab-size", type=int, default=1000)
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument(
+        "--packing", choices=("concat", "doc"), default="concat",
+        help="concat = GPT-style concat-and-chunk (fill 1.0, documents "
+        "may split across sequences); doc = first-fit-decreasing whole-"
+        "document packing (no cross-document splits; fill_rate reports "
+        "the FFD residual; overflow docs sit alone, flagged)",
+    )
+    ap.add_argument(
         "--cores", type=int,
         default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     )
@@ -160,12 +167,25 @@ def main() -> None:
     enc = spark.read.parquet(enc_path)
 
     from machine_readability_checker_spark.operators.sampling import (
+        pack_documents,
         pack_sequences,
     )
 
-    seqs = pack_sequences(
-        enc, seq_len=args.seq_len, count_col=n_col
-    )
+    if args.packing == "doc":
+        # boundary-respecting FFD: no document split across sequences
+        # (fill_rate < 1 by design; packed == total still holds).
+        # Shard count scales with corpus size — FFD quality needs tens
+        # of docs per shard, or every shard fragments into underfull
+        # bins (at corpus scale the 64-shard ceiling is parallelism,
+        # not a quality limit)
+        seqs = pack_documents(
+            enc, seq_len=args.seq_len, count_col=n_col,
+            n_shards=max(1, min(64, n_docs // 32)),
+        )
+    else:
+        seqs = pack_sequences(
+            enc, seq_len=args.seq_len, count_col=n_col
+        )
     seq_path = os.path.join(args.out, "sequences")
     seqs.write.mode("overwrite").parquet(seq_path)
     sback = spark.read.parquet(seq_path)
@@ -175,6 +195,22 @@ def main() -> None:
     )
     n_seqs = sback.select("seq_id").distinct().count()
     packed = int(sback.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+    pack_extra = {}
+    if args.packing == "doc":
+        # fill is only meaningful over capacity-bounded sequences —
+        # overflow docs (longer than seq_len, flagged, isolated) are
+        # reported separately, not hidden inside an >1.0 ratio
+        nov = sback.filter(~F.col("overflow"))
+        n_nov = nov.select("seq_id").distinct().count()
+        packed_nov = int(nov.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+        pack_extra = {
+            "overflow_docs": sback.filter(F.col("overflow")).count(),
+            "fill_rate_bounded": round(
+                packed_nov / (n_nov * args.seq_len), 4
+            )
+            if n_nov
+            else None,
+        }
     docs.unpersist()
     wall = time.time() - t0
     print(
@@ -193,6 +229,7 @@ def main() -> None:
                 )
                 if n_seqs
                 else None,
+                **pack_extra,
                 "wall_sec": round(wall, 3),
                 "cores": args.cores,
             }

@@ -558,6 +558,115 @@ def training_order(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    count_col: Optional[str] = None,
+    n_shards: int = 64,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Document-boundary-respecting sequence packing: first-fit-
+    decreasing within md5-assigned shards, NO document ever split
+    across sequences — the alternative to ``pack_sequences`` when
+    cross-document attention contamination matters (each sequence
+    holds only whole documents; training masks per-document without
+    segment bookkeeping).  Documents longer than ``seq_len`` are
+    returned flagged (``overflow = true``, alone in their own
+    sequence) rather than silently truncated — the caller chunks or
+    drops them explicitly.
+
+    Deterministic and partition-invariant: shard = md5 bucket (same
+    rule as ``training_order``), and within a shard the FFD fold runs
+    in (length desc, md5, id) order inside one Arrow-batched kernel —
+    the sequential bin-packing heart is per-shard, so parallelism is
+    ``n_shards`` and memory is one shard's (doc_id, length) list, not
+    its text.  FFD wastes ≤ the largest-doc residual per bin and in
+    practice fills ≥90% of each sequence; the fill rate is the
+    caller-visible quality signal (vs pack_sequences' 1.0-by-splitting).
+
+    Returns (seq_id string, doc_id, n_tokens, seq_fill long,
+    overflow boolean) — one row per document."""
+    import pandas as pd
+
+    from .textstats import token_count
+
+    tc = (
+        F.col(count_col).cast("long")
+        if count_col
+        else token_count(F.col(text_col))
+    )
+    t = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.coalesce(tc, F.lit(0)).alias("_tc"),
+    ).filter(F.col("_tc") > 0)
+    t = t.withColumn(
+        "_shard", (hash_bucket(F.col("_id"), buckets) % n_shards).cast("int")
+    ).withColumn("_h", F.md5(F.encode(F.col("_id"), "UTF-8")))
+
+    schema = (
+        f"seq_id string, {id_col} string, n_tokens long, "
+        "seq_fill long, overflow boolean"
+    )
+    cap = int(seq_len)
+
+    def kernel(batches) -> "pd.DataFrame":
+        # Arrow feeds a partition as MULTIPLE batches; a shard split
+        # across batch boundaries must still see ONE fold, so buffer
+        # the partition's (length, hash, id) rows — never the text —
+        # before packing.
+        parts = [b for b in batches if not b.empty]
+        if not parts:
+            yield pd.DataFrame(
+                {
+                    "seq_id": [], id_col: [], "n_tokens": [],
+                    "seq_fill": [], "overflow": [],
+                }
+            )
+            return
+        whole = pd.concat(parts, ignore_index=True)
+        out = {
+            "seq_id": [], id_col: [], "n_tokens": [],
+            "seq_fill": [], "overflow": [],
+        }
+        for shard, grp in whole.groupby("_shard", sort=True):
+            docs = sorted(
+                zip(grp["_tc"], grp["_h"], grp["_id"]),
+                key=lambda x: (-x[0], x[1], x[2]),
+            )
+            bins: list = []  # [remaining, [(id, n, overflow)]]
+            for n, _h, did in docs:
+                if n > cap:
+                    bins.append([0, [(did, n, True)]])
+                    continue
+                placed = False
+                for b in bins:
+                    if b[0] >= n:
+                        b[0] -= n
+                        b[1].append((did, n, False))
+                        placed = True
+                        break
+                if not placed:
+                    bins.append([cap - n, [(did, n, False)]])
+            for i, (rem, members) in enumerate(bins):
+                fill = sum(m[1] for m in members)
+                sid = f"s{shard:05d}-{i:06d}"
+                for did, n, ov in members:
+                    out["seq_id"].append(sid)
+                    out[id_col].append(did)
+                    out["n_tokens"].append(n)
+                    out["seq_fill"].append(fill)
+                    out["overflow"].append(ov)
+        yield pd.DataFrame(out)
+
+    return (
+        t.repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard")
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

@@ -2584,6 +2584,53 @@ def test_arrow_shards_roundtrip_and_determinism(spark, tmp_path):
         sampling.write_arrow_shards(nested, out)
 
 
+def test_pack_documents_ffd_invariants(spark):
+    """Doc-boundary packing: every doc lands whole in exactly one
+    sequence, sequences never exceed seq_len (overflow docs flagged and
+    isolated), the result is invariant to input partitioning, and FFD
+    fill beats 85% on mixed lengths."""
+    from machine_readability_checker_spark.operators import sampling
+
+    docs = spark.range(0, 400).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (100 + (F.col("id") * 37) % 400).alias("n_tok"),
+    )
+    # plant one overflow doc
+    docs = docs.union(
+        spark.createDataFrame([("big", 5000)], "doc_id string, n_tok long")
+    )
+    out = sampling.pack_documents(
+        docs, seq_len=2048, count_col="n_tok", n_shards=8
+    ).collect()
+    assert len(out) == 401  # one row per doc, none split
+    assert len({r.doc_id for r in out}) == 401
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for rows in by_seq.values():
+        total = sum(r.n_tokens for r in rows)
+        assert all(r.seq_fill == total for r in rows)
+        if any(r.overflow for r in rows):
+            assert len(rows) == 1  # overflow docs sit alone
+        else:
+            assert total <= 2048
+    big = next(r for r in out if r.doc_id == "big")
+    assert big.overflow and big.seq_fill == 5000
+    # fill quality: FFD over mixed lengths
+    fills = [
+        sum(r.n_tokens for r in rows)
+        for rows in by_seq.values()
+        if not any(r.overflow for r in rows)
+    ]
+    full_bins = sorted(fills, reverse=True)[: len(fills) - 8]
+    assert sum(full_bins) / (2048 * len(full_bins)) > 0.85
+    # partition invariance
+    again = sampling.pack_documents(
+        docs.repartition(17), seq_len=2048, count_col="n_tok", n_shards=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_tokenizer_fertility_hand_computed(spark):
     from machine_readability_checker_spark.operators import textstats
 
