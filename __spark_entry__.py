@@ -6353,6 +6353,62 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rank")
 
 
+def _code_variant_text() -> F.Column:
+    """Deterministic per-doc code-corpus variants (documents carry no
+    license headers; the oracle builds the identical strings in SQL):
+    doc_id%7==0 → SPDX MIT tag, 1 → MIT preamble phrase, 2 →
+    auto-generated marker, 3 → a 1200-char line appended, else
+    verbatim."""
+    t = F.col("text")
+    m = F.col("doc_id") % 7
+    return (
+        F.when(m == 0, F.concat(F.lit("SPDX-License-Identifier: MIT\n"), t))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("Permission is hereby granted, free of charge. "), t
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("// auto-generated do not edit\n"), t))
+        .when(m == 3, F.concat(t, F.lit("\n"), F.repeat(F.lit("x"), 1200)))
+        .otherwise(t)
+    )
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style code-quality battery over deterministic
+    license/autogen/long-line variants of the documents: per-doc line
+    geometry, ASCII-alpha fraction, autogen marker, detected license,
+    and the default keep verdict — the code-corpus curation scan."""
+    from machine_readability_checker_spark.operators import codestats as CS
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _code_variant_text().alias("text")
+    )
+    out = CS.code_quality_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "max_line_len",
+        "mean_line_len",
+        "alpha_frac",
+        "autogen",
+        F.coalesce(F.col("license"), F.lit("none")).alias("license"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus license inventory over the same variants: (license,
+    n_docs) — the permissive-only build's routing aggregate."""
+    from machine_readability_checker_spark.operators import codestats as CS
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _code_variant_text().alias("text")
+    )
+    return CS.license_counts(docs).orderBy("license")
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card aggregate (Datasheets for Datasets): doc/char/
     token totals, exact token-length mean/median/p90, language count +
@@ -7708,6 +7764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "tokenizer_fertility": q_tokenizer_fertility,
         "hard_negatives": q_hard_negatives,
+        "code_quality": q_code_quality,
+        "license_scan": q_license_scan,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -7915,6 +7973,8 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_datacard"] = _DATACARD_SQL
     out["tokenizer_fertility"] = _FERTILITY_SQL
     out["hard_negatives"] = _HARD_NEGATIVES_SQL
+    out["code_quality"] = _CODE_QUALITY_SQL
+    out["license_scan"] = _LICENSE_SCAN_SQL
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL
@@ -9419,6 +9479,88 @@ _HARD_NEGATIVES_SQL = """
     SELECT anchor_id, vec_id, round(cosine, 6) AS cosine,
            CAST(rnk AS INTEGER) AS rank
     FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk
+"""
+
+
+#: SQL twin of ``_code_variant_text`` + ``codestats.detect_license``
+_CODE_VARIANT_SQL = """
+      CASE doc_id % 7
+        WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10) || text
+        WHEN 1 THEN 'Permission is hereby granted, free of charge. '
+                    || text
+        WHEN 2 THEN '// auto-generated do not edit' || chr(10) || text
+        WHEN 3 THEN text || chr(10) || repeat('x', 1200)
+        ELSE text END
+"""
+
+_LICENSE_CASE_SQL = """
+      CASE
+        WHEN regexp_matches(t,
+          'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)')
+          THEN lower(regexp_extract(t,
+            'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1))
+        WHEN regexp_matches(t,
+          '(?i)Permission is hereby granted, free of charge')
+          THEN 'mit'
+        WHEN regexp_matches(t,
+          '(?i)Licensed under the Apache License, Version 2\\.0')
+          THEN 'apache-2.0'
+        WHEN regexp_matches(t,
+          '(?i)GNU (Lesser |Affero )?General Public License')
+          THEN 'gpl'
+        WHEN regexp_matches(t,
+          '(?i)Redistribution and use in source and binary forms')
+          THEN 'bsd'
+        WHEN regexp_matches(t,
+          '(?i)Mozilla Public License,? (Version |v\\.? ?)2\\.0')
+          THEN 'mpl-2.0'
+        WHEN regexp_matches(t,
+          '(?i)This is free and unencumbered software')
+          THEN 'unlicense'
+        ELSE 'none' END
+"""
+
+_CODE_QUALITY_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, {_CODE_VARIANT_SQL} AS t FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS parts FROM v
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(parts) AS INTEGER) AS n_lines,
+             CAST(COALESCE(
+               list_max([length(x) for x in parts]), 0) AS INTEGER)
+               AS max_line_len,
+             round(CAST(list_sum([length(x) for x in parts]) AS DOUBLE)
+                   / len(parts), 4) AS mean_line_len,
+             round(CASE WHEN length(t) > 0
+               THEN CAST(length(regexp_replace(
+                      t, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(t)
+               ELSE 0.0 END, 6) AS alpha_frac,
+             regexp_matches(t,
+               '(?i)(auto-?generated|do not edit|generated by)')
+               AS autogen,
+             {_LICENSE_CASE_SQL} AS license
+      FROM s
+    )
+    SELECT doc_id, n_lines, max_line_len, mean_line_len, alpha_frac,
+           autogen, license,
+           (max_line_len <= 1000 AND mean_line_len <= 100.0
+            AND alpha_frac >= 0.25 AND NOT autogen) AS keep
+    FROM q ORDER BY doc_id
+"""
+
+_LICENSE_SCAN_SQL = f"""
+    WITH v AS (
+      SELECT doc_id, {_CODE_VARIANT_SQL} AS t FROM documents
+    ),
+    lab AS (
+      SELECT {_LICENSE_CASE_SQL} AS license FROM v
+    )
+    SELECT license, COUNT(*) AS n_docs
+    FROM lab GROUP BY license ORDER BY license
 """
 
 

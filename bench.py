@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "tokenizer_fertility",
     "hard_negatives",
+    "code_quality",
+    "license_scan",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the
