@@ -188,6 +188,12 @@ def main() -> None:
         "under <out>/jsonl_manifest",
     )
     ap.add_argument(
+        "--code-filters", action="store_true",
+        help="add the StarCoder-style code-corpus gate to the funnel "
+        "(max/mean line length, ASCII-alpha floor, auto-generated "
+        "markers) — stage `code_ok`; for source-code corpora",
+    )
+    ap.add_argument(
         "--datacard", action="store_true",
         help="write <out>/datacard.json — the computed dataset card "
         "(doc/char/token totals, length percentiles, language mix) "
@@ -336,6 +342,7 @@ def main() -> None:
         ppl_threshold=pthreshold,
         min_compression_ratio=args.min_compression_ratio,
         c4_lines=args.c4_lines,
+        code_filters=args.code_filters,
     ).persist()
     funnel_df = TS.funnel_from_labels(
         labeled,
@@ -346,6 +353,7 @@ def main() -> None:
         lm_ppl=pmodel is not None,
         compression=args.min_compression_ratio is not None,
         c4_lines=args.c4_lines,
+        code_filters=args.code_filters,
     )
     funnel_df.write.mode("overwrite").parquet(os.path.join(args.out, "funnel"))
     funnel_rows = {

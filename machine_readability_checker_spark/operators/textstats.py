@@ -602,6 +602,7 @@ def stage_names(
     compression: bool = False,
     c4_lines: bool = False,
     badwords: bool = False,
+    code_filters: bool = False,
 ) -> List[str]:
     """Cumulative cleaning-stage names, index-aligned with the ``_drop``
     labels produced by ``label_drop_stage`` (index 0 = raw input)."""
@@ -614,6 +615,8 @@ def stage_names(
         names.append("repetition_ok")
     if compression:
         names.append("compression_ok")
+    if code_filters:
+        names.append("code_ok")
     if model_quality:
         names.append("model_quality")
     if lm_ppl:
@@ -638,6 +641,7 @@ def label_drop_stage(
     min_compression_ratio: float = None,
     c4_lines: bool = False,
     badwords=None,
+    code_filters: bool = False,
 ) -> DataFrame:
     """ONE pass over the corpus: each document gains ``_drop`` = the
     1-based index of the cleaning stage that removes it (NULL =
@@ -763,6 +767,15 @@ def label_drop_stage(
         )
         drop = drop.when(~keep_cr, F.lit(stage))
         stage += 1
+    if code_filters:
+        # StarCoder-style geometry/alpha/autogen gate (codestats) as a
+        # funnel stage — pure column expression, still one pass
+        from .codestats import code_keep_expr
+
+        drop = drop.when(
+            ~F.coalesce(code_keep_expr(c), F.lit(False)), F.lit(stage)
+        )
+        stage += 1
     if quality_model is not None:
         keep_q = F.coalesce(
             F.col("quality_prob") >= quality_threshold, F.lit(False)
@@ -815,13 +828,14 @@ def funnel_from_labels(
     compression: bool = False,
     c4_lines: bool = False,
     badwords: bool = False,
+    code_filters: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_docs) funnel from a ``label_drop_stage``
     frame: ONE aggregate over the labels (conditional sums), exploded
     into the per-stage rows — no per-stage recount."""
     names = stage_names(
         require_known_lang, drop_repetitive, model_quality, lm_ppl,
-        compression, c4_lines, badwords,
+        compression, c4_lines, badwords, code_filters,
     )
     # coalesce: F.sum over an empty corpus is NULL where the old
     # per-stage count() was 0

@@ -77,3 +77,38 @@ def test_license_counts_inventory(spark):
         for r in CS.license_counts(_df(spark, rows)).collect()
     }
     assert got == {"mit": 2, "none": 2}
+
+
+def test_code_filters_funnel_stage(spark):
+    """code_filters=True adds a `code_ok` stage to the one-pass funnel:
+    geometry/autogen failures drop there, survivors flow on, and the
+    stage is absent when the flag is off."""
+    from machine_readability_checker_spark.operators import textstats as TS
+
+    rows = [
+        ("a", "def ok():\n    return 1 yes fine good"),
+        ("b", "x = '" + "a" * 1500 + "' plus more words"),  # long line
+        ("c", "# auto-generated do not edit\npass it is"),
+        ("d", "also a perfectly normal prose line here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    lab = TS.label_drop_stage(
+        df, require_known_lang=False, code_filters=True
+    )
+    funnel = {
+        r.stage: r.n_docs
+        for r in TS.funnel_from_labels(
+            lab, require_known_lang=False, code_filters=True
+        ).collect()
+    }
+    assert funnel["raw"] == 4
+    assert funnel["min_tokens"] == 4
+    assert funnel["code_ok"] == 2  # b (geometry) and c (autogen) drop
+    off = {
+        r.stage
+        for r in TS.funnel_from_labels(
+            TS.label_drop_stage(df, require_known_lang=False),
+            require_known_lang=False,
+        ).collect()
+    }
+    assert "code_ok" not in off
