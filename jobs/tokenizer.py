@@ -193,6 +193,25 @@ def main() -> None:
     total_subwords = int(
         enc.agg(F.sum(n_col)).collect()[0][0] or 0
     )
+    # fertility of the TRAINED artifact (Rust et al. 2021): subwords
+    # the encoder actually emitted per whitespace word, and bytes per
+    # emitted subword — one aggregate over the already-persisted corpus
+    from machine_readability_checker_spark.operators.textstats import (
+        token_count,
+    )
+
+    corpus_tot = docs.agg(
+        F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0)).alias("w"),
+        F.coalesce(F.sum(F.octet_length("text")), F.lit(0)).alias("b"),
+    ).first()
+    fert_stats = {
+        "artifact_fertility": round(total_subwords / corpus_tot["w"], 4)
+        if corpus_tot["w"]
+        else None,
+        "bytes_per_subword": round(corpus_tot["b"] / total_subwords, 4)
+        if total_subwords
+        else None,
+    }
     n_seqs = sback.select("seq_id").distinct().count()
     packed = int(sback.agg(F.sum("n_tokens")).collect()[0][0] or 0)
     pack_extra = {}
@@ -220,6 +239,7 @@ def main() -> None:
                 "tokenizer": args.tokenizer,
                 **tok_stats,
                 "total_subwords": total_subwords,
+                **fert_stats,
                 "seq_len": args.seq_len,
                 "sequences": n_seqs,
                 "packed_tokens": packed,
