@@ -544,3 +544,51 @@ def test_resolve_media_payloads_hashed_once(spark, tmp_path):
     got = out.collect()
     assert len(got) == 4
     assert all(bytes(r["content"]) == b"payload" for r in got)
+
+
+def test_session_l_aggregate_lanes_stay_jvm_and_bounded(spark):
+    """Session-L aggregate families: the data card is two aggregates +
+    a broadcast cross (no Python, no window), the code-quality scan is
+    a zero-exchange narrow map, and the license inventory is one
+    aggregate exchange."""
+    from machine_readability_checker_spark.operators import (
+        codestats as CS,
+        datacard as DC,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    card = _plan(DC.corpus_datacard(docs))
+    assert "BatchEvalPython" not in card and "ArrowEvalPython" not in card
+    assert "Window" not in card
+    assert "BroadcastExchange" in card
+
+    cq = _plan(CS.code_quality_stats(docs))
+    assert "Exchange" not in cq  # pure narrow scan
+    assert "EvalPython" not in cq
+
+    lc = _plan(CS.license_counts(docs))
+    assert lc.count("Exchange") == 1
+    assert "EvalPython" not in lc
+
+
+def test_fertility_and_buckets_scale_plans(spark):
+    """tokenizer_fertility is one map-side-combined aggregate; the
+    score_buckets thresholds plan broadcasts cutoffs onto a narrow
+    scan (re-pinned here at the lane shape, not just unit fixtures)."""
+    from machine_readability_checker_spark.operators import (
+        sampling,
+        textstats as TS,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    fert = _plan(TS.tokenizer_fertility(docs))
+    assert fert.count("Exchange") == 1
+    assert "EvalPython" not in fert and "Window" not in fert
+
+    scored = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("score")
+    )
+    sb = _plan(sampling.score_buckets(scored, score_col="score", by="lang"))
+    assert "Window" not in sb
+    assert "BroadcastHashJoin" in sb
