@@ -6409,6 +6409,24 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CS.license_counts(docs).orderBy("license")
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleave (the lakehouse OPTIMIZE ZORDER key)
+    over deterministic 8-bit coordinates derived from doc_id: the
+    DuckDB oracle recomputes the same 16-term shift/mask expression,
+    pinning the bit algebra exactly."""
+    from machine_readability_checker_spark.operators import zorder as ZO
+
+    docs = _t(spark, sf_dir, "documents")
+    xa = ((F.col("doc_id") * 13) % 256).cast("long")
+    xb = ((F.col("doc_id") * 29) % 256).cast("long")
+    return docs.select(
+        "doc_id",
+        xa.alias("xa"),
+        xb.alias("xb"),
+        ZO.morton_key(xa, xb, bits=8).alias("zkey"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card aggregate (Datasheets for Datasets): doc/char/
     token totals, exact token-length mean/median/p90, language count +
@@ -7766,6 +7784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "code_quality": q_code_quality,
         "license_scan": q_license_scan,
+        "zorder_keys": q_zorder_keys,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -7975,6 +7994,7 @@ def oracle_sql() -> dict[str, str]:
     out["hard_negatives"] = _HARD_NEGATIVES_SQL
     out["code_quality"] = _CODE_QUALITY_SQL
     out["license_scan"] = _LICENSE_SCAN_SQL
+    out["zorder_keys"] = _zorder_oracle_sql()
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL
@@ -9562,6 +9582,28 @@ _LICENSE_SCAN_SQL = f"""
     SELECT license, COUNT(*) AS n_docs
     FROM lab GROUP BY license ORDER BY license
 """
+
+
+def _zorder_oracle_sql() -> str:
+    """The 8-bit Morton interleave unrolled into the same shift/mask
+    terms the JVM expression computes."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((xa >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((xb >> {i}) & 1) << {2 * i + 1})")
+    expr = " | ".join(terms)
+    return f"""
+      WITH c AS (
+        SELECT doc_id,
+               (doc_id * 13) % 256 AS xa,
+               (doc_id * 29) % 256 AS xb
+        FROM documents
+      )
+      SELECT doc_id, CAST(xa AS BIGINT) AS xa,
+             CAST(xb AS BIGINT) AS xb,
+             CAST({expr} AS BIGINT) AS zkey
+      FROM c ORDER BY doc_id
+    """
 
 
 _DATACARD_SQL = f"""

@@ -1,0 +1,96 @@
+"""Z-order layout: Morton interleave correctness vs a Python
+reference, quantization edges, and the measurable pruning benefit over
+a single-column sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_readability_checker_spark.operators import zorder as Z
+
+
+def _morton_ref(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_reference(spark):
+    rows = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", Z.morton_key(F.col("a"), F.col("b"), bits=6).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _morton_ref(a, b, 6)
+    # locality sanity: the curve visits (0,0),(1,0),(0,1),(1,1) first
+    assert got[(0, 0)] == 0
+    with pytest.raises(ValueError):
+        Z.morton_key(F.col("a"), F.col("b"), bits=0)
+
+
+def test_quantize_domain_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (100.0,), (500.0,)], "x double"
+    )
+    got = [
+        r.q
+        for r in df.select(
+            Z.quantize(F.col("x"), 0.0, 100.0, bits=4).alias("q")
+        ).collect()
+    ]
+    assert got[0] == 0          # below domain clamps to edge cell
+    assert got[1] == 0
+    assert got[2] == 8          # midpoint → mid cell
+    assert got[4] == 15         # above domain clamps
+    assert all(0 <= q <= 15 for q in got)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The quantitative claim: against per-file min/max stats, a
+    narrow band query on EITHER dimension touches a minority of
+    z-ordered files, while the a-sorted layout reads every file for
+    b-band queries."""
+    n, files = 20_000, 64
+    docs = spark.range(0, n).select(
+        ((F.col("id") * 48271) % 9973).cast("double").alias("a"),
+        ((F.col("id") * 16807) % 9973).cast("double").alias("b"),
+    )
+
+    def touched(bounds, dim, lo, hi):
+        lo_c, hi_c = f"{dim}_min", f"{dim}_max"
+        return bounds.filter(
+            (F.col(lo_c) <= hi) & (F.col(hi_c) >= lo)
+        ).count()
+
+    zb = Z.file_bounds(
+        Z.zorder_layout(
+            docs, "a", "b", (0, 9973), (0, 9973), n_files=files, bits=10
+        ),
+        "a",
+        "b",
+    ).persist()
+    ab = Z.file_bounds(
+        docs.repartitionByRange(files, F.col("a")).sortWithinPartitions("a"),
+        "a",
+        "b",
+    ).persist()
+    assert zb.count() == files and ab.count() == files
+
+    # 5%-wide band on b: the a-sorted layout reads EVERYTHING, the
+    # z-order layout reads a minority (a 1-D band maps to scattered
+    # curve segments, so the win grows with file count — the
+    # lakehouse-documented behavior, not perfect pruning)
+    assert touched(ab, "b", 4000, 4500) == files
+    zb_b = touched(zb, "b", 4000, 4500)
+    assert zb_b <= files // 2
+    # same band on a: single-column sort is optimal there by
+    # construction; z-order must still beat the read-everything floor
+    assert touched(ab, "a", 4000, 4500) <= 5
+    assert touched(zb, "a", 4000, 4500) <= files // 2
