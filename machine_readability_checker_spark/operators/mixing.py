@@ -105,6 +105,65 @@ def doremi_weights(
     return out
 
 
+def doremi_weights_rounds(
+    excess_rounds: List[DataFrame],
+    steps_per_round: int = 10,
+    lr: float = 0.1,
+    smoothing: float = 1e-3,
+) -> "DataFrame":
+    """The multi-round form of the fold — DoReMi Algorithm 1 with a
+    REFRESHED excess-loss vector per round (as the proxy model trains,
+    its per-domain excess changes; each round's table comes from one
+    new ``domain_excess_loss`` aggregate over the latest losses).
+    Multiplicative-weights state carries ACROSS rounds; the returned
+    weight is the time-average over every step of every round.  Each
+    round's collect is #domains rows, same boundedness argument as
+    ``doremi_weights``; with a single round this reduces exactly to it
+    (pinned in tests).
+
+    Domains must be consistent across rounds (a domain absent from a
+    later table keeps its state but contributes zero excess —
+    spelled out rather than silently dropped)."""
+    if not excess_rounds:
+        raise ValueError("need at least one excess-loss table")
+    lam_rounds: List[Dict[str, float]] = []
+    domains: List[str] = []
+    seen = set()
+    for ex in excess_rounds:
+        lam = {
+            r["domain"]: float(r["excess_loss"] or 0.0)
+            for r in ex.select("domain", "excess_loss").collect()
+        }
+        lam_rounds.append(lam)
+        for d in sorted(lam):
+            if d not in seen:
+                seen.add(d)
+                domains.append(d)
+    domains = sorted(domains)
+    k = len(domains)
+    state = [1.0 / k] * k
+    acc = [0.0] * k
+    total_steps = 0
+    for lam in lam_rounds:
+        lvec = [lam.get(d, 0.0) for d in domains]
+        for _ in range(steps_per_round):
+            unnorm = [s * math.exp(lr * l) for s, l in zip(state, lvec)]
+            z = sum(unnorm)
+            state = [u / z for u in unnorm]
+            for i in range(k):
+                acc[i] += (1.0 - smoothing) * state[i] + smoothing / k
+            total_steps += 1
+    spark = excess_rounds[0].sparkSession
+    last = lam_rounds[-1]
+    return spark.createDataFrame(
+        [
+            (d, last.get(d, 0.0), a / total_steps)
+            for d, a in zip(domains, acc)
+        ],
+        "domain string, excess_loss double, weight double",
+    )
+
+
 def apply_mixture_weights(
     df: DataFrame,
     weights: DataFrame,

@@ -129,3 +129,44 @@ def test_mixing_plans_never_shuffle_the_corpus(spark):
     )
     assert "Window" not in plan2
     assert "BroadcastHashJoin" in plan2
+
+
+def test_doremi_rounds_reduce_to_single_and_track_shifts(spark):
+    """One round == doremi_weights exactly; across rounds the state
+    carries forward, so a domain whose excess collapses in round 2
+    ends below where the static fold would put it."""
+    ex1 = MX.domain_excess_loss(_losses(spark))
+    single = {
+        r.domain: r.weight
+        for r in MX.doremi_weights(
+            ex1, steps=10, lr=0.3, smoothing=1e-3
+        ).collect()
+    }
+    one_round = {
+        r.domain: r.weight
+        for r in MX.doremi_weights_rounds(
+            [ex1], steps_per_round=10, lr=0.3, smoothing=1e-3
+        ).collect()
+    }
+    for d in single:
+        assert one_round[d] == pytest.approx(single[d], rel=1e-12)
+
+    # round 2: domain a's excess collapses to zero (proxy caught up)
+    ex2 = spark.createDataFrame(
+        [("a", 2, 0.0), ("b", 2, 0.0), ("c", 2, 0.1)],
+        "domain string, n_examples long, excess_loss double",
+    )
+    multi = {
+        r.domain: r.weight
+        for r in MX.doremi_weights_rounds(
+            [ex1, ex2], steps_per_round=10, lr=0.3
+        ).collect()
+    }
+    static = {
+        r.domain: r.weight
+        for r in MX.doremi_weights(ex1, steps=20, lr=0.3).collect()
+    }
+    assert multi["a"] < static["a"]  # refreshed losses pull a back down
+    assert sum(multi.values()) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        MX.doremi_weights_rounds([])
