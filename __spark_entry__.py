@@ -6409,6 +6409,32 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CS.license_counts(docs).orderBy("license")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff summary: new build = documents with every
+    11th doc removed, every 7th (surviving) text perturbed, and a
+    shifted-id twin of every 13th appended — (status, n_docs) must
+    reconcile exactly cross-engine."""
+    from machine_readability_checker_spark.operators.spandiff import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new = survivors.unionByName(added)
+    return corpus_diff_summary(corpus_diff(docs, new)).orderBy("status")
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order interleave (the lakehouse OPTIMIZE ZORDER key)
     over deterministic 8-bit coordinates derived from doc_id: the
@@ -7785,6 +7811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "license_scan": q_license_scan,
         "zorder_keys": q_zorder_keys,
+        "corpus_diff": q_corpus_diff,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -7995,6 +8022,29 @@ def oracle_sql() -> dict[str, str]:
     out["code_quality"] = _CODE_QUALITY_SQL
     out["license_scan"] = _LICENSE_SCAN_SQL
     out["zorder_keys"] = _zorder_oracle_sql()
+    out["corpus_diff"] = """
+      WITH newc AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 11 != 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 13 = 0
+      ),
+      j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               md5(o.text) AS ho, md5(n.text) AS hn
+        FROM documents o FULL OUTER JOIN newc n
+          ON o.doc_id = n.doc_id
+      )
+      SELECT CASE WHEN ho IS NULL THEN 'added'
+                  WHEN hn IS NULL THEN 'removed'
+                  WHEN ho = hn THEN 'same'
+                  ELSE 'changed' END AS status,
+             COUNT(*) AS n_docs
+      FROM j GROUP BY status ORDER BY status
+    """
     out["ngram_top_counts"] = _NGRAM_TOP_SQL
     out["bpe_pair_counts"] = _BPE_PAIRS_SQL
     out["chunk_documents"] = _CHUNK_SQL

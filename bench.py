@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "code_quality",
     "license_scan",
     "zorder_keys",
+    "corpus_diff",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

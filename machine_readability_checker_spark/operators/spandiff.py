@@ -77,6 +77,42 @@ def span_diff(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-version diff at the TEXT level (the release-notes
+    counterpart of ``span_diff``: what changed between two cleaned
+    corpus builds): one full-outer join on the id, comparing md5 of
+    the text so the payloads themselves never shuffle twice.  Status
+    per id: ``same`` | ``changed`` | ``added`` (new only) |
+    ``removed`` (old only)."""
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_hn"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+def corpus_diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n_docs) rollup of ``corpus_diff`` — the four numbers a
+    corpus release note leads with."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def span_diff_summary(diff: DataFrame) -> DataFrame:
     """→ (status, n_docs) — the one-line rollout verdict."""
     return diff.groupBy("status").agg(F.count("*").alias("n_docs")).orderBy(

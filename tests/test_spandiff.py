@@ -81,3 +81,30 @@ def test_diff_is_jvm_only(frames):
     )
     assert "Python" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_corpus_diff_statuses(spark):
+    """Text-level corpus diff: all four statuses from a hand-built
+    pair of builds, summary reconciles."""
+    from machine_readability_checker_spark.operators.spandiff import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [("a", "one"), ("b", "two"), ("c", "three")],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "one"), ("b", "two CHANGED"), ("d", "four")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        "a": "same", "b": "changed", "c": "removed", "d": "added"
+    }
+    summary = {
+        r.status: r.n_docs
+        for r in corpus_diff_summary(corpus_diff(old, new)).collect()
+    }
+    assert summary == {"same": 1, "changed": 1, "removed": 1, "added": 1}
