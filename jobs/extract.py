@@ -124,6 +124,13 @@ def main() -> None:
         "long-lived-table tax",
     )
     ap.add_argument(
+        "--compact-sort", default=None, metavar="COL[,COL]",
+        help="with --compact: order each rewritten split by these "
+        "columns (Iceberg rewrite_data_files sort strategy) so the "
+        "compacted files' min/max footer stats turn tight — the "
+        "cheapest moment to buy read-time pruning",
+    )
+    ap.add_argument(
         "--expire-snapshots", type=int, default=0, metavar="KEEP_LAST",
         help="with --iceberg: after the run (and any compaction), "
         "delete snapshot metadata older than the newest KEEP_LAST "
@@ -271,7 +278,13 @@ def main() -> None:
             maint = TableMaintenance(iceberg_table)
             maint.recover_compaction()  # heal any prior half-swap
             cstats = maint.compact(
-                spark, max_files_per_split=args.compact
+                spark,
+                max_files_per_split=args.compact,
+                sort_by=(
+                    args.compact_sort.split(",")
+                    if args.compact_sort
+                    else None
+                ),
             )
             iceberg_table.commit_snapshot()  # the post-compaction commit
             iceberg_stats["compaction"] = {

@@ -254,13 +254,21 @@ class TableMaintenance:
         spark,
         max_files_per_split: int = 1,
         splits: Optional[List[int]] = None,
+        sort_by: Optional[List[str]] = None,
     ) -> Dict[str, Any]:
         """Rewrite every committed split directory holding more than
         ``max_files_per_split`` parquet files down to that many.  Each
         split is verified (row count before == after) before its
         directory swap; a crash between the two renames leaves a
         ``split=K.old`` directory that ``recover_compaction`` restores.
-        Returns {split: {files_before, files_after, rows}} stats."""
+        Returns {split: {files_before, files_after, rows}} stats.
+
+        ``sort_by``: order the rewrite by these columns (real Iceberg:
+        ``rewrite_data_files(strategy => 'sort')``) so the compacted
+        file's min/max footer stats turn tight — with a
+        ``zorder.morton_key`` column this is the multi-dimension
+        Z-ORDER compaction.  A sorted rewrite is the cheapest moment to
+        buy read-time pruning: the data is being rewritten anyway."""
         store = self.table.store
         stats: Dict[str, Any] = {}
         for split in splits or store.committed_splits():
@@ -268,13 +276,16 @@ class TableMaintenance:
             if not os.path.isdir(split_dir):
                 continue
             files = _parquet_files(split_dir)
-            if len(files) <= max_files_per_split:
+            if len(files) <= max_files_per_split and not sort_by:
                 continue
             df = spark.read.parquet(split_dir)
             n_before = df.count()
             tmp = split_dir + ".compact.tmp"
+            out = df.coalesce(max_files_per_split)
+            if sort_by:
+                out = out.sortWithinPartitions(*sort_by)
             (
-                df.coalesce(max_files_per_split)
+                out
                 .write.mode("overwrite")
                 .parquet(tmp)
             )

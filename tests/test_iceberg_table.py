@@ -328,3 +328,47 @@ def test_remove_orphans_sweeps_only_stale_temps(spark, tmp_path):
     # idempotent: a second sweep finds nothing stale
     again = maint.remove_orphans(now=now)
     assert again["removed"] == []
+
+
+def test_sorted_compaction_orders_rows_and_survives_audit(spark, tmp_path):
+    """compact(sort_by=...) rewrites each split ordered by the key
+    (Iceberg's rewrite_data_files sort strategy): rows come back
+    sorted per split, counts verify, time travel survives, and an
+    already-single-file split still rewrites when a sort is requested
+    (layout change, not just file-count change)."""
+    import os
+
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        TableMaintenance,
+    )
+
+    corpus = gen_corpus(24)
+    raw = spark.createDataFrame(corpus, schema=RAW_SCHEMA).repartition(8)
+    table = IcebergLayoutTable(str(tmp_path / "t"))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return extract(df).withColumn("split", split_id("doc_id", 2))
+
+    run_resumable(raw, table.store, transform, n_splits=2, wave_size=2)
+    v1 = table.commit_snapshot(schema_json='{"doc_id":"string"}')["version"]
+    n_total = table.read(spark).count()
+
+    maint = TableMaintenance(table)
+    stats = maint.compact(spark, sort_by=["doc_id"])
+    assert all(s["files_after"] == 1 for s in stats.values())
+    table.commit_snapshot()
+
+    for split in (0, 1):
+        ids = [
+            r.doc_id
+            for r in spark.read.parquet(
+                os.path.join(table.store.data_dir, f"split={split}")
+            ).collect()
+        ]
+        assert ids == sorted(ids)  # the sorted-rewrite contract
+    assert table.read(spark).count() == n_total
+    assert table.read(spark, version=v1).count() == n_total
+
+    # already one file per split: a sort request still rewrites
+    stats2 = maint.compact(spark, sort_by=["doc_id"])
+    assert set(stats2) == {0, 1}
