@@ -6409,6 +6409,28 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CS.license_counts(docs).orderBy("license")
 
 
+def q_chunked_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-scored, document-answered retrieval: embeddings rows act
+    as chunk vectors of synthetic documents (doc = vec_id mod 37),
+    queries = vec_id < 3; per-doc MAX over chunk cosines, per-query
+    top-5 — the RAG max-pool reduction, fully SQL-oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        (F.col("vec_id") % 37).alias("doc_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.chunked_topk(chunks, queries, k=5)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_chunks",
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-version diff summary: new build = documents with every
     11th doc removed, every 7th (surviving) text perturbed, and a
@@ -7812,6 +7834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_scan": q_license_scan,
         "zorder_keys": q_zorder_keys,
         "corpus_diff": q_corpus_diff,
+        "chunked_doc_topk": q_chunked_doc_topk,
         "ngram_top_counts": q_ngram_top_counts,
         "bpe_pair_counts": q_bpe_pair_counts,
         "wordpiece_pair_scores": q_wordpiece_pair_scores,
@@ -8019,6 +8042,35 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_datacard"] = _DATACARD_SQL
     out["tokenizer_fertility"] = _FERTILITY_SQL
     out["hard_negatives"] = _HARD_NEGATIVES_SQL
+    out["chunked_doc_topk"] = """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+      ),
+      scored AS (
+        SELECT q.query_id, e.vec_id % 37 AS doc_id,
+               list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.qv AS DOUBLE[])) AS cosine
+        FROM embeddings e CROSS JOIN q
+      ),
+      pooled AS (
+        SELECT query_id, doc_id, MAX(cosine) AS score,
+               COUNT(*) AS n_chunks
+        FROM scored GROUP BY query_id, doc_id
+      ),
+      r AS (
+        SELECT query_id, doc_id, score, n_chunks,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rnk
+        FROM pooled
+      )
+      SELECT query_id, doc_id, round(score, 6) AS score,
+             CAST(n_chunks AS BIGINT) AS n_chunks,
+             CAST(rnk AS INTEGER) AS rank
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+    """
     out["code_quality"] = _CODE_QUALITY_SQL
     out["license_scan"] = _LICENSE_SCAN_SQL
     out["zorder_keys"] = _zorder_oracle_sql()

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "license_scan",
     "zorder_keys",
     "corpus_diff",
+    "chunked_doc_topk",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -101,6 +101,55 @@ def knn_join(
     )
 
 
+def chunked_topk(
+    chunks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    doc_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Chunk-level retrieval with DOCUMENT-level answers — the RAG
+    corpus pattern: long documents are embedded per chunk
+    (``textstats.chunk_documents`` upstream), similarity is computed
+    against chunks, and each document scores as the MAX over its
+    chunks (the MaxSim reduction of late-interaction retrievers,
+    applied at chunk granularity) so one strongly-matching passage
+    surfaces the whole document.  Returns per-query top-k documents:
+    (query_id, doc_id, score, n_chunks, rank).
+
+    Plan: queries broadcast onto the chunk scan (the bounded-batch
+    contract of ``knn_join``), ONE (query, doc) aggregate with
+    map-side combine, then the per-query top-k window over
+    aggregate-sized input.  Swap the crossJoin stage for
+    ``lsh_bucket_topk`` / IVF-PQ candidates at corpus scale — the
+    max-pool and ranking are unchanged."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        chunks.select(
+            F.col(doc_col),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine_sim(F.col("_cv"), F.col("_qv")))
+    )
+    pooled = scored.groupBy(query_id_col, doc_col).agg(
+        F.max("cosine").alias("score"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(doc_col)
+    )
+    return (
+        pooled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, doc_col, "score", "n_chunks", "rank")
+    )
+
+
 def mine_hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

@@ -2933,3 +2933,33 @@ def test_opq_rotation_lifts_pq_recall_on_anisotropic_data(spark):
     assert opq > plain
     assert opq >= 0.62
     print("OPQ recall:", {"pq": plain, "opq": opq})
+
+
+def test_chunked_topk_max_pool_semantics(spark):
+    """Doc score = MAX over its chunk cosines: a document with one
+    perfect chunk outranks one with many mediocre chunks, n_chunks
+    counts the doc's chunks, and ranks are per-query contiguous."""
+    from machine_readability_checker_spark.operators import similarity
+
+    chunks = spark.createDataFrame(
+        [
+            ("docA", [1.0, 0.0]),   # perfect match chunk
+            ("docA", [0.0, 1.0]),   # orthogonal chunk
+            ("docB", [0.8, 0.6]),   # two decent chunks
+            ("docB", [0.6, 0.8]),
+            ("docC", [-1.0, 0.0]),  # anti-match
+        ],
+        "doc_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = sorted(
+        similarity.chunked_topk(chunks, queries, k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in got] == ["docA", "docB", "docC"]
+    assert got[0].score == pytest.approx(1.0)      # max, not mean
+    assert got[0].n_chunks == 2
+    assert got[1].score == pytest.approx(0.8)
+    assert [r.rank for r in got] == [1, 2, 3]
