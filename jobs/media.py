@@ -158,6 +158,13 @@ def main() -> None:
         "processes each doc exactly once",
     )
     ap.add_argument("--store", help="parquet path of the media store")
+    ap.add_argument(
+        "--cdc-stats", action="store_true",
+        help="report the content-defined-chunking storage answer over "
+        "the media store (FastCDC chunk counts/bytes + sub-file dedup "
+        "ratio — what a chunk store would save beyond whole-payload "
+        "revisit dedup)",
+    )
     ap.add_argument("--gen", type=int, default=0)
     ap.add_argument("--out", required=True)
     ap.add_argument("--resize", nargs=2, type=int, metavar=("W", "H"))
@@ -331,6 +338,24 @@ def main() -> None:
         ).write.mode("overwrite").parquet(os.path.join(args.out, "resized"))
 
     extra = {}
+    if args.cdc_stats:
+        from machine_readability_checker_spark.operators.cdc import (
+            chunk_blobs,
+            chunk_dedup_stats,
+        )
+
+        cstats = chunk_dedup_stats(
+            chunk_blobs(store.select("media_ref", "content"),
+                        id_col="media_ref")
+        ).first()
+        extra["cdc"] = {
+            "total_chunks": cstats["total_chunks"],
+            "distinct_chunks": cstats["distinct_chunks"],
+            "total_bytes": cstats["total_bytes"],
+            "distinct_bytes": cstats["distinct_bytes"],
+            "dedup_ratio": cstats["dedup_ratio"],
+        }
+
     if args.dedup_media:
         from machine_readability_checker_spark.operators.mediahash import (
             media_near_dups,
