@@ -694,6 +694,24 @@ def q_corpus_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain distinct-document estimates from GROUPED HyperLogLog
+    registers (one aggregate, ≤ 64 register rows per source) — the
+    crawl-ops "distinct pages per domain" answer without shuffling the
+    value set; same exact-BIGINT estimator arithmetic as the corpus
+    lane, recomputed per key by the oracle."""
+    from machine_readability_checker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = SK.hll_sketch_by_key(docs, "source", "text", p=6)
+    est = SK.hll_estimate_by_key(sk, p=6)
+    return est.select(
+        F.col("key").alias("source"),
+        F.round("n_distinct_est", 4).alias("n_distinct_est"),
+        "linear_counting",
+    ).orderBy("source")
+
+
 def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline funnel: doc counts after
     exact dedup -> normalized-fingerprint dedup -> min-token filter ->
@@ -7738,6 +7756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_score_filter": q_pair_score_filter,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "corpus_hll_estimate": q_corpus_hll_estimate,
+        "domain_distinct_hll": q_domain_distinct_hll,
         "winnow_fingerprints": q_winnow_fingerprints,
         "cms_token_counts": q_cms_token_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -10860,6 +10879,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(greatest(0.0, fa.est + fb.est - fu.est)
                          / fu.est, 6) AS jaccard_est
             FROM fa, fb, fu
+        """,
+        "domain_distinct_hll": """
+            WITH hh AS (
+              SELECT source,
+                     CAST('0x' || substr(md5(text), 1, 13) AS BIGINT)
+                       AS h
+              FROM documents
+            ),
+            reg AS (
+              SELECT source, h % 64 AS idx,
+                     MAX(CASE WHEN h >> 6 = 0 THEN 47
+                         ELSE 47 - length(bin(h >> 6)) END) AS rnk
+              FROM hh GROUP BY source, idx
+            ),
+            e AS (
+              SELECT source, 64 - COUNT(*) AS v,
+                     COALESCE(SUM(CAST(1 AS BIGINT) << (47 - rnk)), 0)
+                       AS s_ne
+              FROM reg GROUP BY source
+            ),
+            f AS (
+              SELECT source, v,
+                     (0.709 * 576460752303423488.0) /
+                     CAST(s_ne + v * (CAST(1 AS BIGINT) << 47)
+                          AS DOUBLE) AS raw
+              FROM e
+            )
+            SELECT source,
+                   round(CASE WHEN raw <= 160.0 AND v > 0
+                     THEN 64.0 * ln(64.0 / v)
+                     ELSE raw END, 4) AS n_distinct_est,
+                   (raw <= 160.0 AND v > 0) AS linear_counting
+            FROM f ORDER BY source
         """,
         "score_buckets": """
             WITH s AS (

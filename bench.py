@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "zorder_keys",
     "corpus_diff",
     "chunked_doc_topk",
+    "domain_distinct_hll",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -321,6 +321,72 @@ def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
     )
 
 
+def hll_sketch_by_key(
+    df: DataFrame, key_col: str, col: str = "text", p: int = 9
+) -> DataFrame:
+    """Per-key register tables in ONE aggregate: (key, idx, rank) with
+    ≤ m rows per key — the grouped form of ``hll_sketch`` for
+    questions like "distinct URLs per domain" where exact per-key
+    distincts would shuffle the full value set.  Same determinism and
+    merge algebra; ``hll_estimate_by_key`` folds it to answers."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    wbits = _HLL_HASH_BITS - p
+    h = F.conv(
+        F.substring(
+            F.md5(F.col(col).cast("binary")), 1, _FRAC_HEX_DIGITS
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            (h % F.lit(m)).alias("idx"),
+            rho.alias("rank"),
+        )
+        .groupBy("key", "idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate_by_key(sketch: DataFrame, p: int) -> DataFrame:
+    """Per-key distinct estimates from a grouped register table —
+    identical estimator arithmetic to ``hll_estimate`` (exact-BIGINT
+    harmonic sums, linear-counting fallback), one aggregate over
+    ≤ m rows per key.  Returns (key, n_distinct_est,
+    linear_counting)."""
+    m = 1 << p
+    r_max = _HLL_HASH_BITS - p + 1
+    agg = sketch.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_reg"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {r_max} - rank)")
+        ).alias("s_ne"),
+    )
+    numerator = _hll_alpha(m) * float(m * m * (1 << r_max))
+    n_empty = (F.lit(m) - F.col("n_reg")).cast("long")
+    s_total = (
+        F.col("s_ne") + n_empty * F.lit(1 << r_max).cast("long")
+    ).cast("double")
+    raw = F.lit(numerator) / s_total
+    lc = (raw <= F.lit(2.5 * m)) & (n_empty > 0)
+    est = F.when(
+        lc,
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "key",
+        est.alias("n_distinct_est"),
+        lc.alias("linear_counting"),
+    )
+
+
 def hll_overlap(a: DataFrame, b: DataFrame, p: int) -> DataFrame:
     """Inclusion–exclusion overlap from two HLL sketches: |A∩B| ≈
     max(0, E(A) + E(B) − E(A∪B)) and Jaccard = inter/union — the

@@ -259,3 +259,40 @@ def test_hll_sketch_plan_is_one_jvm_aggregate(spark):
 def test_hll_p_bounds():
     with pytest.raises(ValueError):
         SK.hll_sketch(None, p=3)
+
+
+def test_hll_by_key_matches_per_group_sketches(spark):
+    """The grouped sketch must equal running hll_sketch per group, and
+    per-key estimates track true distincts (linear-counting branch for
+    the small group, raw for the big one)."""
+    vals = [("big", f"v {i}") for i in range(3000)] + [
+        ("small", f"s {i}") for i in range(30)
+    ] * 2
+    df = spark.createDataFrame(vals, "domain string, text string")
+    p = 7
+    grouped = SK.hll_sketch_by_key(df, "domain", p=p)
+    for key in ("big", "small"):
+        got = sorted(
+            (r.idx, r["rank"])
+            for r in grouped.filter(F.col("key") == key).collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                SK.hll_sketch(
+                    df.filter(F.col("domain") == key), p=p
+                ).collect(),
+            )
+        )
+        assert got == want
+    est = {
+        r.key: r
+        for r in SK.hll_estimate_by_key(grouped, p=p).collect()
+    }
+    assert est["big"].linear_counting is False
+    assert abs(est["big"].n_distinct_est - 3000) / 3000 < 0.3
+    assert est["small"].linear_counting is True
+    assert abs(est["small"].n_distinct_est - 30) < 8
+    # single shuffle for the grouped sketch
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
