@@ -355,6 +355,17 @@ def hll_sketch_by_key(
     )
 
 
+def hll_merge_by_key(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Grouped register-wise max — per-key sketches from two corpus
+    shards roll up without touching the data again (the same union
+    closure as ``hll_merge``, keyed)."""
+    return (
+        a.union(b)
+        .groupBy("key", "idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
 def hll_estimate_by_key(sketch: DataFrame, p: int) -> DataFrame:
     """Per-key distinct estimates from a grouped register table —
     identical estimator arithmetic to ``hll_estimate`` (exact-BIGINT

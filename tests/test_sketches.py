@@ -296,3 +296,26 @@ def test_hll_by_key_matches_per_group_sketches(spark):
     # single shuffle for the grouped sketch
     plan = grouped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_hll_merge_by_key_union_closure(spark):
+    df = spark.createDataFrame(
+        [("d1", f"x {i}") for i in range(150)]
+        + [("d2", f"y {i}") for i in range(80)],
+        "domain string, text string",
+    )
+    half1 = df.limit(100)
+    half2 = df.subtract(half1)
+    merged = sorted(
+        map(
+            tuple,
+            SK.hll_merge_by_key(
+                SK.hll_sketch_by_key(half1, "domain", p=6),
+                SK.hll_sketch_by_key(half2, "domain", p=6),
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, SK.hll_sketch_by_key(df, "domain", p=6).collect())
+    )
+    assert merged == direct
