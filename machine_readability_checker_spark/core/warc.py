@@ -61,6 +61,7 @@ class WarcRecord:
     http_status: Optional[int] = None
     http_content_type: str = ""
     http_location: str = ""
+    x_robots: str = ""
     charset: str = ""
     body: bytes = b""
     error: str = ""
@@ -352,6 +353,9 @@ def _parse_record(raw: bytes) -> WarcRecord:
             rec.http_status = None
         rec.http_content_type = http_hdrs.get("content-type", "")
         rec.http_location = http_hdrs.get("location", "")
+        # the HTTP-header form of robots-meta (indexing opt-out served
+        # per-response; REP extension documented by the major engines)
+        rec.x_robots = http_hdrs.get("x-robots-tag", "")
         m = _CHARSET_RE.search(rec.http_content_type)
         rec.charset = m.group(1).lower() if m else ""
         rec.body = payload[hsep + 4 :]

@@ -94,6 +94,26 @@ def canonical_key(df_meta: DataFrame) -> DataFrame:
     )
 
 
+def x_robots_noindex(col) -> "F.Column":
+    """True when an ``X-Robots-Tag`` HTTP header value opts the page
+    out of indexing: any comma-separated directive equal to
+    ``noindex``/``none`` after stripping an optional ``agent:`` scope.
+    A general-corpus crawler honors ANY bot's opt-out (conservative by
+    design — the header's per-agent scoping exists for engines that
+    identify as one agent; a training-data pipeline is nobody's
+    special case).  Pure JVM predicate."""
+    toks = F.split(F.lower(F.coalesce(col, F.lit(""))), ",")
+    cleaned = F.transform(
+        toks,
+        lambda t: F.trim(
+            F.regexp_replace(t, r"^\s*[a-z0-9_.\-]+\s*:\s*", "")
+        ),
+    )
+    return F.array_contains(cleaned, "noindex") | F.array_contains(
+        cleaned, "none"
+    )
+
+
 def noindex_filter(df_meta: DataFrame) -> DataFrame:
     """Drop pages whose ``<meta name=robots>`` carries ``noindex`` (or
     ``none``, which the robots-meta spec defines as noindex,nofollow) —

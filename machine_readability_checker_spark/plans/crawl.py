@@ -148,9 +148,16 @@ def crawl_curate(
     noindex = None
     corpus_kept = kept
     if honor_noindex:
-        from ..operators.pagemeta import noindex_filter
+        from ..operators.pagemeta import noindex_filter, x_robots_noindex
 
         indexable = noindex_filter(meta).select("doc_id")
+        if "x_robots" in records.columns:
+            # the HTTP-header form: X-Robots-Tag noindex/none drops the
+            # page from the corpus exactly like <meta robots>
+            hdr_blocked = records.filter(
+                x_robots_noindex(F.col("x_robots"))
+            ).select("doc_id")
+            indexable = indexable.join(hdr_blocked, "doc_id", "left_anti")
         noindex = kept.join(indexable, "doc_id", "left_anti")
         corpus_kept = kept.join(indexable, "doc_id", "left_semi")
 

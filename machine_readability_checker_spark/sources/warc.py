@@ -49,6 +49,9 @@ WARC_SCHEMA = T.StructType(
         # declared WARC-Payload-Digest (revisit records reference their
         # original capture by this; responses may carry it too)
         T.StructField("payload_digest", T.StringType(), True),
+        # HTTP X-Robots-Tag header value (the response-header form of
+        # robots-meta; crawl curation honors it like <meta robots>)
+        T.StructField("x_robots", T.StringType(), True),
     ]
 )
 
@@ -110,6 +113,7 @@ def _record_row(rec, rid_fallback: str, path: str) -> tuple:
         path,
         rec.error or None,
         (rec.headers.get("warc-payload-digest") or "").lower() or None,
+        rec.x_robots or None,
     )
 
 

@@ -113,12 +113,12 @@ def test_honor_canonical_collapses_declared_duplicates(spark):
     rows = [
         ("d0", "http://s.example/article?page=1", "response", 200, None,
          "text/html", "utf-8", bytearray(page("http://s.example/article")),
-         10, "f", None, None),
+         10, "f", None, None, None),
         ("d1", "http://s.example/article/amp", "response", 200, None,
          "text/html", "utf-8", bytearray(page("http://s.example/article")),
-         10, "f", None, None),
+         10, "f", None, None, None),
         ("d2", "http://s.example/other", "response", 200, None,
-         "text/html", "utf-8", bytearray(page(None)), 10, "f", None, None),
+         "text/html", "utf-8", bytearray(page(None)), 10, "f", None, None, None),
     ]
     records = spark.createDataFrame(rows, WARC_SCHEMA)
 
@@ -160,21 +160,28 @@ def test_honor_noindex_drops_corpus_but_keeps_links(spark):
     rows = [
         ("d0", "http://s.example/keep", "response", 200, None, "text/html",
          "utf-8", bytearray(page(None, "http://s.example/target")),
-         10, "f", None, None),
+         10, "f", None, None, None),
         ("d1", "http://s.example/hidden", "response", 200, None, "text/html",
          "utf-8", bytearray(page("noindex", "http://s.example/secret-dst")),
-         10, "f", None, None),
+         10, "f", None, None, None),
+        # the HTTP-header form: clean HTML, X-Robots-Tag says noindex
+        ("d2", "http://s.example/hdr-hidden", "response", 200, None,
+         "text/html", "utf-8",
+         bytearray(page(None, "http://s.example/hdr-dst")),
+         10, "f", None, None, "googlebot: noindex, nofollow"),
     ]
     records = spark.createDataFrame(rows, WARC_SCHEMA)
     out = crawl_curate(
         records, pr_iters=1, cores=4, honor_noindex=True
     )
     assert {p.doc_id for p in out["pages"].collect()} == {"d0"}
-    assert {r.doc_id for r in out["noindex"].collect()} == {"d1"}
+    assert {r.doc_id for r in out["noindex"].collect()} == {"d1", "d2"}
     assert out["spans"].select("doc_id").distinct().count() == 1
     dsts = {e.dst for e in out["graph"].collect()}
-    # the noindex page's outlink is still an edge
+    # noindex ≠ nofollow for the graph: both hidden pages' outlinks
+    # still pass link juice
     assert "http://s.example/secret-dst" in dsts
+    assert "http://s.example/hdr-dst" in dsts
 
 
 def test_site_boilerplate_flags_template_footer(crawl_out):

@@ -91,3 +91,29 @@ def test_noindex_filter(spark):
     )
     kept = {r.doc_id for r in PM.noindex_filter(df).collect()}
     assert kept == {"keep1", "keep2"}
+
+
+def test_x_robots_noindex_directive_forms(spark):
+    """Header-form opt-out: unscoped and agent-scoped noindex/none
+    block; unrelated directives (nofollow alone, unavailable_after,
+    nosnippet) do not; NULL header passes."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "noindex"),
+        ("b", "NOINDEX, nofollow"),
+        ("c", "googlebot: noindex"),
+        ("d", "none"),
+        ("e", "nofollow"),
+        ("f", "unavailable_after: 25 Jun 2027 15:00:00 PST"),
+        ("g", "nosnippet, noarchive"),
+        ("h", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, x_robots string")
+    blocked = {
+        r.doc_id
+        for r in df.filter(
+            PM.x_robots_noindex(F.col("x_robots"))
+        ).collect()
+    }
+    assert blocked == {"a", "b", "c", "d"}
