@@ -53,6 +53,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path of extracted spans")
     ap.add_argument(
+        "--input-wet", metavar="GLOB",
+        help="consume WET conversion records (*.warc.wet.gz — the "
+        "Common Crawl pre-extracted-text interchange) directly as the "
+        "cleaning input: text rides as-is, no span rendering — the "
+        "path that points this funnel at a real CC segment",
+    )
+    ap.add_argument(
         "--input-iceberg", metavar="TABLE_ROOT",
         help="read the spans table from an Iceberg-layout table root "
         "(jobs/extract.py --iceberg output); --version time-travels",
@@ -225,7 +232,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
-    if args.input_iceberg:
+    extracted = None
+    if args.input_wet:
+        extracted = None  # WET text needs no span rendering below
+    elif args.input_iceberg:
         from machine_readability_checker_spark.sources.iceberg_table import (
             IcebergLayoutTable,
         )
@@ -242,7 +252,7 @@ def main() -> None:
         raw = spark.createDataFrame(gen_corpus(args.gen), schema=RAW_SCHEMA)
         extracted = extract(salted_repartition(raw, max(8, args.cores)))
     else:
-        ap.error("need --input, --input-iceberg or --gen")
+        ap.error("need --input, --input-wet, --input-iceberg or --gen")
         return
 
     # boilerplate strip: main content = cell/main/line spans.  One
@@ -255,10 +265,17 @@ def main() -> None:
         render_training_text,
     )
 
-    texts = (
-        render_training_text(extracted, style="plain")
-        .select("doc_id", "text")
-    ).persist()
+    if args.input_wet:
+        from machine_readability_checker_spark.sources.warc import read_wet
+
+        texts = read_wet(spark, args.input_wet).select(
+            "doc_id", "text"
+        ).persist()
+    else:
+        texts = (
+            render_training_text(extracted, style="plain")
+            .select("doc_id", "text")
+        ).persist()
 
     qmodel = None
     qthreshold = args.quality_threshold
