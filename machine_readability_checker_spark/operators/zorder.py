@@ -62,6 +62,29 @@ def morton_key(a: Column, b: Column, bits: int = DEFAULT_BITS) -> Column:
     return z
 
 
+def morton_key_n(cols, bits: int = DEFAULT_BITS) -> Column:
+    """K-dimension generalization: bit i of column j lands at position
+    i·k + j.  k·bits must fit a BIGINT (≤ 63); 2 columns reduces
+    exactly to ``morton_key`` (pinned in tests)."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least 2 columns")
+    if not 1 <= bits * k <= 63:
+        raise ValueError(
+            f"bits*columns must be in [1, 63], got {bits * k}"
+        )
+    z = F.lit(0).cast("long")
+    longs = [c.cast("long") for c in cols]
+    for i in range(bits):
+        for j, c in enumerate(longs):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+            )
+    return z
+
+
 def zorder_layout(
     df: DataFrame,
     col_a: str,

@@ -94,3 +94,36 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     # construction; z-order must still beat the read-everything floor
     assert touched(ab, "a", 4000, 4500) <= 5
     assert touched(zb, "a", 4000, 4500) <= files // 2
+
+
+def test_morton_key_n_reduces_to_2d_and_extends_to_3d(spark):
+    df = spark.createDataFrame(
+        [(a, b, c) for a in range(0, 8, 3) for b in range(8) for c in (0, 5)],
+        "a long, b long, c long",
+    )
+    two = df.select(
+        Z.morton_key(F.col("a"), F.col("b"), bits=3).alias("m2"),
+        Z.morton_key_n([F.col("a"), F.col("b")], bits=3).alias("mn"),
+    ).collect()
+    assert all(r.m2 == r.mn for r in two)
+
+    def ref3(a, b, c, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (3 * i)
+            z |= ((b >> i) & 1) << (3 * i + 1)
+            z |= ((c >> i) & 1) << (3 * i + 2)
+        return z
+
+    three = df.select(
+        "a", "b", "c",
+        Z.morton_key_n(
+            [F.col("a"), F.col("b"), F.col("c")], bits=3
+        ).alias("z"),
+    ).collect()
+    for r in three:
+        assert r.z == ref3(r.a, r.b, r.c, 3)
+    with pytest.raises(ValueError):
+        Z.morton_key_n([F.col("a")])
+    with pytest.raises(ValueError):
+        Z.morton_key_n([F.col("a")] * 4, bits=16)  # 64 > 63
