@@ -353,6 +353,93 @@ def _nearest_centroid(vec: Column, centroids: List[List[float]]) -> Column:
     return F.array_min(F.array(*entries))["i"]
 
 
+# Centroid count above which ``assign="auto"`` abandons the literal
+# argmin expression for the broadcast-join path.  The literal path
+# compiles one squared-distance sub-expression PER centroid; SCALE.md
+# measured whole-stage codegen collapsing at ~64 such terms (the PQ
+# literal encoder's m*k ceiling) — the paper-scale operating points
+# (SemDeDup: 50k clusters; IVF: 4k-64k cells) are far past it.
+ASSIGN_JOIN_THRESHOLD = 64
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str,
+    id_col: str,
+    out_col: str = "cell",
+    assign: str = "auto",
+    with_centroid: bool = False,
+) -> DataFrame:
+    """Attach each row's nearest-centroid index as ``out_col`` (and,
+    with ``with_centroid``, the winning centroid vector as ``_cvec``),
+    via one of two result-identical paths:
+
+    - ``literal`` — `_nearest_centroid`'s inlined argmin.  Zero shuffle,
+      but the expression tree carries O(k) distance terms and codegen
+      collapses past k ≈ 64 (see ASSIGN_JOIN_THRESHOLD).
+    - ``join`` — the large-k path, mirroring ``pq_encode_join``: the
+      centroids ship as a k-row BROADCAST table, a BroadcastNestedLoopJoin
+      inflates each row k-fold INSIDE the map stage, and a single
+      min(struct(dist, cell, cvec)) aggregate with map-side partial
+      aggregation picks the winner — the one exchange carries one row
+      per id, never the k-fold inflation.  Expression size is O(1) in k;
+      executor residency is the k x dim broadcast (50k x 768 doubles =
+      ~300 MB, the FAISS coarse-quantizer residency at the SemDeDup
+      paper's operating point).
+
+    Ties break to the lowest cell index on BOTH paths: distances are the
+    same `_sq_dist` expression over the same values (bit-identical
+    doubles), and min(struct(d, cell, ...)) compares lexicographically
+    exactly like the literal path's array_min over (d, i) structs.
+    ``assign="auto"`` picks ``join`` when len(centroids) >
+    ASSIGN_JOIN_THRESHOLD.  Equality of the two paths is pinned by
+    tests/test_pipeline_ops.py::test_assign_cells_join_equals_literal.
+
+    Requires ``id_col`` values to be unique (true of every caller:
+    vec_id / doc_id are keys); other columns ride through F.first
+    inside the same aggregate — no re-join.
+    """
+    k = len(centroids)
+    use_join = assign == "join" or (assign == "auto" and k > ASSIGN_JOIN_THRESHOLD)
+    if not use_join:
+        out = df.withColumn(
+            out_col, _nearest_centroid(F.col(vec_col), centroids)
+        )
+        if with_centroid:
+            cent_arr = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+            )
+            out = out.withColumn(
+                "_cvec", F.element_at(cent_arr, F.col(out_col) + 1)
+            )
+        return out
+    cdf = (
+        _centroid_df(df.sparkSession, centroids)
+        .withColumnRenamed("cell", "_ac")
+        .withColumnRenamed("cvec", "_acv")
+    )
+    j = df.crossJoin(F.broadcast(cdf))
+    # with_centroid: cvec rides inside the min struct (only compared on
+    # exact (d, cell) ties, impossible since cells are distinct) so it
+    # costs no second join; without it the struct stays array-free so
+    # the aggregate hash-combines map-side.
+    fields = [
+        _sq_dist(F.col(vec_col), F.col("_acv")).alias("d"),
+        F.col("_ac").alias("c"),
+    ]
+    if with_centroid:
+        fields.append(F.col("_acv").alias("cw"))
+    best = F.min(F.struct(*fields))
+    others = [c for c in df.columns if c != id_col]
+    aggs = [F.first(F.col(c)).alias(c) for c in others] + [
+        best["c"].alias(out_col)
+    ]
+    if with_centroid:
+        aggs.append(best["cw"].alias("_cvec"))
+    return j.groupBy(id_col).agg(*aggs)
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,
@@ -360,6 +447,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    assign: str = "auto",
 ) -> List[List[float]]:
     """Lloyd's k-means for IVF coarse quantization, distributed and
     deterministic: init = the k lowest-id vectors; each iteration ships
@@ -378,7 +466,7 @@ def kmeans_centroids(
         for r in v.orderBy(id_col).limit(k).collect()
     ]
     for _ in range(iters):
-        assigned = v.withColumn("cell", _nearest_centroid(F.col("_v"), centroids))
+        assigned = assign_cells(v, centroids, "_v", id_col, assign=assign)
         sums = (
             assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -403,15 +491,24 @@ def write_ivf_index(
     centroids: List[List[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> None:
     """Materialize the k-means IVF index: every vector assigned to its
     nearest centroid cell, written partitioned by ``cell`` — the classic
     IVF layout (coarse quantizer + inverted lists).  At 100 TB this is
     the index-build batch job; queries read n_probe cell partitions via
-    partition pruning instead of the corpus."""
-    v = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    ).withColumn("cell", _nearest_centroid(F.col("_cv"), centroids))
+    partition pruning instead of the corpus.  Assignment auto-routes
+    through the broadcast-join path above ASSIGN_JOIN_THRESHOLD cells
+    (``assign_cells``), so paper-scale cell counts (4k-64k) compile."""
+    v = assign_cells(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+        ),
+        centroids,
+        "_cv",
+        id_col,
+        assign=assign,
+    )
     # one writer per cell dir (not tasks × dirs small files)
     v.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
 
@@ -829,19 +926,24 @@ def _with_residuals(
     centroids: List[List[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """Attach ``cell`` (nearest coarse centroid) and ``_rv`` (residual
-    vector − centroid).  The centroid table ships as one literal
-    array-of-arrays; element_at picks the row's own centroid JVM-side."""
+    vector − centroid).  Assignment + the winning centroid come from
+    ``assign_cells(with_centroid=True)`` — literal argmin at small k,
+    broadcast-join past ASSIGN_JOIN_THRESHOLD."""
     v = F.col(vec_col).cast("array<double>")
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    out = assign_cells(
+        df.select(F.col(id_col), v.alias("_v")),
+        centroids,
+        "_v",
+        id_col,
+        assign=assign,
+        with_centroid=True,
     )
-    df = df.select(
-        F.col(id_col), v.alias("_v"), _nearest_centroid(v, centroids).alias("cell")
-    )
-    cent = F.element_at(cent_arr, F.col("cell") + 1)
-    return df.withColumn("_rv", F.zip_with(F.col("_v"), cent, lambda a, b: a - b))
+    return out.withColumn(
+        "_rv", F.zip_with(F.col("_v"), F.col("_cvec"), lambda a, b: a - b)
+    ).drop("_cvec")
 
 
 def train_ivfpq(
@@ -861,9 +963,10 @@ def train_ivfpq(
     than raw vectors, the reason FAISS composes them this way.  Returns
     (centroids[n_cells][dim], codebooks[m][k][d_sub])."""
     centroids = kmeans_centroids(
-        df, k=n_cells, iters=cell_iters, vec_col=vec_col, id_col=id_col
+        df, k=n_cells, iters=cell_iters, vec_col=vec_col, id_col=id_col,
+        assign=assign,
     )
-    r = _with_residuals(df, centroids, vec_col, id_col)
+    r = _with_residuals(df, centroids, vec_col, id_col, assign=assign)
     codebooks = pq_train(
         r, m=m, k=k, iters=pq_iters, vec_col="_rv", id_col=id_col,
         assign=assign,
@@ -879,6 +982,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     store_vectors: bool = False,
+    assign: str = "auto",
 ) -> None:
     """Materialize the IVF-PQ index: inverted lists partitioned by cell
     hold ONLY (id, M code bytes) — at 100 TB the index is ~64× smaller
@@ -894,18 +998,29 @@ def write_ivfpq_index(
     (id, codes) columns (parquet is columnar — the vec column's pages
     are never fetched), and the refine stage reads vec pages only from
     the n_probe pruned partitions."""
-    r = _with_residuals(corpus, centroids, vec_col, id_col)
+    r = _with_residuals(corpus, centroids, vec_col, id_col, assign=assign)
     m, d_sub = len(codebooks), len(codebooks[0][0])
-    codes = F.array(
-        *[
-            _nearest_centroid(s, codebooks[i]).cast("tinyint")
-            for i, s in enumerate(_slices(F.col("_rv"), m, d_sub))
-        ]
+    use_join = assign == "join" or (
+        assign == "auto" and m * len(codebooks[0]) > ASSIGN_JOIN_THRESHOLD
     )
-    cols = [F.col(id_col), F.col("cell"), codes.alias("codes")]
+    if use_join:
+        # large m*k: residual codes through the broadcast-join encoder
+        # (pq_encode_join), joined back on the unique id — one extra
+        # co-partitioned exchange, O(1) expression size.
+        codes_df = pq_encode_join(r, codebooks, vec_col="_rv", id_col=id_col)
+        out = r.join(codes_df, id_col)
+    else:
+        codes = F.array(
+            *[
+                _nearest_centroid(s, codebooks[i]).cast("tinyint")
+                for i, s in enumerate(_slices(F.col("_rv"), m, d_sub))
+            ]
+        )
+        out = r.withColumn("codes", codes)
+    cols = [F.col(id_col), F.col("cell"), F.col("codes")]
     if store_vectors:
         cols.append(F.col("_v").alias("vec"))
-    out = r.select(*cols)
+    out = out.select(*cols)
     out.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -1124,6 +1239,7 @@ def semantic_dedup_pairs(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
     assign every embedding to its nearest k-means centroid, then compute
@@ -1138,10 +1254,16 @@ def semantic_dedup_pairs(
     the largest cell fits a task.  No cross-cell pair is ever formed —
     there is no cartesian anywhere (`tests/test_plan_quality.py` pins
     SortMergeJoin/ShuffledHashJoin on the equality key)."""
-    v = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("cell", _nearest_centroid(F.col("_v"), centroids))
+    v = assign_cells(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        centroids,
+        "_v",
+        "_id",
+        assign=assign,
+    )
     a = v.select(
         F.col("_id").alias("id_a"), F.col("cell"), F.col("_v").alias("_va")
     )
@@ -1179,6 +1301,7 @@ def semantic_dedup(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """Full SemDeDup decision table over the members of the semantic
     near-dup graph: ``(vec_id, cell, cluster_id, cos_centroid, kept)``.
@@ -1191,24 +1314,30 @@ def semantic_dedup(
     id).  Vectors outside the graph are trivially kept and are not
     returned; ``semantic_dedup_keep`` applies the verdict to the corpus.
 
-    Scale shape — cos-to-centroid comes from a broadcast join against
-    the k-row centroid table (never a shuffle of the corpus); the
+    Scale shape — assignment + the winning centroid come from
+    ``assign_cells(with_centroid=True)`` (literal argmin at small k,
+    k-row broadcast join past ASSIGN_JOIN_THRESHOLD — never a shuffle
+    of the corpus keyed on anything but the unique id); the
     winner-per-cluster argmin is one min(struct) aggregate."""
     from .dedup import near_dup_clusters
 
-    pairs = semantic_dedup_pairs(df, centroids, tau, vec_col, id_col)
+    pairs = semantic_dedup_pairs(df, centroids, tau, vec_col, id_col, assign)
     clusters = near_dup_clusters(pairs)  # (doc_id, cluster_id)
 
-    spark = df.sparkSession
-    v = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("cell", _nearest_centroid(F.col("_v"), centroids))
-    member = clusters.join(v, "doc_id").join(
-        F.broadcast(_centroid_df(spark, centroids)), "cell"
+    v = assign_cells(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        centroids,
+        "_v",
+        "doc_id",
+        assign=assign,
+        with_centroid=True,
     )
+    member = clusters.join(v, "doc_id")
     member = member.withColumn(
-        "cos_centroid", cosine_sim(F.col("_v"), F.col("cvec"))
+        "cos_centroid", cosine_sim(F.col("_v"), F.col("_cvec"))
     )
     winners = member.groupBy("cluster_id").agg(
         F.min(F.struct("cos_centroid", "doc_id"))["doc_id"].alias("_keep_id")
@@ -1231,11 +1360,12 @@ def semantic_dedup_keep(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
     """Rows of ``df`` surviving SemDeDup: graph members whose ``kept``
     verdict is false are dropped via one LEFT ANTI join; everything
     outside the near-dup graph survives untouched."""
-    verdict = semantic_dedup(df, centroids, tau, vec_col, id_col)
+    verdict = semantic_dedup(df, centroids, tau, vec_col, id_col, assign)
     losers = verdict.filter(~F.col("kept")).select(F.col(id_col))
     return df.join(losers, id_col, "left_anti")
 
