@@ -7723,6 +7723,62 @@ ORDER BY d.doc_id
 """
 
 
+def q_takedown_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete / takedown lifecycle on the Iceberg-layout
+    table (`sources/iceberg_table.py`): commit the documents table →
+    equality-DELETE every doc_id ≡ 0 (mod 7) (merge-on-read: a delete
+    file + new snapshot, data files untouched) → expire the pre-delete
+    snapshot → PHYSICAL purge (split-pruned copy-on-write rewrite via
+    the crash-safe .old swap) → read the raw data files back.  The
+    returned per-lang survivor counts come from the REWRITTEN bytes,
+    not a filtered view — a wrong delete file, a bad anti-join, a
+    missed split or a corrupted swap all change the counts.  Oracle:
+    plain SQL with the predicate inverted."""
+    import shutil
+
+    from machine_readability_checker_spark.operators.repartition import (
+        split_id,
+    )
+    from machine_readability_checker_spark.sources.iceberg_table import (
+        IcebergLayoutTable,
+        TableMaintenance,
+    )
+
+    root = _idx_path("takedown", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    table = IcebergLayoutTable(root)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    df = docs.withColumn("split", split_id("doc_id", 4))
+    df.repartition("split").write.partitionBy("split").mode(
+        "overwrite"
+    ).parquet(table.store.data_dir)
+    counts = df.groupBy("split").agg(F.count("*").alias("n")).collect()
+    for r in sorted(counts, key=lambda r: r["split"]):
+        table.store.commit_split(int(r["split"]), {"docs": int(r["n"])})
+    table.commit_snapshot()
+    table.delete_where(spark, F.col("doc_id") % 7 == 0, key_col="doc_id")
+    maint = TableMaintenance(table)
+    maint.expire_snapshots(keep_last=1)
+    maint.purge_deleted(spark)
+    maint.expire_snapshots(keep_last=1)
+    maint.gc_delete_files()
+    raw = spark.read.parquet(table.store.data_dir)
+    return (
+        raw.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+_TAKEDOWN_PURGE_SQL = """
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE NOT (doc_id % 7 = 0)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_span_stats": q_extract_span_stats,
@@ -7884,6 +7940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_boilerplate": q_site_boilerplate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bloom_new_docs": q_bloom_new_docs,
+        "takedown_purge": q_takedown_purge,
     }
 
 
@@ -8150,6 +8207,7 @@ def oracle_sql() -> dict[str, str]:
     out["pack_sequences"] = _PACK_SEQUENCES_SQL
     out["snapshot_delta"] = _SNAPSHOT_DELTA_SQL
     out["cdx_latest"] = _CDX_LATEST_SQL
+    out["takedown_purge"] = _TAKEDOWN_PURGE_SQL
     return out
 
 

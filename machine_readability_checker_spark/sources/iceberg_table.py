@@ -106,15 +106,24 @@ class IcebergLayoutTable:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
+    @property
+    def delete_dir(self) -> str:
+        return os.path.join(self.root, "_deletes")
+
     def commit_snapshot(
         self,
         schema_json: Optional[str] = None,
         partition_spec: Optional[Dict[str, Any]] = None,
+        deletes: Optional[List[Dict[str, Any]]] = None,
     ) -> Dict[str, Any]:
         """Roll the committed split manifests up into a new table
         snapshot; the `current` pointer flips via atomic rename.  Unset
-        schema/spec carry forward from the previous snapshot (metadata
-        lineage); passing a new value IS the evolution commit."""
+        schema/spec/deletes carry forward from the previous snapshot
+        (metadata lineage); passing a new value IS the evolution /
+        delete commit.  ``deletes`` entries are
+        ``{"id": N, "key": key_col, "rows": n}`` referencing equality-
+        delete files under ``_deletes/d{N}/`` (Iceberg v2 merge-on-read
+        row-level deletes — see ``delete_where``)."""
         splits = self.store.committed_splits()
         manifests = [self.store.read_manifest(s) for s in splits]
         versions = self._versions()
@@ -132,6 +141,9 @@ class IcebergLayoutTable:
             "splits": splits,
             "total_docs": sum(m.get("docs", 0) for m in manifests),
             "manifest_files": [f"_manifests/split-{s}.json" for s in splits],
+            "deletes": deletes
+            if deletes is not None
+            else prev.get("deletes", []),
         }
         os.makedirs(self.snapshot_dir, exist_ok=True)
         path = os.path.join(self.snapshot_dir, f"v{version}.json")
@@ -183,7 +195,10 @@ class IcebergLayoutTable:
             self.store.data_dir
         )
         if version is None:
-            return df
+            cur = self.current_snapshot()
+            return self._apply_deletes(
+                spark, df, (cur or {}).get("deletes", [])
+            )
         from pyspark.sql import functions as F
 
         snap = self.snapshot(version)
@@ -192,7 +207,69 @@ class IcebergLayoutTable:
         if cols:
             keep = [c for c in df.columns if c in set(cols) or c == "split"]
             df = df.select(*keep)
+        return self._apply_deletes(spark, df, snap.get("deletes", []))
+
+    def _apply_deletes(self, spark, df, deletes: List[Dict[str, Any]]):
+        """Merge-on-read: subtract each referenced equality-delete file
+        via one BROADCAST left-anti join per delete key (delete sets are
+        takedown-sized — thousands of keys against 10^12 rows; the
+        corpus never shuffles).  Snapshots that reference no deletes pay
+        nothing: the plan is unchanged."""
+        if not deletes:
+            return df
+        from pyspark.sql import functions as F
+
+        by_key: Dict[str, List[Dict[str, Any]]] = {}
+        for d in deletes:
+            by_key.setdefault(d["key"], []).append(d)
+        for key, group in sorted(by_key.items()):
+            dels = None
+            for d in group:
+                one = spark.read.parquet(
+                    os.path.join(self.delete_dir, f"d{d['id']}")
+                ).select(key)
+                dels = one if dels is None else dels.unionByName(one)
+            df = df.join(F.broadcast(dels.distinct()), key, "left_anti")
         return df
+
+    def delete_where(self, spark, predicate, key_col: str = "doc_id"):
+        """Row-level DELETE (GDPR/DMCA/opt-out takedown), Iceberg-v2
+        merge-on-read style: the keys of matching CURRENT rows are
+        written as an equality-delete file under ``_deletes/d{N}/``
+        (write-temp + atomic dir rename, same protocol as every other
+        commit here) and a new snapshot references it.  No data file is
+        touched, so every pre-delete snapshot still time-travels to the
+        full data — physical removal is ``TableMaintenance.
+        purge_deleted`` once the old snapshots expire, exactly
+        Iceberg's delete → expire → rewrite lifecycle.
+
+        ``predicate`` is a SQL string or Column over the current table
+        state (already-deleted rows can't re-match: the read applies
+        prior delete files).  The delete file also records each key's
+        ``split`` so the physical purge prunes its rewrite to affected
+        splits.  Returns the new snapshot dict plus
+        ``{"delete_id", "rows_deleted"}``."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise RuntimeError("delete_where requires a committed snapshot")
+        matched = self.read(spark, version=cur["version"]).filter(predicate)
+        cols = [key_col] + (["split"] if "split" in matched.columns else [])
+        keys = matched.select(*cols).distinct()
+        prev = cur.get("deletes", [])
+        did = (max((d["id"] for d in prev), default=0)) + 1
+        final = os.path.join(self.delete_dir, f"d{did}")
+        tmp = os.path.join(self.delete_dir, f"d{did}.inprogress")
+        os.makedirs(self.delete_dir, exist_ok=True)
+        keys.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        os.rename(tmp, final)
+        snap = self.commit_snapshot(
+            deletes=prev + [{"id": did, "key": key_col, "rows": n}]
+        )
+        snap = dict(snap)
+        snap["delete_id"] = did
+        snap["rows_deleted"] = n
+        return snap
 
     def read_incremental(self, spark, from_version: int, to_version: int):
         """Changelog read: rows appended between two snapshots = the
@@ -212,7 +289,12 @@ class IcebergLayoutTable:
         df = spark.read.option("mergeSchema", "true").parquet(
             self.store.data_dir
         )
-        return df.filter(F.col("split").isin(new_splits))
+        df = df.filter(F.col("split").isin(new_splits))
+        # appended rows that to_version has already deleted are not part
+        # of its visible state — apply its delete files like read() does
+        return self._apply_deletes(
+            spark, df, self.snapshot(to_version).get("deletes", [])
+        )
 
 
 # ----------------------------------------------------- table maintenance
@@ -308,6 +390,132 @@ class TableMaintenance:
             }
         return stats
 
+    def purge_deleted(self, spark) -> Dict[str, Any]:
+        """Physical takedown: rewrite the data files of every split that
+        holds rows matched by the current snapshot's equality-delete
+        files, so the purged bytes actually leave disk (the
+        delete → ``expire_snapshots`` → rewrite lifecycle; Iceberg's
+        ``rewrite_data_files`` after a v2 delete).
+
+        Refuses to run while any OTHER live snapshot references fewer
+        delete files than current — physically rewriting shared data
+        files would silently corrupt those snapshots' time travel;
+        expire them first.  The rewrite prunes to the splits recorded in
+        the delete files (never a full-table rewrite), verifies each
+        split's row count (before − deleted == after), and swaps via
+        the SAME ``.compact.tmp`` → ``.old`` rename protocol as
+        ``compact`` — so a half-swap crash is recovered by
+        ``recover_compaction``, idempotently.  Afterwards it commits a
+        snapshot with an empty delete list and removes delete files no
+        live snapshot references.  Returns
+        {splits_rewritten, rows_removed, snapshot_version,
+        delete_files_removed}."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        t = self.table
+        cur = t.current_snapshot()
+        if cur is None or not cur.get("deletes"):
+            return {
+                "splits_rewritten": 0,
+                "rows_removed": 0,
+                "snapshot_version": cur["version"] if cur else None,
+                "delete_files_removed": 0,
+            }
+        cur_ids = {d["id"] for d in cur["deletes"]}
+        for v in t._versions():
+            if v == cur["version"]:
+                continue
+            other = {d["id"] for d in t.snapshot(v).get("deletes", [])}
+            if not cur_ids <= other:
+                raise RuntimeError(
+                    f"snapshot v{v} still references pre-delete data; "
+                    "expire_snapshots before purge_deleted"
+                )
+        store = t.store
+        by_key: Dict[str, Any] = {}
+        for d in cur["deletes"]:
+            one = spark.read.parquet(
+                os.path.join(t.delete_dir, f"d{d['id']}")
+            )
+            prev = by_key.get(d["key"])
+            one = one.select(
+                d["key"], *(["split"] if "split" in one.columns else [])
+            )
+            by_key[d["key"]] = (
+                one if prev is None else prev.unionByName(
+                    one, allowMissingColumns=True
+                )
+            )
+        rows_removed = 0
+        rewritten: List[int] = []
+        for key, keys_df in sorted(by_key.items()):
+            keys_df = keys_df.distinct()
+            if "split" in keys_df.columns:
+                affected = sorted(
+                    r["split"]
+                    for r in keys_df.select("split").distinct().collect()
+                    if r["split"] is not None
+                )
+            else:
+                affected = store.committed_splits()
+            drop = keys_df.select(key).distinct()
+            for split in affected:
+                split_dir = os.path.join(store.data_dir, f"split={split}")
+                if not os.path.isdir(split_dir):
+                    continue
+                df = spark.read.parquet(split_dir)
+                n_before = df.count()
+                kept = df.join(F.broadcast(drop), key, "left_anti")
+                tmp = split_dir + ".compact.tmp"
+                kept.coalesce(
+                    max(1, len(_parquet_files(split_dir)))
+                ).write.mode("overwrite").parquet(tmp)
+                n_after = spark.read.parquet(tmp).count()
+                if n_after > n_before:
+                    raise RuntimeError(
+                        f"purge row-count grew for split {split}"
+                    )
+                if n_after == n_before:  # no matching rows here
+                    shutil.rmtree(tmp)
+                    continue
+                old = split_dir + ".old"
+                os.rename(split_dir, old)
+                os.rename(tmp, split_dir)
+                shutil.rmtree(old)
+                rows_removed += n_before - n_after
+                rewritten.append(split)
+        snap = t.commit_snapshot(deletes=[])
+        return {
+            "splits_rewritten": sorted(set(rewritten)),
+            "rows_removed": rows_removed,
+            "snapshot_version": snap["version"],
+            "delete_files_removed": self.gc_delete_files(),
+        }
+
+    def gc_delete_files(self) -> int:
+        """Remove equality-delete files no LIVE snapshot references —
+        a pre-purge snapshot still needs its delete files to read
+        correctly (merge-on-read), so GC only fires once
+        ``expire_snapshots`` has dropped every referencing version.
+        Called from ``purge_deleted``; call again after later expiries
+        to finish the cleanup.  Returns the number removed."""
+        import shutil
+
+        t = self.table
+        live: set = set()
+        for v in t._versions():
+            live |= {d["id"] for d in t.snapshot(v).get("deletes", [])}
+        removed = 0
+        if os.path.isdir(t.delete_dir):
+            for name in sorted(os.listdir(t.delete_dir)):
+                if name.startswith("d") and name[1:].isdigit():
+                    if int(name[1:]) not in live:
+                        shutil.rmtree(os.path.join(t.delete_dir, name))
+                        removed += 1
+        return removed
+
     def recover_compaction(self) -> List[int]:
         """Crash recovery: restore any split whose swap half-finished
         (``split=K.old`` exists).  If the new dir also exists the swap
@@ -375,6 +583,14 @@ class TableMaintenance:
                 if name.startswith(".split-"):
                     candidates.append(
                         os.path.join(store.manifest_dir, name)
+                    )
+        if os.path.isdir(self.table.delete_dir):
+            # a crashed delete_where leaves dN.inprogress (never
+            # referenced: the snapshot commit follows the dir rename)
+            for name in os.listdir(self.table.delete_dir):
+                if name.endswith(".inprogress"):
+                    candidates.append(
+                        os.path.join(self.table.delete_dir, name)
                     )
         if os.path.isdir(store.data_dir):
             for name in os.listdir(store.data_dir):
