@@ -123,10 +123,21 @@ def main() -> None:
         "--ppl-filter", action="store_true",
         help="add the CCNet-style LM-perplexity stage to the funnel: a "
         "trigram Stupid Backoff model is trained ON THIS CORPUS "
-        "(operators.ngram_lm; counts persisted under <out>/ppl_model), "
-        "each document is scored under it, and the highest-perplexity "
-        "--ppl-tail fraction is dropped (scoring is a broadcast count "
-        "dict, narrow map)",
+        "(operators.ngram_lm; counts persisted under <out>/ppl_model) "
+        "and each document is scored under it; the highest-perplexity "
+        "--ppl-tail fraction is dropped.  Scoring auto-routes: models "
+        "under the broadcast budget ride a task-broadcast dict (narrow "
+        "map), larger models take the distributed join scorer and are "
+        "never collected to the driver (see --ppl-scorer)",
+    )
+    ap.add_argument(
+        "--ppl-scorer", choices=["auto", "broadcast", "join"],
+        default="auto",
+        help="perplexity scorer path: 'auto' (default) refuses the "
+        "collect-to-driver broadcast above "
+        f"{2_000_000:,} model rows and uses the join scorer instead "
+        "(ngram_lm.BROADCAST_MAX_MODEL_ROWS); 'broadcast'/'join' force "
+        "a path (both pinned exactly equal by tests)",
     )
     ap.add_argument(
         "--ppl-threshold", type=float, default=None,
@@ -140,9 +151,13 @@ def main() -> None:
         "threshold drops (ignored when --ppl-threshold is given)",
     )
     ap.add_argument(
-        "--ppl-min-count", type=int, default=1,
+        "--ppl-min-count", type=int, default=2,
         help="n-gram count pruning floor for the perplexity model "
-        "(bounds the broadcast dict; unigrams always survive)",
+        "(default 2: singleton bi/trigrams — the bulk of a web-corpus "
+        "count table — are pruned, bounding the model; unigrams always "
+        "survive.  Set 1 to keep every n-gram: the auto scorer then "
+        "routes large models through the join path rather than "
+        "collecting them)",
     )
     ap.add_argument(
         "--ppl-buckets", action="store_true",
@@ -317,9 +332,11 @@ def main() -> None:
             os.path.join(args.out, "ppl_model")
         )
         if pthreshold is None:
-            # CCNet-style calibration: drop the highest-perplexity tail
+            # CCNet-style calibration: drop the highest-perplexity
+            # tail.  score_perplexity auto-routes — a model past the
+            # broadcast budget calibrates through the join scorer too
             pthreshold = (
-                NGLM.score_stupid_backoff(texts, pmodel)
+                NGLM.score_perplexity(texts, pmodel, mode=args.ppl_scorer)
                 .approxQuantile("perplexity", [1.0 - args.ppl_tail], 0.001)
             )[0]
 
@@ -357,6 +374,7 @@ def main() -> None:
         lang_prob_threshold=args.lang_prob_threshold,
         ppl_model=pmodel,
         ppl_threshold=pthreshold,
+        ppl_scorer=args.ppl_scorer,
         min_compression_ratio=args.min_compression_ratio,
         c4_lines=args.c4_lines,
         code_filters=args.code_filters,
@@ -478,8 +496,9 @@ def main() -> None:
             score_buckets,
         )
 
-        scored = NGLM2.score_stupid_backoff(
-            spark.read.parquet(os.path.join(args.out, "cleaned")), pmodel
+        scored = NGLM2.score_perplexity(
+            spark.read.parquet(os.path.join(args.out, "cleaned")), pmodel,
+            mode=args.ppl_scorer,
         ).filter(F.col("perplexity").isNotNull())
         bucketed = score_buckets(
             scored, score_col="perplexity", by=None

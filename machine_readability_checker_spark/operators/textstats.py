@@ -638,6 +638,7 @@ def label_drop_stage(
     lang_prob_threshold: float = 0.5,
     ppl_model=None,
     ppl_threshold: float = None,
+    ppl_scorer: str = "auto",
     min_compression_ratio: float = None,
     c4_lines: bool = False,
     badwords=None,
@@ -707,12 +708,40 @@ def label_drop_stage(
         df = score_quality(quality_model, df, text_col)
         extra_cols = extra_cols + ["quality_prob"]
     if ppl_model is not None:
-        # CCNet-style LM stage: broadcast-dict pandas UDF, narrow map
-        # (operators.ngram_lm; the join path exists for models too big
-        # to broadcast, at the cost of one extra shuffle+join)
-        from .ngram_lm import perplexity_udf
+        # CCNet-style LM stage.  Mode resolution is the scalable
+        # default: models under the broadcast budget score as a
+        # broadcast-dict pandas UDF column (narrow map, no join);
+        # models past it NEVER reach the driver — the distributed join
+        # scorer computes per-doc perplexity and one co-partitioned
+        # id join attaches it (both paths pinned exactly equal).
+        from .ngram_lm import (
+            model_order,
+            perplexity_udf,
+            resolve_scorer_mode,
+            score_stupid_backoff_join,
+        )
 
-        df = df.withColumn("lm_ppl", perplexity_udf(ppl_model)(F.col(text_col)))
+        mode = resolve_scorer_mode(ppl_model, ppl_scorer)
+        if mode == "broadcast":
+            df = df.withColumn(
+                "lm_ppl", perplexity_udf(ppl_model)(F.col(text_col))
+            )
+        else:
+            scores = score_stupid_backoff_join(
+                df.select(F.col(id_col), F.col(text_col)),
+                ppl_model,
+                text_col,
+                id_col,
+                order=model_order(ppl_model),
+            )
+            df = df.join(
+                scores.select(
+                    F.col(id_col),
+                    F.col("perplexity").alias("lm_ppl"),
+                ),
+                id_col,
+                "left",
+            )
         extra_cols = extra_cols + ["lm_ppl"]
     if require_known_lang and lang_model is not None:
         from .lang_model import predict_lang
