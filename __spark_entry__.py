@@ -7781,10 +7781,66 @@ ORDER BY lang
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- Driver sample window (first 50 entries): the external
+        # correctness gate hashes only these, so a stable core of
+        # flagship lanes stays pinned while each round's NEWEST
+        # families rotate in (VERDICT r4 next-round item 4).  The
+        # local gate (tools/check_oracles.py) always runs all lanes.
+        # core:
         "extract_span_stats": q_extract_span_stats,
         "extract_rule_results": q_extract_rule_results,
         "main_content_strip": q_main_content_strip,
+        "summary_by_type": q_summary_by_type,
+        "props_numeric": q_props_numeric,
+        "rule_scan_docs": q_rule_scan_docs,
         "tpch_q1": q_tpch_q1,
+        "quality_flags": q_quality_flags,
+        # round 5:
+        "takedown_purge": q_takedown_purge,
+        # round 4 families (sketches, interleave, link graph,
+        # tokenizers, retrieval, crawl QA, media near-dup, formats):
+        "semantic_dedup": q_semantic_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "corpus_hll_estimate": q_corpus_hll_estimate,
+        "domain_distinct_hll": q_domain_distinct_hll,
+        "cms_token_counts": q_cms_token_counts,
+        "interleaved_segments": q_interleaved_segments,
+        "interleaved_roundtrip": q_interleaved_roundtrip,
+        "interleaved_doc_stats": q_interleaved_doc_stats,
+        "interleaved_token_budget": q_interleaved_token_budget,
+        "frequent_media_filter": q_frequent_media_filter,
+        "media_quality_filter": q_media_quality_filter,
+        "link_graph_degrees": q_link_graph_degrees,
+        "pagerank_ranks": q_pagerank_ranks,
+        "hits_scores": q_hits_scores,
+        "anchor_texts": q_anchor_texts,
+        "wordpiece_pair_scores": q_wordpiece_pair_scores,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "unigram_segments": q_unigram_segments,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "ngram_lm_ppl": q_ngram_lm_ppl,
+        "span_regression_diff": q_span_regression_diff,
+        "robots_allowed": q_robots_allowed,
+        "mime_sniff": q_mime_sniff,
+        "image_dhash_dups": q_image_dhash_dups,
+        "video_fold_dups": q_video_fold_dups,
+        "exif_scan": q_exif_scan,
+        "c4_line_filter": q_c4_line_filter,
+        "structured_data": q_structured_data,
+        "line_dedup": q_line_dedup,
+        "site_boilerplate": q_site_boilerplate,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "url_canonical": q_url_canonical,
+        "sitemap_urls": q_sitemap_urls,
+        "text_normalize": q_text_normalize,
+        "readability": q_readability,
+        "bloom_new_docs": q_bloom_new_docs,
+        "odf_extract": q_odf_extract,
+        "epub_extract": q_epub_extract,
+        "md_extract": q_md_extract,
+        # --- end of sample window ---
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "event_windows": q_event_windows,
@@ -7794,14 +7850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "customers_without_orders": q_customers_without_orders,
         "orders_grouping_sets": q_orders_grouping_sets,
-        "summary_by_type": q_summary_by_type,
-        "props_numeric": q_props_numeric,
-        "rule_scan_docs": q_rule_scan_docs,
         "token_stats_by_lang": q_token_stats_by_lang,
         "stopword_buckets": q_stopword_buckets,
         "lang_pred": q_lang_pred,
         "fingerprints": q_fingerprints,
-        "quality_flags": q_quality_flags,
         "exact_dedup_count": q_exact_dedup_count,
         "duplicate_groups": q_duplicate_groups,
         "minhash_near_dups": q_minhash_near_dups,
@@ -7810,11 +7862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "cosine_topk": q_cosine_topk,
         "pair_score_filter": q_pair_score_filter,
-        "corpus_overlap_kmv": q_corpus_overlap_kmv,
-        "corpus_hll_estimate": q_corpus_hll_estimate,
-        "domain_distinct_hll": q_domain_distinct_hll,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "cms_token_counts": q_cms_token_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "cleaning_funnel": q_cleaning_funnel,
         "near_dup_clusters": q_near_dup_clusters,
@@ -7852,11 +7899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_stats": q_pdf_table_stats,
         "pdf_cjk_extract": q_pdf_cjk_extract,
         "pdf_columns_extract": q_pdf_columns_extract,
-        "odf_extract": q_odf_extract,
         "odf_rule_results": q_odf_rule_results,
-        "ngram_lm_ppl": q_ngram_lm_ppl,
-        "epub_extract": q_epub_extract,
-        "md_extract": q_md_extract,
         "ipynb_extract": q_ipynb_extract,
         "subtitle_extract": q_subtitle_extract,
         "transcript_windows": q_transcript_windows,
@@ -7882,19 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_extract": q_txt_extract,
         "org_extract": q_org_extract,
         "org_table_rules": q_org_table_rules,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "span_regression_diff": q_span_regression_diff,
-        "robots_allowed": q_robots_allowed,
-        "mime_sniff": q_mime_sniff,
-        "image_dhash_dups": q_image_dhash_dups,
-        "video_fold_dups": q_video_fold_dups,
-        "exif_scan": q_exif_scan,
-        "c4_line_filter": q_c4_line_filter,
-        "structured_data": q_structured_data,
         "auto_orient": q_auto_orient,
-        "unigram_segments": q_unigram_segments,
-        "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
         "snapshot_delta": q_snapshot_delta,
@@ -7911,8 +7942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "chunked_doc_topk": q_chunked_doc_topk,
         "ngram_top_counts": q_ngram_top_counts,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "wordpiece_pair_scores": q_wordpiece_pair_scores,
         "chunk_documents": q_chunk_documents,
         "pack_shards": q_pack_shards,
         "table_profile": q_table_profile,
@@ -7921,26 +7950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_index_query": q_ivfpq_index_query,
         "ivfpq_refined_topk": q_ivfpq_refined_topk,
         "media_context_pairs": q_media_context_pairs,
-        "interleaved_segments": q_interleaved_segments,
-        "interleaved_roundtrip": q_interleaved_roundtrip,
-        "interleaved_doc_stats": q_interleaved_doc_stats,
-        "interleaved_token_budget": q_interleaved_token_budget,
-        "frequent_media_filter": q_frequent_media_filter,
-        "media_quality_filter": q_media_quality_filter,
         "events_asof": q_events_asof,
-        "link_graph_degrees": q_link_graph_degrees,
-        "pagerank_ranks": q_pagerank_ranks,
-        "hits_scores": q_hits_scores,
-        "anchor_texts": q_anchor_texts,
-        "url_canonical": q_url_canonical,
-        "sitemap_urls": q_sitemap_urls,
-        "text_normalize": q_text_normalize,
-        "readability": q_readability,
-        "line_dedup": q_line_dedup,
-        "site_boilerplate": q_site_boilerplate,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bloom_new_docs": q_bloom_new_docs,
-        "takedown_purge": q_takedown_purge,
     }
 
 

@@ -1,0 +1,148 @@
+"""Extraction-quality eval: labeled boilerplate/main corpus, block
+P/R/F1 floors for both HTML block classifiers, and unit pins for the
+jusText-style context rules (VERDICT r4 next-round item 5 — the
+extraction twin of the ANN recall floors)."""
+
+from __future__ import annotations
+
+import pytest
+
+from machine_readability_checker_spark.core.html import (
+    classify_blocks,
+    extract_html_spans,
+)
+from machine_readability_checker_spark.operators import extractqa as QA
+
+N_DOCS = 300  # deterministic corpus -> deterministic metrics
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    raw, labels = QA.labeled_corpus_spark(spark, N_DOCS)
+    return raw.cache(), labels.cache()
+
+
+def _metrics(spark, corpus, context: bool):
+    raw, labels = corpus
+    return QA.evaluate_extraction(
+        QA.html_spans(raw, context=context), labels
+    ).collect()[0]
+
+
+def test_label_texts_all_match_extractor_blocks(spark, corpus):
+    """Generator sanity: every labeled block is recoverable from the
+    extractor's own segmentation (a label that never joins would make
+    the metrics meaningless) — checked as FN+TP == n_content and the
+    boilerplate side never left dangling by text mismatch."""
+    raw, labels = corpus
+    from pyspark.sql import functions as F
+
+    pred = (
+        QA.html_spans(raw)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", F.col("s.text").alias("text"))
+    )
+    unmatched = labels.join(pred, ["doc_id", "text"], "left_anti").count()
+    assert unmatched == 0
+
+
+def test_base_classifier_floor(spark, corpus):
+    """Fixed-threshold mode (the production default): the corpus's
+    designed hard cases (ad/cookie prose without links -> FP; short
+    replies and citation-dense paragraphs -> FN) bound it near 0.88 F1.
+    The floor guards against regressions; the ceiling assertion
+    documents WHY the context mode exists — if base ever beats 0.95
+    here, the hard cases stopped being hard and the eval needs new
+    ones."""
+    m = _metrics(spark, corpus, context=False)
+    assert m["n_labels"] > 3000
+    assert m["f1"] >= 0.85
+    assert m["precision"] >= 0.83 and m["recall"] >= 0.87
+    assert m["f1"] < 0.95
+
+
+def test_context_classifier_floor(spark, corpus):
+    """jusText-style context mode: pattern cues kill the ad/cookie FPs,
+    neighbor promotion recovers short replies and quote-dense prose.
+    Floors: F1 >= 0.99, recall == 1.0 on this corpus."""
+    m = _metrics(spark, corpus, context=True)
+    assert m["recall"] == 1.0
+    assert m["precision"] >= 0.99
+    assert m["f1"] >= 0.99
+
+
+def _kinds(html: str, context: bool):
+    triples, _ = extract_html_spans(html.encode(), context=context)
+    return [(k, t) for k, t, _ in triples if k in ("main", "boilerplate")]
+
+
+def test_context_rules_units():
+    """The individual context rules, pinned on minimal documents."""
+    # short reply between prose paragraphs: promoted in context mode
+    html = (
+        "<body><p>The committee reviewed the proposal in detail today.</p>"
+        "<p>Yes, exactly.</p>"
+        "<p>Researchers observed a steady decline in error rates.</p></body>"
+    )
+    assert ("boilerplate", "Yes, exactly.") in _kinds(html, False)
+    assert ("main", "Yes, exactly.") in _kinds(html, True)
+
+    # short LINKY block (social row) is never promoted
+    html2 = (
+        "<body><p>The committee reviewed the proposal in detail today.</p>"
+        '<p><a href="/s">Share</a> <a href="/t">Tweet</a></p>'
+        "<p>Researchers observed a steady decline in error rates.</p></body>"
+    )
+    assert ("boilerplate", "Share Tweet") in _kinds(html2, True)
+
+    # citation-dense paragraph (0.33 < density <= 0.55) next to prose
+    # link density 26/56 = 0.46: past the strict 0.33 ceiling but
+    # inside the near-good band (<= 0.55)
+    html3 = (
+        "<body><p>The committee reviewed the proposal in detail today.</p>"
+        '<p>The study cites <a href="/a">the primary source</a> and '
+        '<a href="/b">the data</a> for it.</p></body>'
+    )
+    dense = next(t for k, t in _kinds(html3, False) if "cites" in t)
+    assert ("boilerplate", dense) in _kinds(html3, False)
+    assert ("main", dense) in _kinds(html3, True)
+
+    # pattern cues: sponsored / cookie-consent / copyright lines are
+    # boilerplate in context mode even when long and link-free
+    for line in [
+        "Sponsored: upgrade your workflow with TurboSuite Pro today.",
+        "We use cookies to improve your experience. Accept to continue.",
+        "© 2026 Example Corp. All rights reserved worldwide, as noted.",
+    ]:
+        html4 = f"<body><p>{line}</p></body>"
+        assert _kinds(html4, False) == [("main", line)]
+        assert _kinds(html4, True) == [("boilerplate", line)]
+
+    # prose that merely MENTIONS cookies (no consent verb) stays main
+    html5 = (
+        "<body><p>The bakery uses cookies as the base for its best "
+        "selling dessert range.</p></body>"
+    )
+    # cookie phrase WITHOUT a consent verb -> must stay main
+    assert _kinds(html5, True) == [
+        ("main", "The bakery uses cookies as the base for its best "
+                 "selling dessert range.")
+    ]
+
+
+def test_default_mode_unchanged():
+    """context=False is byte-identical to the historical classifier —
+    the contract every oracle lane and fixture pin relies on."""
+    from machine_readability_checker_spark.core.html import (
+        HtmlBlock,
+        MIN_CONTENT_CHARS,
+    )
+
+    blocks = [
+        HtmlBlock("text", "x" * MIN_CONTENT_CHARS, "", 0, False),
+        HtmlBlock("text", "short", "", 0, False),
+        HtmlBlock("text", "y" * 50, "", 40, False),   # linky
+        HtmlBlock("text", "z" * 50, "", 0, True),     # boiler subtree
+    ]
+    got = [k for k, _, _ in classify_blocks(blocks)]
+    assert got == ["main", "boilerplate", "boilerplate", "boilerplate"]
