@@ -7779,6 +7779,59 @@ ORDER BY lang
 """
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastCDC content-defined chunking with a CONSTRUCTIVE oracle
+    (closes the one lane-less family).  The gear rolling hash hits a
+    fixed point on constant-byte runs — h_i = (2^i − 1)·gear[b] ≡
+    −gear[b] (mod 2^64) for i ≥ 64 — so for single-byte blobs the cut
+    decision depends ONLY on (−gear[b]) & mask: byte 'p' satisfies it
+    at mask 255 (every chunk cuts at min_size+1 = 101, the HASH-driven
+    boundary path), bytes 'a'/'x' never do (every chunk force-cuts at
+    max_size = 700).  Each doc contributes a JVM-assembled constant
+    blob (repeat + encode; byte and length keyed on doc_id), the real
+    Arrow chunking kernel cuts it, and DuckDB recomputes every
+    (offset, length, sha256) row arithmetically — boundary logic,
+    min-warm, force-cut, tail chunk and per-chunk digests all pinned.
+    Fixed-point derivation verified in tests/test_cdc_lane_math.py."""
+    from machine_readability_checker_spark.operators import cdc as C
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(
+            F.expr(
+                "repeat(CASE WHEN doc_id % 3 = 0 THEN 'p' "
+                "WHEN doc_id % 3 = 1 THEN 'a' ELSE 'x' END, "
+                "CAST(400 + (doc_id % 11) * 217 AS INT))"
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    return C.chunk_blobs(
+        blobs, avg_size=256, min_size=100, max_size=700
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CDC_CHUNKS_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'p'
+              WHEN doc_id % 3 = 1 THEN 'a' ELSE 'x' END AS c,
+         CASE WHEN doc_id % 3 = 0 THEN 101 ELSE 700 END AS s,
+         (400 + (doc_id % 11) * 217) AS L
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(t.i AS INT) AS chunk_idx,
+       CAST(t.i * s AS BIGINT) AS "offset",
+       CAST(LEAST(s, L - t.i * s) AS BIGINT) AS length,
+       sha256(repeat(c, CAST(LEAST(s, L - t.i * s) AS INT))) AS sha256
+FROM d CROSS JOIN (SELECT i FROM generate_series(0, 39) AS g(i)) AS t
+WHERE t.i * s < L
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Driver sample window (first 50 entries): the external
@@ -7797,6 +7850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         # round 5:
         "takedown_purge": q_takedown_purge,
+        "cdc_chunks": q_cdc_chunks,
         # round 4 families (sketches, interleave, link graph,
         # tokenizers, retrieval, crawl QA, media near-dup, formats):
         "semantic_dedup": q_semantic_dedup,
@@ -8218,6 +8272,7 @@ def oracle_sql() -> dict[str, str]:
     out["snapshot_delta"] = _SNAPSHOT_DELTA_SQL
     out["cdx_latest"] = _CDX_LATEST_SQL
     out["takedown_purge"] = _TAKEDOWN_PURGE_SQL
+    out["cdc_chunks"] = _CDC_CHUNKS_SQL
     return out
 
 
