@@ -208,3 +208,48 @@ def test_semantic_dedup_join_path_equality(spark):
     assert sorted(map(key, lit.collect())) == sorted(map(key, jn.collect()))
     kept = {r["vec_id"] for r in jn.collect() if r["kept"]}
     assert len(kept) == 6  # one survivor per planted group
+
+
+def test_ivf_index_paper_scale_cells(spark, tmp_path):
+    """write_ivf_index + query_ivf_index at k=4096 coarse cells — the
+    IVF operating point the literal path's codegen ceiling forbade.
+    auto-dispatch routes assignment through the join path; the pruned
+    query must return the numpy-exact nearest vectors of its probed
+    cells."""
+    rng = np.random.RandomState(33)
+    d = 8
+    cents = [[float(x) for x in rng.randn(d)] for _ in range(4096)]
+    rows = [(i, [float(x) for x in rng.randn(d)]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "_v"]).select(
+        "vec_id", F.col("_v").cast("array<double>").alias("_v")
+    )
+    path = str(tmp_path / "ivf4096")
+    similarity.write_ivf_index(df, path, cents, "_v", "vec_id")
+
+    C = np.asarray(cents)
+    V = {i: np.asarray(v) for i, v in rows}
+    cell_of = {
+        i: int(np.argmin(np.sum((C - v) ** 2, axis=1)))
+        for i, v in V.items()
+    }
+    got_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got_cells == cell_of
+
+    q = [float(x) for x in rng.randn(d)]
+    qa = np.asarray(q)
+    order = np.argsort(np.sum((C - qa) ** 2, axis=1))
+    probed = set(int(c) for c in order[:8])
+    in_probed = [i for i, c in cell_of.items() if c in probed]
+    want = sorted(
+        in_probed,
+        key=lambda i: (-float(
+            V[i] @ qa / (np.linalg.norm(V[i]) * np.linalg.norm(qa))
+        ), i),
+    )[:5]
+    top = similarity.query_ivf_index(
+        spark, path, q, cents, k=5, n_probe=8, id_col="vec_id"
+    )
+    assert [r["vec_id"] for r in top.collect()] == want
