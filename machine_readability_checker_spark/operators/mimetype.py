@@ -78,7 +78,7 @@ def detect_mime(col: Column) -> Column:
     cast, so garbage bytes can never error a row):
 
     - the magic table above, most-specific first (RIFF splits into
-      WAV/AVI on the format tag at offset 9)
+      WAV/AVI/WEBP on the format tag at offset 9)
     - HTML when the payload, BOM/whitespace-trimmed and lowercased,
       starts with ``<!doctype html`` or ``<html``; ``<?xml`` →
       application/xml
@@ -93,6 +93,7 @@ def detect_mime(col: Column) -> Column:
     )
     out = F.when(riff & (fourcc == F.lit(b"WAVE")), F.lit("audio/x-wav"))
     out = out.when(riff & (fourcc == F.lit(b"AVI ")), F.lit("video/x-msvideo"))
+    out = out.when(riff & (fourcc == F.lit(b"WEBP")), F.lit("image/webp"))
     for mime, off, sig in _MAGIC:
         out = out.when(
             F.substring(col, off, len(sig)) == F.lit(sig), F.lit(mime)

@@ -58,7 +58,7 @@ def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
 
 
 class DecodedImage(NamedTuple):
-    container: str  # "png" | "jpeg" | "gif" | "bmp" | "tiff" | "fake"
+    container: str  # "png" | "jpeg" | "gif" | "bmp" | "tiff" | "webp" | "fake"
     width: int
     height: int
     channels: int
@@ -92,6 +92,11 @@ def decode_image(content: bytes) -> DecodedImage:
 
         w, h, ch, px = decode_tiff(content)
         return DecodedImage("tiff", w, h, ch, px)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from ..core.webp import decode_webp
+
+        w, h, ch, px = decode_webp(content)
+        return DecodedImage("webp", w, h, ch, px)
     if content.startswith(FAKE_MAGIC):
         w, h = struct.unpack_from("<HH", content, len(FAKE_MAGIC))
         return DecodedImage(
@@ -125,6 +130,15 @@ def encode_image(img: DecodedImage) -> bytes:
         return encode_tiff(
             img.width, img.height, img.channels, img.pixels,
             compression="lzw",
+        )
+    if img.container == "webp":
+        from ..core.webp import encode_webp_lossless
+
+        if img.channels not in (3, 4):
+            raise ValueError("webp container is RGB or RGBA")
+        return encode_webp_lossless(
+            img.width, img.height, img.channels, img.pixels,
+            use_rle=True,
         )
     if img.container == "fake":
         if img.channels != 1:
