@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "corpus_diff",
     "chunked_doc_topk",
     "domain_distinct_hll",
+    # round 5
+    "takedown_purge",
+    "cdc_chunks",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the
@@ -476,9 +479,69 @@ def main() -> None:
         ("bm25_index", _bm25_build, [("bm25_query", _bm25_query)]),
     ]
 
+    def _extraction_qa(spark, sf_dir):
+        # round 5: the labeled-corpus extraction-quality eval through
+        # the jusText-style context classifier (generation + both-mode
+        # span extraction + the metric join); correctness floors live
+        # in tests/test_extractqa.py
+        from machine_readability_checker_spark.operators import (
+            extractqa as QA,
+        )
+
+        raw, labels = QA.labeled_corpus_spark(spark, 500)
+        return QA.evaluate_extraction(
+            QA.html_spans(raw, context=True), labels
+        )
+
+    def _webp_codec(spark, sf_dir):
+        # round 5: WebP lossless decode throughput — 400 VP8L blobs
+        # across the feature matrix (plain / RLE / cache / bundled
+        # palette), decoded + dHashed in the Arrow kernel
+        import numpy as _np
+
+        from machine_readability_checker_spark.core.webp import (
+            encode_webp_lossless,
+        )
+        from machine_readability_checker_spark.operators.imagehash import (
+            image_hashes,
+        )
+
+        rng = _np.random.RandomState(5)
+        px = bytes(rng.randint(0, 256, size=32 * 32 * 3, dtype=_np.uint8))
+        lut = rng.randint(0, 256, size=(12, 3), dtype=_np.uint8)
+        pal = bytes(lut[rng.randint(0, 12, size=32 * 32)].ravel())
+        variants = [
+            encode_webp_lossless(32, 32, 3, px),
+            encode_webp_lossless(32, 32, 3, px, use_rle=True),
+            encode_webp_lossless(32, 32, 3, pal, cache_bits=4),
+            encode_webp_lossless(32, 32, 3, pal, palette=True),
+        ]
+        rows = [
+            (f"w{i}", bytearray(variants[i % 4])) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, content binary")
+        return image_hashes(df.repartition(32), content_col="content")
+
+    def _semantic_dedup_bigk(spark, sf_dir):
+        # round 5: SemDeDup past the literal-expression ceiling — 256
+        # seed centroids through the broadcast-join assignment (the
+        # paper-scale path; the oracle lane stays at the literal-path
+        # k=8 twin)
+        emb = E._t(spark, sf_dir, "embeddings")
+        cents = SIM.kmeans_centroids(emb, k=256, iters=0)
+        # tau=0.3 so the pair graph / CC / winner stages do real work
+        # on the fixture embeddings (0.9 finds no pairs at this scale)
+        return SIM.semantic_dedup(emb, cents, tau=0.3, assign="join")
+
     qs = E.queries()
     qs["bpe_pair_counts"] = _prod_bpe
     qs["media_decode"] = _bench_media
+    qs["extraction_qa"] = _extraction_qa
+    qs["webp_codec"] = _webp_codec
+    qs["semantic_dedup_bigk"] = _semantic_dedup_bigk
+    BENCH_QUERIES.extend(
+        ["extraction_qa", "webp_codec", "semantic_dedup_bigk"]
+    )
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash
     qs["contamination"] = _prod_contamination
