@@ -245,3 +245,32 @@ def test_mime_sniff_webp(spark):
         ).collect()
     ]
     assert got == ["image/webp", "audio/x-wav"]
+
+
+def test_roundtrip_meta_prefix_codes():
+    """Meta prefix codes: 2 and 3 code groups assigned checkerboard by
+    block, each group's trees fitted to its own tokens — the decoder
+    must switch groups per symbol (including mid-row) and read the
+    entropy image correctly; composed with cache + RLE."""
+    w, h = 23, 14
+    rng = np.random.RandomState(30)
+    px = bytes(rng.randint(0, 256, size=w * h * 3, dtype=np.uint8))
+    for groups in (2, 3):
+        ch, got = _roundtrip(
+            w, h, 3, px, meta_bits=2, meta_groups=groups
+        )
+        assert got == px, groups
+    # meta + cache + rle together
+    lut = rng.randint(0, 256, size=(6, 3), dtype=np.uint8)
+    pal = bytes(lut[rng.randint(0, 6, size=w * h)].ravel())
+    ch, got = _roundtrip(
+        w, h, 3, pal, meta_bits=2, meta_groups=2, use_rle=True,
+        cache_bits=3,
+    )
+    assert got == pal
+    # meta composed with a transform (the sub-images themselves never
+    # carry meta codes — level-0 only)
+    ch, got = _roundtrip(
+        w, h, 3, px, meta_bits=3, meta_groups=2, subtract_green=True
+    )
+    assert got == px
