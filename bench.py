@@ -493,6 +493,18 @@ def main() -> None:
             QA.html_spans(raw, context=True), labels
         )
 
+    def _pdf_layout_qa(spark, sf_dir):
+        # round 5: the labeled PDF layout eval (generation through the
+        # real writer incl. Flate, extraction, sequence metrics)
+        from machine_readability_checker_spark.operators import (
+            extractqa as QA,
+        )
+
+        raw, labels = QA.labeled_pdf_corpus_spark(spark, 300)
+        return QA.evaluate_pdf_layout(
+            extract(raw).select("doc_id", "spans"), labels
+        )
+
     def _webp_codec(spark, sf_dir):
         # round 5: WebP lossless decode throughput — 400 VP8L blobs
         # across the feature matrix (plain / RLE / cache / bundled
@@ -537,10 +549,12 @@ def main() -> None:
     qs["bpe_pair_counts"] = _prod_bpe
     qs["media_decode"] = _bench_media
     qs["extraction_qa"] = _extraction_qa
+    qs["pdf_layout_qa"] = _pdf_layout_qa
     qs["webp_codec"] = _webp_codec
     qs["semantic_dedup_bigk"] = _semantic_dedup_bigk
     BENCH_QUERIES.extend(
-        ["extraction_qa", "webp_codec", "semantic_dedup_bigk"]
+        ["extraction_qa", "pdf_layout_qa", "webp_codec",
+         "semantic_dedup_bigk"]
     )
     qs["minhash_near_dups"] = _prod_minhash
     qs["simhash_near_dups"] = _prod_simhash

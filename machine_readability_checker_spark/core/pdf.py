@@ -781,6 +781,12 @@ MIN_COLUMN_LINES = 3
 MIN_COLUMN_WIDTH = 60.0
 MIN_COLUMN_FILL = 0.55
 MAX_COLUMN_DEPTH = 3
+#: single-fill splits additionally require the sides' line counts to be
+#: balanced: a genuine two-column band has comparable counts, while a
+#: wide table's overhanging column or margin notes put a few sparse
+#: lines against a full prose side (found by the round-5 PDF layout QA
+#: probe — tearing those off reads the page out of order)
+COLUMN_BALANCE = 0.5
 
 
 def _run_width(r: TextRun) -> float:
@@ -890,16 +896,35 @@ def order_columns(
             fill_r = _fill_ok(rights, hi, max_x)
             # both sides read as column text → split; one side does and
             # the baselines are NOT perfectly row-paired → split (a
-            # genuine table pairs every row); perfectly-paired mixed
+            # genuine table pairs every row), but ONLY when the sides'
+            # line counts are balanced (COLUMN_BALANCE) — otherwise a
+            # page of prose tears off any sparse overhang (a wide
+            # table's last column, margin notes) into a fake second
+            # column and reads it out of order; perfectly-paired mixed
             # content stays row-major — the conservative reading for a
             # machine-readability checker whose primary object is tables
             paired = all(s[0] and s[1] for s in splits[i:j])
+            balanced = (
+                min(len(lefts), len(rights))
+                >= COLUMN_BALANCE * max(len(lefts), len(rights))
+            )
+            # a real column also OCCUPIES column width even when its
+            # fill is ragged; a wide table's overhanging cells span
+            # only their own glyphs (round-5 layout-QA finding #2)
+            wide_l = (lo - min_x) >= MIN_COLUMN_WIDTH and bool(lefts)
+            wide_r = (max_x - hi) >= MIN_COLUMN_WIDTH and bool(rights)
             if (
                 len(lefts) >= MIN_COLUMN_LINES
                 and len(rights) >= MIN_COLUMN_LINES
                 and (
                     (fill_l and fill_r)
-                    or ((fill_l or fill_r) and not paired)
+                    or (
+                        (fill_l or fill_r)
+                        and wide_l
+                        and wide_r
+                        and not paired
+                        and balanced
+                    )
                 )
             ):
                 out.extend(order_columns(lefts, _depth + 1))

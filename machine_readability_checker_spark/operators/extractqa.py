@@ -252,6 +252,216 @@ def html_spans(
     )
 
 
+# ------------------------------------------------- PDF layout QA
+
+
+def gen_labeled_pdf(i: int):
+    """→ (doc_id, pdf bytes, ordered [(kind, text), ...] ground truth).
+
+    Layout variants keyed on the index, with the full expected
+    (kind, text) SEQUENCE as truth — reading order, table detection
+    and heading detection are all scored at once:
+
+    - single-column report: heading, prose, an x-aligned table whose
+      LAST column overhangs the prose margin (the geometry that used
+      to tear into a fake second column — regression-guarded here),
+      closing prose;
+    - two-column page: spanning title band, balanced prose columns
+      read left-then-right;
+    - designed hard case (every 7th doc): a ONE-row "table" — below
+      MIN_TABLE_ROWS by definition, labeled as cells anyway, so the
+      metric honestly records the detector's row floor instead of
+      pretending single-row tables are found."""
+    rng = random.Random(7_000_003 * i + 5)
+    doc_id = f"pdfqa{i:05d}"
+    items: List[Dict[str, Any]] = []
+    want: List[Tuple[str, str]] = []
+    prose = [
+        "The committee reviewed the proposal in detail",
+        "Observed error rates declined steadily all year",
+        "The harbor town depends on the morning ferry",
+        "Engineers traced the fault to cache invalidation",
+        "Local farmers adopted drip irrigation methods",
+    ]
+    if i % 3 == 2:
+        # --- two-column page with a spanning title
+        title = f"Two column brief {i}"
+        items.append({"text": title, "x": 60, "y": 770, "size": 18})
+        want.append(("heading", title))
+        n = 4 + rng.randrange(3)
+        left = [f"{rng.choice(prose)} L{i}-{k}." for k in range(n)]
+        right = [f"{rng.choice(prose)} R{i}-{k}." for k in range(n)]
+        # right column at x=380: the longest prose+suffix line is ~55
+        # glyphs = ~275pt wide, so the inter-column valley stays ≥ 55pt
+        y = 730
+        for k in range(n):
+            items.append({"text": left[k], "x": 50, "y": y, "size": 10})
+            items.append({"text": right[k], "x": 380, "y": y, "size": 10})
+            y -= 14
+        want.extend(("line", t) for t in left)
+        want.extend(("line", t) for t in right)
+        return doc_id, items, want
+
+    # --- single-column report
+    title = f"Quarterly report {i}"
+    items.append({"text": title, "x": 50, "y": 770, "size": 16})
+    want.append(("heading", title))
+    y = 740
+    n1 = 2 + rng.randrange(3)
+    for k in range(n1):
+        t = f"{rng.choice(prose)} ({i}-{k})."
+        items.append({"text": t, "x": 50, "y": y, "size": 10})
+        want.append(("line", t))
+        y -= 14
+    y -= 10
+    if i % 7 == 3:
+        # hard case: one-row table (below the detector's row floor)
+        row = [f"k{i}", f"v{i}", f"x{i}"]
+        for c, cx in enumerate((50, 200, 350)):
+            items.append({"text": row[c], "x": cx, "y": y, "size": 10})
+        want.append(("cell", "\t".join(row)))
+        y -= 14
+    else:
+        rows = 3 + rng.randrange(3)
+        for r in range(rows):
+            row = [f"c{i}.{r}.{c}" for c in range(3)]
+            for c, cx in enumerate((50, 200, 350)):  # col 3 overhangs
+                items.append({"text": row[c], "x": cx, "y": y, "size": 10})
+            want.append(("cell", "\t".join(row)))
+            y -= 14
+    y -= 10
+    t = f"Closing remark paragraph for document {i}."
+    items.append({"text": t, "x": 50, "y": y, "size": 10})
+    want.append(("line", t))
+    return doc_id, items, want
+
+
+def labeled_pdf_corpus_spark(
+    spark: SparkSession, n_docs: int, partitions: int = 8
+) -> Tuple[DataFrame, DataFrame]:
+    """→ (docs_raw in RAW_SCHEMA fmt=pdf, labels (doc_id, pos, kind,
+    text)) — positions index the expected NON-media span sequence."""
+    from ..core.pdf import write_pdf
+    from ..model import RAW_SCHEMA
+    from ..sources.fixtures import _doc
+
+    def raw_kernel(batches):
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                doc_id, items, _ = gen_labeled_pdf(int(i))
+                row = _doc(doc_id, "pdf", write_pdf(items, compress=True))
+                row.setdefault("sheet_idx", 0)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    def label_kernel(batches):
+        for batch in batches:
+            out: Dict[str, List[Any]] = {
+                "doc_id": [], "pos": [], "kind": [], "text": []
+            }
+            for i in batch["id"]:
+                doc_id, _, want = gen_labeled_pdf(int(i))
+                for p, (k, t) in enumerate(want):
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(p)
+                    out["kind"].append(k)
+                    out["text"].append(t)
+            yield pd.DataFrame(out)
+
+    rng = spark.range(0, n_docs, numPartitions=partitions)
+    raw = rng.mapInPandas(raw_kernel, schema=RAW_SCHEMA)
+    labels = rng.mapInPandas(
+        label_kernel,
+        schema="doc_id string, pos int, kind string, text string",
+    )
+    return raw, labels
+
+
+def evaluate_pdf_layout(
+    spans: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Sequence-level PDF layout metrics → one row (n_labels,
+    pos_match, kind_text_match, line_accuracy, doc_exact_rate,
+    cell_recall, heading_recall).
+
+    ``pos_match`` compares POSITIONALLY (reading order + kind + text
+    all right at that index — the strictest composite);
+    ``kind_text_match`` joins order-free on (doc_id, kind, text) so an
+    order error and a classification error are distinguishable.  One
+    window + two joins + one aggregate."""
+    from pyspark.sql import Window
+
+    pred = (
+        spans.select("doc_id", F.posexplode("spans").alias("_p", "s"))
+        .filter(F.col("s.kind") != "media")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_p")
+            ) - 1,
+        )
+        .select(
+            "doc_id", "pos",
+            F.col("s.kind").alias("pkind"),
+            F.col("s.text").alias("ptext"),
+        )
+    )
+    j = labels.join(pred, ["doc_id", "pos"], "left")
+    pos_ok = (
+        (F.col("pkind") == F.col("kind"))
+        & (F.col("ptext") == F.col("text"))
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(pos_ok.cast("long"), F.lit(0))).alias("ok"),
+    )
+    free = labels.join(
+        spans.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+        ).distinct(),
+        ["doc_id", "kind", "text"],
+        "left_semi",
+    )
+    kinds = free.groupBy().pivot(
+        "kind", ["cell", "heading", "line"]
+    ).count()
+    totals = labels.groupBy().pivot(
+        "kind", ["cell", "heading", "line"]
+    ).count()
+    agg = per_doc.agg(
+        F.sum("n").alias("n_labels"),
+        F.sum("ok").alias("pos_match"),
+        F.sum((F.col("ok") == F.col("n")).cast("long")).alias("docs_exact"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    k = kinds.collect()[0].asDict()
+    t = totals.collect()[0].asDict()
+    a = agg.collect()[0].asDict()
+    free_total = free.count()
+    out = {
+        "n_labels": a["n_labels"],
+        "pos_match": a["pos_match"],
+        "kind_text_match": free_total,
+        "line_accuracy": a["pos_match"] / a["n_labels"],
+        "doc_exact_rate": a["docs_exact"] / a["docs"],
+        "cell_recall": (k.get("cell") or 0) / max(1, t.get("cell") or 0),
+        "heading_recall": (
+            (k.get("heading") or 0) / max(1, t.get("heading") or 0)
+        ),
+    }
+    return spans.sparkSession.createDataFrame(
+        [tuple(out.values())],
+        "n_labels long, pos_match long, kind_text_match long, "
+        "line_accuracy double, doc_exact_rate double, "
+        "cell_recall double, heading_recall double",
+    )
+
+
 def evaluate_extraction(
     spans: DataFrame, labels: DataFrame
 ) -> DataFrame:

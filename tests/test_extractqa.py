@@ -146,3 +146,88 @@ def test_default_mode_unchanged():
     ]
     got = [k for k, _, _ in classify_blocks(blocks)]
     assert got == ["main", "boilerplate", "boilerplate", "boilerplate"]
+
+
+# ------------------------------------------------- PDF layout QA
+
+
+@pytest.fixture(scope="module")
+def pdf_corpus(spark):
+    raw, labels = QA.labeled_pdf_corpus_spark(spark, 200)
+    return raw.cache(), labels.cache()
+
+
+def test_pdf_layout_floors(spark, pdf_corpus):
+    """Sequence-level PDF layout metrics on the 200-page labeled
+    corpus.  The two round-5 layout fixes (overhang-column balance +
+    width discriminators in order_columns) lift line accuracy from the
+    measured 0.60 to ≥0.98; the residual gap is EXACTLY the designed
+    one-row-table hard case (below MIN_TABLE_ROWS), so doc_exact and
+    cell_recall are floored below 1.0 on purpose."""
+    from machine_readability_checker_spark.operators.extract import extract
+
+    raw, labels = pdf_corpus
+    m = QA.evaluate_pdf_layout(
+        extract(raw).select("doc_id", "spans"), labels
+    ).collect()[0]
+    assert m["n_labels"] > 1500
+    assert m["line_accuracy"] >= 0.98
+    assert 0.85 <= m["doc_exact_rate"] < 1.0
+    assert m["heading_recall"] == 1.0
+    assert 0.9 <= m["cell_recall"] < 1.0
+    # positional and order-free matches agree -> no pure order errors
+    assert m["pos_match"] == m["kind_text_match"]
+
+
+def test_pdf_overhang_column_regression():
+    """The geometry that used to tear: a 3-column x-aligned table whose
+    last column overhangs the prose margin inside a single-column
+    page.  Before the COLUMN_BALANCE/width discriminators the third
+    column split off as a fake page column and read out of order."""
+    from machine_readability_checker_spark.core.pdf import (
+        extract_pdf_spans,
+        write_pdf,
+    )
+
+    items = [{"text": "Quarterly Report 7", "x": 50, "y": 760, "size": 18}]
+    y = 730
+    prose = []
+    for k in range(3):
+        t = f"Prose line number {k} with several words in it."
+        prose.append(t)
+        items.append({"text": t, "x": 50, "y": y, "size": 10})
+        y -= 14
+    for r in range(5):  # 5 rows: defeats balance alone, needs width
+        for c, cx in enumerate((50, 200, 350)):
+            items.append(
+                {"text": f"cell{r}{c}", "x": cx, "y": 640 - r * 14,
+                 "size": 10}
+            )
+    items.append(
+        {"text": "Closing remark paragraph after the table.",
+         "x": 50, "y": 540, "size": 10}
+    )
+    spans, err = extract_pdf_spans(write_pdf(items))
+    assert err is None
+    got = [(k, t) for k, t, _ in spans]
+    want = (
+        [("heading", "Quarterly Report 7")]
+        + [("line", t) for t in prose]
+        + [("cell", f"cell{r}0\tcell{r}1\tcell{r}2") for r in range(5)]
+        + [("line", "Closing remark paragraph after the table.")]
+    )
+    assert got == want
+
+
+def test_pdf_two_column_generator_exact():
+    """The generator's two-column variant reads title -> left column ->
+    right column, exactly."""
+    from machine_readability_checker_spark.core.pdf import (
+        extract_pdf_spans,
+        write_pdf,
+    )
+
+    doc_id, items, want = QA.gen_labeled_pdf(2)
+    spans, err = extract_pdf_spans(write_pdf(items, compress=True))
+    assert err is None
+    assert [(k, t) for k, t, _ in spans if k != "media"] == want
