@@ -242,6 +242,22 @@ def purge_ids_from_bm25_index(
     }
 
 
+def purge_ids_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> Dict[str, int]:
+    """Takedown over a ``write_ivf_index`` / ``write_ivfpq_index``
+    layout (cell-partitioned inverted lists): purged vectors leave
+    only the cell directories that contain them, so
+    ``query_ivf_index``/``query_ivfpq_index`` probes can never return
+    them — same pruned-rewrite contract as the MinHash/BM25 purges."""
+    return purge_ids_from_index(
+        spark, path, ids, id_col, partition_cols=("cell",)
+    )
+
+
 def takedown(
     spark: SparkSession,
     table,
@@ -249,6 +265,8 @@ def takedown(
     key_col: str = "doc_id",
     minhash_index: Optional[str] = None,
     bm25_index: Optional[str] = None,
+    ivf_index: Optional[str] = None,
+    ivf_id_col: str = "vec_id",
 ) -> Dict[str, object]:
     """One-call takedown: row-level delete on the Iceberg-layout table
     (merge-on-read — physical purge rides ``purge_deleted`` after
@@ -271,5 +289,11 @@ def takedown(
     if bm25_index:
         out["bm25"] = purge_ids_from_bm25_index(
             spark, bm25_index, ids, id_col=key_col
+        )
+    if ivf_index:
+        out["ivf"] = purge_ids_from_ivf_index(
+            spark, ivf_index,
+            ids.withColumnRenamed(key_col, ivf_id_col),
+            id_col=ivf_id_col,
         )
     return out

@@ -353,3 +353,61 @@ def test_takedown_one_call(spark, tmp_path):
     assert victim not in {
         r["doc_id"] for r in spark.read.parquet(bm).collect()
     }
+
+
+def test_ivf_index_purge(spark, tmp_path):
+    """Purged vectors leave the cell-partitioned IVF index: pruned
+    probes can never return them, untouched cells' files are not
+    rewritten, and the result equals a rebuild on survivors."""
+    import numpy as np
+
+    from machine_readability_checker_spark.operators import similarity as S
+
+    rng = np.random.RandomState(44)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = S.kmeans_centroids(vecs, k=4, iters=2)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(vecs, path, cents)
+
+    victims = spark.createDataFrame([(3,), (17,), (41,)], ["vec_id"])
+    before = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path).collect()
+    }
+    import os as _os
+
+    untouched_cells = {
+        c for c in set(before.values())
+        if c not in {before[v] for v in (3, 17, 41)}
+    }
+    mtimes = {}
+    for c in untouched_cells:
+        d = _os.path.join(path, f"cell={c}")
+        mtimes[c] = {
+            f: _os.path.getmtime(_os.path.join(d, f))
+            for f in _os.listdir(d)
+        }
+    out = td.purge_ids_from_ivf_index(spark, path, victims)
+    assert out["rows_removed"] == 3
+    after = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert set(after) == set(before) - {3, 17, 41}
+    assert all(after[k] == before[k] for k in after)
+    for c in untouched_cells:  # pruned rewrite: other cells untouched
+        d = _os.path.join(path, f"cell={c}")
+        assert {
+            f: _os.path.getmtime(_os.path.join(d, f))
+            for f in _os.listdir(d)
+        } == mtimes[c]
+    # probes cannot return purged ids even at full probe width
+    q = [0.1] * 8
+    got = {
+        r["vec_id"]
+        for r in S.query_ivf_index(
+            spark, path, q, cents, k=60, n_probe=4
+        ).collect()
+    }
+    assert got == set(after)
