@@ -79,6 +79,13 @@ def main() -> None:
         "the confidence kernel only ever sees the hocr sliver)",
     )
     ap.add_argument(
+        "--html-classifier", choices=["fixed", "context"], default="fixed",
+        help="HTML block classifier: 'fixed' (thresholds; the span-"
+        "parity default) or 'context' (jusText-style context-sensitive "
+        "mode — measured block F1 0.998 vs 0.878 on the labeled QA "
+        "corpus; see BENCH/BASELINE.md)",
+    )
+    ap.add_argument(
         "--render", choices=["plain", "markdown"],
         help="additionally write a rendered per-document `text` column "
         "(ordered span array -> one string; plain = content spans "
@@ -195,7 +202,7 @@ def main() -> None:
 
     def transform(wave_df: DataFrame) -> DataFrame:
         balanced = salted_repartition(wave_df, n_parts)
-        out = extract(balanced)
+        out = extract(balanced, html_context=args.html_classifier == "context")
         if args.render:
             from machine_readability_checker_spark.operators.render import (
                 render_training_text,

@@ -59,6 +59,7 @@ def extract_document(
     data_end_row: int = 0,
     sheet_idx: int = 0,
     charset_hint: str = "",
+    html_context: bool = False,
 ) -> Dict[str, Any]:
     """Extract one document.  Never raises — parse failures produce zero
     spans and a metrics record with ``parse_errors=1`` (quarantine row).
@@ -72,7 +73,7 @@ def extract_document(
     import time as _time
 
     _t0 = _time.perf_counter()
-    doc = parse_document(fmt, content, charset_hint)
+    doc = parse_document(fmt, content, charset_hint, html_context)
     spans: List[Span] = []
     results: List[Dict[str, Any]] = []
     block_count: Optional[int] = None
@@ -181,7 +182,7 @@ def _hint(v: Any) -> int:
     return int(v)
 
 
-def extract_batch(batch) -> List[Dict[str, Any]]:
+def extract_batch(batch, html_context: bool = False) -> List[Dict[str, Any]]:
     """Vectorized batch entry: a pandas DataFrame with RAW_SCHEMA columns →
     list of extraction dicts.  This is the exact function the Spark kernel
     applies per Arrow batch."""
@@ -205,7 +206,8 @@ def extract_batch(batch) -> List[Dict[str, Any]]:
             hints["sheet_idx"] = _hint(getattr(row, "sheet_idx"))
         out.append(
             extract_document(
-                str(row.doc_id), str(row.fmt), bytes(row.content), **hints
+                str(row.doc_id), str(row.fmt), bytes(row.content),
+                html_context=html_context, **hints
             )
         )
     return out

@@ -168,7 +168,8 @@ MAX_GUNZIP_BYTES = 256 << 20
 
 
 def parse_document(
-    fmt: str, content: bytes, charset_hint: str = ""
+    fmt: str, content: bytes, charset_hint: str = "",
+    html_context: bool = False,
 ) -> ParsedDoc:
     fmt = fmt.lower().lstrip(".")
     if fmt not in ALLOWED_FORMATS:
@@ -288,4 +289,4 @@ def parse_document(
         return parse_txt(content)
     from .html import parse_html  # local import to keep grid lane light
 
-    return parse_html(content, charset_hint)
+    return parse_html(content, charset_hint, context=html_context)

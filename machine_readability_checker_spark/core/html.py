@@ -759,13 +759,14 @@ def table_grid_to_csv(grid: List[List[str]]) -> bytes:
     return buf.getvalue().encode("utf-8")
 
 
-def parse_html(content: bytes, charset_hint: str = ""):
-    """ParsedDoc facade for the format dispatcher (grid lane stays None)."""
+def parse_html(content: bytes, charset_hint: str = "", context: bool = False):
+    """ParsedDoc facade for the format dispatcher (grid lane stays None).
+    ``context`` selects the jusText-style block classifier."""
     from .grid import ParsedDoc
 
     doc = ParsedDoc(fmt="html")
     try:
-        spans, enc = extract_html_spans(content, charset_hint)
+        spans, enc = extract_html_spans(content, charset_hint, context)
         doc.encoding = enc
         doc.raw_text = None
         doc.html_spans = spans  # type: ignore[attr-defined]

@@ -30,27 +30,42 @@ from ..core.extract import extract_batch
 from ..model import EXTRACT_SCHEMA
 
 
-def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    tc = TaskContext.get()
-    pid = tc.partitionId() if tc is not None else -1
-    for batch in batches:
-        if batch.empty:
-            continue
-        rows = extract_batch(batch)
-        yield pd.DataFrame(
-            {
-                "doc_id": [r["doc_id"] for r in rows],
-                "spans": [r["spans"] for r in rows],
-                "results": [r["results"] for r in rows],
-                "metrics": [r["metrics"] for r in rows],
-                "partition_id": [pid] * len(rows),
-            }
-        )
+def _make_kernel(html_context: bool = False):
+    def _kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for batch in batches:
+            if batch.empty:
+                continue
+            rows = extract_batch(batch, html_context=html_context)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "spans": [r["spans"] for r in rows],
+                    "results": [r["results"] for r in rows],
+                    "metrics": [r["metrics"] for r in rows],
+                    "partition_id": [pid] * len(rows),
+                }
+            )
+
+    return _kernel
 
 
-def extract(df_raw: DataFrame) -> DataFrame:
-    """docs_raw → one row per document with spans + results + metrics."""
-    return df_raw.mapInPandas(_kernel, schema=EXTRACT_SCHEMA)
+#: default kernel (fixed-threshold HTML classifier) — the shape every
+#: oracle lane pins; jobs opt into the context classifier per run
+_kernel = _make_kernel(False)
+
+
+def extract(df_raw: DataFrame, html_context: bool = False) -> DataFrame:
+    """docs_raw → one row per document with spans + results + metrics.
+    ``html_context=True`` routes HTML documents through the
+    jusText-style context-sensitive block classifier (measured block F1
+    0.998 vs 0.878 on the labeled QA corpus — core/html.py); the
+    default stays the fixed-threshold mode every oracle lane pins."""
+    kern = _kernel if not html_context else _make_kernel(True)
+    return df_raw.mapInPandas(kern, schema=EXTRACT_SCHEMA)
 
 
 def spans_table(extracted: DataFrame) -> DataFrame:
