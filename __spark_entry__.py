@@ -7812,6 +7812,54 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair (`textstats.fix_mojibake`): even
+    doc_ids carry a JVM-synthesized UTF-8-as-cp1252 double encoding of
+    a known clean string (9 indicator hits each: Ã©/Ãº/Ã&nbsp;
+    two-byte forms, â€-prefixed punctuation, Â©), odd doc_ids the
+    clean string itself.  The operator must repair every even row back
+    to EXACTLY the clean text, touch no odd row, and count hits per
+    the indicator regex — the oracle states all three arithmetically.
+    (Replacement order matters: © is mojibaked FIRST because Ã© itself
+    contains a © character.)"""
+    from machine_readability_checker_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clean = F.concat(
+        F.lit("Café número "),
+        F.col("doc_id").cast("string"),
+        F.lit(" — ‘déjà vu’… ©"),
+    )
+    moja = clean
+    for a, b in [
+        ("©", "Â©"), ("é", "Ã©"), ("ú", "Ãº"), ("—", "â€”"),
+        ("‘", "â€˜"), ("’", "â€™"), ("…", "â€¦"), ("à", "Ã "),
+    ]:
+        moja = F.replace(moja, F.lit(a), F.lit(b))
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, moja).otherwise(clean).alias(
+            "text"
+        ),
+    ).withColumn("n_hits", TS.mojibake_count(F.col("text")))
+    return (
+        TS.fix_mojibake(df)
+        .select("doc_id", "n_hits", "mojibake_fixed", "text")
+        .orderBy("doc_id")
+    )
+
+
+_MOJIBAKE_FIX_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 0 END AS INT) AS n_hits,
+       doc_id % 2 = 0 AS mojibake_fixed,
+       'Café número ' || CAST(doc_id AS VARCHAR) || ' — ‘déjà vu’… ©'
+         AS text
+FROM documents
+ORDER BY doc_id
+"""
+
+
 _CDC_CHUNKS_SQL = """
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -7851,6 +7899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5:
         "takedown_purge": q_takedown_purge,
         "cdc_chunks": q_cdc_chunks,
+        "mojibake_fix": q_mojibake_fix,
         # round 4 families (sketches, interleave, link graph,
         # tokenizers, retrieval, crawl QA, media near-dup, formats):
         "semantic_dedup": q_semantic_dedup,
@@ -8273,6 +8322,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdx_latest"] = _CDX_LATEST_SQL
     out["takedown_purge"] = _TAKEDOWN_PURGE_SQL
     out["cdc_chunks"] = _CDC_CHUNKS_SQL
+    out["mojibake_fix"] = _MOJIBAKE_FIX_SQL
     return out
 
 

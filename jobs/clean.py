@@ -76,6 +76,13 @@ def main() -> None:
         "language-free and would be wiped out)",
     )
     ap.add_argument(
+        "--fix-mojibake", action="store_true",
+        help="repair UTF-8-as-cp1252/latin-1 double encoding before "
+        "cleaning (ftfy-style, guarded/never destructive - "
+        "operators.textstats.fix_mojibake); the JSON line gains "
+        "mojibake_fixed",
+    )
+    ap.add_argument(
         "--c4-lines", action="store_true",
         help="add the C4 line battery (Raffel et al. 2020): rewrite "
         "every document to its surviving lines (terminal punctuation, "
@@ -285,12 +292,18 @@ def main() -> None:
 
         texts = read_wet(spark, args.input_wet).select(
             "doc_id", "text"
-        ).persist()
+        )
     else:
         texts = (
             render_training_text(extracted, style="plain")
             .select("doc_id", "text")
-        ).persist()
+        )
+    mojibake_fixed = 0
+    if args.fix_mojibake:
+        texts = TS.fix_mojibake(texts)
+        mojibake_fixed = texts.filter("mojibake_fixed").count()
+        texts = texts.drop("mojibake_fixed")
+    texts = texts.persist()
 
     qmodel = None
     qthreshold = args.quality_threshold
@@ -573,6 +586,7 @@ def main() -> None:
         json.dumps(
             {
                 "docs_in": texts.count(),
+                "mojibake_fixed": mojibake_fixed,
                 "docs_after_funnel": n_in,
                 "docs_cleaned": n_out,
                 "near_dup_removed": n_in - n_out,

@@ -11,6 +11,7 @@ stopword voting, document fingerprinting, BPE-ish subword count.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -1288,4 +1289,82 @@ def readability_scores(col: Column) -> Column:
         n_syl.alias("n_syllables"),
         F.when(n_words > 0, ease).alias("reading_ease"),
         F.when(n_words > 0, grade).alias("fk_grade"),
+    )
+
+
+# ------------------------------------------------ mojibake repair
+
+#: cp1252's 0x80-0x9F graphics (the 27 defined slots): the characters a
+#: UTF-8 byte stream grows when mis-decoded as Windows-1252 — the
+#: dominant real-web double-encoding (ftfy's core case).
+_CP1252_SPECIALS = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8a: "Š", 0x8b: "‹", 0x8c: "Œ",
+    0x8e: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9a: "š", 0x9b: "›",
+    0x9c: "œ", 0x9e: "ž", 0x9f: "Ÿ",
+}
+_CP1252_FROM = "".join(_CP1252_SPECIALS.values())
+_CP1252_TO = "".join(chr(b) for b in _CP1252_SPECIALS)
+# a mojibake "tail" char: anything a UTF-8 continuation byte (0x80-BF)
+# renders as under latin-1 OR cp1252
+_MOJI_TAIL = "[\\x80-\\xbf" + re.escape(_CP1252_FROM) + "]"
+#: indicator: a two-byte UTF-8 lead mis-decoded (Â/Ã + tail) or the
+#: three-byte punctuation prefix â€ (U+2000-range as cp1252)
+MOJIBAKE_INDICATOR = f"(?:Ã{_MOJI_TAIL}|Â{_MOJI_TAIL}|â€)"
+
+
+def mojibake_count(col: Column) -> Column:
+    """Number of mojibake indicator hits in a string (JVM regex)."""
+    return F.regexp_count(col, F.lit(MOJIBAKE_INDICATOR))
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = None
+) -> DataFrame:
+    """ftfy-style double-encoding repair, entirely JVM-side: text that
+    looks like UTF-8 mis-decoded as Windows-1252/latin-1 ("CafÃ©",
+    "â€” quoted â€œtextâ€œ") is re-encoded back to its original bytes
+    (cp1252 graphics translated to their 0x80-0x9F code points, then
+    latin-1 encode) and re-decoded as UTF-8.
+
+    The repair is GUARDED — it applies only when ALL hold, else the
+    text passes through untouched (never destructive):
+
+    - the indicator regex fires at least once on the input;
+    - every char is round-trippable to a single byte (≤ U+00FF after
+      the cp1252 translation) — so genuinely multilingual text can
+      never be squashed through latin-1;
+    - the UTF-8 re-decode is clean (no U+FFFD replacement — a legit
+      " or stray Â that is NOT mojibake fails this and is kept);
+    - the repaired text has strictly fewer indicator hits.
+
+    Adds ``mojibake_fixed`` (boolean).  One narrow map, no Python.
+    Double-mojibake (encoded twice) repairs one layer per call;
+    compose twice if a corpus is known to carry it."""
+    c = F.col(text_col)
+    n_before = mojibake_count(c)
+    translated = F.translate(c, _CP1252_FROM, _CP1252_TO)
+    # Spark 4 encode/decode THROW on unmappable/malformed input (ANSI),
+    # so both stay inside conditionals: encode only when every char is
+    # single-byte, decode only when the bytes are valid UTF-8
+    latin_ok = translated.rlike("^[\\x00-\\xff]*$")
+    b = F.when(latin_ok, F.encode(translated, "ISO-8859-1"))
+    valid = F.coalesce(
+        F.when(latin_ok, F.is_valid_utf8(b)), F.lit(False)
+    )
+    cand = F.when(valid, F.decode(b, "UTF-8"))
+    good = F.coalesce(
+        (n_before > 0) & valid & (mojibake_count(cand) < n_before),
+        F.lit(False),
+    )
+    # one withColumns: chaining withColumn would re-resolve ``good``
+    # against the already-repaired text and always report False
+    return df.withColumns(
+        {
+            out_col or text_col: F.when(good, cand).otherwise(c),
+            "mojibake_fixed": good,
+        }
     )

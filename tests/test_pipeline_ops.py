@@ -2963,3 +2963,61 @@ def test_chunked_topk_max_pool_semantics(spark):
     assert got[0].n_chunks == 2
     assert got[1].score == pytest.approx(0.8)
     assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_fix_mojibake_guarded_repair(spark):
+    """ftfy-style double-encoding repair: cp1252 and latin-1 flavored
+    mojibake repairs to the original text; clean text, standalone
+    non-mojibake accents, >1-byte scripts (emoji/CJK) and NULLs pass
+    through untouched (the guard chain is never destructive); repair
+    is idempotent."""
+    from machine_readability_checker_spark.operators.textstats import (
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    rows = [
+        ("cp1252", "CafÃ© â€” â€œquotedâ€¦ Â© naÃ¯ve", 
+         "Café — “quoted… © naïve", True),
+        ("latin1", "dÃ©jÃ\xa0 vu Ã±oÃ±o", "déjà vu ñoño", True),
+        ("clean", "perfectly clean ascii text",
+         "perfectly clean ascii text", False),
+        ("accent", "déjà vu stays as is", "déjà vu stays as is", False),
+        ("solo", "Ã is a standalone letter", "Ã is a standalone letter",
+         False),
+        ("emoji", "emoji 😀 with CafÃ© untouched",
+         "emoji 😀 with CafÃ© untouched", False),
+        ("null", None, None, False),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _, _ in rows], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["mojibake_fixed"])
+        for r in fix_mojibake(df).collect()
+    }
+    for doc_id, _, want_text, want_flag in rows:
+        assert got[doc_id] == (want_text, want_flag), doc_id
+    # idempotent: a second pass changes nothing
+    again = {
+        r["doc_id"]: (r["text"], r["mojibake_fixed"])
+        for r in fix_mojibake(
+            fix_mojibake(df).drop("mojibake_fixed")
+        ).collect()
+    }
+    assert {k: v[0] for k, v in again.items()} == {
+        k: v[0] for k, v in got.items()
+    }
+    # the indicator never fires on repaired text
+    from pyspark.sql import functions as F
+
+    fixed = fix_mojibake(df).filter("mojibake_fixed")
+    assert fixed.filter(
+        mojibake_count(F.col("text")) > 0
+    ).count() == 0
+    # plan stays JVM-side (narrow map, no Python)
+    plan = (
+        fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
