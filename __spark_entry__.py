@@ -7849,6 +7849,50 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k-hash quantile sketch (`sketches.
+    quantile_sketch`, Cohen & Kaplan 2007) over document text lengths:
+    the 256 rows with the smallest md5(doc_id) are a deterministic
+    uniform sample, and percentile_cont over the sample estimates the
+    corpus quantiles.  The DuckDB oracle rebuilds the SAME sample
+    (md5 bottom-k is engine-independent) and recomputes the same
+    interpolated quantiles — construction and estimator both pinned."""
+    from machine_readability_checker_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length("text").alias("v"),
+    )
+    sk = SK.quantile_sketch(docs, "v", id_col="doc_id", k=256)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = SK.quantile_estimate(sk, qs)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        est.select(F.posexplode("qs").alias("i", "est"))
+        .select(
+            F.element_at(qarr, F.col("i") + 1).alias("q"),
+            F.round("est", 6).alias("est"),
+        )
+        .orderBy("q")
+    )
+
+
+_QUANTILE_SKETCH_SQL = """
+WITH s AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(LENGTH(text) AS DOUBLE) AS v
+  FROM documents ORDER BY h LIMIT 256
+)
+SELECT CAST(0.1 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.1), 6) AS est FROM s
+UNION ALL SELECT CAST(0.25 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.25), 6) AS est FROM s
+UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.5), 6) AS est FROM s
+UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.75), 6) AS est FROM s
+UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.9), 6) AS est FROM s
+UNION ALL SELECT CAST(0.99 AS DOUBLE) AS q, ROUND(quantile_cont(v, 0.99), 6) AS est FROM s
+ORDER BY q
+"""
+
+
 _MOJIBAKE_FIX_SQL = """
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 0 END AS INT) AS n_hits,
@@ -7900,6 +7944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "takedown_purge": q_takedown_purge,
         "cdc_chunks": q_cdc_chunks,
         "mojibake_fix": q_mojibake_fix,
+        "quantile_sketch": q_quantile_sketch,
         # round 4 families (sketches, interleave, link graph,
         # tokenizers, retrieval, crawl QA, media near-dup, formats):
         "semantic_dedup": q_semantic_dedup,
@@ -8323,6 +8368,7 @@ def oracle_sql() -> dict[str, str]:
     out["takedown_purge"] = _TAKEDOWN_PURGE_SQL
     out["cdc_chunks"] = _CDC_CHUNKS_SQL
     out["mojibake_fix"] = _MOJIBAKE_FIX_SQL
+    out["quantile_sketch"] = _QUANTILE_SKETCH_SQL
     return out
 
 

@@ -426,3 +426,67 @@ def hll_overlap(a: DataFrame, b: DataFrame, p: int) -> DataFrame:
         inter.alias("intersect_est"),
         F.try_divide(inter, F.col("union_est")).alias("jaccard_est"),
     )
+
+
+# ------------------------------------------- bottom-k quantile sketch
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    k: int = 1024,
+) -> DataFrame:
+    """Mergeable quantile sketch by bottom-k hash sampling (Cohen &
+    Kaplan 2007): keep the value of every row whose md5(id) is among
+    the k smallest — a deterministic uniform sample of the id space,
+    so the sample's value distribution estimates the corpus's with
+    O(1/√k) rank error.  Completes the sketch algebra (KMV:
+    cardinality, HLL: keyed cardinality, CMS: frequency, Bloom:
+    membership — QUANTILES were the missing axis: per-corpus length /
+    score / perplexity distributions tracked as persistable, mergeable
+    k-row artifacts instead of re-scanning raw corpora).
+
+    One hash aggregate shape: TakeOrderedAndProject of k (h, value)
+    rows; the only driver traffic is the sketch itself.  Everything is
+    md5-deterministic — same corpus, same sketch, cross-engine
+    reproducible (the DuckDB oracle rebuilds it row-for-row), unlike
+    KLL/GK whose compactions are RNG- or order-dependent."""
+    return (
+        df.select(
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, k: int
+) -> DataFrame:
+    """Union → bottom-k: EXACTLY the sketch of the concatenated
+    corpora (the bottom-k of a union is the bottom-k of the union of
+    bottom-ks — closure is exact, not approximate; duplicate ids
+    across shards keep one row via the distinct on h).  Associative
+    and commutative, so shard sketches roll up in any tree order."""
+    return (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.first("v").alias("v"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame, quantiles: list
+) -> DataFrame:
+    """→ one row with a ``qs`` array: linear-interpolated quantiles
+    (percentile_cont semantics) of the sampled values — a broadcast-
+    sized aggregate over ≤ k rows."""
+    return sketch.agg(
+        F.percentile(
+            F.col("v"), F.array(*[F.lit(float(q)) for q in quantiles])
+        ).alias("qs")
+    )

@@ -319,3 +319,53 @@ def test_hll_merge_by_key_union_closure(spark):
         map(tuple, SK.hll_sketch_by_key(df, "domain", p=6).collect())
     )
     assert merged == direct
+
+
+def test_quantile_sketch_bottom_k_semantics(spark):
+    """Bottom-k hash sampling: the sketch is EXACTLY the k rows with
+    the smallest md5(id) (deterministic — rebuildable cross-engine),
+    merge is EXACTLY the direct sketch of the union (closure), and
+    estimates hit exact quantiles within the O(1/sqrt(k)) rank-error
+    band (floored at 0.05 for k=512)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators import sketches as SK
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(3.0, 1.0, size=8000)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "doc_id long, v double"
+    )
+    k = 512
+    sk = SK.quantile_sketch(df, "v", k=k)
+    rows = sk.collect()
+    assert len(rows) == k
+    # exact bottom-k by hash (construction pin)
+    import hashlib
+
+    want = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), float(v))
+        for i, v in enumerate(vals)
+    )[:k]
+    assert sorted((r["h"], r["v"]) for r in rows) == want
+
+    # merge closure: shard sketches roll up to the direct sketch
+    h1 = SK.quantile_sketch(df.filter("doc_id % 3 = 0"), "v", k=k)
+    h2 = SK.quantile_sketch(df.filter("doc_id % 3 != 0"), "v", k=k)
+    merged = SK.quantile_sketch_merge(h1, h2, k)
+    assert sorted(
+        (r["h"], r["v"]) for r in merged.collect()
+    ) == sorted((r["h"], r["v"]) for r in rows)
+
+    # rank-error floor vs exact quantiles
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = SK.quantile_estimate(sk, qs).collect()[0]["qs"]
+    s = np.sort(vals)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(s, e) / len(s)
+        assert abs(rank - q) <= 0.05, (q, e, rank)
+
+    # scale shape: one TakeOrderedAndProject, no full sort
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
