@@ -274,3 +274,62 @@ def test_roundtrip_meta_prefix_codes():
         w, h, 3, px, meta_bits=3, meta_groups=2, subtract_green=True
     )
     assert got == px
+
+
+# ------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    channels=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    use_rle=st.booleans(),
+    cache_bits=st.sampled_from([0, 2, 5]),
+    subtract_green=st.booleans(),
+    predictor=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_webp_roundtrip_property(
+    w, h, channels, seed, use_rle, cache_bits, subtract_green, predictor
+):
+    """Any image, any feature combination: encode→decode is the
+    identity (incl. 1-pixel images, single columns/rows, and transform
+    block grids larger than the image)."""
+    px = _pix(w, h, channels, seed)
+    data = W.encode_webp_lossless(
+        w, h, channels, px,
+        use_rle=use_rle, cache_bits=cache_bits,
+        subtract_green=subtract_green,
+        predictor_bits=2 if predictor else 0,
+    )
+    gw, gh, gch, gpx = W.decode_webp(data)
+    assert (gw, gh) == (w, h)
+    assert gpx == px or (
+        channels == 4
+        and gch == 3
+        # alpha-255-everywhere inputs legitimately decode as RGB
+        and all(px[i] == 255 for i in range(3, len(px), 4))
+        and gpx == bytes(
+            b for i, b in enumerate(px) if i % 4 != 3
+        )
+    )
+
+
+@given(
+    n_colors=st.integers(2, 40),
+    w=st.integers(1, 20),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_webp_palette_roundtrip_property(n_colors, w, h, seed):
+    rng = np.random.RandomState(seed)
+    lut = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.randint(0, n_colors, size=w * h)
+    px = bytes(lut[idx].ravel())
+    data = W.encode_webp_lossless(w, h, 3, px, palette=True)
+    gw, gh, _, gpx = W.decode_webp(data)
+    assert (gw, gh) == (w, h) and gpx == px
