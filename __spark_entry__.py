@@ -7849,6 +7849,72 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line language segmentation rolled up to document profiles
+    (`textstats.lang_segments` + `doc_lang_profile`): every non-blank
+    line votes its own language, dominance is by character mass (ties
+    to the lexicographically smallest lang), and `mixed` flags
+    documents with >= 2 identified languages — the CCNet per-paragraph
+    refinement over doc-level langID.  The DuckDB oracle replays the
+    full pipeline: line split, per-line stopword votes, argmax CASE,
+    char-mass aggregation, window dominance, mix flag."""
+    from machine_readability_checker_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prof = TS.doc_lang_profile(TS.lang_segments(docs))
+    return prof.orderBy("doc_id")
+
+
+def _lang_segments_oracle_sql() -> str:
+    line_toks = "list_filter(string_split(lower(line), ' '), x -> x != '')"
+    score_cols = ",\n    ".join(
+        f"len(list_filter({line_toks}, x -> x IN {v})) AS s_{k}"
+        for k, v in _LANG_SCORE.items()
+    )
+    return f"""
+WITH lines AS (
+  SELECT doc_id, u.line
+  FROM documents, unnest(string_split(text, chr(10))) AS u(line)
+  WHERE trim(u.line) != ''
+), scored AS (
+  SELECT doc_id, line,
+    {score_cols}
+  FROM lines
+), pred AS (
+  SELECT doc_id, LENGTH(line) AS n_chars,
+    CASE
+      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh
+           AND s_en > 0 THEN 'en'
+      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh AND s_es > 0
+           THEN 'es'
+      WHEN s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+      WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+      WHEN s_zh > 0 THEN 'zh'
+      ELSE 'und'
+    END AS lang
+  FROM scored
+), per AS (
+  SELECT doc_id, lang, SUM(n_chars) AS chars
+  FROM pred GROUP BY doc_id, lang
+), tot AS (
+  SELECT doc_id, SUM(chars) AS total,
+         SUM(CASE WHEN lang != 'und' THEN 1 ELSE 0 END) AS n_langs
+  FROM per GROUP BY doc_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY chars DESC, lang ASC) AS rn
+  FROM per
+)
+SELECT r.doc_id, r.lang AS dominant_lang,
+       ROUND(r.chars * 1.0 / t.total, 6) AS dominant_frac,
+       CAST(t.n_langs AS INT) AS n_langs,
+       t.n_langs >= 2 AS mixed
+FROM ranked r JOIN tot t USING (doc_id)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k-hash quantile sketch (`sketches.
     quantile_sketch`, Cohen & Kaplan 2007) over document text lengths:
@@ -7945,6 +8011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "mojibake_fix": q_mojibake_fix,
         "quantile_sketch": q_quantile_sketch,
+        "lang_segments": q_lang_segments,
         # round 4 families (sketches, interleave, link graph,
         # tokenizers, retrieval, crawl QA, media near-dup, formats):
         "semantic_dedup": q_semantic_dedup,
@@ -8369,6 +8436,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_chunks"] = _CDC_CHUNKS_SQL
     out["mojibake_fix"] = _MOJIBAKE_FIX_SQL
     out["quantile_sketch"] = _QUANTILE_SKETCH_SQL
+    out["lang_segments"] = _lang_segments_oracle_sql()
     return out
 
 

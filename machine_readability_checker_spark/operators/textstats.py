@@ -1368,3 +1368,69 @@ def fix_mojibake(
             "mojibake_fixed": good,
         }
     )
+
+
+# --------------------------------------- per-line language segmentation
+
+
+def lang_segments(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-LINE language table ``(id, line_idx, lang, n_chars)`` over
+    non-blank lines — the CCNet refinement of document-level langID:
+    real web pages interleave languages (navigation vs body, quoted
+    sources, code comments), and a whole-document vote mislabels or
+    'und's them.  One split + posexplode; the stopword vote runs per
+    line inside the same JVM expression family as ``lang_id``."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    ).filter(F.trim(F.col("line")) != "")
+    return lines.select(
+        id_col,
+        "line_idx",
+        lang_id(F.col("line")).alias("lang"),
+        F.length("line").alias("n_chars"),
+    )
+
+
+def doc_lang_profile(
+    segs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Roll per-line language rows up to a document profile:
+    ``(id, dominant_lang, dominant_frac, n_langs, mixed)`` — dominant
+    by character mass (ties to the lexicographically smallest lang),
+    ``n_langs`` counting identified (non-'und') languages, ``mixed``
+    when ≥ 2.  The corpus-mix gate: route mixed documents to per-line
+    filtering instead of dropping them on a single doc-level vote.
+    Two aggregates + one per-doc window."""
+    from pyspark.sql import Window
+
+    per = segs.groupBy(id_col, "lang").agg(
+        F.sum("n_chars").alias("chars")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("chars"), F.asc("lang")
+    )
+    ranked = per.withColumn("_rn", F.row_number().over(w))
+    totals = per.groupBy(id_col).agg(
+        F.sum("chars").alias("_total"),
+        F.sum(
+            F.when(F.col("lang") != "und", 1).otherwise(0)
+        ).alias("n_langs"),
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .join(totals, id_col)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("dominant_lang"),
+            F.round(F.col("chars") / F.col("_total"), 6).alias(
+                "dominant_frac"
+            ),
+            F.col("n_langs").cast("int").alias("n_langs"),
+            (F.col("n_langs") >= 2).alias("mixed"),
+        )
+    )

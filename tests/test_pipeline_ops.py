@@ -3021,3 +3021,44 @@ def test_fix_mojibake_guarded_repair(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_lang_segments_and_profile(spark):
+    """Per-line language segmentation on a hand-built bilingual doc:
+    line votes, char-mass dominance with the lexicographic tie rule,
+    the mixed flag, blank-line skipping, and 'und' exclusion from
+    n_langs."""
+    from machine_readability_checker_spark.operators.textstats import (
+        doc_lang_profile,
+        lang_segments,
+    )
+
+    en = "the cat sat on the mat and the dog is here"      # en votes
+    es = "el perro y la casa que en los campos"            # es votes
+    num = "12345 67890"                                    # und
+    rows = [
+        ("mix", f"{en}\n\n{es}\n{num}"),
+        ("mono", f"{en}\n{en}"),
+        ("und", num),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    segs = {
+        (r["doc_id"], r["line_idx"]): (r["lang"], r["n_chars"])
+        for r in lang_segments(df).collect()
+    }
+    # blank line (idx 1) skipped; langs as constructed
+    assert segs[("mix", 0)] == ("en", len(en))
+    assert ("mix", 1) not in segs
+    assert segs[("mix", 2)] == ("es", len(es))
+    assert segs[("mix", 3)] == ("und", len(num))
+
+    prof = {
+        r["doc_id"]: (
+            r["dominant_lang"], r["dominant_frac"], r["n_langs"], r["mixed"]
+        )
+        for r in doc_lang_profile(lang_segments(df)).collect()
+    }
+    total = len(en) + len(es) + len(num)
+    assert prof["mix"] == ("en", round(len(en) / total, 6), 2, True)
+    assert prof["mono"] == ("en", 1.0, 1, False)
+    assert prof["und"] == ("und", 1.0, 0, False)
