@@ -7915,6 +7915,84 @@ ORDER BY doc_id
 """
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-script profile + homoglyph detection
+    (`textstats.script_profile` / `mixed_script_word_count`): each doc
+    gets a JVM-synthesized mix of Latin words, a doc_id-scaled run of
+    Cyrillic words, Han characters, and (every 3rd doc) the classic
+    Latin/Cyrillic homoglyph word 'pаypаl'.  Spark counts
+    with Java script classes (\p{IsLatin}), the oracle with RE2's
+    (\p{Latin}) — engine-portable RESULTS, not patterns, are the
+    contract."""
+    from machine_readability_checker_spark.operators.textstats import (
+        mixed_script_word_count,
+        script_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    t = F.expr(
+        "concat('alpha beta ', repeat('слово ', CAST(doc_id % 4 AS INT)), "
+        "CASE WHEN doc_id % 3 = 0 THEN 'pаypаl ' ELSE '' END, "
+        "repeat('漢字', CAST(doc_id % 2 + 1 AS INT)))"
+    )
+    df = docs.select("doc_id", t.alias("text"))
+    p = script_profile(F.col("text"))
+    return df.select(
+        "doc_id",
+        p["latin"].alias("latin"),
+        p["cyrillic"].alias("cyrillic"),
+        p["han"].alias("han"),
+        p["other"].alias("other"),
+        p["n_letters"].alias("n_letters"),
+        mixed_script_word_count(F.col("text")).alias("mixed_words"),
+    ).orderBy("doc_id")
+
+
+_SCRIPT_MIX_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'alpha beta ' || repeat('слово ', CAST(doc_id % 4 AS INT)) ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'pаypаl ' ELSE '' END) ||
+         repeat('漢字', CAST(doc_id % 2 + 1 AS INT)) AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\p{L}]', '', 'g'))
+      AS n_letters,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\p{Latin}]', '', 'g'))
+      AS n_latin,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\p{Cyrillic}]', '', 'g'))
+      AS n_cyr,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\p{Han}]', '', 'g'))
+      AS n_han,
+    LENGTH(text)
+      - LENGTH(regexp_replace(text, '[\p{Hiragana}\p{Katakana}]', '', 'g'))
+      AS n_kana,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\p{Arabic}]', '', 'g'))
+      AS n_ar,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\p{Greek}]', '', 'g'))
+      AS n_gr
+  FROM d
+)
+SELECT doc_id,
+  ROUND(CASE WHEN n_letters > 0 THEN n_latin * 1.0 / n_letters ELSE 0 END, 6)
+    AS latin,
+  ROUND(CASE WHEN n_letters > 0 THEN n_cyr * 1.0 / n_letters ELSE 0 END, 6)
+    AS cyrillic,
+  ROUND(CASE WHEN n_letters > 0 THEN n_han * 1.0 / n_letters ELSE 0 END, 6)
+    AS han,
+  ROUND(CASE WHEN n_letters > 0 THEN
+    (n_letters - n_latin - n_cyr - n_han - n_kana - n_ar - n_gr) * 1.0
+      / n_letters ELSE 0 END, 6) AS other,
+  CAST(n_letters AS INT) AS n_letters,
+  CAST(len(regexp_extract_all(text,
+    '[^\s]*\p{Latin}[^\s]*\p{Cyrillic}[^\s]*|[^\s]*\p{Cyrillic}[^\s]*\p{Latin}[^\s]*'
+  )) AS INT) AS mixed_words
+FROM c
+ORDER BY doc_id
+"""
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k-hash quantile sketch (`sketches.
     quantile_sketch`, Cohen & Kaplan 2007) over document text lengths:
@@ -8012,6 +8090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_fix": q_mojibake_fix,
         "quantile_sketch": q_quantile_sketch,
         "lang_segments": q_lang_segments,
+        "script_mix": q_script_mix,
         # round 4 families (sketches, interleave, link graph,
         # tokenizers, retrieval, crawl QA, media near-dup, formats):
         "semantic_dedup": q_semantic_dedup,
@@ -8437,6 +8516,7 @@ def oracle_sql() -> dict[str, str]:
     out["mojibake_fix"] = _MOJIBAKE_FIX_SQL
     out["quantile_sketch"] = _QUANTILE_SKETCH_SQL
     out["lang_segments"] = _lang_segments_oracle_sql()
+    out["script_mix"] = _SCRIPT_MIX_SQL
     return out
 
 

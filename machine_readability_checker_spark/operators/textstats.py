@@ -1434,3 +1434,59 @@ def doc_lang_profile(
             (F.col("n_langs") >= 2).alias("mixed"),
         )
     )
+
+
+# --------------------------------------------- writing-script profile
+
+#: Java regex script classes (Spark side) — the DuckDB oracle uses the
+#: RE2 spellings (\p{Latin} etc.); results, not patterns, are pinned.
+_SCRIPT_CLASSES = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "han": r"\p{IsHan}",
+    "kana": r"\p{IsHiragana}\p{IsKatakana}",
+    "arabic": r"\p{IsArabic}",
+    "greek": r"\p{IsGreek}",
+}
+
+
+def _class_count(col: Column, cls: str) -> Column:
+    return F.length(col) - F.length(
+        F.regexp_replace(col, f"[{cls}]", "")
+    )
+
+
+def script_profile(col: Column) -> Column:
+    """Writing-script character fractions over the LETTERS of a string
+    → struct(latin, cyrillic, han, kana, arabic, greek, other) — the
+    script-consistency quality signal (a page claiming to be English
+    prose with 30% Cyrillic letters is SEO spam or mojibake; CJK
+    corpora route by han/kana mass).  Pure JVM regex counting."""
+    letters = _class_count(col, r"\p{L}")
+    named = {
+        k: _class_count(col, cls) for k, cls in _SCRIPT_CLASSES.items()
+    }
+    other = letters - sum(named.values(), F.lit(0))
+
+    def frac(c: Column) -> Column:
+        return F.round(
+            F.when(letters > 0, c / letters).otherwise(F.lit(0.0)), 6
+        )
+
+    return F.struct(
+        *[frac(c).alias(k) for k, c in named.items()],
+        frac(other).alias("other"),
+        letters.cast("int").alias("n_letters"),
+    )
+
+
+def mixed_script_word_count(col: Column) -> Column:
+    """Number of whitespace words mixing Latin and Cyrillic letters —
+    the classic homoglyph-spoofing signal (pаypаl with Cyrillic а):
+    legitimate text virtually never mixes the two scripts INSIDE one
+    word, so any hit is a strong spam/phishing marker."""
+    pat = (
+        r"[^\s]*\p{IsLatin}[^\s]*\p{IsCyrillic}[^\s]*"
+        r"|[^\s]*\p{IsCyrillic}[^\s]*\p{IsLatin}[^\s]*"
+    )
+    return F.regexp_count(col, F.lit(pat))

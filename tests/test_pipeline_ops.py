@@ -3062,3 +3062,44 @@ def test_lang_segments_and_profile(spark):
     assert prof["mix"] == ("en", round(len(en) / total, 6), 2, True)
     assert prof["mono"] == ("en", 1.0, 1, False)
     assert prof["und"] == ("und", 1.0, 0, False)
+
+
+def test_script_profile_and_homoglyphs(spark):
+    """Writing-script fractions and Latin/Cyrillic homoglyph word
+    detection, hand-computed (incl. the pаypаl spoof and a
+    letter-free string)."""
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators.textstats import (
+        mixed_script_word_count,
+        script_profile,
+    )
+
+    rows = [
+        ("en", "plain english words"),
+        ("spoof", "login to pаypаl now"),       # Cyrillic а twice
+        ("cjk", "日本語テキスト abc"),
+        ("none", "123 !!! 456"),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: (r["p"].asDict() if r["p"] else None, r["mx"])
+        for r in df.select(
+            "doc_id",
+            script_profile(F.col("text")).alias("p"),
+            mixed_script_word_count(F.col("text")).alias("mx"),
+        ).collect()
+    }
+    assert out["en"][0]["latin"] == 1.0 and out["en"][1] == 0
+    sp = out["spoof"][0]
+    assert sp["n_letters"] == 16  # login to pаypаl now
+    assert sp["cyrillic"] == round(2 / 16, 6)
+    assert sp["latin"] == round(14 / 16, 6)
+    assert out["spoof"][1] == 1
+    cj = out["cjk"][0]
+    assert cj["han"] == round(3 / 10, 6)   # 日本語
+    assert cj["kana"] == round(4 / 10, 6)  # テキスト
+    assert cj["latin"] == round(3 / 10, 6)
+    assert out["none"][0]["n_letters"] == 0
+    assert out["none"][0]["latin"] == 0.0
