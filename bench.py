@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     # round 5
     "takedown_purge",
     "cdc_chunks",
+    "mojibake_fix",
+    "quantile_sketch",
+    "lang_segments",
+    "script_mix",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the
