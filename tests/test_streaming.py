@@ -356,3 +356,69 @@ def test_stream_hll_registers_match_batch_and_update_incrementally(
     # the published table feeds the batch estimator unchanged
     est = SK.hll_estimate(spark.read.parquet(out_dir), p=6).first()
     assert abs(est.n_distinct_est - 150) / 150 < 0.4  # m=64 error band
+
+
+def test_stream_curation_signals_match_batch(spark, tmp_path):
+    """The round-5 curation signals are narrow JVM maps, so they run
+    unchanged inside a streaming micro-batch: mojibake repair, script
+    profile and per-line langID over a file-source stream produce
+    exactly the batch results (the streaming-ingest twin of the clean
+    funnel's newest stages)."""
+    from machine_readability_checker_spark.operators.textstats import (
+        fix_mojibake,
+        lang_id,
+        mixed_script_word_count,
+        script_profile,
+    )
+
+    in_dir = str(tmp_path / "cin")
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    rows = [
+        ("m1", "CafÃ© nÃºmero uno â€” fixed"),
+        ("m2", "plain english text the cat is here"),
+        ("m3", "pаypаl spoof word"),
+        ("m4", "привет мир и все"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    df.write.mode("overwrite").parquet(in_dir)
+
+    def xform(d):
+        d = fix_mojibake(d)
+        return d.select(
+            "doc_id", "text", "mojibake_fixed",
+            script_profile(F.col("text"))["latin"].alias("latin"),
+            mixed_script_word_count(F.col("text")).alias("spoof_words"),
+            lang_id(F.col("text")).alias("lang"),
+        )
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        in_dir
+    )
+    q = (
+        xform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (
+            r["text"], r["mojibake_fixed"], r["latin"],
+            r["spoof_words"], r["lang"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (
+            r["text"], r["mojibake_fixed"], r["latin"],
+            r["spoof_words"], r["lang"],
+        )
+        for r in xform(df).collect()
+    }
+    assert got == want
+    assert got["m1"][0] == "Café número uno — fixed" and got["m1"][1]
+    assert got["m3"][3] == 1
+    assert got["m4"][4] == "und"  # Russian is not in the vote set
