@@ -7915,6 +7915,73 @@ ORDER BY doc_id
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (`temporal.interval_join`): documents
+    synthesize an hourly grid of intervals over the events month
+    (start on an hour boundary keyed by doc_id, length 0.5-3.5 h) and
+    every event joins the intervals containing its timestamp via the
+    bucket-explode equi join — never Catalyst's
+    BroadcastNestedLoopJoin cliff for BETWEEN predicates.  Returned
+    per-interval (count, sum(value)); the DuckDB oracle runs the
+    textbook range join (its native iejoin) over the same synthesis,
+    pinning bucketization against real range-join semantics.
+    Microsecond integer timestamps on both sides keep the comparison
+    exact."""
+    from machine_readability_checker_spark.operators.temporal import (
+        interval_join,
+    )
+
+    base_us = 1_704_067_200 * 10**6  # 2024-01-01 UTC
+    ev = _t(spark, sf_dir, "events").select(
+        # parquet stores TIMESTAMP_NTZ; the UTC session makes the cast
+        # the same instant DuckDB's epoch_us reads off the naive value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    iv = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("iv_id"),
+        (F.lit(base_us) + (F.col("doc_id") % 720) * 3_600_000_000).alias(
+            "start_us"
+        ),
+        (
+            F.lit(base_us)
+            + (F.col("doc_id") % 720) * 3_600_000_000
+            + (F.col("doc_id") % 7 + 1) * 1_800_000_000
+        ).alias("end_us"),
+    )
+    joined = interval_join(
+        ev, iv, ts_col="ts_us", start_col="start_us", end_col="end_us",
+        bucket_width=3_600_000_000,
+    )
+    return (
+        joined.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("iv_id")
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH iv AS (
+  SELECT doc_id AS iv_id,
+         1704067200000000 + (doc_id % 720) * 3600000000 AS start_us,
+         1704067200000000 + (doc_id % 720) * 3600000000
+           + (doc_id % 7 + 1) * 1800000000 AS end_us
+  FROM documents
+), e AS (
+  SELECT epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT iv.iv_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM iv JOIN e ON e.ts_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY iv.iv_id
+ORDER BY iv.iv_id
+"""
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writing-script profile + homoglyph detection
     (`textstats.script_profile` / `mixed_script_word_count`): each doc
@@ -8091,6 +8158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "lang_segments": q_lang_segments,
         "script_mix": q_script_mix,
+        "interval_join": q_interval_join,
         # round 4 families (sketches, interleave, link graph,
         # tokenizers, retrieval, crawl QA, media near-dup, formats):
         "semantic_dedup": q_semantic_dedup,
@@ -8517,6 +8585,7 @@ def oracle_sql() -> dict[str, str]:
     out["quantile_sketch"] = _QUANTILE_SKETCH_SQL
     out["lang_segments"] = _lang_segments_oracle_sql()
     out["script_mix"] = _SCRIPT_MIX_SQL
+    out["interval_join"] = _INTERVAL_JOIN_SQL
     return out
 
 

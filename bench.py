@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "quantile_sketch",
     "lang_segments",
     "script_mix",
+    "interval_join",
 ]
 # NB: ngram_lm_ppl and bm25_topk left BENCH_QUERIES in r4: both
 # conflated a one-off build (LM training / postings indexing) with the

@@ -84,3 +84,71 @@ def asof_join_last(
             for c in value_cols
         ],
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_width: int = 3600,
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Scalable interval (range) join: every (event, interval) pair
+    with ``start ≤ ts ≤ end`` (inclusive both ends).
+
+    Catalyst plans a raw ``l.ts BETWEEN r.start AND r.end`` predicate
+    as a BroadcastNestedLoopJoin — O(|events|·|intervals|) compares,
+    the non-equi-join cliff every engine that ships a dedicated RANGE
+    JOIN optimization (Databricks runtime, DuckDB iejoin) exists to
+    avoid.  The published bucketization turns it into an EQUI join:
+
+    1. each interval explodes into the ``floor(ts / w)`` buckets it
+       overlaps (sequence + explode, JVM-side);
+    2. each event computes its single bucket;
+    3. one shuffle each side on ``bucket``, SortMergeJoin, then the
+       exact BETWEEN filter;
+    4. a pair appears in exactly ONE bucket (the event's), so no
+       dedup pass is needed.
+
+    Cost: shuffle ∝ |events| + Σ interval_len/w.  Pick ``bucket_width``
+    near the median interval length — w too small inflates the
+    interval side, too large degrades each bucket toward the cross
+    product.  ``max_buckets_per_interval`` guards the explode against
+    pathological open-ended intervals (raise it deliberately, never
+    silently): offenders are dropped with nothing matched, the
+    documented contract for intervals longer than w × the cap.
+
+    Column conflicts: callers rename; both frames' columns pass
+    through (the lane and tests use disjoint names)."""
+    w = int(bucket_width)
+    ev = events.withColumn(
+        "_b", F.floor(F.col(ts_col) / w).cast("long")
+    )
+    n_b = (
+        F.floor(F.col(end_col) / w) - F.floor(F.col(start_col) / w) + 1
+    )
+    iv = (
+        intervals.filter(
+            (F.col(end_col) >= F.col(start_col))
+            & (n_b <= max_buckets_per_interval)
+        )
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / w).cast("long"),
+                    F.floor(F.col(end_col) / w).cast("long"),
+                )
+            ),
+        )
+    )
+    return (
+        ev.join(iv, "_b")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -3103,3 +3103,78 @@ def test_script_profile_and_homoglyphs(spark):
     assert cj["latin"] == round(3 / 10, 6)
     assert out["none"][0]["n_letters"] == 0
     assert out["none"][0]["latin"] == 0.0
+
+
+def test_interval_join_bucketized(spark):
+    """Bucketized interval join == brute-force BETWEEN semantics
+    (inclusive ends, intervals spanning many buckets, degenerate
+    point intervals, empty matches), with the plan pinned to an EQUI
+    join — no BroadcastNestedLoopJoin, no cartesian."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from machine_readability_checker_spark.operators.temporal import (
+        interval_join,
+    )
+
+    events = [(f"e{i}", 100 * i + 7) for i in range(60)]
+    intervals = [
+        ("iv0", 0, 250),          # several events
+        ("iv1", 307, 307),        # point interval, exact hit
+        ("iv2", 290, 320),        # single event
+        ("iv3", 5000, 5999),      # multi-bucket span
+        ("iv4", 9000, 9001),      # no matches
+        ("iv5", 150, 4000),       # wide span, many buckets
+    ]
+    ev = spark.createDataFrame(events, "event_id string, ts long")
+    iv = spark.createDataFrame(
+        intervals, "iv_id string, start_ts long, end_ts long"
+    )
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, bucket_width=256).collect()
+    }
+    want = {
+        (e, i)
+        for (e, ts), (i, s, t) in itertools.product(events, intervals)
+        if s <= ts <= t
+    }
+    assert got == want and ("e3", "iv1") in got and len(want) > 40
+
+    # each pair exactly once (no cross-bucket duplicates)
+    dup = (
+        interval_join(ev, iv, bucket_width=256)
+        .groupBy("event_id", "iv_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+    # bucket-width invariance
+    for w in (64, 1000, 10_000):
+        alt = {
+            (r["event_id"], r["iv_id"])
+            for r in interval_join(ev, iv, bucket_width=w).collect()
+        }
+        assert alt == want, w
+
+    # explode guard: a pathological interval is dropped, others kept
+    iv_bad = spark.createDataFrame(
+        intervals + [("huge", 0, 10**12)],
+        "iv_id string, start_ts long, end_ts long",
+    )
+    guarded = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            ev, iv_bad, bucket_width=256, max_buckets_per_interval=1000
+        ).collect()
+    }
+    assert guarded == want
+
+    # plan: equi join on the bucket, never a nested-loop/cartesian
+    plan = (
+        interval_join(ev, iv, bucket_width=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
